@@ -1,0 +1,60 @@
+"""druid_hadoop_utils_spark — a PySpark-native analytics engine with the
+capabilities of the ``himanshug/druid-hadoop-utils`` reference library.
+
+The reference (see SURVEY.md) is a Hadoop/Pig connector over Druid 0.9.1
+segments: time-partitioned versioned columnar data, declared load specs
+(dimensions / metrics / granularity / DimFilter), and a two-phase
+approximate-aggregation surface (HLL sketches with partial-bytes /
+merge / finalize plus post-aggregation arithmetic).
+
+This package re-expresses that capability surface Spark-first:
+
+- ``sources.segments``  — versioned, time-partitioned Parquet segment layout
+  with manifest-based overshadow resolution (reference:
+  druid-mr/.../DruidInputFormat.java:98-110 timeline semantics).
+- ``plans.spec``        — ``LoadSpec`` parsed from the same JSON shapes the
+  reference accepts (PigSegmentLoadSpec.java:28-44,
+  DruidInputFormat.java:76-86).
+- ``plans.planner``     — ``load(spark, ...) -> DataFrame``: manifest → pruned
+  parquet scan → interval + DimFilter predicates → column pruning →
+  granularity truncation → optional rollup. Everything is DataFrame /
+  Catalyst; no RDDs, no custom rules.
+- ``functions``         — DimFilter-tree → Column, granularity → Column,
+  Druid AggregatorFactory / PostAggregator JSON → Column (on Spark
+  builtins + DataSketches ``hll_*``).
+- ``operators``         — large-scale training-data-pipeline extensions:
+  dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  similarity search, text analysis, multimodal column plumbing.
+- ``streaming``         — Structured Streaming ingest writing new segment
+  versions (extension; the reference is batch-only, SURVEY.md §2.9).
+"""
+
+from druid_hadoop_utils_spark.plans.spec import LoadSpec, Metric, parse_interval
+from druid_hadoop_utils_spark.plans.planner import load, rollup_df
+from druid_hadoop_utils_spark.functions.filters import filter_to_column
+from druid_hadoop_utils_spark.functions.granularity import granularity_expr
+from druid_hadoop_utils_spark.functions.aggregators import agg_expr, post_agg_expr
+from druid_hadoop_utils_spark.sources.segments import (
+    SegmentManifest,
+    write_segment,
+    list_manifests,
+    resolve_visible_windows,
+)
+
+__all__ = [
+    "LoadSpec",
+    "Metric",
+    "parse_interval",
+    "load",
+    "rollup_df",
+    "filter_to_column",
+    "granularity_expr",
+    "agg_expr",
+    "post_agg_expr",
+    "SegmentManifest",
+    "write_segment",
+    "list_manifests",
+    "resolve_visible_windows",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,228 @@
+"""Druid AggregatorFactory / PostAggregator JSON → Spark Columns.
+
+Re-expresses the reference's two-phase aggregation protocol (SURVEY.md §2.5,
+§2.6). The reference wraps Druid factories in Pig UDFs with explicit
+partial (bytes) vs final (estimate) variants:
+
+- NonFinalizingAggregatorFactoryAdapter — partial sketch bytes for re-merge
+  (reference: NonFinalizingAggregatorFactoryAdapter.java:19-31)
+- Long/Float/DoubleFinalizingAggregatorFactoryAdapter — finalizeComputation
+  cast to the host type (reference: LongFinalizingAggregatorFactoryAdapter
+  .java:17-29 and siblings)
+- PostAggregatorAdapter — arithmetic / fieldAccess / constant /
+  hyperUniqueCardinality over aggregate outputs (reference:
+  PostAggregatorAdapter.java:38-99, druid_exporter.pig:3-4,15)
+
+In Spark the partial/merge split is automatic inside ``agg()`` (Catalyst
+plans partial+final HashAggregate), so the adapter layer reduces to: JSON
+spec → the right builtin Column expression. Sketch state rides as
+``BinaryType`` through the DataSketches ``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate`` family and never crosses into
+Python — the per-row Python path would be the 100 TB perf cliff.
+
+Supported factory grammar (Druid 0.9.1, SURVEY.md §2.5 A5): ``count``,
+``longSum``, ``doubleSum``, ``longMin``, ``longMax``, ``doubleMin``,
+``doubleMax``, ``hyperUnique``, ``cardinality``, ``filtered``.
+``javascript`` is deliberately rejected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructType
+
+from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+# Default HLL precision: lgK=12 is the DataSketches default; the sketch is
+# exact (coupon mode) for small cardinalities and ~1.6% RSE beyond.
+DEFAULT_LGK = 12
+
+_SIMPLE = {
+    "count": lambda c: F.count(c),
+    "longSum": lambda c: F.sum(c.cast("long")).cast("long"),
+    "doubleSum": lambda c: F.sum(c.cast("double")),
+    "longMin": lambda c: F.min(c.cast("long")),
+    "longMax": lambda c: F.max(c.cast("long")),
+    "doubleMin": lambda c: F.min(c.cast("double")),
+    "doubleMax": lambda c: F.max(c.cast("double")),
+}
+
+_FINAL_CASTS = {"long": "long", "float": "float", "double": "double"}
+
+
+def _is_binary(schema: StructType | None, name: str) -> bool:
+    if schema is None:
+        return False
+    try:
+        return isinstance(schema[name].dataType, BinaryType)
+    except KeyError:
+        return False
+
+
+def _hll_partial(col: Column, is_sketch: bool, lgk: int) -> Column:
+    """Partial HLL state: build from raw values, or merge pre-built sketches
+    (the reference merges pre-rolled ``hyperUnique`` columns the same way)."""
+    if is_sketch:
+        return F.hll_union_agg(col, F.lit(True))
+    return F.hll_sketch_agg(col, F.lit(lgk))
+
+
+def agg_expr(
+    spec: dict,
+    schema: StructType | DataFrame | None = None,
+    finalize: bool = True,
+    finalize_type: str = "double",
+    lgk: int = DEFAULT_LGK,
+    _cond: Column | None = None,
+) -> Column:
+    """Build the aggregate Column for one AggregatorFactory JSON spec.
+
+    ``finalize=False`` is the NonFinalizing path (sketch state as binary,
+    re-mergeable); ``finalize=True`` finalizes (HLL → estimate, cast per
+    ``finalize_type`` like the reference's Long/Float/Double adapters).
+    The result is aliased to ``spec['name']``.
+    """
+    if isinstance(schema, DataFrame):
+        schema = schema.schema
+    atype = spec.get("type")
+    name = spec.get("name") or spec.get("fieldName") or atype
+
+    if atype == "filtered":
+        cond = filter_to_column(spec["filter"], schema)
+        inner = dict(spec["aggregator"])
+        inner.setdefault("name", spec.get("name", inner.get("name")))
+        return agg_expr(inner, schema, finalize, finalize_type, lgk, _cond=cond).alias(
+            inner.get("name") or name
+        )
+
+    def value(field: str | None) -> Column:
+        col = F.col(field) if field else F.lit(1)
+        if _cond is not None:
+            col = F.when(_cond, col)
+        return col
+
+    if atype == "count":
+        return F.count(value(None)).alias(name)
+
+    field = spec.get("fieldName")
+    if atype in _SIMPLE:
+        if field is None:
+            raise ValueError(f"{atype} aggregator needs fieldName: {spec!r}")
+        return _SIMPLE[atype](value(field)).alias(name)
+
+    if atype == "hyperUnique":
+        if field is None:
+            raise ValueError(f"hyperUnique needs fieldName: {spec!r}")
+        partial = _hll_partial(value(field), _is_binary(schema, field), lgk)
+        if not finalize:
+            return partial.alias(name)
+        return (
+            F.hll_sketch_estimate(partial).cast(_FINAL_CASTS[finalize_type]).alias(name)
+        )
+
+    if atype == "cardinality":
+        fields = spec.get("fieldNames") or spec.get("fields") or ([field] if field else [])
+        if not fields:
+            raise ValueError(f"cardinality needs fieldNames: {spec!r}")
+        if spec.get("byRow") and len(fields) > 1:
+            # tuple cardinality: hash the combined row value
+            combined = F.concat_ws("", *[F.col(f) for f in fields])
+            if _cond is not None:
+                combined = F.when(_cond, combined)
+            partial = F.hll_sketch_agg(combined, F.lit(lgk))
+        else:
+            sketches = [F.hll_sketch_agg(value(f), F.lit(lgk)) for f in fields]
+            partial = sketches[0]
+            for s in sketches[1:]:
+                partial = F.hll_union(partial, s)
+        if not finalize:
+            return partial.alias(name)
+        return (
+            F.hll_sketch_estimate(partial).cast(_FINAL_CASTS[finalize_type]).alias(name)
+        )
+
+    if atype == "javascript":
+        raise NotImplementedError(
+            "javascript aggregator is not supported; use builtin factories "
+            "(SURVEY.md §2.5 A5 — excluded as a non-scalable path)"
+        )
+    raise ValueError(f"unknown AggregatorFactory type: {atype!r}")
+
+
+def post_agg_expr(spec: dict) -> Column:
+    """Build a Column for one PostAggregator JSON spec, evaluated over the
+    output of ``agg()`` (SURVEY.md §2.6 PA3). Aliased to ``spec['name']``
+    when present."""
+    col = _post_expr(spec)
+    name = spec.get("name")
+    return col.alias(name) if name else col
+
+
+def _post_expr(spec: dict) -> Column:
+    ptype = spec.get("type")
+    if ptype == "fieldAccess":
+        return F.col(spec["fieldName"])
+    if ptype == "constant":
+        return F.lit(spec["value"])
+    if ptype == "hyperUniqueCardinality":
+        # finalize a non-finalized sketch column → double estimate
+        # (reference: druid_exporter.pig:4,15 + PostAggregatorAdapter.java:94)
+        return F.hll_sketch_estimate(F.col(spec["fieldName"])).cast("double")
+    if ptype == "arithmetic":
+        fn = spec["fn"]
+        parts = [_post_expr(f).cast("double") for f in spec["fields"]]
+        if len(parts) < 2:
+            raise ValueError(f"arithmetic needs >=2 fields: {spec!r}")
+        out = parts[0]
+        for p in parts[1:]:
+            if fn == "+":
+                out = out + p
+            elif fn == "-":
+                out = out - p
+            elif fn == "*":
+                out = out * p
+            elif fn == "/":
+                # Druid's "/" returns 0 on division by zero
+                out = F.when(p == 0, F.lit(0.0)).otherwise(out / p)
+            elif fn == "quotient":
+                # Druid's quotient is IEEE double division (±Inf / NaN on
+                # zero divisor); spelled out because Spark's ANSI mode would
+                # otherwise raise on /0
+                out = (
+                    F.when((p == 0) & (out > 0), F.lit(float("inf")))
+                    .when((p == 0) & (out < 0), F.lit(float("-inf")))
+                    .when((p == 0), F.lit(float("nan")))
+                    .otherwise(out / p)
+                )
+            else:
+                raise ValueError(f"unknown arithmetic fn: {fn!r}")
+        return out
+    if ptype == "javascript":
+        raise NotImplementedError("javascript post-aggregator is not supported")
+    raise ValueError(f"unknown PostAggregator type: {ptype!r}")
+
+
+def group_aggregate(
+    df: DataFrame,
+    dimensions: list[str],
+    aggregations: list[dict],
+    post_aggregations: list[dict] | None = None,
+    finalize: bool = True,
+    time_column: str | None = "__time",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """The engine's groupBy query: the Spark equivalent of the reference's
+    Pig ``GROUP BY (druid_timestamp, host)`` + adapter-UDF workflow
+    (reference: druid_exporter.pig:9-15).
+
+    One shuffle on the group keys; Catalyst plans partial+final hash
+    aggregation automatically (map-side combine), so sketch partials merge
+    exactly like the reference's NonFinalizing → merge → Finalizing chain.
+    """
+    keys = ([time_column] if time_column else []) + list(dimensions)
+    aggs = [agg_expr(a, df.schema, finalize=finalize, lgk=lgk) for a in aggregations]
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if post_aggregations:
+        out = out.select("*", *[post_agg_expr(p) for p in post_aggregations])
+    return out

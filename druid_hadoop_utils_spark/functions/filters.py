@@ -1,0 +1,173 @@
+"""DimFilter JSON tree → Catalyst ``Column`` predicate (SURVEY.md §2.2 P3).
+
+Implements the Druid 0.9.1 DimFilter grammar the reference wires through its
+ingestion spec (reference: PigSegmentLoadSpec.java:20,31,43 — the ``filter``
+field is an ``io.druid.query.filter.DimFilter`` evaluated during segment
+read): ``selector``, ``in``, ``bound``, ``regex``, ``search``, ``like``, and
+the combinators ``and`` / ``or`` / ``not``.
+
+Multi-value dimension semantics: a filter matches a row if ANY of the
+dimension's values matches (Druid behavior; untested in the reference —
+SURVEY.md §5 "what's NOT tested" — so pinned by our own tests). For
+``ArrayType`` columns the predicate becomes ``array_contains`` /
+``arrays_overlap`` / ``exists`` accordingly.
+
+Null handling: Druid treats null and empty string as the same "missing"
+value; a selector with a null/empty value matches missing dimensions.
+
+Everything here emits built-in Catalyst expressions, so simple predicates
+(selector/in/bound on scalar columns) push down to Parquet row-group stats
+automatically — the Spark-era analogue of the reference's bitmap-index
+filtering (SURVEY.md §4 O4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+
+def _is_array(schema: StructType | None, name: str) -> bool:
+    if schema is None:
+        return False
+    try:
+        return isinstance(schema[name].dataType, ArrayType)
+    except KeyError:
+        return False
+
+
+def _any_value(col: Column, pred) -> Column:
+    """ANY-value match over a multi-value dimension."""
+    return F.coalesce(F.exists(col, pred), F.lit(False))
+
+
+def _null_or_empty(col: Column, is_array: bool) -> Column:
+    if is_array:
+        return col.isNull() | (F.size(col) == 0)
+    return col.isNull() | (col == F.lit(""))
+
+
+def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = None) -> Column:
+    """Translate a DimFilter JSON tree into a boolean Column."""
+    if isinstance(schema, DataFrame):
+        schema = schema.schema
+    if spec is None:
+        return F.lit(True)
+    ftype = spec.get("type")
+    if ftype is None:
+        raise ValueError(f"filter missing 'type': {spec!r}")
+
+    if ftype == "and":
+        cols = [filter_to_column(f, schema) for f in spec["fields"]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+    if ftype == "or":
+        cols = [filter_to_column(f, schema) for f in spec["fields"]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+    if ftype == "not":
+        inner = filter_to_column(spec["field"], schema)
+        # Druid's NOT matches rows where the inner filter does not match,
+        # including rows where the inner predicate is NULL (missing dim).
+        return ~F.coalesce(inner, F.lit(False))
+
+    dim = spec.get("dimension")
+    if dim is None:
+        raise ValueError(f"filter missing 'dimension': {spec!r}")
+    col = F.col(dim)
+    arr = _is_array(schema, dim)
+
+    if ftype == "selector":
+        value = spec.get("value")
+        if value is None or value == "":
+            return _null_or_empty(col, arr)
+        if arr:
+            return F.coalesce(F.array_contains(col, F.lit(value)), F.lit(False))
+        return col == F.lit(value)
+
+    if ftype == "in":
+        values = [v for v in spec.get("values", [])]
+        non_null = [v for v in values if v not in (None, "")]
+        has_null = len(non_null) != len(values)
+        if arr:
+            pred = F.coalesce(
+                F.arrays_overlap(col, F.array(*[F.lit(v) for v in non_null])), F.lit(False)
+            ) if non_null else F.lit(False)
+        else:
+            pred = col.isin(non_null) if non_null else F.lit(False)
+            pred = F.coalesce(pred, F.lit(False))
+        if has_null:
+            pred = pred | _null_or_empty(col, arr)
+        return pred
+
+    if ftype == "bound":
+        numeric = bool(spec.get("alphaNumeric")) or spec.get("ordering") == "numeric"
+
+        def one(v: Column) -> Column:
+            target = v.cast("double") if numeric else v
+            pred = F.lit(True)
+            if spec.get("lower") is not None:
+                lo = F.lit(float(spec["lower"])) if numeric else F.lit(spec["lower"])
+                pred = pred & (target > lo if spec.get("lowerStrict") else target >= lo)
+            if spec.get("upper") is not None:
+                hi = F.lit(float(spec["upper"])) if numeric else F.lit(spec["upper"])
+                pred = pred & (target < hi if spec.get("upperStrict") else target <= hi)
+            return pred
+
+        if arr:
+            return _any_value(col, one)
+        return one(col)
+
+    if ftype == "regex":
+        pattern = spec["pattern"]
+        if arr:
+            return _any_value(col, lambda v: v.rlike(pattern))
+        return col.rlike(pattern)
+
+    if ftype == "search":
+        q = spec.get("query", {})
+        qtype = q.get("type", "contains")
+        if qtype == "fragment":
+            values = q.get("values", [])
+            case_sensitive = bool(q.get("caseSensitive"))
+
+            def frag(v: Column) -> Column:
+                pred = F.lit(True)
+                for needle in values:
+                    if case_sensitive:
+                        pred = pred & v.contains(needle)
+                    else:
+                        pred = pred & F.lower(v).contains(needle.lower())
+                return pred
+
+            return _any_value(col, frag) if arr else frag(col)
+        value = q.get("value", "")
+        case_sensitive = qtype == "contains" and bool(q.get("caseSensitive", True))
+        if qtype == "insensitive_contains":
+            case_sensitive = False
+
+        def contains(v: Column) -> Column:
+            if case_sensitive:
+                return v.contains(value)
+            return F.lower(v).contains(value.lower())
+
+        return _any_value(col, contains) if arr else contains(col)
+
+    if ftype == "like":
+        pattern = spec["pattern"]
+        if arr:
+            return _any_value(col, lambda v: v.like(pattern))
+        return col.like(pattern)
+
+    if ftype == "javascript":
+        raise NotImplementedError(
+            "javascript DimFilter is not supported; rewrite as and/or/not over "
+            "selector/in/bound/regex/search (reference allowed it via Rhino, "
+            "SURVEY.md §2.2 P3 — deliberately excluded as a non-scalable path)"
+        )
+    raise ValueError(f"unknown DimFilter type: {ftype!r}")

@@ -1,0 +1,128 @@
+"""QueryGranularity → Column truncation (SURVEY.md §2.3 G1).
+
+Named granularities match Druid 0.9.1's QueryGranularities set (reference:
+PigSegmentLoadSpec.java:17-18,42 import + NONE default; sample-schema.json:2
+"DAY"). Truncation is UTC-pinned (reference pins UTC at pom.xml:36-39 and the
+engine session forces spark.sql.session.timeZone=UTC).
+
+All expressions are JVM-side builtins (date_trunc / unix arithmetic), so they
+stay inside whole-stage codegen — no UDFs in the time path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# calendar-aligned names → date_trunc unit (Spark and DuckDB both truncate
+# WEEK to the ISO Monday, matching Druid/Joda weekOfWeekyear)
+_TRUNC_UNITS = {
+    "SECOND": "second",
+    "MINUTE": "minute",
+    "HOUR": "hour",
+    "DAY": "day",
+    "WEEK": "week",
+    "MONTH": "month",
+    "QUARTER": "quarter",
+    "YEAR": "year",
+}
+
+# fixed-duration names → seconds
+_DURATION_SECONDS = {
+    "FIVE_MINUTE": 300,
+    "TEN_MINUTE": 600,
+    "FIFTEEN_MINUTE": 900,
+    "THIRTY_MINUTE": 1800,
+    "SIX_HOUR": 21600,
+}
+
+_PERIOD_RE = re.compile(
+    r"^P(?:(?P<weeks>\d+)W)?(?:(?P<days>\d+)D)?"
+    r"(?:T(?:(?P<hours>\d+)H)?(?:(?P<minutes>\d+)M)?(?:(?P<seconds>\d+)S)?)?$"
+)
+
+
+def _duration_trunc(col: Column, seconds: int) -> Column:
+    # floor(epoch/d)*d, all JVM-side; sub-second input floors to the bucket
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(col) / seconds).cast("long") * seconds)
+
+
+def granularity_expr(granularity: str | dict, col: Column) -> Column:
+    """Truncate a TimestampType column to the granularity bucket start.
+
+    Accepts named granularities, ``{"type":"duration","duration":ms}``, and
+    ``{"type":"period","period":"PT15M"}`` (day-or-smaller periods map to
+    fixed durations; P1M/P1Y/P1W map to calendar truncation).
+    """
+    if isinstance(granularity, dict):
+        gtype = granularity.get("type")
+        if gtype == "duration":
+            ms = int(granularity["duration"])
+            if ms % 1000:
+                raise ValueError("sub-second duration granularity unsupported")
+            return _duration_trunc(col, ms // 1000)
+        if gtype == "period":
+            return _period_expr(granularity["period"], col)
+        raise ValueError(f"unknown granularity spec: {granularity!r}")
+
+    g = granularity.upper()
+    if g == "NONE":
+        return col
+    if g == "ALL":
+        # Druid's ALL collapses everything into a single bucket; we pin the
+        # bucket timestamp to the epoch.
+        return F.lit("1970-01-01 00:00:00").cast("timestamp")
+    if g in _TRUNC_UNITS:
+        return F.date_trunc(_TRUNC_UNITS[g], col)
+    if g in _DURATION_SECONDS:
+        return _duration_trunc(col, _DURATION_SECONDS[g])
+    raise ValueError(f"unknown granularity: {granularity!r}")
+
+
+def _period_expr(period: str, col: Column) -> Column:
+    p = period.upper()
+    if p in {"P1D", "PT24H"}:
+        return F.date_trunc("day", col)
+    if p == "P1W":
+        return F.date_trunc("week", col)
+    if p == "P1M":
+        return F.date_trunc("month", col)
+    if p == "P3M":
+        return F.date_trunc("quarter", col)
+    if p == "P1Y":
+        return F.date_trunc("year", col)
+    m = _PERIOD_RE.match(p)
+    if not m:
+        raise ValueError(f"unparseable period: {period!r}")
+    secs = (
+        int(m.group("weeks") or 0) * 604800
+        + int(m.group("days") or 0) * 86400
+        + int(m.group("hours") or 0) * 3600
+        + int(m.group("minutes") or 0) * 60
+        + int(m.group("seconds") or 0)
+    )
+    if secs <= 0:
+        raise ValueError(f"empty period: {period!r}")
+    return _duration_trunc(col, secs)
+
+
+def oracle_trunc_sql(granularity: str | dict, col_sql: str) -> str:
+    """DuckDB SQL equivalent of granularity_expr, for oracle checks."""
+    if isinstance(granularity, dict):
+        if granularity.get("type") == "duration":
+            secs = int(granularity["duration"]) // 1000
+            return f"to_timestamp(floor(epoch({col_sql})/{secs})*{secs})"
+        raise ValueError("oracle sql for period granularity: use named form")
+    g = granularity.upper()
+    if g == "NONE":
+        return col_sql
+    if g == "ALL":
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if g in _TRUNC_UNITS:
+        return f"date_trunc('{_TRUNC_UNITS[g]}', {col_sql})"
+    if g in _DURATION_SECONDS:
+        secs = _DURATION_SECONDS[g]
+        return f"to_timestamp(floor(epoch({col_sql})/{secs})*{secs})"
+    raise ValueError(f"unknown granularity: {granularity!r}")

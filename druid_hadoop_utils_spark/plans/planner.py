@@ -1,0 +1,170 @@
+"""``load(spark, ...) -> DataFrame`` — the engine's query planner.
+
+The Spark-native equivalent of the reference's full read path (SURVEY.md §3):
+overlord metadata fetch → versioned timeline → splits → segment read with
+filter/granularity applied → host-engine relational ops. Here that becomes:
+
+    manifest listing (driver-side)                 [replaces S1 HTTP hop]
+    → overshadow-resolved file set                 [S2 timeline]
+    → spark.read.parquet(paths)                    [S3 segment reader]
+    → .where(interval ∧ DimFilter)                 [P2 + P3, pushed down]
+    → .select(__time, dims, metrics)               [P1 column pruning]
+    → granularity truncation                       [G1]
+    → optional rollup groupBy().agg(...)           [A-rows]
+
+Everything is declarative DataFrame construction — Catalyst does predicate
+pushdown, column pruning and partition planning; no custom rules
+(SURVEY.md §4 conclusion).
+
+Scale notes: the fast path produces ONE parquet scan over the visible files
+(no unions, no repartition); window-filtered unions only appear under
+partial overshadow, which is rare and still one scan per distinct window
+set. Rollup is a single hash-aggregate shuffle on (time bucket, dims) with
+map-side partial aggregation, including sketch partials.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from druid_hadoop_utils_spark.intervals import Interval
+from druid_hadoop_utils_spark.plans.spec import LoadSpec
+from druid_hadoop_utils_spark.functions.filters import filter_to_column
+from druid_hadoop_utils_spark.functions.granularity import granularity_expr
+from druid_hadoop_utils_spark.sources.segments import (
+    MANIFEST_DIR,
+    list_manifests,
+    resolve_visible_windows,
+)
+
+TIME_COL = "__time"
+
+
+def _interval_pred(iv: Interval, col):
+    return (col >= F.lit(iv.start.replace(tzinfo=None))) & (col < F.lit(iv.end.replace(tzinfo=None)))
+
+
+def _scan_segments(spark: SparkSession, table_root: str, data_source: str, iv: Interval) -> DataFrame:
+    """Manifest → overshadow resolution → minimal parquet scan(s)."""
+    manifests = list_manifests(table_root, data_source)
+    visible = resolve_visible_windows(manifests, iv)
+    if not visible:
+        raise FileNotFoundError(
+            f"no visible segments for {data_source} in {iv.iso()}"
+        )
+    full_paths: list[str] = []
+    windowed: dict[tuple[Interval, ...], list[str]] = defaultdict(list)
+    for w in visible:
+        if w.is_fully_visible(iv):
+            full_paths.append(w.manifest.path)
+        else:
+            windowed[w.windows].append(w.manifest.path)
+
+    parts: list[DataFrame] = []
+    if full_paths:
+        parts.append(spark.read.parquet(*full_paths))
+    for windows, paths in windowed.items():
+        df = spark.read.parquet(*paths)
+        pred = _interval_pred(windows[0], F.col(TIME_COL))
+        for win in windows[1:]:
+            pred = pred | _interval_pred(win, F.col(TIME_COL))
+        parts.append(df.where(pred))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def load(
+    spark: SparkSession,
+    source: str | DataFrame,
+    spec: LoadSpec | dict | str,
+    interval: str | Interval | None = None,
+    data_source: str | None = None,
+    rollup: bool = False,
+    time_column: str = TIME_COL,
+) -> DataFrame:
+    """Load a datasource through a LoadSpec, Druid-connector style.
+
+    ``source`` is a managed table root (a directory with
+    ``<dataSource>/_segments/``), a plain parquet path, or an existing
+    DataFrame. ``time_column`` names the event-time column in the input; it
+    is exposed as ``__time`` (the reference emits the timestamp first in
+    every tuple — DruidStorage.java:122).
+
+    Matching reference behavior, granularity only TRUNCATES at read time;
+    it does not merge rows (SURVEY.md §7.4) — pass ``rollup=True`` to also
+    re-aggregate by (bucket, dims) with metric-type-aware merges.
+    """
+    if not isinstance(spec, LoadSpec):
+        spec = LoadSpec.from_json(spec, data_source=data_source, interval=interval)
+    iv = Interval.parse(interval) if interval is not None else spec.interval
+
+    if isinstance(source, DataFrame):
+        df = source
+    else:
+        ds = data_source or spec.data_source
+        if ds and os.path.isdir(os.path.join(source, ds, MANIFEST_DIR)):
+            if iv is None:
+                raise ValueError("an interval is required for segment-table loads")
+            df = _scan_segments(spark, source, ds, iv)
+        else:
+            df = spark.read.parquet(source)
+
+    if time_column != TIME_COL:
+        df = df.withColumnRenamed(time_column, TIME_COL)
+
+    if iv is not None:
+        df = df.where(_interval_pred(iv, F.col(TIME_COL)))
+    if spec.filter is not None:
+        df = df.where(filter_to_column(spec.filter, df.schema))
+
+    df = df.withColumn(TIME_COL, granularity_expr(spec.granularity, F.col(TIME_COL)))
+
+    cols = [TIME_COL] + [c for c in spec.dimensions + spec.metric_names if c in df.columns]
+    missing = [c for c in spec.dimensions + spec.metric_names if c not in df.columns]
+    if missing:
+        raise ValueError(f"spec columns not in source: {missing}")
+    df = df.select(*cols)
+
+    if rollup:
+        df = rollup_df(df, spec)
+    return df
+
+
+def rollup_df(df: DataFrame, spec: LoadSpec, explode_dims: bool = False) -> DataFrame:
+    """Merge rows sharing (time bucket, dims) with metric-type-aware
+    aggregation: additive metrics sum; complex (sketch) metrics merge into
+    non-finalized binary state so the result stays re-aggregable — the
+    NonFinalizing semantics of the reference (SURVEY.md §2.5 A3).
+
+    ``explode_dims=True`` applies Druid's multi-value groupBy semantics
+    (each value of a multi-value dimension forms its own group).
+    """
+    from druid_hadoop_utils_spark.functions.aggregators import _hll_partial, DEFAULT_LGK
+    from pyspark.sql.types import BinaryType
+
+    dims = list(spec.dimensions)
+    if explode_dims:
+        for d in dims:
+            if isinstance(df.schema[d].dataType, ArrayType):
+                df = df.withColumn(d, F.explode_outer(d))
+
+    aggs = []
+    for m in spec.metrics:
+        col = F.col(m.name)
+        if m.is_complex:
+            is_sketch = isinstance(df.schema[m.name].dataType, BinaryType)
+            aggs.append(_hll_partial(col, is_sketch, DEFAULT_LGK).alias(m.name))
+        elif m.type == "long":
+            aggs.append(F.sum(col).cast("long").alias(m.name))
+        elif m.type in {"float", "double"}:
+            aggs.append(F.sum(col.cast("double")).alias(m.name))
+        else:  # string passthrough metrics keep the first value
+            aggs.append(F.first(col, ignorenulls=True).alias(m.name))
+    return df.groupBy(TIME_COL, *dims).agg(*aggs)

@@ -1,0 +1,183 @@
+"""Versioned, time-partitioned Parquet segment layout + overshadow timeline.
+
+Re-expresses the reference's segment model (SURVEY.md §1.3, §2.1 S1/S2):
+
+- a *datasource* is a directory of immutable parquet "segments", each covering
+  one half-open time interval and carrying a version string and shard number
+  (reference: descriptor.json:1-17 fields interval/version/shardSpec);
+- discovery is a driver-side listing of ``_segments/*.json`` manifests — the
+  Spark-native replacement for the reference's overlord HTTP metadata fetch
+  (reference: DruidInputFormat.java:118-171);
+- visibility follows Druid's ``VersionedIntervalTimeline`` MVCC semantics
+  (reference: DruidInputFormat.java:98-110): at every instant, only the
+  max-version segment covering that instant is visible; newer versions
+  overshadow older ones, including *partial* overshadowing where an old
+  segment stays visible outside the sub-interval a newer segment covers.
+
+At 100 TB scale this stays cheap: manifests are tiny driver-side JSON (one
+per segment), resolution is an O(n log n) sweep, and the chosen files go
+straight into one ``spark.read.parquet(paths)`` so Catalyst still performs
+file splitting, column pruning, and predicate pushdown natively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from druid_hadoop_utils_spark.intervals import Interval, merge_adjacent
+
+MANIFEST_DIR = "_segments"
+
+
+@dataclass(frozen=True)
+class SegmentManifest:
+    data_source: str
+    interval: Interval
+    version: str
+    shard_num: int
+    path: str  # directory holding this segment's parquet files
+
+    @property
+    def identifier(self) -> str:
+        # same shape as Druid's segment identifier (descriptor.json:16)
+        return (
+            f"{self.data_source}_{self.interval.start.isoformat()}"
+            f"_{self.interval.end.isoformat()}_{self.version}_{self.shard_num}"
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "dataSource": self.data_source,
+            "interval": self.interval.iso(),
+            "version": self.version,
+            "shardNum": self.shard_num,
+            "path": self.path,
+        }
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SegmentManifest":
+        return cls(
+            data_source=obj["dataSource"],
+            interval=Interval.parse(obj["interval"]),
+            version=str(obj["version"]),
+            shard_num=int(obj.get("shardNum", 0)),
+            path=obj["path"],
+        )
+
+
+@dataclass(frozen=True)
+class WindowedSegment:
+    """A visible segment plus the sub-intervals in which it is visible —
+    the analogue of the reference's WindowedDataSegment
+    (DruidInputFormat.java:105-112)."""
+
+    manifest: SegmentManifest
+    windows: tuple[Interval, ...] = field(default_factory=tuple)
+
+    def is_fully_visible(self, query_interval: Interval) -> bool:
+        """True when the windows cover everything this segment could
+        contribute to the query interval — i.e. no per-segment time filter
+        beyond the global query-interval predicate is needed."""
+        contrib = self.manifest.interval.intersect(query_interval)
+        return contrib is not None and len(self.windows) == 1 and self.windows[0] == contrib
+
+
+def _safe(s: str) -> str:
+    return s.replace(":", "-").replace("/", "_").replace("+", "")
+
+
+def write_segment(
+    df: DataFrame,
+    table_root: str,
+    data_source: str,
+    interval: str | Interval,
+    version: str,
+    shard_num: int = 0,
+    partition_by_day: bool = False,
+) -> SegmentManifest:
+    """Publish ``df`` as one immutable segment of ``data_source``.
+
+    The manifest write is last, making publication atomic-ish the same way
+    Druid's segment announcement is: a crashed write leaves orphan parquet
+    that no manifest references, never a half-visible segment.
+    """
+    iv = Interval.parse(interval)
+    seg_dir = os.path.join(
+        table_root,
+        data_source,
+        f"{_safe(iv.start.isoformat())}_{_safe(iv.end.isoformat())}",
+        f"v={version}",
+        f"shard={shard_num}",
+    )
+    writer = df.write.mode("overwrite")
+    if partition_by_day:
+        writer = writer.partitionBy("__time_day")
+    writer.parquet(seg_dir)
+
+    manifest = SegmentManifest(data_source, iv, str(version), shard_num, seg_dir)
+    mdir = os.path.join(table_root, data_source, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"{_safe(manifest.identifier)}.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=2)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
+    """Driver-side metadata listing (replaces the overlord HTTP hop)."""
+    mdir = os.path.join(table_root, data_source, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"no segment manifests under {mdir}")
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(SegmentManifest.from_json(json.load(f)))
+    return out
+
+
+def resolve_visible_windows(
+    manifests: list[SegmentManifest], query_interval: Interval
+) -> list[WindowedSegment]:
+    """Versioned-timeline lookup: max version wins at every instant.
+
+    Sweep over elementary intervals formed by all segment boundaries clipped
+    to the query interval; in each, all shards of the lexicographically
+    greatest version covering it are visible (version strings compare
+    lexicographically, as in Druid). Adjacent windows per segment are merged.
+    """
+    relevant = [m for m in manifests if m.interval.overlaps(query_interval)]
+    if not relevant:
+        return []
+
+    points = {query_interval.start, query_interval.end}
+    for m in relevant:
+        if query_interval.contains_point(m.interval.start):
+            points.add(m.interval.start)
+        if query_interval.contains_point(m.interval.end):
+            points.add(m.interval.end)
+    bounds = sorted(points)
+
+    windows: dict[SegmentManifest, list[Interval]] = {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        cell = Interval(lo, hi)
+        covering = [m for m in relevant if m.interval.overlaps(cell)]
+        if not covering:
+            continue
+        best_version = max(m.version for m in covering)
+        for m in covering:
+            if m.version == best_version:
+                windows.setdefault(m, []).append(cell)
+
+    out = []
+    for m, cells in windows.items():
+        out.append(WindowedSegment(m, tuple(merge_adjacent(cells))))
+    out.sort(key=lambda w: (w.manifest.interval.start, w.manifest.version, w.manifest.shard_num))
+    return out

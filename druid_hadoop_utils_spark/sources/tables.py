@@ -1,0 +1,59 @@
+"""Read the driver-provided synthetic parquet tables (TESTDATA.md).
+
+The driver generates TIMESTAMP(NANOS) parquet columns which Spark only reads
+with ``spark.sql.legacy.parquet.nanosAsLong=true`` (as LongType nanos). This
+loader sets that conf at runtime, inspects the parquet footer with pyarrow to
+find which columns are nanosecond timestamps, and casts them back to proper
+``TimestampType`` (truncating to microseconds — Spark's native precision,
+matching what DuckDB returns for the same files).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns], via the footer schema."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+    schema = pq.read_schema(files[0])
+    out = []
+    for field in schema:
+        if pat.is_timestamp(field.type) and field.type.unit == "ns":
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load ``<sf_dir>/<name>.parquet`` with nanos-timestamp repair."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        # long nanos → microseconds → TimestampType (all JVM-side arithmetic)
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}

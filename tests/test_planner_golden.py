@@ -1,0 +1,155 @@
+"""End-to-end golden tests — the Spark re-expression of the reference's two
+E2E tests (reference: DruidStorageTest.java:46-54 golden Pig output;
+DruidInputFormatTest.java:124-163 golden MR assertions), plus the
+multi-segment/overshadow/pruning coverage the reference lacks
+(FIXTURES.md F1/F2)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark import LoadSpec, load, rollup_df, write_segment
+from druid_hadoop_utils_spark.functions.aggregators import agg_expr
+
+SPEC = {
+    "granularity": "NONE",
+    "dimensions": ["host"],
+    "metrics": [
+        {"name": "visited_sum", "type": "long"},
+        {"name": "unique_hosts", "type": "hyperUnique"},
+    ],
+}
+
+INTERVAL_ALL = "1970-01-01/3000-01-01"
+
+
+@pytest.fixture(scope="module")
+def table_root(tmp_path_factory, golden_events):
+    root = str(tmp_path_factory.mktemp("tables"))
+    write_segment(
+        golden_events.drop("user_host"),
+        root, "events_fixture", "2014-10-22/2014-10-23", "v1",
+    )
+    return root
+
+
+def test_golden_query_end_to_end(spark, table_root):
+    """The §7.2 minimum slice: load → group → sum + sketch-estimate, matching
+    the reference's druid_exporter.pig:6-17 workflow and golden values."""
+    df = load(spark, table_root, SPEC, interval=INTERVAL_ALL, data_source="events_fixture")
+    out = (
+        df.groupBy("__time", "host")
+        .agg(
+            F.sum("visited_sum").alias("visited_sum"),
+            agg_expr({"type": "hyperUnique", "name": "unique_hosts",
+                      "fieldName": "unique_hosts"}, df.schema),
+        )
+        .orderBy("__time")
+        .collect()
+    )
+    assert len(out) == 3
+    assert [r.visited_sum for r in out] == [100, 150, 200]
+    assert [r.host for r in out] == [["a.example.com"], ["b.example.com"], ["c.example.com"]]
+    # each row's sketch holds exactly 1 distinct value (golden ≈1.0; our
+    # frozen golden is exactly 1.0 — SURVEY.md §7.4 HLL-parity decision)
+    assert all(r.unique_hosts == 1.0 for r in out)
+    # DruidStorageTest.java:46 equivalent: total visited_sum = 450
+    assert sum(r.visited_sum for r in out) == 450
+
+
+def test_schema_shape_matches_reference_tuple_order(spark, table_root):
+    df = load(spark, table_root, SPEC, interval=INTERVAL_ALL, data_source="events_fixture")
+    # (__time, dims..., metrics...) — reference DruidStorage.java:120-157
+    assert df.columns == ["__time", "host", "visited_sum", "unique_hosts"]
+    types = dict(df.dtypes)
+    assert types["__time"] == "timestamp"
+    assert types["host"] == "array<string>"
+    assert types["visited_sum"] == "bigint"
+    assert types["unique_hosts"] == "binary"
+
+
+def test_granularity_day_truncates(spark, table_root):
+    spec = dict(SPEC, granularity="DAY")
+    df = load(spark, table_root, spec, interval=INTERVAL_ALL, data_source="events_fixture")
+    times = [r["__time"] for r in df.select("__time").collect()]
+    assert set(times) == {datetime(2014, 10, 22)}
+
+
+def test_granularity_day_with_rollup(spark, table_root):
+    spec = LoadSpec.from_json(dict(SPEC, granularity="DAY"))
+    df = load(spark, table_root, spec, interval=INTERVAL_ALL,
+              data_source="events_fixture", rollup=True)
+    rows = df.collect()
+    # 3 hourly rows × distinct hosts → still 3 groups per (day, host)
+    assert len(rows) == 3
+    assert sum(r.visited_sum for r in rows) == 450
+    # rolled-up sketch column stays binary (re-aggregable, A3 semantics)
+    assert dict(df.dtypes)["unique_hosts"] == "binary"
+    merged = df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("unique_hosts")).alias("e")
+    ).first().e
+    assert merged == 3
+
+
+def test_interval_filter_half_open(spark, table_root):
+    df = load(spark, table_root, SPEC, interval="2014-10-22T01:00:00/2014-10-22T02:00:00",
+              data_source="events_fixture")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].visited_sum == 150
+
+
+def test_dim_filter_through_spec(spark, table_root):
+    spec = dict(SPEC, filter={"type": "selector", "dimension": "host",
+                              "value": "b.example.com"})
+    df = load(spark, table_root, spec, interval=INTERVAL_ALL, data_source="events_fixture")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].visited_sum == 150
+
+
+class TestMultiSegment:
+    """FIXTURES.md F2 — overshadow + pruning with real files."""
+
+    @pytest.fixture(scope="class")
+    def multiseg_root(self, tmp_path_factory, spark, golden_events):
+        root = str(tmp_path_factory.mktemp("multiseg"))
+        base = golden_events.drop("user_host")
+        write_segment(base, root, "events_multiseg", "2014-10-22/2014-10-23", "v1")
+        # v2 of the same bucket: visited_sum ×10 → must overshadow v1
+        write_segment(base.withColumn("visited_sum", F.col("visited_sum") * 10),
+                      root, "events_multiseg", "2014-10-22/2014-10-23", "v2")
+        # a second, later bucket at v1
+        shifted = base.withColumn("__time", F.col("__time") + F.expr("INTERVAL 1 DAY"))
+        write_segment(shifted, root, "events_multiseg", "2014-10-23/2014-10-24", "v1")
+        return root
+
+    def test_overshadow_newer_version_wins(self, spark, multiseg_root):
+        df = load(spark, multiseg_root, SPEC, interval="2014-10-22/2014-10-23",
+                  data_source="events_multiseg")
+        assert sum(r.visited_sum for r in df.collect()) == 4500  # v2 values
+        assert all("v=v2" in f for f in df.inputFiles())  # v1 never read
+
+    def test_interval_prunes_file_set(self, spark, multiseg_root):
+        df = load(spark, multiseg_root, SPEC, interval="2014-10-23/2014-10-24",
+                  data_source="events_multiseg")
+        files = df.inputFiles()
+        assert files and all(f.split("/")[-4].startswith("2014-10-23") for f in files)
+        assert sum(r.visited_sum for r in df.collect()) == 450
+
+    def test_query_spanning_versions_mixes_correctly(self, spark, multiseg_root):
+        df = load(spark, multiseg_root, SPEC, interval="2014-10-22/2014-10-24",
+                  data_source="events_multiseg")
+        assert sum(r.visited_sum for r in df.collect()) == 4500 + 450
+
+
+def test_load_plain_parquet_events(spark, sf_dir):
+    """load() also works directly over the driver's events table (no
+    manifests), mapping ts → __time."""
+    from druid_hadoop_utils_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = {"granularity": "HOUR", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    df = load(spark, ev, spec, interval="2024-01-01/2024-01-02", time_column="ts")
+    assert df.columns == ["__time", "event_type", "value"]
+    assert df.count() > 0
