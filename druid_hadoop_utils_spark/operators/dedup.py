@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+- exact dedup shuffles a 16-byte hash, never the document text;
+- MinHash-LSH is the classic shingle → minhash signature → banded bucket →
+  bucket self-join pipeline: candidate generation is a single shuffle on
+  (band, band-hash) keys, and only candidate PAIRS (a tiny set) ever get
+  exact verification — no all-pairs cross join anywhere;
+- SimHash blocks on signature chunks (pigeonhole: hamming distance ≤ k
+  → some chunk of k+1 matches exactly) — again a hash-key shuffle;
+- all hashing is xxhash64 with explicit seeds → fully deterministic.
+
+Only the small-data oracle path (`ngram_jaccard_pairs` with
+``blocking=False``) is allowed to cross-join; it exists to verify the LSH
+path's recall on test scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str,
+                tie_break: str | None = None) -> DataFrame:
+    """Keep one row per distinct key (lowest ``id_col``; optional extra
+    tie-break column first). Hash-groupBy — one shuffle on md5(key)."""
+    order = [F.col(tie_break)] if tie_break else []
+    w = Window.partitionBy(*[F.md5(F.col(c).cast("string")) for c in key_cols]).orderBy(
+        *order, F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Per distinct key: surviving id + duplicate count (oracle-friendly)."""
+    key_hash = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in key_cols]))
+    return df.groupBy(key_hash.alias("key_hash")).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (built-ins only:
+    split → sequence → transform(slice) → array_distinct)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles (lowercased)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+# ------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: for each of ``num_hashes`` seeded xxhash64
+    functions, the min hash over the shingle set. Pure expression — no UDF,
+    no shuffle."""
+    mins = [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "signature",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; documents sharing any
+    band bucket become a candidate pair.
+
+    Plan shape: explode bands (xN map-side) → shuffle once on the band
+    bucket key → within-bucket self-join (buckets are small by
+    construction) → distinct pairs. No cross join at any scale.
+    """
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(band_idx).alias("__band"),
+        F.col(signature_col).alias("__sig"),
+    ).select(
+        "__id",
+        "__band",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("__bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
+    pairs with jaccard >= threshold."""
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__sh")
+    )
+    with_sig = base.withColumn("signature", minhash_signature(F.col("__sh"), num_hashes, seed))
+    cands = lsh_candidate_pairs(with_sig, "__id", "signature", bands, rows_per_band)
+    verified = (
+        cands.join(base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    blocking: bool = True,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs.
+
+    ``blocking=True`` (default, the scale path) routes through MinHash-LSH
+    candidates then verifies exactly. ``blocking=False`` does the
+    all-pairs comparison — only for oracle verification at test scales.
+    """
+    if blocking:
+        return minhash_lsh_dedup_pairs(
+            df, id_col, text_col, shingle_n, threshold=threshold, **lsh_kwargs
+        )
+    base = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__sh"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(token_col: Column, bits: int = 64, seed: int = 7) -> Column:
+    """SimHash over a token array: per-token xxhash64, majority vote per
+    bit. Expression-only implementation: for each bit, count tokens with
+    the bit set vs total; bit survives when set in > half the tokens."""
+    hashes = F.transform(token_col, lambda t: F.xxhash64(t, F.lit(seed)))
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 must ride as the signed long min value (java longs)
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        out = out + F.when(ones * 2 > n, F.lit(mask)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on (k+1) signature chunks —
+    pigeonhole guarantees any pair within hamming distance k agrees on at
+    least one chunk — then verify the true hamming distance via bit_count.
+    One shuffle on chunk keys; no cross join."""
+    chunks = max_hamming + 1
+    chunk_bits = 64 // chunks
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash(tokens(text_col), seed=seed).alias("__sig")
+    )
+    parts = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("__sig"), i * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("key"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("__c"),
+    ).select("__id", "__sig", F.col("__c.chunk").alias("__chunk"), F.col("__c.key").alias("__key"))
+    l, r = parts.alias("l"), parts.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__chunk") == F.col("r.__chunk"))
+            & (F.col("l.__key") == F.col("r.__key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

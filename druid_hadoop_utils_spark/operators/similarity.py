@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB design demands:
+
+- ``brute_force_topk``: exact cosine top-k of a SMALL query set against the
+  full corpus. The query side is broadcast (no shuffle of the corpus); the
+  dot product is a built-in ``zip_with``/``aggregate`` fold in codegen; the
+  per-query top-k is a window over (query, score). Corpus is scanned once.
+- ``lsh_topk``: approximate top-k at corpus scale via random-hyperplane LSH
+  (SimHash for cosine): L independent tables of b-bit signatures; candidate
+  = signature match in any table; exact cosine re-ranking only on
+  candidates. Hyperplanes are seeded numpy — deterministic — and enter the
+  plan as broadcast literals.
+
+Embedding near-duplicate detection reuses the same machinery with a
+threshold instead of k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self-matches excluded).
+
+    Returns (query_id, neighbor_id, cos_sim) with rank ties broken by
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def similar_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold — exact all-pairs comparison, for
+    oracle verification at test scales. The scale path is
+    ``lsh_similar_pairs``."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def _signature(vec: Column, planes: np.ndarray) -> Column:
+    """b-bit random-hyperplane signature as a long (bit i = sign of dot
+    with plane i). Planes enter the plan as array literals; the fold is
+    pure codegen."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing any of the L
+    table signatures with the query; exact cosine re-rank of candidates.
+
+    Plan shape: corpus scanned once per plan, signatures computed map-side,
+    one shuffle on (table, signature) to meet query buckets (query side
+    broadcast), then window top-k. Recall is tunable via bits/tables.
+    """
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def with_sigs(df: DataFrame, idname: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _signature(F.col(vec_col), planes[t]).alias("sig"),
+                )
+                for t in range(len(planes))
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"__{idname}_v"),
+            F.explode(sigs).alias("__s"),
+        ).select(idname, f"__{idname}_v", F.col("__s.table").alias("__t"), F.col("__s.sig").alias("__sig"))
+
+    cq = with_sigs(queries, "query_id")
+    cc = with_sigs(corpus, "neighbor_id")
+    cands = (
+        cc.join(F.broadcast(cq), ["__t", "__sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

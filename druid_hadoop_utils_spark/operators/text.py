@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All expressions are built-in Catalyst functions (split/regexp/transform/
+aggregate) — no Python UDFs — so they run inside whole-stage codegen and
+scale linearly with no shuffle except where aggregation is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately small, auditable stopword sets for the n-gram/stopword
+# language heuristic (public common-word lists)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-flavored token estimate: word pieces + digits + punctuation
+    each count, long words count once per ~4 chars (the common BPE rule of
+    thumb), all via one regex extraction — no tokenizer library needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), F.lit(0))
+    return F.size(pieces)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Key-collapsing document fingerprint: md5 over the sorted distinct
+    token set (classic "fingerprint" clustering key). Deterministic and
+    engine-portable (same value in DuckDB for the oracle)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Cheap quality-scoring features: length, token stats, symbol ratios."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(col)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens, 4
+        ),
+        "nonalpha_ratio": F.round(
+            F.length(F.regexp_replace(F.lower(c), r"[a-z0-9\s]", "")) / n_chars, 4
+        ),
+        "digit_ratio": F.round(
+            F.length(F.regexp_replace(c, r"[^0-9]", "")) / n_chars, 4
+        ),
+    }
+
+
+def quality_score(col: Column | str, min_tokens: int = 10, max_tokens: int = 100000,
+                  max_nonalpha: float = 0.2) -> Column:
+    """1/0 keep-signal from the heuristic features (Gopher-style gates)."""
+    f = quality_features(col)
+    return (
+        (f["n_tokens"] >= min_tokens)
+        & (f["n_tokens"] <= max_tokens)
+        & (f["nonalpha_ratio"] <= max_nonalpha)
+    ).cast("int")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic language ID)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(lowered, F.lit(pattern), F.lit(0)))
+    return out
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Predicted language = argmax of stopword scores, ties broken by the
+    fixed key order of LANG_STOPWORDS; 'und' when nothing matches.
+
+    A CJK heuristic runs first: any CJK codepoints → 'zh' (whitespace
+    stopwords can't see ideographs)."""
+    scores = lang_scores(col)
+    c = F.col(col) if isinstance(col, str) else col
+    langs = list(scores)
+    total = None
+    for s in scores.values():
+        total = s if total is None else total + s
+    expr = F.when(c.rlike(r"[一-鿿]"), F.lit("zh")).when(total == 0, F.lit(default))
+    remaining = list(langs)
+    for lang in langs[:-1]:
+        remaining.remove(lang)
+        rest = [scores[o] for o in remaining]
+        best_rest = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        expr = expr.when(scores[lang] >= best_rest, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full text-analysis feature set."""
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        fingerprint(text_col).alias("fingerprint"),
+        lang_id(text_col).alias("pred_lang"),
+        quality_score(text_col).alias("quality_keep"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["nonalpha_ratio"].alias("nonalpha_ratio"),
+    )

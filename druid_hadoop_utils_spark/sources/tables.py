@@ -50,8 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
-        # long nanos → microseconds → TimestampType (all JVM-side arithmetic)
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # long nanos → microseconds → TimestampType. Integer division (DIV)
+        # is required: double division loses precision above 2^53 ns and
+        # would shift microsecond values.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     return df
 
 

@@ -1,0 +1,83 @@
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.operators import dedup as D
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while birds sing in the tall green trees near the river"
+    near = base.replace("lazy dog", "sleepy dog")  # 1-word edit → high jaccard
+    far = "completely different content about databases and distributed query engines running on clusters"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),          # exact dup of 1
+        Row(doc_id=3, text=near),          # near dup of 1
+        Row(doc_id=4, text=far),
+        Row(doc_id=5, text=far + " with extra words appended here"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = D.exact_dedup(docs, ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_duplicate_groups(docs):
+    out = {r.doc_id: r.dup_count for r in D.duplicate_groups(docs, ["text"], "doc_id").collect()}
+    assert out[1] == 2 and out[3] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    sh = df.select(D.word_shingles("text", 3).alias("s")).first().s
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_shingles_short_text_degenerates_gracefully(spark):
+    df = spark.createDataFrame([Row(text="hello")])
+    sh = df.select(D.word_shingles("text", 3).alias("s")).first().s
+    assert sh == ["hello"]
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always found
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_minhash_recall_vs_exact_on_real_docs(spark, sf_dir):
+    """LSH recall against the exact all-pairs oracle on the driver corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, blocking=False).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert lsh <= exact or not exact  # verification step guarantees precision 1.0
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_near_dups(docs):
+    pairs = D.simhash_candidate_pairs(docs, "doc_id", max_hamming=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    hams = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert hams[(1, 2)] == 0  # identical text → identical simhash
+
+
+def test_simhash_deterministic(docs):
+    a = docs.select(D.simhash(D.tokens("text")).alias("s")).collect()
+    b = docs.select(D.simhash(D.tokens("text")).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]

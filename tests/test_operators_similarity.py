@@ -1,0 +1,53 @@
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.operators import similarity as S
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 0.0]),
+                                Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+                                Row(a=[1.0, 2.0], b=[2.0, 4.0])])
+    got = [r.c for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = S.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, nbrs in by_q.items():
+        assert len(nbrs) == 5
+        assert all(n.neighbor_id != q for n in nbrs)
+        sims = [n.cos_sim for n in nbrs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.lsh_topk(emb, queries, k=5, bits=4, tables=12)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_similar_pairs_threshold(spark):
+    df = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.1, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+    ])
+    out = {(r.id_a, r.id_b) for r in S.similar_pairs(df, 0.9).collect()}
+    assert out == {(1, 2)}

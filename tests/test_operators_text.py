@@ -1,0 +1,66 @@
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog and it is fast"),
+        Row(doc_id=2, text="el perro corre por la calle y los gatos duermen en una casa"),
+        Row(doc_id=3, text="le chat est dans la maison et les oiseaux chantent pour nous"),
+        Row(doc_id=4, text="der hund ist nicht da und die katze schläft mit dem kind"),
+        Row(doc_id=5, text="你好 世界 这是 中文 文本"),
+        Row(doc_id=6, text="zzz qqq xxx"),
+        Row(doc_id=7, text="?! ;; :: %% ^^ && ##"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", T.token_count("text").alias("n")).collect()}
+    assert got[1] == 13
+    assert got[6] == 3
+
+
+def test_bpe_ish_token_count_exceeds_words(docs):
+    got = docs.select(
+        T.token_count("text").alias("w"), T.bpe_ish_token_count("text").alias("b")
+    ).where(F.col("b") < F.col("w")).count()
+    assert got == 0  # BPE-ish pieces >= whitespace words
+
+
+def test_fingerprint_order_invariant(spark):
+    a = spark.createDataFrame([Row(text="alpha beta gamma")])
+    b = spark.createDataFrame([Row(text="gamma alpha beta alpha")])
+    fa = a.select(T.fingerprint("text").alias("f")).first().f
+    fb = b.select(T.fingerprint("text").alias("f")).first().f
+    assert fa == fb  # same token set → same fingerprint
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "fr"
+    assert got[4] == "de"
+    assert got[5] == "zh"
+    assert got[6] == "und"
+
+
+def test_quality_score_gates(docs):
+    got = {r.doc_id: r.q for r in docs.select(
+        "doc_id", T.quality_score("text", min_tokens=5).alias("q")).collect()}
+    assert got[1] == 1
+    assert got[6] == 0  # too few tokens
+    assert got[7] == 0  # too much non-alpha
+
+
+def test_with_text_analysis_schema(docs):
+    out = T.with_text_analysis(docs)
+    for col in ["n_tokens", "n_bpe_tokens", "fingerprint", "pred_lang",
+                "quality_keep", "avg_token_len", "nonalpha_ratio"]:
+        assert col in out.columns
+    assert out.count() == 7
