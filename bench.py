@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline query battery at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "battery_total_sec", "value": N, "unit": "sec",
+     "queries": {"q...": sec, ...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full execution,
+no driver-side result serialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the headline set: engine scan/filter/granularity/sketch paths, the
+# relational HOST sweep, and the scale-path extension operators
+HEADLINE = [
+    "q_scan_interval_project",
+    "q_filter_and_or_not",
+    "q_granularity_hour_rollup",
+    "q_granularity_fifteen_minute",
+    "q_agg_hyperunique",
+    "q_two_phase_hll",
+    "q_agg_filtered",
+    "q_tpch_q1_pricing_summary",
+    "q_join_broadcast_dim",
+    "q_join_5way_star",
+    "q_window_topn_per_group",
+    "q_set_ops",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_text_analysis",
+    "q_similarity_topk",
+    "q_similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    from druid_hadoop_utils_spark.battery import QUERIES
+    from druid_hadoop_utils_spark.session import get_spark
+
+    spark = get_spark("druid-hadoop-utils-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "battery_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,728 @@
+"""The engine's query battery: every operator from SURVEY.md §2 (+ the
+training-pipeline extensions) as a named query with a DuckDB oracle.
+
+Registry shape: ``QUERIES[name] = (spark_fn, oracle_sql | None)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` and the oracle SQL runs on DuckDB
+views named after the parquet tables. Column names/aliases match on both
+sides (the driver hashes values per sorted column name).
+
+Determinism rules used throughout:
+- double aggregates are ``round()``-ed identically on both sides (float
+  summation order differs between engines);
+- every top-k/window has a total order (explicit tie-break columns);
+- HLL estimates are compared against exact ``count(distinct)`` — exact at
+  these cardinalities because DataSketches HLL stays in sparse/coupon mode
+  (pinned by tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.functions.aggregators import agg_expr, group_aggregate, post_agg_expr
+from druid_hadoop_utils_spark.operators import dedup as DD
+from druid_hadoop_utils_spark.operators import similarity as SIM
+from druid_hadoop_utils_spark.operators import text as TX
+from druid_hadoop_utils_spark.plans.planner import load
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _prep(spark: SparkSession) -> None:
+    # the driver may hand us a session without our session.py defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Druid-connector path: scans, filters, granularities, aggregations
+# (SURVEY.md §2.1-§2.3, §2.5, §2.6 — the parity-critical surface)
+# =====================================================================
+
+EVENTS_METRICS = [{"name": "value", "type": "double"}, {"name": "user_id", "type": "long"}]
+
+
+@register(
+    "q_scan_interval_project",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
+)
+def q_scan_interval_project(spark, sf_dir):
+    # S3/S4 + P1/P2: interval-pruned, column-pruned scan through a LoadSpec
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "NONE", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    return load(spark, ev, spec, interval="2024-01-05/2024-01-20", time_column="ts")
+
+
+@register(
+    "q_filter_selector",
+    """SELECT ts AS __time, event_type, value, user_id FROM events WHERE event_type = 'click'""",
+)
+def q_filter_selector(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
+    "q_filter_in",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE event_type IN ('signup', 'error')""",
+)
+def q_filter_in(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "in", "dimension": "event_type", "values": ["signup", "error"]},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
+    "q_filter_bound_numeric",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE user_id >= 50 AND user_id < 100""",
+)
+def q_filter_bound_numeric(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "bound", "dimension": "user_id", "lower": "50",
+                   "upper": "100", "upperStrict": True, "alphaNumeric": True},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
+    "q_filter_regex",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE regexp_matches(event_type, '^(click|view)$')""",
+)
+def q_filter_regex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "regex", "dimension": "event_type", "pattern": "^(click|view)$"},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
+    "q_filter_search",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE contains(lower(event_type), 'ur')""",
+)
+def q_filter_search(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "search", "dimension": "event_type",
+                   "query": {"type": "insensitive_contains", "value": "UR"}},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
+    "q_filter_and_or_not",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE (event_type = 'click' OR event_type = 'purchase')
+         AND NOT (user_id >= 100)""",
+)
+def q_filter_and_or_not(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {
+            "type": "and",
+            "fields": [
+                {"type": "or", "fields": [
+                    {"type": "selector", "dimension": "event_type", "value": "click"},
+                    {"type": "selector", "dimension": "event_type", "value": "purchase"},
+                ]},
+                {"type": "not", "field": {"type": "bound", "dimension": "user_id",
+                                          "lower": "100", "alphaNumeric": True}},
+            ],
+        },
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
+    "q_granularity_hour_rollup",
+    """SELECT date_trunc('hour', ts) AS __time, event_type,
+              round(sum(value), 2) AS value
+       FROM events GROUP BY 1, 2""",
+)
+def q_granularity_hour_rollup(spark, sf_dir):
+    # G1 + read-time rollup: granularity truncation then metric merge
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "HOUR", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01",
+              time_column="ts", rollup=True)
+    return df.withColumn("value", F.round("value", 2))
+
+
+@register(
+    "q_granularity_fifteen_minute",
+    """SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS __time,
+              round(sum(value), 2) AS value, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q_granularity_fifteen_minute(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "FIFTEEN_MINUTE", "dimensions": [], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    out = group_aggregate(
+        df, [],
+        [{"type": "doubleSum", "name": "value", "fieldName": "value"},
+         {"type": "count", "name": "n"}],
+    )
+    return out.withColumn("value", F.round("value", 2))
+
+
+@register(
+    "q_granularity_week",
+    """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS __time, count(*) AS n FROM events GROUP BY 1""",
+)
+def q_granularity_week(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "WEEK", "dimensions": [], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    return group_aggregate(df, [], [{"type": "count", "name": "n"}])
+
+
+@register(
+    "q_granularity_all",
+    """SELECT TIMESTAMP '1970-01-01 00:00:00' AS __time, event_type,
+              round(sum(value), 2) AS total, count(*) AS n,
+              CAST(count(DISTINCT user_id) AS DOUBLE) AS users
+       FROM events GROUP BY 2""",
+)
+def q_granularity_all(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "ALL", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    out = group_aggregate(
+        df, ["event_type"],
+        [{"type": "doubleSum", "name": "total", "fieldName": "value"},
+         {"type": "count", "name": "n"},
+         {"type": "hyperUnique", "name": "users", "fieldName": "user_id"}],
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
+@register(
+    "q_agg_min_max",
+    """SELECT event_type, min(user_id) AS min_user, max(user_id) AS max_user,
+              min(value) AS min_value, max(value) AS max_value, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q_agg_min_max(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return group_aggregate(
+        ev, ["event_type"],
+        [{"type": "longMin", "name": "min_user", "fieldName": "user_id"},
+         {"type": "longMax", "name": "max_user", "fieldName": "user_id"},
+         {"type": "doubleMin", "name": "min_value", "fieldName": "value"},
+         {"type": "doubleMax", "name": "max_value", "fieldName": "value"},
+         {"type": "count", "name": "n"}],
+        time_column=None,
+    )
+
+
+@register(
+    "q_agg_hyperunique",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time, event_type,
+              CAST(count(DISTINCT user_id) AS DOUBLE) AS users
+       FROM events GROUP BY 1, 2""",
+)
+def q_agg_hyperunique(spark, sf_dir):
+    # A5 hyperUnique: HLL estimate vs exact oracle (exact at this scale)
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "DAY", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    return group_aggregate(
+        df, ["event_type"],
+        [{"type": "hyperUnique", "name": "users", "fieldName": "user_id"}],
+    )
+
+
+@register(
+    "q_agg_cardinality",
+    """SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS event_types,
+              CAST(count(DISTINCT user_id) AS DOUBLE) AS users, count(*) AS n
+       FROM events""",
+)
+def q_agg_cardinality(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        agg_expr({"type": "cardinality", "name": "event_types",
+                  "fieldNames": ["event_type"]}, ev.schema),
+        agg_expr({"type": "cardinality", "name": "users",
+                  "fieldNames": ["user_id"]}, ev.schema),
+        agg_expr({"type": "count", "name": "n"}, ev.schema),
+    )
+
+
+@register(
+    "q_agg_filtered",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+              round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_value,
+              count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q_agg_filtered(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "DAY", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    out = group_aggregate(
+        df, [],
+        [{"type": "filtered", "name": "click_value",
+          "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+          "aggregator": {"type": "doubleSum", "name": "click_value", "fieldName": "value"}},
+         {"type": "count", "name": "n"}],
+    )
+    return out.withColumn("click_value", F.round("click_value", 2))
+
+
+@register(
+    "q_post_agg_arithmetic",
+    """SELECT event_type, round(sum(value), 2) AS total, count(*) AS n,
+              round(round(sum(value), 2) / count(*), 4) AS avg_value
+       FROM events GROUP BY 1""",
+)
+def q_post_agg_arithmetic(spark, sf_dir):
+    # PA3 arithmetic post-agg over aggregate outputs
+    ev = _t(spark, sf_dir, "events")
+    out = group_aggregate(
+        ev, ["event_type"],
+        [{"type": "doubleSum", "name": "total", "fieldName": "value"},
+         {"type": "count", "name": "n"}],
+        time_column=None,
+    ).withColumn("total", F.round("total", 2))
+    out = out.select(
+        "*",
+        post_agg_expr({"type": "arithmetic", "name": "avg_value", "fn": "/",
+                       "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                                  {"type": "fieldAccess", "fieldName": "n"}]}),
+    )
+    return out.withColumn("avg_value", F.round("avg_value", 4))
+
+
+@register(
+    "q_two_phase_hll",
+    """SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS users FROM events""",
+)
+def q_two_phase_hll(spark, sf_dir):
+    # A3/A4: per-day NON-finalized partials (binary), re-merged then
+    # finalized — the reference's partial-bytes → merge → finalize chain
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "DAY", "dimensions": [], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    partial = df.groupBy("__time").agg(
+        agg_expr({"type": "hyperUnique", "name": "sketch", "fieldName": "user_id"},
+                 df.schema, finalize=False)
+    )
+    return partial.agg(
+        agg_expr({"type": "hyperUnique", "name": "users", "fieldName": "sketch"},
+                 partial.schema, finalize=True)
+    )
+
+
+# =====================================================================
+# HOST-engine relational parity sweep (SURVEY.md §2.4/§2.7): joins,
+# windows, sort/limit, set ops, grouping sets — plain Spark vs oracle
+# =====================================================================
+
+
+@register(
+    "q_tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+       GROUP BY 1, 2""",
+)
+def q_tpch_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast_dim",
+    """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1""",
+)
+def q_join_broadcast_dim(spark, sf_dir):
+    # fact ⋈ broadcast(dim): no shuffle of the fact side for the join
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_join_5way_star",
+    """SELECT r_name, n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey  = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY 1, 2""",
+)
+def q_join_5way_star(spark, sf_dir):
+    # star join: one shuffle join on the fact keys, dims broadcast (AQE
+    # picks broadcast automatically under threshold; explicit for dims)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                     AND o_orderpriority = '1-URGENT')""",
+)
+def q_semi_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join",
+    """SELECT p_partkey, p_name FROM part
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+)
+def q_anti_join(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "q_window_topn_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def q_window_topn_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_window_running_lag",
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey), 2) AS running_total,
+              round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+       FROM orders""",
+)
+def q_window_running_lag(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+@register(
+    "q_orderby_limit_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+)
+def q_orderby_limit_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "q_set_ops",
+    """(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       EXCEPT
+       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+)
+def q_set_ops(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+
+    def ck(status):
+        return orders.where(F.col("o_orderstatus") == status).select("o_custkey").distinct()
+
+    return ck("F").intersect(ck("O")).exceptAll(ck("P")).distinct()
+
+
+@register(
+    "q_rollup_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "q_distinct",
+    """SELECT DISTINCT event_type, user_id FROM events WHERE user_id < 30""",
+)
+def q_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("user_id") < 30).select("event_type", "user_id").distinct()
+
+
+# =====================================================================
+# Training-data-pipeline extensions (SURVEY.md §7.3 M8)
+# =====================================================================
+
+
+@register(
+    "q_dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+       FROM documents GROUP BY text""",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count")
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    """WITH s AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       FROM s a, s b
+       WHERE a.doc_id < b.doc_id
+         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    # exact all-pairs variant (oracle-checkable); the scale path is
+    # q_dedup_minhash_lsh below, which must find the same pairs
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, blocking=False)
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@register("q_dedup_minhash_lsh", None)  # non-SQL-expressible (seeded xxhash64)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@register("q_dedup_simhash", None)  # non-SQL-expressible (seeded xxhash64)
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_candidate_pairs(docs, "doc_id", max_hamming=3)
+
+
+@register(
+    "q_text_analysis",
+    """SELECT doc_id,
+              len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+              md5(array_to_string(list_sort(list_distinct(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+              round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0
+                    / length(text), 4) AS nonalpha_ratio
+       FROM documents""",
+)
+def q_text_analysis(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.fingerprint("text").alias("fingerprint"),
+        feats["nonalpha_ratio"].alias("nonalpha_ratio"),
+    )
+
+
+@register(
+    "q_text_langid",
+    """SELECT lang AS labeled_lang, count(*) AS n_docs,
+              round(avg(n_chars), 2) AS avg_chars
+       FROM documents GROUP BY 1""",
+)
+def q_text_langid(spark, sf_dir):
+    # the heuristic lang-id itself is pinned by unit tests; the oracle-able
+    # part is the label distribution it runs against
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("lang").alias("labeled_lang")).agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
+    )
+
+
+@register(
+    "q_similarity_topk",
+    """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos_sim
+       FROM embeddings q, embeddings e
+       WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+       QUALIFY row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5""",
+)
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+@register(
+    "q_embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id
+         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+)
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.similar_pairs(emb, 0.35)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+@register("q_similarity_lsh_topk", None)  # approximate: no SQL oracle
+def q_similarity_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.lsh_topk(emb, queries, k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+# =====================================================================
+# entry points for __spark_entry__.py
+# =====================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The reference's canonical workflow (druid_exporter.pig:6-17) on the
+    events table: spec-driven load → hourly rollup → group-agg with sketch
+    merge + post-agg finalize."""
+    ev = _t(spark, sf_dir, "events")
+    spec = {"granularity": "HOUR", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    out = group_aggregate(
+        df,
+        ["event_type"],
+        [{"type": "doubleSum", "name": "value", "fieldName": "value"},
+         {"type": "hyperUnique", "name": "unique_users", "fieldName": "user_id"},
+         {"type": "count", "name": "n"}],
+        post_aggregations=[
+            {"type": "arithmetic", "name": "value_per_event", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "value"},
+                        {"type": "fieldAccess", "fieldName": "n"}]}
+        ],
+    )
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

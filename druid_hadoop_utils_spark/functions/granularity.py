@@ -110,10 +110,15 @@ def _period_expr(period: str, col: Column) -> Column:
 
 def oracle_trunc_sql(granularity: str | dict, col_sql: str) -> str:
     """DuckDB SQL equivalent of granularity_expr, for oracle checks."""
+    def duration_sql(secs: int) -> str:
+        # CAST: DuckDB's to_timestamp returns TIMESTAMPTZ
+        return (
+            f"CAST(to_timestamp(floor(epoch({col_sql})/{secs})*{secs}) AS TIMESTAMP)"
+        )
+
     if isinstance(granularity, dict):
         if granularity.get("type") == "duration":
-            secs = int(granularity["duration"]) // 1000
-            return f"to_timestamp(floor(epoch({col_sql})/{secs})*{secs})"
+            return duration_sql(int(granularity["duration"]) // 1000)
         raise ValueError("oracle sql for period granularity: use named form")
     g = granularity.upper()
     if g == "NONE":
@@ -121,8 +126,12 @@ def oracle_trunc_sql(granularity: str | dict, col_sql: str) -> str:
     if g == "ALL":
         return "TIMESTAMP '1970-01-01 00:00:00'"
     if g in _TRUNC_UNITS:
-        return f"date_trunc('{_TRUNC_UNITS[g]}', {col_sql})"
+        unit = _TRUNC_UNITS[g]
+        if g in {"SECOND", "MINUTE", "HOUR"}:
+            return f"date_trunc('{unit}', {col_sql})"
+        # DuckDB returns DATE for day-and-coarser truncation; Spark keeps
+        # TimestampType — cast for value-hash parity
+        return f"CAST(date_trunc('{unit}', {col_sql}) AS TIMESTAMP)"
     if g in _DURATION_SECONDS:
-        secs = _DURATION_SECONDS[g]
-        return f"to_timestamp(floor(epoch({col_sql})/{secs})*{secs})"
+        return duration_sql(_DURATION_SECONDS[g])
     raise ValueError(f"unknown granularity: {granularity!r}")

@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 from druid_hadoop_utils_spark.operators.text import tokens
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-heavy per-row stages (signature computation) get the
+    cluster's full parallelism even when the input is a few big/small
+    files. A round-robin repartition of the already-projected columns —
+    cheap relative to the per-row hashing it unlocks; no-op when the scan
+    is already wide enough."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str,
@@ -147,9 +159,12 @@ def minhash_lsh_dedup_pairs(
     Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
     pairs with jaccard >= threshold."""
     rows_per_band = num_hashes // bands
-    base = df.select(
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__sh")
     )
+    # the shingle sets feed three plan branches (signatures + both sides of
+    # the verification join); persist so shingling runs once, not three times
+    base = base.persist()
     with_sig = base.withColumn("signature", minhash_signature(F.col("__sh"), num_hashes, seed))
     cands = lsh_candidate_pairs(with_sig, "__id", "signature", bands, rows_per_band)
     verified = (
@@ -223,7 +238,7 @@ def simhash_candidate_pairs(
     One shuffle on chunk keys; no cross join."""
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
-    sigs = df.select(
+    sigs = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"), simhash(tokens(text_col), seed=seed).alias("__sig")
     )
     parts = sigs.select(

@@ -19,6 +19,7 @@ threshold instead of k.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,10 +54,12 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cos_sim) with rank ties broken by
     neighbor id for determinism.
     """
+    from druid_hadoop_utils_spark.operators.dedup import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -98,20 +101,29 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((tables, bits, dim))
 
 
-def _signature(vec: Column, planes: np.ndarray) -> Column:
-    """b-bit random-hyperplane signature as a long (bit i = sign of dot
-    with plane i). Planes enter the plan as array literals; the fold is
-    pure codegen."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _signature_udf(planes: np.ndarray):
+    """Per-table b-bit hyperplane signatures as ``array<long>``.
+
+    Implemented as an Arrow-batched pandas UDF doing ONE numpy matmul per
+    batch: the builtin-expression alternative (tables×bits literal-array
+    dot folds) generates a multi-thousand-node codegen tree that takes
+    longer to compile and run than the actual math. The planes matrix
+    rides to executors inside the closure (a few KB).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T  # dim × (tables*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # n × dim
+        signs = (mat.astype(np.float64) @ flat) >= 0  # n × tables*bits
+        per_table = signs.reshape(len(mat), tables, bits) @ weights  # n × tables
+        return pd.Series(list(per_table))
+
+    return sigs
 
 
 def lsh_topk(
@@ -134,33 +146,35 @@ def lsh_topk(
     """
     planes = _hyperplanes(dim, bits, tables, seed)
 
+    from druid_hadoop_utils_spark.operators.dedup import spread
+
+    sig_udf = _signature_udf(planes)
+
     def with_sigs(df: DataFrame, idname: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    _signature(F.col(vec_col), planes[t]).alias("sig"),
-                )
-                for t in range(len(planes))
-            ]
-        )
+        df = spread(df.select(F.col(id_col), F.col(vec_col)))
         return df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(f"__{idname}_v"),
-            F.explode(sigs).alias("__s"),
-        ).select(idname, f"__{idname}_v", F.col("__s.table").alias("__t"), F.col("__s.sig").alias("__sig"))
+            F.posexplode(sig_udf(F.col(vec_col))).alias("__t", "__sig"),
+        )
 
     cq = with_sigs(queries, "query_id")
     cc = with_sigs(corpus, "neighbor_id")
     cands = (
         cc.join(F.broadcast(cq), ["__t", "__sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
-        .distinct()
+        # dedup multi-table hits on the id PAIR (first() carries the
+        # vectors) — one shuffle of candidate rows, never a distinct over
+        # float arrays
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("__query_id_v").alias("__qv"),
+            F.first("__neighbor_id_v").alias("__cv"),
+        )
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("cos_sim"),
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
