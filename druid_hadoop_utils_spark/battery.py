@@ -51,6 +51,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw-nanos variant for the engine load() path: interval predicates
+    push down to the parquet scan as long-range bounds."""
+    _prep(spark)
+    return load_table(spark, sf_dir, name, convert_nanos=False)
+
+
 # =====================================================================
 # Druid-connector path: scans, filters, granularities, aggregations
 # (SURVEY.md §2.1-§2.3, §2.5, §2.6 — the parity-critical surface)
@@ -66,7 +73,7 @@ EVENTS_METRICS = [{"name": "value", "type": "double"}, {"name": "user_id", "type
 )
 def q_scan_interval_project(spark, sf_dir):
     # S3/S4 + P1/P2: interval-pruned, column-pruned scan through a LoadSpec
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "NONE", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
     return load(spark, ev, spec, interval="2024-01-05/2024-01-20", time_column="ts")
 
@@ -76,7 +83,7 @@ def q_scan_interval_project(spark, sf_dir):
     """SELECT ts AS __time, event_type, value, user_id FROM events WHERE event_type = 'click'""",
 )
 def q_filter_selector(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {
         "granularity": "NONE",
         "dimensions": ["event_type"],
@@ -92,7 +99,7 @@ def q_filter_selector(spark, sf_dir):
        WHERE event_type IN ('signup', 'error')""",
 )
 def q_filter_in(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {
         "granularity": "NONE",
         "dimensions": ["event_type"],
@@ -108,7 +115,7 @@ def q_filter_in(spark, sf_dir):
        WHERE user_id >= 50 AND user_id < 100""",
 )
 def q_filter_bound_numeric(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {
         "granularity": "NONE",
         "dimensions": ["event_type"],
@@ -125,7 +132,7 @@ def q_filter_bound_numeric(spark, sf_dir):
        WHERE regexp_matches(event_type, '^(click|view)$')""",
 )
 def q_filter_regex(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {
         "granularity": "NONE",
         "dimensions": ["event_type"],
@@ -141,7 +148,7 @@ def q_filter_regex(spark, sf_dir):
        WHERE contains(lower(event_type), 'ur')""",
 )
 def q_filter_search(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {
         "granularity": "NONE",
         "dimensions": ["event_type"],
@@ -159,7 +166,7 @@ def q_filter_search(spark, sf_dir):
          AND NOT (user_id >= 100)""",
 )
 def q_filter_and_or_not(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {
         "granularity": "NONE",
         "dimensions": ["event_type"],
@@ -187,7 +194,7 @@ def q_filter_and_or_not(spark, sf_dir):
 )
 def q_granularity_hour_rollup(spark, sf_dir):
     # G1 + read-time rollup: granularity truncation then metric merge
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "HOUR", "dimensions": ["event_type"],
             "metrics": [{"name": "value", "type": "double"}]}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01",
@@ -202,7 +209,7 @@ def q_granularity_hour_rollup(spark, sf_dir):
        FROM events GROUP BY 1""",
 )
 def q_granularity_fifteen_minute(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "FIFTEEN_MINUTE", "dimensions": [], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     out = group_aggregate(
@@ -218,7 +225,7 @@ def q_granularity_fifteen_minute(spark, sf_dir):
     """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS __time, count(*) AS n FROM events GROUP BY 1""",
 )
 def q_granularity_week(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "WEEK", "dimensions": [], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     return group_aggregate(df, [], [{"type": "count", "name": "n"}])
@@ -232,7 +239,7 @@ def q_granularity_week(spark, sf_dir):
        FROM events GROUP BY 2""",
 )
 def q_granularity_all(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "ALL", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     out = group_aggregate(
@@ -271,7 +278,7 @@ def q_agg_min_max(spark, sf_dir):
 )
 def q_agg_hyperunique(spark, sf_dir):
     # A5 hyperUnique: HLL estimate vs exact oracle (exact at this scale)
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "DAY", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     return group_aggregate(
@@ -305,7 +312,7 @@ def q_agg_cardinality(spark, sf_dir):
        FROM events GROUP BY 1""",
 )
 def q_agg_filtered(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "DAY", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     out = group_aggregate(
@@ -349,7 +356,7 @@ def q_post_agg_arithmetic(spark, sf_dir):
 def q_two_phase_hll(spark, sf_dir):
     # A3/A4: per-day NON-finalized partials (binary), re-merged then
     # finalized — the reference's partial-bytes → merge → finalize chain
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "DAY", "dimensions": [], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     partial = df.groupBy("__time").agg(
@@ -702,7 +709,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     """The reference's canonical workflow (druid_exporter.pig:6-17) on the
     events table: spec-driven load → hourly rollup → group-agg with sketch
     merge + post-agg finalize."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     spec = {"granularity": "HOUR", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     out = group_aggregate(

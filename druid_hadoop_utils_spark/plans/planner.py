@@ -119,8 +119,25 @@ def load(
     if time_column != TIME_COL:
         df = df.withColumnRenamed(time_column, TIME_COL)
 
+    time_is_nanos = dict(df.dtypes).get(TIME_COL) == "bigint"
     if iv is not None:
-        df = df.where(_interval_pred(iv, F.col(TIME_COL)))
+        if time_is_nanos:
+            # epoch-nanos long time column: compare raw longs so the range
+            # predicate pushes down to parquet row-group stats (a predicate
+            # over timestamp_micros(col) would not push)
+            from datetime import datetime, timedelta, timezone
+
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            us = timedelta(microseconds=1)
+            start_ns = ((iv.start - epoch) // us) * 1000
+            end_ns = ((iv.end - epoch) // us) * 1000
+            df = df.where(
+                (F.col(TIME_COL) >= F.lit(start_ns)) & (F.col(TIME_COL) < F.lit(end_ns))
+            )
+        else:
+            df = df.where(_interval_pred(iv, F.col(TIME_COL)))
+    if time_is_nanos:
+        df = df.withColumn(TIME_COL, F.timestamp_micros(F.expr(f"`{TIME_COL}` DIV 1000")))
     if spec.filter is not None:
         df = df.where(filter_to_column(spec.filter, df.schema))
 

@@ -44,16 +44,25 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return out
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load ``<sf_dir>/<name>.parquet`` with nanos-timestamp repair."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, convert_nanos: bool = True
+) -> DataFrame:
+    """Load ``<sf_dir>/<name>.parquet`` with nanos-timestamp repair.
+
+    ``convert_nanos=False`` keeps TIMESTAMP(NANOS) columns as raw epoch-nanos
+    longs — the engine's ``load()`` recognizes a LongType time column as
+    epoch nanos and pushes interval predicates down to the parquet scan as
+    long-range bounds (an expression over the converted timestamp would not
+    push, forfeiting row-group skipping — fatal at 100 TB)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for col in _nanos_timestamp_columns(path):
-        # long nanos → microseconds → TimestampType. Integer division (DIV)
-        # is required: double division loses precision above 2^53 ns and
-        # would shift microsecond values.
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if convert_nanos:
+        for col in _nanos_timestamp_columns(path):
+            # long nanos → microseconds → TimestampType. Integer division
+            # (DIV) is required: double division loses precision above 2^53
+            # ns and would shift microsecond values.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     return df
 
 

@@ -1,0 +1,137 @@
+"""Physical-plan quality gates — the 100 TB concerns, asserted on explain
+output: filters reach the parquet scan (PushedFilters), projection prunes
+the read schema (ReadSchema), small dims broadcast, aggregation is
+two-phase with exactly one shuffle. A plan that silently regresses any of
+these would still pass value checks; these tests pin the plan shape."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark import load
+from druid_hadoop_utils_spark.battery import QUERIES
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def nodes(plan: str) -> list[str]:
+    """Physical-plan node names from the formatted detail sections."""
+    import re
+
+    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_filter_pushdown_reaches_scan(spark, events):
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": [{"name": "value", "type": "double"}],
+        "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+    }
+    df = load(spark, events, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    plan = plan_str(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_interval_filter_pushdown_on_time_column(spark, sf_dir):
+    # the raw-nanos path must push the interval to the scan as long-range
+    # bounds (an expression over the converted timestamp would not push)
+    raw = load_table(spark, sf_dir, "events", convert_nanos=False)
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    df = load(spark, raw, spec, interval="2024-01-05/2024-01-06", time_column="ts")
+    plan = plan_str(df)
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+    # and the converted output is still a proper timestamp
+    assert dict(df.dtypes)["__time"] == "timestamp"
+
+
+def test_projection_prunes_read_schema(spark, events):
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    df = load(spark, events, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    plan = plan_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # props / event_id / user_id must not be read for this spec
+    assert "props" not in read_schema
+    assert "event_id" not in read_schema
+    assert "user_id" not in read_schema
+    assert "event_type" in read_schema and "value" in read_schema and "ts" in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["q_join_broadcast_dim"][0](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_str(df)
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_str(QUERIES["q_join_5way_star"][0](spark, sf_dir))
+    # customer/nation/region must all broadcast: 3+ broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_rollup_is_two_phase_single_shuffle(spark, events):
+    spec = {"granularity": "HOUR", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    df = load(spark, events, spec, interval="2024-01-01/2025-01-01",
+              time_column="ts", rollup=True)
+    ns = nodes(plan_str(df))
+    assert ns.count("HashAggregate") == 2  # partial + final
+    assert ns.count("Exchange") == 1  # exactly one shuffle, on the keys
+
+
+def test_hll_agg_is_two_phase_jvm_side(spark, events):
+    from druid_hadoop_utils_spark.functions.aggregators import agg_expr
+
+    df = events.groupBy("event_type").agg(
+        agg_expr({"type": "hyperUnique", "name": "u", "fieldName": "user_id"}, events.schema)
+    )
+    plan = plan_str(df)
+    assert nodes(plan).count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_engine_scan_stays_whole_stage_codegen(spark, events):
+    spec = {"granularity": "DAY", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}],
+            "filter": {"type": "in", "dimension": "event_type", "values": ["click", "view"]}}
+    df = load(spark, events, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    plan = plan_str(df)
+    # no Python evaluation anywhere in the engine read path
+    assert "EvalPython" not in plan
+    # '*' prefixes mark whole-stage-codegen nodes in formatted explain
+    assert "* Filter" in plan and "* Project" in plan
+
+
+def test_segment_load_plans_one_scan(spark, tmp_path, golden_events):
+    """The managed-table fast path must produce ONE parquet scan (no unions)
+    when no partial overshadow exists."""
+    from druid_hadoop_utils_spark import write_segment
+
+    root = str(tmp_path)
+    base = golden_events.drop("user_host")
+    write_segment(base, root, "ds", "2014-10-22/2014-10-23", "v1")
+    write_segment(
+        base.withColumn("__time", F.col("__time") + F.expr("INTERVAL 1 DAY")),
+        root, "ds", "2014-10-23/2014-10-24", "v1",
+    )
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    df = load(spark, root, spec, interval="2014-10-22/2014-10-24", data_source="ds")
+    plan = plan_str(df)
+    assert nodes(plan).count("Scan") == 1
+    assert "Union" not in plan

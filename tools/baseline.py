@@ -1,0 +1,130 @@
+"""Plain-PySpark baseline for the bench headline (BASELINE.md gate).
+
+Hand-written ``pyspark.sql`` equivalents of the engine-path headline
+queries, with no engine layer (no LoadSpec/planner/agg-grammar). The gate:
+engine sec/query <= 2x these numbers at the same scale factor. Extension
+operators are already plain Spark, so the engine battery IS their baseline;
+they are excluded here.
+
+Usage: SPARK_GRAFT_SF_DIR=... python tools/baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from druid_hadoop_utils_spark.session import get_spark
+
+    spark = get_spark("plain-pyspark-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def events():
+        return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def t(name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+
+    BASELINE = {
+        "q_scan_interval_project": lambda: events()
+        .where((F.col("ts") >= 1704412800 * 10**9) & (F.col("ts") < 1705708800 * 10**9))
+        .select(ts.alias("__time"), "event_type", "value", "user_id"),
+        "q_filter_and_or_not": lambda: events()
+        .where(F.col("event_type").isin("click", "purchase") & ~(F.col("user_id") >= 100))
+        .select(ts.alias("__time"), "event_type", "value", "user_id"),
+        "q_granularity_hour_rollup": lambda: events()
+        .groupBy(F.date_trunc("hour", ts).alias("__time"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("value")),
+        "q_granularity_fifteen_minute": lambda: events()
+        .groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp(ts) / 900).cast("long") * 900
+            ).alias("__time")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"), F.count("*").alias("n")),
+        "q_agg_hyperunique": lambda: events()
+        .groupBy(F.date_trunc("day", ts).alias("__time"), "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("double").alias("users")),
+        "q_two_phase_hll": lambda: events()
+        .groupBy(F.date_trunc("day", ts).alias("__time"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("double").alias("users")),
+        "q_agg_filtered": lambda: events()
+        .groupBy(F.date_trunc("day", ts).alias("__time"))
+        .agg(
+            F.round(F.sum(F.when(F.col("event_type") == "click", F.col("value"))), 2)
+            .alias("click_value"),
+            F.count("*").alias("n"),
+        ),
+        "q_tpch_q1_pricing_summary": lambda: t("lineitem")
+        .where(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        ),
+        "q_join_broadcast_dim": lambda: t("orders")
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n")),
+        "q_join_5way_star": lambda: t("lineitem")
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue")),
+        "q_window_topn_per_group": lambda: t("orders")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn"),
+        "q_set_ops": lambda: (
+            t("orders").where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+            .intersect(t("orders").where(F.col("o_orderstatus") == "O")
+                       .select("o_custkey").distinct())
+            .exceptAll(t("orders").where(F.col("o_orderstatus") == "P")
+                       .select("o_custkey").distinct()).distinct()
+        ),
+        "q_dedup_exact": lambda: t("documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count")),
+    }
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings = {}
+    for name, fn in BASELINE.items():
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "plain_pyspark_baseline_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
