@@ -700,6 +700,72 @@ def q_similarity_lsh_topk(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
+
+
+@register(
+    "q_multivalue_explode_groupby",
+    """SELECT tok AS token, count(*) AS n, CAST(count(DISTINCT doc_id) AS DOUBLE) AS docs
+       FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+             FROM documents)
+       GROUP BY 1 HAVING count(*) >= 100""",
+)
+def q_multivalue_explode_groupby(spark, sf_dir):
+    # Druid multi-value dimension groupBy semantics: each value of the
+    # multi-value dim forms its own group (explode) - SURVEY.md §7.4
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"),
+             # lgk=16: the coupon-mode estimator stays exact well past the
+             # ~400-distinct point where lgk=12 starts rounding off by one
+             agg_expr({"type": "hyperUnique", "name": "docs", "fieldName": "doc_id"},
+                      toks.schema, lgk=16))
+        .where(F.col("n") >= 100)
+    )
+
+
+@register(
+    "q_json_props_extract",
+    """SELECT event_type, round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+              max(CAST(props->>'k' AS INT)) AS max_k, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q_json_props_extract(spark, sf_dir):
+    # scalar-function surface (SURVEY.md §2.8): JSON extraction stays JVM-side
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_topn_druid_style",
+    """SELECT event_type, round(sum(value), 2) AS total,
+              CAST(count(DISTINCT user_id) AS DOUBLE) AS users
+       FROM events GROUP BY 1
+       ORDER BY total DESC, event_type LIMIT 3""",
+)
+def q_topn_druid_style(spark, sf_dir):
+    # Druid's topN query shape: dimension leaderboard by aggregate metric.
+    # Spark plans this as partial top-k per partition + merge (TakeOrdered)
+    ev = _t(spark, sf_dir, "events")
+    out = group_aggregate(
+        ev, ["event_type"],
+        [{"type": "doubleSum", "name": "total", "fieldName": "value"},
+         {"type": "hyperUnique", "name": "users", "fieldName": "user_id"}],
+        time_column=None,
+    )
+    return (
+        out.withColumn("total", F.round("total", 2))
+        .orderBy(F.desc("total"), "event_type")
+        .limit(3)
+    )
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -129,8 +129,11 @@ def load(
 
             epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
             us = timedelta(microseconds=1)
-            start_ns = ((iv.start - epoch) // us) * 1000
-            end_ns = ((iv.end - epoch) // us) * 1000
+            lmin, lmax = -(1 << 63), (1 << 63) - 1
+            # clamp to int64: nanos can only represent ~1677..2262, so a
+            # wider interval (e.g. /3000-01-01) means "no bound"
+            start_ns = max(((iv.start - epoch) // us) * 1000, lmin)
+            end_ns = min(((iv.end - epoch) // us) * 1000, lmax)
             df = df.where(
                 (F.col(TIME_COL) >= F.lit(start_ns)) & (F.col(TIME_COL) < F.lit(end_ns))
             )

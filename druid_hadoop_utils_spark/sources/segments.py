@@ -107,27 +107,38 @@ def write_segment(
     that no manifest references, never a half-visible segment.
     """
     iv = Interval.parse(interval)
-    seg_dir = os.path.join(
-        table_root,
-        data_source,
-        f"{_safe(iv.start.isoformat())}_{_safe(iv.end.isoformat())}",
-        f"v={version}",
-        f"shard={shard_num}",
-    )
+    seg_dir = segment_dir(table_root, data_source, iv, version, shard_num)
     writer = df.write.mode("overwrite")
     if partition_by_day:
         writer = writer.partitionBy("__time_day")
     writer.parquet(seg_dir)
 
     manifest = SegmentManifest(data_source, iv, str(version), shard_num, seg_dir)
-    mdir = os.path.join(table_root, data_source, MANIFEST_DIR)
+    register_manifest(table_root, manifest)
+    return manifest
+
+
+def segment_dir(table_root: str, data_source: str, iv: Interval, version: str,
+                shard_num: int = 0) -> str:
+    return os.path.join(
+        table_root,
+        data_source,
+        f"{_safe(iv.start.isoformat())}_{_safe(iv.end.isoformat())}",
+        f"v={version}",
+        f"shard={shard_num}",
+    )
+
+
+def register_manifest(table_root: str, manifest: SegmentManifest) -> None:
+    """Atomically announce a segment: manifest lands last, so readers never
+    see half-written data (orphan parquet without a manifest is invisible)."""
+    mdir = os.path.join(table_root, manifest.data_source, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     mpath = os.path.join(mdir, f"{_safe(manifest.identifier)}.json")
     tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest.to_json(), f, indent=2)
     os.replace(tmp, mpath)
-    return manifest
 
 
 def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:

@@ -142,6 +142,18 @@ class TestMultiSegment:
         assert sum(r.visited_sum for r in df.collect()) == 4500 + 450
 
 
+def test_raw_nanos_wide_interval_no_overflow(spark, sf_dir):
+    """An interval beyond nanos-representable range (year 3000) must clamp
+    to int64 bounds, not overflow (regression: examples/print_rows.py)."""
+    from druid_hadoop_utils_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events", convert_nanos=False)
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    df = load(spark, ev, spec, interval="1970-01-01/3000-01-01", time_column="ts")
+    assert df.count() == ev.count()
+
+
 def test_load_plain_parquet_events(spark, sf_dir):
     """load() also works directly over the driver's events table (no
     manifests), mapping ts → __time."""
