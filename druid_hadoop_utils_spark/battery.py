@@ -766,6 +766,73 @@ def q_topn_druid_style(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "q_scalar_functions",
+    """SELECT o_orderkey,
+              upper(substr(o_orderpriority, 3)) AS prio,
+              concat(o_orderstatus, '-', CAST(o_custkey AS VARCHAR)) AS tag,
+              round(sqrt(o_totalprice), 4) AS sqrt_price,
+              round(ln(o_totalprice + 1), 4) AS ln_price,
+              CAST(year(o_orderdate) AS INT) AS yr,
+              CAST(month(o_orderdate) AS INT) AS mo,
+              CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+       FROM orders WHERE o_orderkey < 1000""",
+)
+def q_scalar_functions(spark, sf_dir):
+    # SURVEY.md §2.8: the HOST scalar surface (string/math/date builtins)
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 100)).alias("prio"),
+        F.concat_ws("-", "o_orderstatus", F.col("o_custkey").cast("string")).alias("tag"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("ln_price"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since"),
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+       FROM customer JOIN orders ON o_custkey = c_custkey
+       WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_custkey = c_custkey)""",
+)
+def q_correlated_subquery(spark, sf_dir):
+    # correlated scalar subquery via SQL (Catalyst decorrelates to a join)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                                 WHERE o2.o_custkey = c_custkey)"""
+    )
+
+
+@register(
+    "q_percentile",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+       FROM lineitem GROUP BY 1""",
+)
+def q_percentile(spark, sf_dir):
+    # exact continuous percentile (Spark `percentile` == DuckDB quantile_cont)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -1,0 +1,44 @@
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.operators.joins import salted_join
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+
+def canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    plain = orders.join(customer, "custkey")
+    salted = salted_join(orders, customer, "custkey", salts=4)
+    cols = ["custkey", "o_orderkey", "c_name"]
+    assert canon(salted, cols) == canon(plain, cols)
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    left = spark.createDataFrame([Row(k=1, a="x"), Row(k=2, a="y"), Row(k=99, a="z")])
+    right = spark.createDataFrame([Row(k=1, b="p"), Row(k=2, b="q")])
+    out = salted_join(left, right, "k", how="left", salts=3)
+    rows = {r.k: r.b for r in out.collect()}
+    assert rows == {1: "p", 2: "q", 99: None}
+
+
+def test_salted_join_skewed_key_correct(spark):
+    # a pathological hot key: 10k copies of k=1 against a 3-row dim
+    left = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    left = left.union(spark.range(5).select(F.lit(2).alias("k"), F.col("id")))
+    right = spark.createDataFrame([Row(k=1, v="hot"), Row(k=2, v="cold"), Row(k=3, v="none")])
+    out = salted_join(left, right, "k", salts=8)
+    got = out.groupBy("k", "v").count().collect()
+    res = {(r.k, r.v): r["count"] for r in got}
+    assert res == {(1, "hot"): 10000, (2, "cold"): 5}
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    df = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
