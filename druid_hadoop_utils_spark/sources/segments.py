@@ -99,14 +99,27 @@ def write_segment(
     version: str,
     shard_num: int = 0,
     partition_by_day: bool = False,
+    enforce_interval: bool = True,
 ) -> SegmentManifest:
     """Publish ``df`` as one immutable segment of ``data_source``.
 
     The manifest write is last, making publication atomic-ish the same way
     Druid's segment announcement is: a crashed write leaves orphan parquet
     that no manifest references, never a half-visible segment.
+
+    ``enforce_interval`` filters rows to the declared [start, end) — the
+    timeline's visibility math assumes segment data lies inside its
+    declared interval (Druid enforces this at ingestion); rows outside it
+    would leak into fully-visible reads.
     """
     iv = Interval.parse(interval)
+    if enforce_interval and "__time" in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.where(
+            (F.col("__time") >= F.lit(iv.start.replace(tzinfo=None)))
+            & (F.col("__time") < F.lit(iv.end.replace(tzinfo=None)))
+        )
     seg_dir = segment_dir(table_root, data_source, iv, version, shard_num)
     writer = df.write.mode("overwrite")
     if partition_by_day:
@@ -183,8 +196,14 @@ def resolve_visible_windows(
         if not covering:
             continue
         best_version = max(m.version for m in covering)
-        for m in covering:
-            if m.version == best_version:
+        winners = [m for m in covering if m.version == best_version]
+        # all shards of the winning (version, interval) are visible; if the
+        # same version string covers the cell under DIFFERENT intervals
+        # (pathological — Druid's publish protocol prevents it), tie-break
+        # deterministically on the newest interval
+        best_interval = max((m.interval.start, m.interval.end) for m in winners)
+        for m in winners:
+            if (m.interval.start, m.interval.end) == best_interval:
                 windows.setdefault(m, []).append(cell)
 
     out = []
