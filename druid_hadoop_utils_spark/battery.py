@@ -833,6 +833,63 @@ def q_percentile(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "q_api_timeseries",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+              round(sum(value), 2) AS total, count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+       GROUP BY 1 ORDER BY 1""",
+)
+def q_api_timeseries(spark, sf_dir):
+    # the Druid `timeseries` query shape through the convenience API
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    spec = {"granularity": "DAY", "dimensions": [], "metrics": EVENTS_METRICS}
+    out = api.timeseries(
+        spark, ev, spec,
+        [{"type": "doubleSum", "name": "total", "fieldName": "value"},
+         {"type": "count", "name": "n"}],
+        interval="2024-01-01/2024-01-15", time_column="ts",
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
+@register(
+    "q_api_topn",
+    """SELECT __time, event_type, round(total, 2) AS total, rnk FROM (
+         SELECT __time, event_type, total,
+                row_number() OVER (PARTITION BY __time
+                                   ORDER BY total DESC, event_type) AS rnk
+         FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+                      event_type, sum(value) AS total
+               FROM events
+               WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+               GROUP BY 1, 2)) WHERE rnk <= 2""",
+)
+def q_api_topn(spark, sf_dir):
+    # the Druid `topN` query shape: per-bucket dimension leaderboard
+    from druid_hadoop_utils_spark import api
+    from pyspark.sql import Window
+
+    ev = _t_raw(spark, sf_dir, "events")
+    spec = {"granularity": "DAY", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    out = api.topn(
+        spark, ev, spec, dimension="event_type", metric="total", threshold=2,
+        aggregations=[{"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        interval="2024-01-01/2024-01-08", time_column="ts",
+    )
+    w = Window.partitionBy("__time").orderBy(F.desc("total"), "event_type")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .withColumn("total", F.round("total", 2))
+        .select("__time", "event_type", "total", "rnk")
+    )
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

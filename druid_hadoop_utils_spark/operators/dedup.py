@@ -90,12 +90,37 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature: for each of ``num_hashes`` seeded xxhash64
     functions, the min hash over the shingle set. Pure expression — no UDF,
-    no shuffle."""
+    no shuffle. NOTE: array lambdas are interpreted; the bulk path
+    ``minhash_table`` computes identical signatures in codegen."""
     mins = [
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i))))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
+
+
+def minhash_table(
+    shingled: DataFrame,
+    id_col: str = "__id",
+    shingle_col: str = "__sh",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature) via explode → per-seed min hash aggregates — the
+    codegen'd bulk twin of ``minhash_signature`` (identical values, pinned
+    by tests). One shuffle on the id."""
+    exploded = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("__s")
+    )
+    mins = [
+        F.min(F.xxhash64("__s", F.lit(seed + i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    agged = exploded.groupBy(id_col).agg(*mins)
+    return agged.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -165,7 +190,7 @@ def minhash_lsh_dedup_pairs(
     # the shingle sets feed three plan branches (signatures + both sides of
     # the verification join); persist so shingling runs once, not three times
     base = base.persist()
-    with_sig = base.withColumn("signature", minhash_signature(F.col("__sh"), num_hashes, seed))
+    with_sig = minhash_table(base, "__id", "__sh", num_hashes, seed)
     cands = lsh_candidate_pairs(with_sig, "__id", "signature", bands, rows_per_band)
     verified = (
         cands.join(base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
@@ -213,7 +238,11 @@ def ngram_jaccard_pairs(
 def simhash(token_col: Column, bits: int = 64, seed: int = 7) -> Column:
     """SimHash over a token array: per-token xxhash64, majority vote per
     bit. Expression-only implementation: for each bit, count tokens with
-    the bit set vs total; bit survives when set in > half the tokens."""
+    the bit set vs total; bit survives when set in > half the tokens.
+
+    NOTE: higher-order array functions are interpreted (not codegen'd);
+    for bulk signature computation prefer ``simhash_table`` which runs the
+    same math as one codegen'd hash aggregate."""
     hashes = F.transform(token_col, lambda t: F.xxhash64(t, F.lit(seed)))
     n = F.size(hashes)
     out = F.lit(0).cast("long")
@@ -223,6 +252,36 @@ def simhash(token_col: Column, bits: int = 64, seed: int = 7) -> Column:
         ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
         out = out + F.when(ones * 2 > n, F.lit(mask)).otherwise(F.lit(0))
     return out
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig) SimHash signatures, bulk path: explode tokens → xxhash64 →
+    one hash aggregate with a sum per bit → majority-vote reassembly.
+    Everything stays in whole-stage codegen; one shuffle on the id.
+    Documents with no tokens are dropped (no signature to speak of).
+
+    Produces bit-identical signatures to ``simhash`` (same hash, same
+    majority rule) — pinned by tests."""
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok", F.lit(seed)))
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    counts = toks.groupBy("__id").agg(F.count("*").alias("__n"), *bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(mask)).otherwise(F.lit(0))
+    return counts.select(F.col("__id").alias(id_col), sig.alias("sig"))
 
 
 def simhash_candidate_pairs(
@@ -238,8 +297,8 @@ def simhash_candidate_pairs(
     One shuffle on chunk keys; no cross join."""
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
-    sigs = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("__id"), simhash(tokens(text_col), seed=seed).alias("__sig")
+    sigs = simhash_table(df, id_col, text_col, seed=seed).select(
+        F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
     )
     parts = sigs.select(
         "__id",

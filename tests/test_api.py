@@ -1,0 +1,100 @@
+"""Druid query-shape API: timeseries / topN / groupBy."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark import api
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+SPEC = {"granularity": "DAY", "dimensions": ["event_type"],
+        "metrics": [{"name": "value", "type": "double"},
+                    {"name": "user_id", "type": "long"}]}
+
+AGGS = [{"type": "doubleSum", "name": "total", "fieldName": "value"},
+        {"type": "count", "name": "n"}]
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events", convert_nanos=False)
+
+
+def test_timeseries_shape(spark, events):
+    out = api.timeseries(spark, events, SPEC, AGGS,
+                         interval="2024-01-01/2024-01-08", time_column="ts")
+    rows = out.collect()
+    assert [r["__time"].day for r in rows] == sorted(r["__time"].day for r in rows)
+    assert len(rows) == 7  # one row per day bucket
+    assert all(r.n > 0 for r in rows)
+
+
+def test_timeseries_ignores_dimensions(spark, events):
+    out = api.timeseries(spark, events, SPEC, AGGS,
+                         interval="2024-01-01/2024-01-03", time_column="ts")
+    assert out.columns == ["__time", "total", "n"]
+
+
+def test_topn_per_bucket(spark, events):
+    out = api.topn(spark, events, SPEC, dimension="event_type", metric="total",
+                   threshold=2, aggregations=AGGS,
+                   interval="2024-01-01/2024-01-04", time_column="ts")
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["__time"], []).append(r.total)
+    assert len(by_bucket) == 3
+    for totals in by_bucket.values():
+        assert len(totals) == 2
+        assert totals == sorted(totals, reverse=True)
+
+
+def test_topn_matches_manual_ranking(spark, events):
+    out = api.topn(spark, events, SPEC, dimension="event_type", metric="total",
+                   threshold=1, aggregations=AGGS,
+                   interval="2024-01-01/2024-01-02", time_column="ts")
+    top = out.first()
+    # manual check via plain aggregation
+    from druid_hadoop_utils_spark.plans.planner import load as eng_load
+    df = eng_load(spark, events, SPEC, interval="2024-01-01/2024-01-02", time_column="ts")
+    manual_top = (
+        df.groupBy("event_type").agg(F.sum("value").alias("total"))
+        .orderBy(F.desc("total"), "event_type").first()
+    )
+    assert top.event_type == manual_top.event_type
+    assert top.total == pytest.approx(manual_top.total)
+
+
+def test_groupby_explodes_multivalue(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame([
+        Row(__time=datetime(2024, 1, 1, 1), tags=["a", "b"], v=1.0),
+        Row(__time=datetime(2024, 1, 1, 2), tags=["b"], v=2.0),
+        Row(__time=datetime(2024, 1, 1, 3), tags=[], v=4.0),
+    ])
+    spec = {"granularity": "DAY", "dimensions": ["tags"],
+            "metrics": [{"name": "v", "type": "double"}]}
+    out = api.groupby(spark, df, spec, None,
+                      [{"type": "doubleSum", "name": "total", "fieldName": "v"}],
+                      interval="2024-01-01/2024-01-02")
+    got = {r.tags: r.total for r in out.collect()}
+    # Druid multi-value groupBy: row 1 lands in BOTH 'a' and 'b' groups;
+    # the empty list groups as null
+    assert got == {"a": 1.0, "b": 3.0, None: 4.0}
+
+
+def test_groupby_no_explode_option(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame([
+        Row(__time=datetime(2024, 1, 1, 1), tags=["a", "b"], v=1.0),
+        Row(__time=datetime(2024, 1, 1, 2), tags=["a", "b"], v=2.0),
+    ])
+    spec = {"granularity": "DAY", "dimensions": ["tags"],
+            "metrics": [{"name": "v", "type": "double"}]}
+    out = api.groupby(spark, df, spec, None,
+                      [{"type": "doubleSum", "name": "total", "fieldName": "v"}],
+                      interval="2024-01-01/2024-01-02", explode_multivalue=False)
+    got = {tuple(r.tags): r.total for r in out.collect()}
+    assert got == {("a", "b"): 3.0}
