@@ -48,6 +48,28 @@ def _null_or_empty(col: Column, is_array: bool) -> Column:
     return col.isNull() | (col == F.lit(""))
 
 
+def _extraction_fn(fn: dict, col: Column) -> Column:
+    """Druid extractionFn grammar (the subset with Spark-native mappings):
+    substring, regex (capture group 1), lower, upper, strlen. javascript
+    and lookup-table fns are rejected."""
+    ftype = fn.get("type")
+    if ftype == "substring":
+        index = int(fn.get("index", 0))
+        length = fn.get("length")
+        return F.substring(col, index + 1, int(length) if length is not None else 2**31 - 1)
+    if ftype == "regex":
+        return F.regexp_extract(col, fn["expr"], 1)
+    if ftype == "lower":
+        return F.lower(col)
+    if ftype == "upper":
+        return F.upper(col)
+    if ftype == "strlen":
+        return F.length(col).cast("string")
+    if ftype in {"javascript", "lookup", "registeredLookup"}:
+        raise NotImplementedError(f"extractionFn {ftype!r} is not supported")
+    raise ValueError(f"unknown extractionFn: {fn!r}")
+
+
 def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = None) -> Column:
     """Translate a DimFilter JSON tree into a boolean Column."""
     if isinstance(schema, DataFrame):
@@ -163,6 +185,19 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
         if arr:
             return _any_value(col, lambda v: v.like(pattern))
         return col.like(pattern)
+
+    if ftype == "extraction":
+        # Druid 0.9.1 extraction filter: apply an extractionFn to the
+        # dimension, compare the result to `value`
+        fn = spec.get("extractionFn", {})
+        value = spec.get("value")
+
+        def extracted(v: Column) -> Column:
+            return _extraction_fn(fn, v)
+
+        if arr:
+            return _any_value(col, lambda v: extracted(v) == F.lit(value))
+        return extracted(col) == F.lit(value)
 
     if ftype == "javascript":
         raise NotImplementedError(

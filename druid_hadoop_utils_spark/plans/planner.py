@@ -88,6 +88,7 @@ def load(
     data_source: str | None = None,
     rollup: bool = False,
     time_column: str = TIME_COL,
+    ignore_when_no_segments: bool = True,
 ) -> DataFrame:
     """Load a datasource through a LoadSpec, Druid-connector style.
 
@@ -112,7 +113,14 @@ def load(
         if ds and os.path.isdir(os.path.join(source, ds, MANIFEST_DIR)):
             if iv is None:
                 raise ValueError("an interval is required for segment-table loads")
-            df = _scan_segments(spark, source, ds, iv)
+            try:
+                df = _scan_segments(spark, source, ds, iv)
+            except FileNotFoundError:
+                if not ignore_when_no_segments:
+                    raise
+                # reference parity: ignoreWhenNoSegments=true returns no
+                # rows instead of failing (PigSegmentLoadSpec.java:64-81)
+                return _empty_result(spark, spec)
         else:
             df = spark.read.parquet(source)
 
@@ -155,6 +163,50 @@ def load(
     if rollup:
         df = rollup_df(df, spec)
     return df
+
+
+def _empty_result(spark: SparkSession, spec: LoadSpec) -> DataFrame:
+    """Zero-row DataFrame with the spec's declared schema (timestamp,
+    string-array dims, typed metrics) — what the reference's
+    ignoreWhenNoSegments path produces."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    fields = [StructField(TIME_COL, TimestampType())]
+    fields += [StructField(d, ArrayType(StringType())) for d in spec.dimensions]
+    for m in spec.metrics:
+        if m.is_complex:
+            t = BinaryType()
+        elif m.type == "long":
+            t = LongType()
+        elif m.type in {"float", "double"}:
+            t = DoubleType()
+        else:
+            t = StringType()
+        fields.append(StructField(m.name, t))
+    return spark.createDataFrame([], StructType(fields))
+
+
+def to_compat_output(df: DataFrame) -> DataFrame:
+    """Reference-compatible output shape: ``druid_timestamp`` as an
+    ISO-8601 string in the first position (reference: DruidStorage.java:122
+    emits ``row.getTimestamp().toString()``, schema field name at :231).
+    Only for the compatibility edge — keep TimestampType internally."""
+    others = [c for c in df.columns if c != TIME_COL]
+    return df.select(
+        F.date_format(F.col(TIME_COL), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+            "druid_timestamp"
+        ),
+        *others,
+    )
 
 
 def rollup_df(df: DataFrame, spec: LoadSpec, explode_dims: bool = False) -> DataFrame:

@@ -92,6 +92,15 @@ class LoadSpec:
         return ["__time", *self.dimensions, *self.metric_names]
 
     @classmethod
+    def from_file(cls, path: str, data_source: str | None = None,
+                  interval: str | Interval | None = None) -> "LoadSpec":
+        """Read a schema file, like the reference's DruidStorage constructor
+        arg (reference: DruidStorage.java:267-282 — HDFS → absolute local
+        path → classpath; here: any local/DFS path readable by open())."""
+        with open(path) as f:
+            return cls.from_json(f.read(), data_source=data_source, interval=interval)
+
+    @classmethod
     def from_json(cls, text: str | dict, data_source: str | None = None,
                   interval: str | Interval | None = None) -> "LoadSpec":
         """Parse either spec shape; explicit args override JSON fields."""

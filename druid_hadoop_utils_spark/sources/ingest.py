@@ -51,6 +51,7 @@ def publish_segments(
     time_column: str = "__time",
     bucket: str = "DAY",
     files_per_bucket: int = 1,
+    sort_by: list[str] | None = None,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -74,6 +75,13 @@ def publish_segments(
         .repartition(F.col("__bucket"), F.col("__salt"))
         .drop("__salt")
     )
+    if sort_by:
+        # clustering dims within each file tightens parquet row-group
+        # min/max stats → better predicate skipping on those dims at read
+        # time (the Spark-era stand-in for Druid's bitmap indexes).
+        # __bucket leads the sort so the dynamic-partition writer's own
+        # required ordering is already satisfied and it won't re-sort.
+        bucketed = bucketed.sortWithinPartitions("__bucket", *sort_by)
 
     staging = os.path.join(table_root, data_source, f"_staging_{version}")
     bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(staging)

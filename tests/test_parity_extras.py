@@ -1,0 +1,118 @@
+"""Reference-parity extras: extraction filter, ignoreWhenNoSegments,
+schema-file specs, compat output shape, sort-on-ingest."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from druid_hadoop_utils_spark import LoadSpec, load
+from druid_hadoop_utils_spark.functions.filters import filter_to_column
+from druid_hadoop_utils_spark.plans.planner import to_compat_output
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(id=1, host="a.example.com"),
+        Row(id=2, host="b.example.org"),
+        Row(id=3, host="A.EXAMPLE.COM"),
+        Row(id=4, host="xy.z"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def ids(df, flt):
+    got = df.where(filter_to_column(flt, df.schema)).select("id").collect()
+    return sorted(r.id for r in got)
+
+
+def test_extraction_substring(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "a.e",
+           "extractionFn": {"type": "substring", "index": 0, "length": 3}}
+    assert ids(df, flt) == [1]
+
+
+def test_extraction_regex(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "org",
+           "extractionFn": {"type": "regex", "expr": r"\.([a-z]+)$"}}
+    assert ids(df, flt) == [2]
+
+
+def test_extraction_lower(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "a.example.com",
+           "extractionFn": {"type": "lower"}}
+    assert ids(df, flt) == [1, 3]
+
+
+def test_extraction_strlen(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "13",
+           "extractionFn": {"type": "strlen"}}
+    assert ids(df, flt) == [1, 2, 3]  # the 4-char host is excluded
+
+
+def test_extraction_javascript_rejected(df):
+    with pytest.raises(NotImplementedError):
+        filter_to_column({"type": "extraction", "dimension": "host", "value": "x",
+                          "extractionFn": {"type": "javascript", "function": "f"}},
+                         df.schema)
+
+
+SPEC = {"granularity": "NONE", "dimensions": ["host"],
+        "metrics": [{"name": "visited_sum", "type": "long"},
+                    {"name": "unique_hosts", "type": "hyperUnique"}]}
+
+
+def test_ignore_when_no_segments_returns_empty(spark, tmp_path, golden_events):
+    from druid_hadoop_utils_spark import write_segment
+
+    root = str(tmp_path)
+    write_segment(golden_events.drop("user_host"), root, "ds",
+                  "2014-10-22/2014-10-23", "v1")
+    # query an interval with no segments: empty result, declared schema
+    df = load(spark, root, SPEC, interval="1999-01-01/1999-01-02", data_source="ds")
+    assert df.count() == 0
+    assert df.columns == ["__time", "host", "visited_sum", "unique_hosts"]
+    types = dict(df.dtypes)
+    assert types["visited_sum"] == "bigint" and types["unique_hosts"] == "binary"
+    # strict mode still raises (reference: ignoreWhenNoSegments=false)
+    with pytest.raises(FileNotFoundError):
+        load(spark, root, SPEC, interval="1999-01-01/1999-01-02",
+             data_source="ds", ignore_when_no_segments=False)
+
+
+def test_spec_from_file(tmp_path):
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps(SPEC | {"granularity": "DAY"}))
+    spec = LoadSpec.from_file(str(p), data_source="ds", interval="2014-10-22/2014-10-23")
+    assert spec.granularity == "DAY"
+    assert spec.data_source == "ds"
+    assert spec.metrics[1].is_complex
+
+
+def test_compat_output_shape(spark, golden_events):
+    df = to_compat_output(golden_events.drop("user_host", "unique_hosts"))
+    assert df.columns[0] == "druid_timestamp"
+    first = df.orderBy("druid_timestamp").first()
+    # ISO-8601 string, like the reference's tuple position 0
+    assert first.druid_timestamp == "2014-10-22T00:00:00.000Z"
+
+
+def test_ingest_sort_by_improves_clustering(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    manifests = publish_segments(
+        ev.select("ts", "event_type", "value"), str(tmp_path), "ev",
+        version="v1", time_column="ts", bucket="DAY", sort_by=["event_type"],
+    )
+    # within each file, event_type must be non-decreasing (clustered)
+    import glob
+    import os
+
+    f = glob.glob(os.path.join(manifests[0].path, "*.parquet"))[0]
+    col = pq.read_table(f, columns=["event_type"])["event_type"].to_pylist()
+    assert col == sorted(col)
