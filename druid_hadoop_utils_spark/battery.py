@@ -890,6 +890,46 @@ def q_api_topn(spark, sf_dir):
     )
 
 
+
+
+@register("q_similarity_ivf_topk", None)  # approximate: no SQL oracle
+def q_similarity_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+@register(
+    "q_sessionize",
+    """WITH marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       numbered AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked)
+       SELECT min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              user_id, count(*) AS n_events, round(sum(value), 2) AS total
+       FROM numbered GROUP BY user_id, sid""",
+)
+def q_sessionize(spark, sf_dir):
+    # sessionization via native session_window (same code runs streaming);
+    # oracle is the classic gaps-and-islands formulation
+    from druid_hadoop_utils_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(
+        ev, time_column="ts", keys=["user_id"], gap="30 minutes",
+        aggs=[F.count("*").alias("n_events"), F.sum("value").alias("total")],
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -126,6 +126,104 @@ def _signature_udf(planes: np.ndarray):
     return sigs
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse-quantizer centroids for IVF: Lloyd's k-means on a driver-side
+    sample (deterministic seed). At 100 TB the sample is still thousands of
+    rows — the centroids are tiny and ride to executors as a closure."""
+    rows = df.select(vec_col).limit(sample).collect()
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    return centroids
+
+
+def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Top-``nprobe`` nearest centroid ids per vector — one numpy matmul
+    per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.T  # dim × cells
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent  # n × cells
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells; exact cosine
+    re-ranks the probed candidates.
+
+    Plan shape: corpus assigned map-side (one matmul per batch), ONE
+    shuffle on the cell id to meet the broadcast query probes, window
+    top-k. Candidate volume ≈ corpus × nprobe / n_cells — tunable recall
+    vs cost, independent of corpus size.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, vec_col, n_cells, seed=seed)
+    assign1 = _cell_assign_udf(centroids, 1)
+    assignp = _cell_assign_udf(centroids, nprobe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(assign1(F.col(vec_col))).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(assignp(F.col(vec_col))).alias("__cell"),
+    )
+    cands = (
+        c.join(F.broadcast(q), "__cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -51,3 +51,26 @@ def test_similar_pairs_threshold(spark):
     ])
     out = {(r.id_a, r.id_b) for r in S.similar_pairs(df, 0.9).collect()}
     assert out == {(1, 2)}
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from druid_hadoop_utils_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from druid_hadoop_utils_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    assert a == b
