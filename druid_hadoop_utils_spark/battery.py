@@ -492,7 +492,7 @@ def q_window_topn_per_group(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -640,7 +640,7 @@ def q_text_analysis(spark, sf_dir):
     feats = TX.quality_features("text")
     return docs.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
         TX.fingerprint("text").alias("fingerprint"),
         feats["nonalpha_ratio"].alias("nonalpha_ratio"),
     )
@@ -884,7 +884,7 @@ def q_api_topn(spark, sf_dir):
     )
     w = Window.partitionBy("__time").orderBy(F.desc("total"), "event_type")
     return (
-        out.withColumn("rnk", F.row_number().over(w))
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
         .withColumn("total", F.round("total", 2))
         .select("__time", "event_type", "total", "rnk")
     )

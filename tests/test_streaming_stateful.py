@@ -1,0 +1,47 @@
+"""applyInPandasWithState: state accumulates across micro-batches."""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    from druid_hadoop_utils_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 0, 0), user_id=1, value=10.0),
+        Row(ts=datetime(2024, 1, 1, 0, 1), user_id=1, value=5.0),
+        Row(ts=datetime(2024, 1, 1, 0, 2), user_id=2, value=7.0),
+    ])
+    b2 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 1, 0), user_id=1, value=1.0),
+        Row(ts=datetime(2024, 1, 1, 1, 1), user_id=3, value=2.0),
+    ])
+    b1.write.parquet(src + "/f1")
+    b2.write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src + "/*")
+    )
+    out = running_totals(stream, key_col="user_id", value_col="value")
+    q = (
+        out.writeStream.format("memory").queryName("running_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM running_out").collect()
+    # the LAST emission per key carries the lifetime totals
+    final = {}
+    for r in rows:
+        final[r.key] = (r.n_events, r.total)
+    assert final["1"] == (3, 16.0)  # 10+5 in batch 1, +1 in batch 2
+    assert final["2"] == (1, 7.0)
+    assert final["3"] == (1, 2.0)
+    # user 1 must have been emitted at least twice (state updated per batch)
+    assert sum(1 for r in rows if r.key == "1") >= 2
