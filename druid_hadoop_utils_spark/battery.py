@@ -930,6 +930,60 @@ def q_sessionize(spark, sf_dir):
     return out.withColumn("total", F.round("total", 2))
 
 
+
+
+_SEGMENT_TABLE_CACHE: dict[str, str] = {}
+
+
+def _segment_table(spark, sf_dir: str) -> str:
+    """Ingest the events table into a managed segment table once per
+    process (tempdir), so battery queries can exercise the manifest +
+    overshadow read path."""
+    root = _SEGMENT_TABLE_CACHE.get(sf_dir)
+    if root:
+        return root
+    import tempfile
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = tempfile.mkdtemp(prefix="seg_battery_")
+    ev = _t(spark, sf_dir, "events")
+    publish_segments(
+        ev.select("ts", "event_type", "value", "user_id"),
+        root, "events", version="v1", time_column="ts", bucket="DAY",
+        sort_by=["event_type"],
+    )
+    _SEGMENT_TABLE_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "q_segment_table_load",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time, event_type,
+              round(sum(value), 2) AS value, count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+         AND event_type IN ('click', 'view')
+       GROUP BY 1, 2""",
+)
+def q_segment_table_load(spark, sf_dir):
+    # full engine path: manifest listing -> overshadow timeline -> pruned
+    # scan -> DimFilter -> granularity -> rollup, hash-checked vs oracle
+    root = _segment_table(spark, sf_dir)
+    spec = {"granularity": "DAY", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}],
+            "filter": {"type": "in", "dimension": "event_type",
+                       "values": ["click", "view"]}}
+    df = load(spark, root, spec, interval="2024-01-03/2024-01-10",
+              data_source="events")
+    out = group_aggregate(
+        df, ["event_type"],
+        [{"type": "doubleSum", "name": "value", "fieldName": "value"},
+         {"type": "count", "name": "n"}],
+    )
+    return out.withColumn("value", F.round("value", 2))
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================
