@@ -30,16 +30,22 @@ This package re-expresses that capability surface Spark-first:
 """
 
 from druid_hadoop_utils_spark.plans.spec import LoadSpec, Metric, parse_interval
-from druid_hadoop_utils_spark.plans.planner import load, rollup_df
+from druid_hadoop_utils_spark.plans.planner import load, rollup_df, to_compat_output
 from druid_hadoop_utils_spark.functions.filters import filter_to_column
 from druid_hadoop_utils_spark.functions.granularity import granularity_expr
-from druid_hadoop_utils_spark.functions.aggregators import agg_expr, post_agg_expr
+from druid_hadoop_utils_spark.functions.aggregators import (
+    agg_expr,
+    group_aggregate,
+    post_agg_expr,
+)
 from druid_hadoop_utils_spark.sources.segments import (
     SegmentManifest,
     write_segment,
     list_manifests,
     resolve_visible_windows,
 )
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark import api
 
 __all__ = [
     "LoadSpec",
@@ -47,14 +53,18 @@ __all__ = [
     "parse_interval",
     "load",
     "rollup_df",
+    "to_compat_output",
     "filter_to_column",
     "granularity_expr",
     "agg_expr",
+    "group_aggregate",
     "post_agg_expr",
     "SegmentManifest",
     "write_segment",
     "list_manifests",
     "resolve_visible_windows",
+    "publish_segments",
+    "api",
 ]
 
 __version__ = "0.1.0"
