@@ -1,0 +1,96 @@
+"""Segment-table maintenance: compaction and vacuum.
+
+Druid's compaction task rewrites many small segments of an interval into
+fewer, larger ones under a NEW version — readers atomically flip via the
+overshadow timeline, old data stays until vacuumed. Same model here:
+
+- ``compact_segments``: read the currently-visible rows of an interval
+  through the normal planner (so overshadow applies), republish them
+  bucketed at the target granularity under a higher version. One Spark
+  job; no read-side downtime.
+- ``vacuum``: physically delete segments that are fully overshadowed for
+  their whole interval (never visible to any query), manifest first so a
+  crash mid-vacuum leaves only invisible orphans.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from druid_hadoop_utils_spark.intervals import Interval
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.segments import (
+    MANIFEST_DIR,
+    SegmentManifest,
+    _safe,
+    list_manifests,
+    resolve_visible_windows,
+)
+
+
+def next_version(table_root: str, data_source: str, prefix: str = "compact") -> str:
+    """A version string lexicographically above every existing one
+    (ISO-timestamp style, like Druid's publish versions)."""
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    existing = max((m.version for m in list_manifests(table_root, data_source)), default="")
+    # ISO stamps sort above "v1"-style versions; belt-and-braces for exotic
+    # existing versions: prefix with 'z' padding if needed
+    version = f"{stamp}-{prefix}"
+    while version <= existing:
+        version = "z" + version
+    return version
+
+
+def compact_segments(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    interval: str | Interval,
+    bucket: str = "DAY",
+    files_per_bucket: int = 1,
+    sort_by: list[str] | None = None,
+) -> list[SegmentManifest]:
+    """Rewrite the visible rows of ``interval`` as fresh segments bucketed
+    at ``bucket`` granularity under a new version (atomic flip)."""
+    from druid_hadoop_utils_spark.plans.planner import _scan_segments
+
+    iv = Interval.parse(interval)
+    df = _scan_segments(spark, table_root, data_source, iv)
+    version = next_version(table_root, data_source)
+    return publish_segments(
+        df, table_root, data_source, version=version,
+        bucket=bucket, files_per_bucket=files_per_bucket, sort_by=sort_by,
+    )
+
+
+def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str]:
+    """Delete segments that are invisible for their ENTIRE interval (fully
+    overshadowed). Returns the removed segment identifiers.
+
+    The manifest is deleted first: if the process dies before the data
+    directory is removed, the leftover parquet is unreferenced and harmless.
+    """
+    manifests = list_manifests(table_root, data_source)
+    if not manifests:
+        return []
+    lo = min(m.interval.start for m in manifests)
+    hi = max(m.interval.end for m in manifests)
+    visible = {w.manifest for w in resolve_visible_windows(manifests, Interval(lo, hi))}
+    removed = []
+    for m in manifests:
+        if m in visible:
+            continue
+        removed.append(m.identifier)
+        if dry_run:
+            continue
+        mpath = os.path.join(
+            table_root, data_source, MANIFEST_DIR, f"{_safe(m.identifier)}.json"
+        )
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        shutil.rmtree(m.path, ignore_errors=True)
+    return removed

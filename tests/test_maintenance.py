@@ -1,0 +1,81 @@
+"""Segment lifecycle: publish → overshadow → compact → vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark import load, write_segment
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.maintenance import compact_segments, vacuum
+from druid_hadoop_utils_spark.sources.segments import list_manifests
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+SPEC = {"granularity": "NONE", "dimensions": ["event_type"],
+        "metrics": [{"name": "value", "type": "double"},
+                    {"name": "user_id", "type": "long"}]}
+
+
+@pytest.fixture(scope="class")
+def root(tmp_path_factory, spark, sf_dir):
+    root = str(tmp_path_factory.mktemp("maint"))
+    ev = load_table(spark, sf_dir, "events")
+    publish_segments(
+        ev.select("ts", "event_type", "value", "user_id").where(
+            F.col("ts") < F.lit("2024-01-08")),
+        root, "events", version="v1", time_column="ts", bucket="HOUR",
+    )
+    return root
+
+
+class TestCompactVacuum:
+    def test_compact_hour_to_day(self, spark, root):
+        before = load(spark, root, SPEC, interval="2024-01-01/2024-01-08",
+                      data_source="events")
+        n_before = before.count()
+        sum_before = before.agg(F.round(F.sum("value"), 2)).first()[0]
+        n_files_before = len(before.inputFiles())
+
+        manifests = compact_segments(spark, root, "events",
+                                     "2024-01-01/2024-01-08", bucket="DAY")
+        assert len(manifests) == 7  # 7 day buckets replace ~168 hour buckets
+
+        after = load(spark, root, SPEC, interval="2024-01-01/2024-01-08",
+                     data_source="events")
+        assert after.count() == n_before
+        assert after.agg(F.round(F.sum("value"), 2)).first()[0] == sum_before
+        assert len(after.inputFiles()) < n_files_before
+        # readers now see only the compacted version
+        assert all("-compact" in f for f in after.inputFiles())
+
+    def test_vacuum_removes_only_overshadowed(self, spark, root):
+        all_manifests = list_manifests(root, "events")
+        removed = vacuum(root, "events", dry_run=True)
+        # the hourly v1 segments for the compacted week are dead; nothing else
+        assert len(removed) > 100
+        assert all("_v1_" in r for r in removed)
+
+        removed_real = vacuum(root, "events")
+        assert sorted(removed_real) == sorted(removed)
+        left = list_manifests(root, "events")
+        assert len(left) == len(all_manifests) - len(removed)
+
+        # data unchanged after vacuum
+        after = load(spark, root, SPEC, interval="2024-01-01/2024-01-08",
+                     data_source="events")
+        assert after.count() > 0
+        # vacuumed data dirs are gone from disk
+        for r in removed:
+            assert not any(r in m.identifier for m in left)
+
+
+def test_shard_append_union_visible(spark, tmp_path, golden_events):
+    base = golden_events.drop("user_host")
+    write_segment(base, str(tmp_path), "ds", "2014-10-22/2014-10-23", "v1", shard_num=0)
+    write_segment(base.withColumn("visited_sum", F.col("visited_sum") + 1),
+                  str(tmp_path), "ds", "2014-10-22/2014-10-23", "v1", shard_num=1)
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    df = load(spark, str(tmp_path), spec, interval="2014-10-22/2014-10-23",
+              data_source="ds")
+    assert df.count() == 6  # both shards of the same version are unioned
