@@ -984,6 +984,57 @@ def q_segment_table_load(spark, sf_dir):
     return out.withColumn("value", F.round("value", 2))
 
 
+
+
+@register(
+    "q_tpch_q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+)
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_tpch_q3_shipping_priority",
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY 1, 3, 4
+       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================
