@@ -1035,6 +1035,40 @@ def q_tpch_q3_shipping_priority(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "q_quantile_sketch",
+    """WITH h AS (
+         SELECT event_type,
+                CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 200.0 THEN 101
+                     ELSE CAST(floor(100 * value / 200.0) AS INT) + 1 END AS bk,
+                count(*) AS c
+         FROM events GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, bk, sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
+                sum(c) OVER (PARTITION BY event_type) AS tot
+         FROM h),
+       hit AS (
+         SELECT event_type, min(bk) AS idx FROM cum
+         WHERE cum >= 0.5 * tot GROUP BY 1)
+       SELECT event_type,
+              CAST(CASE WHEN idx <= 0 THEN 0.0
+                        WHEN idx >= 101 THEN 200.0
+                        ELSE 0.0 + (idx - 0.5) * 2.0 END AS DOUBLE) AS p50
+       FROM hit""",
+)
+def q_quantile_sketch(spark, sf_dir):
+    # the engine's mergeable histogram-quantile sketch (two-phase, pure
+    # DataFrame ops) vs the identical binning math spelled out in SQL
+    from druid_hadoop_utils_spark.functions.quantiles import approx_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return approx_quantiles(ev, "value", ["event_type"], [0.5],
+                            lo=0.0, hi=200.0, bins=100)
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -1,0 +1,103 @@
+"""Mergeable quantile sketch as a pure-DataFrame composition.
+
+The reference's two-phase protocol (partial state → merge → finalize,
+SURVEY.md §2.5 A3/A4) applied to a sketch the reference lacks: a
+fixed-range binned histogram whose state is an ``array<long>`` of bucket
+counts. Everything is built-in Catalyst expressions:
+
+- partial: ``width_bucket`` assigns each value a bucket; one sum per
+  bucket builds the count array (whole-stage codegen, map-side partials);
+- merge: element-wise sum of state arrays — states from different
+  segments/days/streams combine losslessly, like HLL partials;
+- finalize: a single ``aggregate`` fold walks the cumulative counts to the
+  q-th quantile's bucket and returns its midpoint.
+
+Error is bounded by the bucket width ((hi-lo)/bins); values outside
+[lo, hi) land in underflow/overflow buckets and clamp to the range edges.
+Deterministic — the same math is expressible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BINS = 128
+
+
+def qhist_state(
+    col: Column | str, lo: float, hi: float, bins: int = DEFAULT_BINS
+) -> Column:
+    """Partial aggregate: bucket-count array of length bins+2
+    (index 0 = underflow, bins+1 = overflow) — the non-finalizing form."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    bucket = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
+    return F.array(
+        *[
+            # coalesce: sum over an empty group is NULL, state must be 0s
+            F.coalesce(F.sum(F.when(bucket == i, 1).otherwise(0)), F.lit(0)).cast("long")
+            for i in range(bins + 2)
+        ]
+    )
+
+
+def qhist_merge(state_col: Column | str, bins: int = DEFAULT_BINS) -> Column:
+    """Merge partial states (element-wise sum) — re-aggregation across
+    groups, matching the reference's partial-bytes re-merge."""
+    c = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.array(*[F.sum(c[i]).cast("long") for i in range(bins + 2)])
+
+
+def qhist_quantile(
+    state: Column | str, q: float, lo: float, hi: float, bins: int = DEFAULT_BINS
+) -> Column:
+    """Finalize: the q-quantile estimate (bucket midpoint; underflow →
+    lo, overflow → hi). One fold over the state array."""
+    c = F.col(state) if isinstance(state, str) else state
+    total = F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = (F.lit(float(q)) * total.cast("double"))
+    # fold carrying (cumulative, found-bucket-index, position)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).alias("pos"),
+    )
+
+    def step(acc, x):
+        new_cum = acc["cum"] + x
+        found = F.when(
+            (acc["idx"] < 0) & (new_cum.cast("double") >= target) & (total > 0),
+            acc["pos"],
+        ).otherwise(acc["idx"])
+        return F.struct(
+            new_cum.alias("cum"), found.alias("idx"), (acc["pos"] + 1).alias("pos")
+        )
+
+    idx = F.aggregate(c, acc0, step)["idx"]
+    width = (hi - lo) / bins
+    mid = F.lit(lo) + (idx.cast("double") - 0.5) * F.lit(width)
+    return (
+        F.when(total == 0, F.lit(None).cast("double"))
+        .when(idx <= 0, F.lit(float(lo)))
+        .when(idx >= bins + 1, F.lit(float(hi)))
+        .otherwise(mid)
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Grouped quantile estimates in one pass (partial+final automatic)."""
+    state = qhist_state(value_col, lo, hi, bins).alias("__qh")
+    out = df.groupBy(*group_cols).agg(state) if group_cols else df.agg(state)
+    cols = [
+        qhist_quantile(F.col("__qh"), q, lo, hi, bins).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return out.select(*group_cols, *cols)
