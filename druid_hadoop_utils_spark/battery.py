@@ -632,7 +632,12 @@ def q_dedup_simhash(spark, sf_dir):
               md5(array_to_string(list_sort(list_distinct(
                   regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
               round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0
-                    / length(text), 4) AS nonalpha_ratio
+                    / length(text), 4) AS nonalpha_ratio,
+              CAST(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                             BETWEEN 10 AND 100000
+                         AND round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                                   * 1.0 / length(text), 4) <= 0.2
+                        THEN 1 ELSE 0 END AS INT) AS quality_keep
        FROM documents""",
 )
 def q_text_analysis(spark, sf_dir):
@@ -643,6 +648,7 @@ def q_text_analysis(spark, sf_dir):
         TX.token_count("text").cast("long").alias("n_tokens"),
         TX.fingerprint("text").alias("fingerprint"),
         feats["nonalpha_ratio"].alias("nonalpha_ratio"),
+        TX.quality_score("text").alias("quality_keep"),
     )
 
 

@@ -230,7 +230,16 @@ def rollup_df(df: DataFrame, spec: LoadSpec, explode_dims: bool = False) -> Data
     aggs = []
     for m in spec.metrics:
         col = F.col(m.name)
-        if m.is_complex:
+        if m.type == "qhist":
+            # mergeable histogram-quantile state (functions/quantiles):
+            # element-wise re-merge keeps the metric re-aggregable
+            from druid_hadoop_utils_spark.functions.quantiles import (
+                DEFAULT_BINS,
+                qhist_merge,
+            )
+
+            aggs.append(qhist_merge(col, DEFAULT_BINS).alias(m.name))
+        elif m.is_complex:
             is_sketch = isinstance(df.schema[m.name].dataType, BinaryType)
             aggs.append(_hll_partial(col, is_sketch, DEFAULT_LGK).alias(m.name))
         elif m.type == "long":

@@ -64,3 +64,32 @@ def test_grouped_quantiles(values):
     assert len(rows) == 4
     for g, p in rows.items():
         assert p == pytest.approx(500, abs=20)
+
+
+def test_qhist_as_loadspec_complex_metric(spark, tmp_path):
+    """A qhist-typed metric in a LoadSpec rolls up via qhist_merge: per-hour
+    sketch states in segments re-merge under DAY granularity losslessly."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark import LoadSpec, load, write_segment
+
+    raw = spark.createDataFrame(
+        [Row(__time=datetime(2024, 1, 1, h), v=float(h * 100 + i))
+         for h in range(4) for i in range(50)]
+    )
+    hourly = raw.groupBy("__time").agg(
+        qhist_state("v", 0, 1000, 128).alias("v_hist"))
+    write_segment(hourly, str(tmp_path), "ds", "2024-01-01/2024-01-02", "v1")
+
+    spec = LoadSpec.from_json({"granularity": "DAY", "dimensions": [],
+                               "metrics": [{"name": "v_hist", "type": "qhist"}]})
+    df = load(spark, str(tmp_path), spec, interval="2024-01-01/2024-01-02",
+              data_source="ds", rollup=True)
+    row = df.select(qhist_quantile("v_hist", 0.5, 0, 1000, 128).alias("p50")).first()
+    # cum >= q*total picks the LOWER median (sorted index n/2 - 1 = 149)
+    lower_median = sorted(h * 100 + i for h in range(4) for i in range(50))[99]
+    assert row.p50 == pytest.approx(lower_median, abs=1000 / 128)
+    # and the qhist type is classified complex (not summed)
+    assert spec.metrics[0].is_complex

@@ -108,3 +108,23 @@ def test_query_clips_segment_window():
 def test_manifest_json_roundtrip():
     s = seg("2014-10-22/2014-10-23", "v1", shard=2)
     assert SegmentManifest.from_json(s.to_json()) == s
+
+
+def test_republish_same_version_idempotent(tmp_path):
+    """Re-publishing the same (interval, version, shard) replaces the
+    manifest and data in place — one manifest, latest data wins."""
+    import os
+
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        register_manifest,
+    )
+
+    a = seg("2014-10-22/2014-10-23", "v1")
+    register_manifest(str(tmp_path), a)
+    register_manifest(str(tmp_path), a)  # idempotent overwrite
+    mdir = os.path.join(str(tmp_path), "ds", "_segments")
+    assert len(os.listdir(mdir)) == 1
+    assert list_manifests(str(tmp_path), "ds") == [a]
+    # and identical manifests dedupe in the timeline too
+    assert len(resolve_visible_windows([a, a], QUERY)) == 1
