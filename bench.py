@@ -43,6 +43,9 @@ HEADLINE = [
     "q_similarity_lsh_topk",
     "q_segment_table_load",
     "q_sessionize",
+    "q_quantile_sketch",
+    "q_tpch_q3_shipping_priority",
+    "q_similarity_ivf_topk",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -1075,6 +1075,29 @@ def q_quantile_sketch(spark, sf_dir):
                             lo=0.0, hi=200.0, bins=100)
 
 
+
+
+@register(
+    "q_text_normalize_repetition",
+    """SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                                      '\\s+', ' ', 'g'))) AS norm_hash,
+              round(1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                          * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4)
+                  AS repetition_ratio
+       FROM documents""",
+)
+def q_text_normalize_repetition(spark, sf_dir):
+    # normalization + repetition-ratio quality feature, both pure regexp /
+    # array builtins with exact DuckDB twins
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(TX.normalize_text("text").cast("binary")).alias("norm_hash"),
+        TX.repetition_ratio("text").alias("repetition_ratio"),
+    )
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -46,6 +46,24 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical cleaning for dedup/fingerprinting: lowercase, strip
+    control characters, collapse runs of whitespace, trim. Pure regexp —
+    identical semantics are expressible in the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[\x00-\x1f]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """Share of tokens that are repeats of an earlier token (1 - distinct/
+    total) — high values flag boilerplate/spam for quality filtering."""
+    toks = tokens(col)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 4
+    )
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Cheap quality-scoring features: length, token stats, symbol ratios."""
     c = F.col(col) if isinstance(col, str) else col

@@ -64,3 +64,20 @@ def test_with_text_analysis_schema(docs):
                 "quality_keep", "avg_token_len", "nonalpha_ratio"]:
         assert col in out.columns
     assert out.count() == 7
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([Row(text="  Hello\x01  WORLD\t\tfoo \n bar  ")])
+    got = df.select(T.normalize_text("text").alias("n")).first().n
+    assert got == "hello world foo bar"
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d"),          # all distinct -> 0
+        Row(doc_id=2, text="a a a a"),          # 3 of 4 repeat -> 0.75
+        Row(doc_id=3, text="x y x y"),          # 0.5
+    ])
+    got = {r.doc_id: r.rr for r in df.select(
+        "doc_id", T.repetition_ratio("text").alias("rr")).collect()}
+    assert got == {1: 0.0, 2: 0.75, 3: 0.5}
