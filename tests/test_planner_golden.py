@@ -165,3 +165,30 @@ def test_load_plain_parquet_events(spark, sf_dir):
     df = load(spark, ev, spec, interval="2024-01-01/2024-01-02", time_column="ts")
     assert df.columns == ["__time", "event_type", "value"]
     assert df.count() > 0
+
+
+def test_partial_overshadow_end_to_end(spark, tmp_path, golden_events):
+    """File-level partial overshadow: v1 spans two days; v2 republishes only
+    day 1. A query over both days must read v2's day-1 rows and v1's day-2
+    rows — exercising the window-filtered union branch of _scan_segments."""
+    base = golden_events.drop("user_host")
+    day2 = base.withColumn("__time", F.col("__time") + F.expr("INTERVAL 1 DAY"))
+    v1 = base.unionByName(day2)  # 6 rows across 2014-10-22 and 10-23
+    write_segment(v1, str(tmp_path), "ds", "2014-10-22/2014-10-24", "v1")
+    v2 = base.withColumn("visited_sum", F.col("visited_sum") * 100)
+    write_segment(v2, str(tmp_path), "ds", "2014-10-22/2014-10-23", "v2")
+
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    df = load(spark, str(tmp_path), spec, interval="2014-10-22/2014-10-24",
+              data_source="ds")
+    rows = df.collect()
+    assert len(rows) == 6
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["__time"].day, []).append(r.visited_sum)
+    assert sorted(by_day[22]) == [10000, 15000, 20000]  # v2 values
+    assert sorted(by_day[23]) == [100, 150, 200]        # v1 survives day 2
+    # both versions' files are read (v1 window-filtered, v2 whole)
+    files = df.inputFiles()
+    assert any("v=v1" in f for f in files) and any("v=v2" in f for f in files)
