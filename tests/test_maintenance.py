@@ -79,3 +79,24 @@ def test_shard_append_union_visible(spark, tmp_path, golden_events):
     df = load(spark, str(tmp_path), spec, interval="2014-10-22/2014-10-23",
               data_source="ds")
     assert df.count() == 6  # both shards of the same version are unioned
+
+
+def test_orphan_data_without_manifest_is_invisible(spark, tmp_path, golden_events):
+    """Crash-safety: parquet written without a manifest (simulating a crash
+    before announcement) is never read."""
+    base = golden_events.drop("user_host")
+    write_segment(base, str(tmp_path), "ds", "2014-10-22/2014-10-23", "v1")
+    # orphan: data for v2 exists on disk but was never announced
+    from druid_hadoop_utils_spark.intervals import Interval
+    from druid_hadoop_utils_spark.sources.segments import segment_dir
+
+    orphan_dir = segment_dir(str(tmp_path), "ds",
+                             Interval.parse("2014-10-22/2014-10-23"), "v2")
+    base.withColumn("visited_sum", F.col("visited_sum") * 1000).write.parquet(orphan_dir)
+
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    df = load(spark, str(tmp_path), spec, interval="2014-10-22/2014-10-23",
+              data_source="ds")
+    assert sum(r.visited_sum for r in df.collect()) == 450  # v1 only
+    assert all("v=v1" in f for f in df.inputFiles())
