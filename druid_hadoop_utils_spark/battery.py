@@ -247,6 +247,7 @@ def q_granularity_all(spark, sf_dir):
         [{"type": "doubleSum", "name": "total", "fieldName": "value"},
          {"type": "count", "name": "n"},
          {"type": "hyperUnique", "name": "users", "fieldName": "user_id"}],
+        lgk=16,  # exact well past this table's cardinalities
     )
     return out.withColumn("total", F.round("total", 2))
 
@@ -284,6 +285,7 @@ def q_agg_hyperunique(spark, sf_dir):
     return group_aggregate(
         df, ["event_type"],
         [{"type": "hyperUnique", "name": "users", "fieldName": "user_id"}],
+        lgk=16,
     )
 
 
@@ -297,9 +299,9 @@ def q_agg_cardinality(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         agg_expr({"type": "cardinality", "name": "event_types",
-                  "fieldNames": ["event_type"]}, ev.schema),
+                  "fieldNames": ["event_type"]}, ev.schema, lgk=16),
         agg_expr({"type": "cardinality", "name": "users",
-                  "fieldNames": ["user_id"]}, ev.schema),
+                  "fieldNames": ["user_id"]}, ev.schema, lgk=16),
         agg_expr({"type": "count", "name": "n"}, ev.schema),
     )
 
@@ -361,11 +363,11 @@ def q_two_phase_hll(spark, sf_dir):
     df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
     partial = df.groupBy("__time").agg(
         agg_expr({"type": "hyperUnique", "name": "sketch", "fieldName": "user_id"},
-                 df.schema, finalize=False)
+                 df.schema, finalize=False, lgk=16)
     )
     return partial.agg(
         agg_expr({"type": "hyperUnique", "name": "users", "fieldName": "sketch"},
-                 partial.schema, finalize=True)
+                 partial.schema, finalize=True, lgk=16)
     )
 
 
