@@ -142,6 +142,41 @@ def agg_expr(
             F.hll_sketch_estimate(partial).cast(_FINAL_CASTS[finalize_type]).alias(name)
         )
 
+    if atype in {"approxHistogram", "approxHistogramFold"}:
+        # Druid's approximate-histogram extension, re-expressed on the
+        # engine's mergeable binned-histogram state (functions/quantiles);
+        # the state is self-describing, so `quantile` post-aggs need no
+        # side-channel parameters. "Fold" (merging pre-built states) is
+        # detected from a struct-typed input column.
+        from pyspark.sql.types import StructType as _St
+
+        from druid_hadoop_utils_spark.functions.quantiles import (
+            DEFAULT_BINS,
+            qhist_merge,
+            qhist_quantile,
+            qhist_state,
+        )
+
+        if field is None:
+            raise ValueError(f"{atype} needs fieldName: {spec!r}")
+        bins = int(spec.get("numBuckets", DEFAULT_BINS))
+        is_state = False
+        if schema is not None:
+            try:
+                is_state = isinstance(schema[field].dataType, _St)
+            except KeyError:
+                pass
+        if is_state:
+            partial = qhist_merge(F.col(field), bins)
+        else:
+            lo = float(spec.get("lowerLimit", 0.0))
+            hi = float(spec.get("upperLimit", 1.0))
+            partial = qhist_state(value(field), lo, hi, bins)
+        if not finalize:
+            return partial.alias(name)
+        prob = float(spec.get("probability", 0.5))
+        return qhist_quantile(partial, prob).alias(name)
+
     if atype == "javascript":
         raise NotImplementedError(
             "javascript aggregator is not supported; use builtin factories "
@@ -198,6 +233,21 @@ def _post_expr(spec: dict) -> Column:
             else:
                 raise ValueError(f"unknown arithmetic fn: {fn!r}")
         return out
+    if ptype == "quantile":
+        # Druid approximate-histogram `quantile` post-agg over a
+        # non-finalized histogram state column
+        from druid_hadoop_utils_spark.functions.quantiles import qhist_quantile
+
+        return qhist_quantile(F.col(spec["fieldName"]), float(spec["probability"]))
+    if ptype == "quantiles":
+        from druid_hadoop_utils_spark.functions.quantiles import qhist_quantile
+
+        return F.array(
+            *[
+                qhist_quantile(F.col(spec["fieldName"]), float(p))
+                for p in spec["probabilities"]
+            ]
+        )
     if ptype == "javascript":
         raise NotImplementedError("javascript post-aggregator is not supported")
     raise ValueError(f"unknown PostAggregator type: {ptype!r}")

@@ -2,13 +2,16 @@
 
 The reference's two-phase protocol (partial state → merge → finalize,
 SURVEY.md §2.5 A3/A4) applied to a sketch the reference lacks: a
-fixed-range binned histogram whose state is an ``array<long>`` of bucket
-counts. Everything is built-in Catalyst expressions:
+fixed-range binned histogram. The state is SELF-DESCRIBING —
+``struct<lo double, hi double, counts array<long>>`` — so downstream
+post-aggregations (Druid ``quantile`` / ``quantiles``) need no side-channel
+parameters, mirroring how Druid's approxHistogram object carries its own
+bounds. Everything is built-in Catalyst expressions:
 
 - partial: ``width_bucket`` assigns each value a bucket; one sum per
   bucket builds the count array (whole-stage codegen, map-side partials);
-- merge: element-wise sum of state arrays — states from different
-  segments/days/streams combine losslessly, like HLL partials;
+- merge: element-wise sum of count arrays (bounds must match — states from
+  different segments/days/streams combine losslessly, like HLL partials);
 - finalize: a single ``aggregate`` fold walks the cumulative counts to the
   q-th quantile's bucket and returns its midpoint.
 
@@ -28,35 +31,43 @@ DEFAULT_BINS = 128
 def qhist_state(
     col: Column | str, lo: float, hi: float, bins: int = DEFAULT_BINS
 ) -> Column:
-    """Partial aggregate: bucket-count array of length bins+2
-    (index 0 = underflow, bins+1 = overflow) — the non-finalizing form."""
+    """Partial aggregate: self-describing histogram state with bucket
+    counts of length bins+2 (index 0 = underflow, bins+1 = overflow) —
+    the non-finalizing form."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     bucket = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
-    return F.array(
+    counts = F.array(
         *[
             # coalesce: sum over an empty group is NULL, state must be 0s
             F.coalesce(F.sum(F.when(bucket == i, 1).otherwise(0)), F.lit(0)).cast("long")
             for i in range(bins + 2)
         ]
     )
+    return F.struct(
+        F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"), counts.alias("counts")
+    )
 
 
 def qhist_merge(state_col: Column | str, bins: int = DEFAULT_BINS) -> Column:
-    """Merge partial states (element-wise sum) — re-aggregation across
-    groups, matching the reference's partial-bytes re-merge."""
+    """Merge partial states (element-wise count sum; identical bounds
+    assumed) — re-aggregation across groups, matching the reference's
+    partial-bytes re-merge."""
     c = F.col(state_col) if isinstance(state_col, str) else state_col
-    return F.array(*[F.sum(c[i]).cast("long") for i in range(bins + 2)])
+    counts = F.array(*[F.sum(c["counts"][i]).cast("long") for i in range(bins + 2)])
+    return F.struct(
+        F.first(c["lo"]).alias("lo"), F.first(c["hi"]).alias("hi"), counts.alias("counts")
+    )
 
 
-def qhist_quantile(
-    state: Column | str, q: float, lo: float, hi: float, bins: int = DEFAULT_BINS
-) -> Column:
+def qhist_quantile(state: Column | str, q: float) -> Column:
     """Finalize: the q-quantile estimate (bucket midpoint; underflow →
-    lo, overflow → hi). One fold over the state array."""
-    c = F.col(state) if isinstance(state, str) else state
-    total = F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x)
+    lo, overflow → hi). One fold over the state's count array; the bounds
+    come from the state itself."""
+    s = F.col(state) if isinstance(state, str) else state
+    lo, hi, counts = s["lo"], s["hi"], s["counts"]
+    bins = F.size(counts) - 2
+    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
     target = (F.lit(float(q)) * total.cast("double"))
-    # fold carrying (cumulative, found-bucket-index, position)
     acc0 = F.struct(
         F.lit(0).cast("long").alias("cum"),
         F.lit(-1).alias("idx"),
@@ -73,13 +84,13 @@ def qhist_quantile(
             new_cum.alias("cum"), found.alias("idx"), (acc["pos"] + 1).alias("pos")
         )
 
-    idx = F.aggregate(c, acc0, step)["idx"]
+    idx = F.aggregate(counts, acc0, step)["idx"]
     width = (hi - lo) / bins
-    mid = F.lit(lo) + (idx.cast("double") - 0.5) * F.lit(width)
+    mid = lo + (idx.cast("double") - 0.5) * width
     return (
         F.when(total == 0, F.lit(None).cast("double"))
-        .when(idx <= 0, F.lit(float(lo)))
-        .when(idx >= bins + 1, F.lit(float(hi)))
+        .when(idx <= 0, lo)
+        .when(idx >= bins + 1, hi)
         .otherwise(mid)
     )
 
@@ -97,7 +108,7 @@ def approx_quantiles(
     state = qhist_state(value_col, lo, hi, bins).alias("__qh")
     out = df.groupBy(*group_cols).agg(state) if group_cols else df.agg(state)
     cols = [
-        qhist_quantile(F.col("__qh"), q, lo, hi, bins).alias(f"p{int(q * 100)}")
+        qhist_quantile(F.col("__qh"), q).alias(f"p{int(q * 100)}")
         for q in quantiles
     ]
     return out.select(*group_cols, *cols)

@@ -32,10 +32,10 @@ def test_two_phase_merge_equals_direct(values):
     one-shot aggregate — the A3/A4 property for this sketch."""
     partial = values.groupBy("g").agg(qhist_state("v", 0, 1000, 100).alias("st"))
     merged = partial.agg(qhist_merge("st", 100).alias("st")).select(
-        qhist_quantile("st", 0.5, 0, 1000, 100).alias("p50")
+        qhist_quantile("st", 0.5).alias("p50")
     ).first().p50
     direct = values.agg(qhist_state("v", 0, 1000, 100).alias("st")).select(
-        qhist_quantile("st", 0.5, 0, 1000, 100).alias("p50")
+        qhist_quantile("st", 0.5).alias("p50")
     ).first().p50
     assert merged == direct
 
@@ -43,8 +43,8 @@ def test_two_phase_merge_equals_direct(values):
 def test_out_of_range_clamps(spark):
     df = spark.createDataFrame([Row(v=-50.0), Row(v=-10.0), Row(v=5000.0)])
     out = df.agg(qhist_state("v", 0, 1000, 10).alias("st")).select(
-        qhist_quantile("st", 0.25, 0, 1000, 10).alias("lo_q"),
-        qhist_quantile("st", 0.99, 0, 1000, 10).alias("hi_q"),
+        qhist_quantile("st", 0.25).alias("lo_q"),
+        qhist_quantile("st", 0.99).alias("hi_q"),
     ).first()
     assert out.lo_q == 0.0    # underflow bucket → lo
     assert out.hi_q == 1000.0  # overflow bucket → hi
@@ -53,7 +53,7 @@ def test_out_of_range_clamps(spark):
 def test_empty_input_yields_null(spark):
     df = spark.createDataFrame([], "v double")
     out = df.agg(qhist_state("v", 0, 100, 10).alias("st")).select(
-        qhist_quantile("st", 0.5, 0, 100, 10).alias("p50")
+        qhist_quantile("st", 0.5).alias("p50")
     ).first()
     assert out.p50 is None
 
@@ -87,9 +87,43 @@ def test_qhist_as_loadspec_complex_metric(spark, tmp_path):
                                "metrics": [{"name": "v_hist", "type": "qhist"}]})
     df = load(spark, str(tmp_path), spec, interval="2024-01-01/2024-01-02",
               data_source="ds", rollup=True)
-    row = df.select(qhist_quantile("v_hist", 0.5, 0, 1000, 128).alias("p50")).first()
+    row = df.select(qhist_quantile("v_hist", 0.5).alias("p50")).first()
     # cum >= q*total picks the LOWER median (sorted index n/2 - 1 = 149)
     lower_median = sorted(h * 100 + i for h in range(4) for i in range(50))[99]
     assert row.p50 == pytest.approx(lower_median, abs=1000 / 128)
     # and the qhist type is classified complex (not summed)
     assert spec.metrics[0].is_complex
+
+
+def test_approx_histogram_factory_grammar(values):
+    """Druid approxHistogram factory JSON + quantile post-agg, end to end
+    through agg_expr/post_agg_expr."""
+    from druid_hadoop_utils_spark.functions.aggregators import agg_expr, post_agg_expr
+
+    spec = {"type": "approxHistogram", "name": "h", "fieldName": "v",
+            "numBuckets": 100, "lowerLimit": 0, "upperLimit": 1000}
+    partial = values.groupBy("g").agg(agg_expr(spec, values.schema, finalize=False))
+    assert dict(partial.dtypes)["h"].startswith("struct<lo:double,hi:double")
+    # fold pre-built states (approxHistogramFold) then quantile post-aggs
+    fold = {"type": "approxHistogramFold", "name": "h", "fieldName": "h",
+            "numBuckets": 100}
+    merged = partial.agg(agg_expr(fold, partial.schema, finalize=False))
+    out = merged.select(
+        post_agg_expr({"type": "quantile", "name": "p50", "fieldName": "h",
+                       "probability": 0.5}),
+        post_agg_expr({"type": "quantiles", "name": "ps", "fieldName": "h",
+                       "probabilities": [0.25, 0.75]}),
+    ).first()
+    assert out.p50 == pytest.approx(500, abs=10)
+    assert out.ps[0] == pytest.approx(250, abs=10)
+    assert out.ps[1] == pytest.approx(750, abs=10)
+
+
+def test_approx_histogram_finalize_is_quantile(values):
+    from druid_hadoop_utils_spark.functions.aggregators import agg_expr
+
+    spec = {"type": "approxHistogram", "name": "med", "fieldName": "v",
+            "numBuckets": 100, "lowerLimit": 0, "upperLimit": 1000,
+            "probability": 0.5}
+    med = values.agg(agg_expr(spec, values.schema, finalize=True)).first().med
+    assert med == pytest.approx(500, abs=10)
