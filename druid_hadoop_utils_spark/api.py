@@ -81,6 +81,95 @@ def topn(
     )
 
 
+def druid_query(
+    spark: SparkSession,
+    source,
+    query: dict | str,
+    data_source: str | None = None,
+    time_column: str = "__time",
+) -> DataFrame:
+    """Execute a complete Druid query JSON — the native query shape a Druid
+    0.9.x client would POST (queryType timeseries | topN | groupBy |
+    select/scan), compiled to one DataFrame plan.
+
+    Recognized fields: ``queryType``, ``dataSource``, ``intervals`` (one),
+    ``granularity``, ``dimension(s)``, ``filter``, ``aggregations``,
+    ``postAggregations``, ``metric`` + ``threshold`` (topN), ``limit``.
+    """
+    import json as _json
+
+    q = _json.loads(query) if isinstance(query, str) else dict(query)
+    qtype = q.get("queryType")
+    ds = data_source or q.get("dataSource")
+    intervals = q.get("intervals") or ([q["interval"]] if q.get("interval") else None)
+    if not intervals or len(intervals) != 1:
+        raise ValueError("exactly one interval is required")
+    interval = intervals[0]
+
+    dims = q.get("dimensions") or ([q["dimension"]] if q.get("dimension") else [])
+    aggs = q.get("aggregations") or []
+    posts = q.get("postAggregations") or []
+
+    # columns the scan must carry: every aggregated field, plus any
+    # dimension referenced by a filtered-aggregator's inner filter
+    def filter_dims(node: dict | None) -> list[str]:
+        if not node:
+            return []
+        out = []
+        if node.get("dimension"):
+            out.append(node["dimension"])
+        for child in node.get("fields", []) or []:
+            out += filter_dims(child)
+        if node.get("field"):
+            out += filter_dims(node["field"])
+        return out
+
+    needed: list[dict] = []
+    seen = set(dims) | {"__time"}
+
+    def need(name: str, typ: str) -> None:
+        if name and name not in seen:
+            seen.add(name)
+            needed.append({"name": name, "type": typ})
+
+    for a in aggs:
+        inner = a.get("aggregator", a)
+        need(inner.get("fieldName"), "double")
+        for fname2 in inner.get("fieldNames", []):
+            need(fname2, "string")
+        if a.get("type") == "filtered":
+            for d in filter_dims(a.get("filter")):
+                need(d, "string")
+    spec = LoadSpec.from_json({
+        "granularity": q.get("granularity", "ALL" if qtype == "timeseries" else "NONE"),
+        "dimensions": dims,
+        "metrics": needed,
+        "filter": q.get("filter"),
+    }, data_source=ds, interval=interval)
+
+    if qtype in {"select", "scan"}:
+        df = load(spark, source, spec, interval=interval, data_source=ds,
+                  time_column=time_column)
+        if q.get("limit"):
+            df = df.limit(int(q["limit"]))
+        return df
+    if qtype == "timeseries":
+        return timeseries(spark, source, spec, aggs, posts,
+                          interval=interval, data_source=ds, time_column=time_column)
+    if qtype == "topN":
+        return topn(spark, source, spec, dimension=q["dimension"],
+                    metric=q["metric"], threshold=int(q["threshold"]),
+                    aggregations=aggs, post_aggregations=posts,
+                    interval=interval, data_source=ds, time_column=time_column)
+    if qtype == "groupBy":
+        out = groupby(spark, source, spec, dims, aggs, posts,
+                      interval=interval, data_source=ds, time_column=time_column)
+        if q.get("limit"):
+            out = out.limit(int(q["limit"]))
+        return out
+    raise ValueError(f"unsupported queryType: {qtype!r}")
+
+
 def groupby(
     spark: SparkSession,
     source,

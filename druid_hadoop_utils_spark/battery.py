@@ -1100,6 +1100,47 @@ def q_text_normalize_repetition(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "q_druid_native_query",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+              round(sum(value), 2) AS total, count(*) AS rows,
+              round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+                  AS purchase_value
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+         AND event_type IN ('purchase', 'click', 'view')
+       GROUP BY 1 ORDER BY 1""",
+)
+def q_druid_native_query(spark, sf_dir):
+    # a complete Druid native-query JSON, as a 0.9.x client would POST it,
+    # compiled to one DataFrame plan (api.druid_query)
+    from druid_hadoop_utils_spark.api import druid_query
+
+    ev = _t_raw(spark, sf_dir, "events")
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2024-01-15"],
+        "granularity": "DAY",
+        "filter": {"type": "in", "dimension": "event_type",
+                   "values": ["purchase", "click", "view"]},
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "rows"},
+            {"type": "filtered", "name": "purchase_value",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "purchase"},
+             "aggregator": {"type": "doubleSum", "name": "purchase_value",
+                            "fieldName": "value"}},
+        ],
+    }
+    out = druid_query(spark, ev, q, time_column="ts")
+    return (out.withColumn("total", F.round("total", 2))
+               .withColumn("purchase_value", F.round("purchase_value", 2)))
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -1,0 +1,109 @@
+"""api.druid_query: full Druid native-query JSON → DataFrame."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.api import druid_query
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events", convert_nanos=False)
+
+
+def test_timeseries_query_json(spark, events):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2024-01-08"],
+        "granularity": "DAY",
+        "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "rows"},
+        ],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "rows"}]}
+        ],
+    }
+    out = druid_query(spark, events, q, time_column="ts")
+    rows = out.collect()
+    assert len(rows) == 7
+    assert out.columns == ["__time", "total", "rows", "avg"]
+    for r in rows:
+        assert r.avg == pytest.approx(r.total / r.rows)
+
+
+def test_topn_query_json(spark, events):
+    q = json.dumps({
+        "queryType": "topN",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2024-01-03"],
+        "granularity": "DAY",
+        "dimension": "event_type",
+        "metric": "total",
+        "threshold": 2,
+        "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}],
+    })
+    out = druid_query(spark, events, q, time_column="ts")
+    rows = out.collect()
+    assert len(rows) == 4  # 2 buckets × top 2
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault(r["__time"], []).append(r.total)
+    assert all(v == sorted(v, reverse=True) for v in per_bucket.values())
+
+
+def test_groupby_query_json_with_filtered_agg(spark, events):
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "granularity": "ALL",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            # the inner filter references user_id, which is neither a
+            # dimension nor an aggregated field - must still be scanned
+            {"type": "filtered", "name": "low_user_n",
+             "filter": {"type": "bound", "dimension": "user_id",
+                        "upper": "10", "alphaNumeric": True},
+             "aggregator": {"type": "count", "name": "low_user_n"}},
+        ],
+    }
+    out = druid_query(spark, events, q, time_column="ts")
+    rows = {r.event_type: r for r in out.collect()}
+    assert len(rows) == 5
+    assert all(r.low_user_n <= r.n for r in rows.values())
+    assert sum(r.low_user_n for r in rows.values()) > 0
+
+
+def test_scan_query_json(spark, events):
+    q = {"queryType": "scan", "dataSource": "events",
+         "intervals": ["2024-01-01/2024-01-02"],
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "doubleSum", "name": "x", "fieldName": "value"}],
+         "limit": 5}
+    out = druid_query(spark, events, q, time_column="ts")
+    assert out.count() == 5
+    assert "event_type" in out.columns and "value" in out.columns
+
+
+def test_multiple_intervals_rejected(spark, events):
+    with pytest.raises(ValueError):
+        druid_query(spark, events, {"queryType": "timeseries",
+                                    "intervals": ["2024-01-01/2024-01-02",
+                                                  "2024-01-03/2024-01-04"],
+                                    "aggregations": []}, time_column="ts")
+
+
+def test_unknown_query_type_rejected(spark, events):
+    with pytest.raises(ValueError):
+        druid_query(spark, events, {"queryType": "search",
+                                    "intervals": ["2024-01-01/2024-01-02"]},
+                    time_column="ts")
