@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+from druid_hadoop_utils_spark.functions.filters import _is_array, filter_to_column
 from druid_hadoop_utils_spark.plans.planner import load
 from druid_hadoop_utils_spark.plans.spec import LoadSpec
 
@@ -153,6 +154,62 @@ def druid_query(
         if q.get("limit"):
             df = df.limit(int(q["limit"]))
         return df
+    if qtype == "search":
+        # Druid search query: dimension values matching a search query
+        # spec, with per-value counts (Druid 0.9's SearchQuery)
+        search_dims = q.get("searchDimensions") or dims
+        if not search_dims:
+            raise ValueError("search query needs searchDimensions")
+        sq = q.get("query", {"type": "insensitive_contains", "value": ""})
+        scan_spec = LoadSpec.from_json({
+            "granularity": "NONE",
+            "dimensions": search_dims,
+            "metrics": [],
+            "filter": q.get("filter"),
+        }, data_source=ds, interval=interval)
+        df = load(spark, source, scan_spec, interval=interval, data_source=ds,
+                  time_column=time_column)
+        parts = []
+        for d in search_dims:
+            matches = df.where(
+                filter_to_column({"type": "search", "dimension": d, "query": sq},
+                                 df.schema)
+            )
+            col = F.explode(F.col(d)) if _is_array(df.schema, d) else F.col(d)
+            parts.append(
+                matches.select(F.lit(d).alias("dimension"), col.alias("value"))
+                .groupBy("dimension", "value").agg(F.count("*").alias("count"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        limit = int(q.get("limit", 1000))
+        return out.orderBy(F.desc("count"), "dimension", "value").limit(limit)
+    if qtype == "timeBoundary":
+        df = load(spark, source, spec, interval=interval, data_source=ds,
+                  time_column=time_column)
+        return df.agg(F.min("__time").alias("minTime"), F.max("__time").alias("maxTime"))
+    if qtype == "segmentMetadata":
+        # driver-side manifest inventory as a DataFrame (the reference's
+        # metadata surface, SURVEY.md §2.1 S1)
+        from druid_hadoop_utils_spark.intervals import Interval as _Iv
+        from druid_hadoop_utils_spark.sources.segments import (
+            list_manifests,
+            resolve_visible_windows,
+        )
+
+        if not isinstance(source, str):
+            raise ValueError("segmentMetadata needs a table root path")
+        manifests = list_manifests(source, ds)
+        visible = {w.manifest for w in resolve_visible_windows(manifests, _Iv.parse(interval))}
+        rows = [
+            (m.identifier, m.interval.iso(), m.version, m.shard_num, m.path, m in visible)
+            for m in manifests
+        ]
+        return spark.createDataFrame(
+            rows, "identifier string, interval string, version string, "
+                  "shard_num int, path string, visible boolean"
+        )
     if qtype == "timeseries":
         return timeseries(spark, source, spec, aggs, posts,
                           interval=interval, data_source=ds, time_column=time_column)

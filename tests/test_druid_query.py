@@ -104,6 +104,37 @@ def test_multiple_intervals_rejected(spark, events):
 
 def test_unknown_query_type_rejected(spark, events):
     with pytest.raises(ValueError):
-        druid_query(spark, events, {"queryType": "search",
+        druid_query(spark, events, {"queryType": "mystery",
                                     "intervals": ["2024-01-01/2024-01-02"]},
                     time_column="ts")
+
+
+def test_search_query_json(spark, events):
+    q = {"queryType": "search", "dataSource": "events",
+         "intervals": ["2024-01-01/2024-02-01"],
+         "searchDimensions": ["event_type"],
+         "query": {"type": "insensitive_contains", "value": "UR"}}
+    out = druid_query(spark, events, q, time_column="ts")
+    rows = {r.value: r for r in out.collect()}
+    assert set(rows) == {"purchase"}  # the only type containing 'ur'
+    assert rows["purchase"].dimension == "event_type"
+    assert rows["purchase"]["count"] > 0
+
+
+def test_time_boundary_query_json(spark, events):
+    q = {"queryType": "timeBoundary", "dataSource": "events",
+         "intervals": ["2024-01-05/2024-01-07"]}
+    row = druid_query(spark, events, q, time_column="ts").first()
+    assert row.minTime.day == 5 and row.maxTime.day == 6  # half-open
+
+
+def test_segment_metadata_query(spark, tmp_path, golden_events):
+    from druid_hadoop_utils_spark import write_segment
+
+    base = golden_events.drop("user_host")
+    write_segment(base, str(tmp_path), "ds", "2014-10-22/2014-10-23", "v1")
+    write_segment(base, str(tmp_path), "ds", "2014-10-22/2014-10-23", "v2")
+    q = {"queryType": "segmentMetadata", "dataSource": "ds",
+         "intervals": ["2014-10-01/2014-11-01"]}
+    rows = {r.version: r for r in druid_query(spark, str(tmp_path), q).collect()}
+    assert rows["v2"].visible and not rows["v1"].visible
