@@ -1141,6 +1141,31 @@ def q_druid_native_query(spark, sf_dir):
                .withColumn("purchase_value", F.round("purchase_value", 2)))
 
 
+
+
+@register(
+    "q_api_groupby",
+    """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS __time, event_type,
+              round(sum(value), 2) AS total, count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+       GROUP BY 1, 2""",
+)
+def q_api_groupby(spark, sf_dir):
+    # the Druid `groupBy` query shape through the convenience API
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    spec = {"granularity": "WEEK", "dimensions": ["event_type"], "metrics": EVENTS_METRICS}
+    out = api.groupby(
+        spark, ev, spec, None,
+        [{"type": "doubleSum", "name": "total", "fieldName": "value"},
+         {"type": "count", "name": "n"}],
+        interval="2024-01-01/2024-02-01", time_column="ts",
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

@@ -65,7 +65,23 @@ def _extraction_fn(fn: dict, col: Column) -> Column:
         return F.upper(col)
     if ftype == "strlen":
         return F.length(col).cast("string")
-    if ftype in {"javascript", "lookup", "registeredLookup"}:
+    if ftype == "lookup":
+        # inline map lookup (Druid MapLookupExtractor): the map ships as a
+        # literal expression; retainMissingValue keeps unmapped values,
+        # otherwise they become replaceMissingValueWith (default null)
+        lookup = fn.get("lookup", {})
+        if lookup.get("type") != "map":
+            raise NotImplementedError("only inline map lookups are supported")
+        mapping = lookup.get("map", {})
+        pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        mapped = F.element_at(F.create_map(*pairs), col) if pairs else F.lit(None)
+        if fn.get("retainMissingValue"):
+            return F.coalesce(mapped, col)
+        replace = fn.get("replaceMissingValueWith")
+        if replace is not None:
+            return F.coalesce(mapped, F.lit(replace))
+        return mapped
+    if ftype in {"javascript", "registeredLookup"}:
         raise NotImplementedError(f"extractionFn {ftype!r} is not supported")
     raise ValueError(f"unknown extractionFn: {fn!r}")
 

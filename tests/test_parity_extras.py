@@ -116,3 +116,38 @@ def test_ingest_sort_by_improves_clustering(spark, sf_dir, tmp_path):
     f = glob.glob(os.path.join(manifests[0].path, "*.parquet"))[0]
     col = pq.read_table(f, columns=["event_type"])["event_type"].to_pylist()
     assert col == sorted(col)
+
+
+def test_extraction_lookup_map(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "SITE_A",
+           "extractionFn": {"type": "lookup",
+                            "lookup": {"type": "map",
+                                       "map": {"a.example.com": "SITE_A",
+                                               "b.example.org": "SITE_B"}}}}
+    assert ids(df, flt) == [1]
+
+
+def test_extraction_lookup_retain_missing(df):
+    # unmapped values fall through to the raw value when retained
+    flt = {"type": "extraction", "dimension": "host", "value": "xy.z",
+           "extractionFn": {"type": "lookup", "retainMissingValue": True,
+                            "lookup": {"type": "map",
+                                       "map": {"a.example.com": "SITE_A"}}}}
+    assert ids(df, flt) == [4]
+
+
+def test_extraction_lookup_replace_missing(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "OTHER",
+           "extractionFn": {"type": "lookup", "replaceMissingValueWith": "OTHER",
+                            "lookup": {"type": "map",
+                                       "map": {"a.example.com": "SITE_A"}}}}
+    assert ids(df, flt) == [2, 3, 4]
+
+
+def test_extraction_registered_lookup_rejected(df):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        filter_to_column({"type": "extraction", "dimension": "host", "value": "x",
+                          "extractionFn": {"type": "registeredLookup", "lookup": "l"}},
+                         df.schema)
