@@ -138,3 +138,28 @@ def test_segment_metadata_query(spark, tmp_path, golden_events):
          "intervals": ["2014-10-01/2014-11-01"]}
     rows = {r.version: r for r in druid_query(spark, str(tmp_path), q).collect()}
     assert rows["v2"].visible and not rows["v1"].visible
+
+
+def test_native_query_over_managed_segment_table(spark, tmp_path, golden_events):
+    """druid_query against a segment-table root: the full stack — manifest
+    discovery, overshadow, pruned scan, granularity, aggregation — from one
+    native-query JSON."""
+    from druid_hadoop_utils_spark import write_segment
+
+    base = golden_events.drop("user_host")
+    write_segment(base, str(tmp_path), "web", "2014-10-22/2014-10-23", "v1")
+    write_segment(base.withColumn("visited_sum", F.col("visited_sum") * 10),
+                  str(tmp_path), "web", "2014-10-22/2014-10-23", "v2")
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "web",
+        "intervals": ["2014-10-22/2014-10-23"],
+        "granularity": "DAY",
+        "aggregations": [
+            {"type": "longSum", "name": "visits", "fieldName": "visited_sum"},
+            {"type": "hyperUnique", "name": "hosts", "fieldName": "unique_hosts"},
+        ],
+    }
+    row = druid_query(spark, str(tmp_path), q).first()
+    assert row.visits == 4500  # v2 overshadows v1
+    assert row.hosts == 3.0
