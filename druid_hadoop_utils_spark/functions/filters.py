@@ -147,8 +147,12 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
         numeric = bool(spec.get("alphaNumeric")) or spec.get("ordering") == "numeric"
 
         def one(v: Column) -> Column:
-            target = v.cast("double") if numeric else v
-            pred = F.lit(True)
+            # try_cast: under ANSI mode a plain cast THROWS on non-numeric
+            # strings; Druid's numeric bound simply doesn't match such rows.
+            # The isNotNull base also keeps a boundless bound filter from
+            # matching missing/uncastable values.
+            target = v.try_cast("double") if numeric else v
+            pred = target.isNotNull()
             if spec.get("lower") is not None:
                 lo = F.lit(float(spec["lower"])) if numeric else F.lit(spec["lower"])
                 pred = pred & (target > lo if spec.get("lowerStrict") else target >= lo)
