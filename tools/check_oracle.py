@@ -23,6 +23,20 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 
+_TYPE_GROUPS = {
+    "bigint": "int64", "BIGINT": "int64",
+    "int": "int32", "INTEGER": "int32",
+    "double": "float64", "DOUBLE": "float64", "FLOAT": "float64",
+    "string": "str", "VARCHAR": "str", "STRING": "str",
+    "timestamp": "ts", "TIMESTAMP": "ts", "timestamp_ntz": "ts",
+    "boolean": "bool", "BOOLEAN": "bool",
+}
+
+
+def norm_type(t: str) -> str:
+    return _TYPE_GROUPS.get(t, t)
+
+
 def norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -87,6 +101,18 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            stypes = {c: norm_type(t) for c, t in sdf.dtypes}
+            # DESCRIBE: the DB-API description collapses numerics to NUMBER
+            otypes = {
+                r[0]: norm_type(r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
+            mismatched = {
+                c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c)
+            }
+            if mismatched:
+                problems.append(f"types {mismatched}")
         if not problems:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
             if sh != oh:
