@@ -20,6 +20,7 @@ import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from druid_hadoop_utils_spark.intervals import Interval
 from druid_hadoop_utils_spark.sources.ingest import publish_segments
@@ -56,10 +57,15 @@ def compact_segments(
 ) -> list[SegmentManifest]:
     """Rewrite the visible rows of ``interval`` as fresh segments bucketed
     at ``bucket`` granularity under a new version (atomic flip)."""
-    from druid_hadoop_utils_spark.plans.planner import _scan_segments
+    from druid_hadoop_utils_spark.plans.planner import _interval_pred, _scan_segments
 
     iv = Interval.parse(interval)
     df = _scan_segments(spark, table_root, data_source, iv)
+    # Clip to the compaction interval: a segment that is fully visible
+    # WITHIN the interval may still hold rows outside it, and republishing
+    # those under the new (highest) version would resurrect data that a
+    # newer version had overshadowed elsewhere.
+    df = df.where(_interval_pred(iv, F.col("__time")))
     version = next_version(table_root, data_source)
     return publish_segments(
         df, table_root, data_source, version=version,

@@ -69,6 +69,36 @@ class TestCompactVacuum:
             assert not any(r in m.identifier for m in left)
 
 
+def test_compact_subinterval_does_not_resurrect_overshadowed(spark, tmp_path):
+    """Compacting a sub-interval must clip to that interval: a wider
+    segment's out-of-interval rows must NOT be republished under the new
+    top version, or they would resurrect data overshadowed elsewhere
+    (v1 covers [d1,d4); v2 overshadows [d1,d2); compact [d2,d4))."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    root = str(tmp_path)
+    v1_rows = [
+        Row(__time=datetime(2024, 1, 1, 12), k="v1-d1", value=1.0),
+        Row(__time=datetime(2024, 1, 2, 12), k="v1-d2", value=2.0),
+        Row(__time=datetime(2024, 1, 3, 12), k="v1-d3", value=3.0),
+    ]
+    write_segment(spark.createDataFrame(v1_rows), root, "ds",
+                  "2024-01-01/2024-01-04", "v1")
+    v2_rows = [Row(__time=datetime(2024, 1, 1, 12), k="v2-d1", value=10.0)]
+    write_segment(spark.createDataFrame(v2_rows), root, "ds",
+                  "2024-01-01/2024-01-02", "v2")
+
+    compact_segments(spark, root, "ds", "2024-01-02/2024-01-04", bucket="DAY")
+
+    spec = {"granularity": "NONE", "dimensions": ["k"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    after = load(spark, root, spec, interval="2024-01-01/2024-01-04",
+                 data_source="ds")
+    assert sorted(r.k for r in after.collect()) == ["v1-d2", "v1-d3", "v2-d1"]
+
+
 def test_shard_append_union_visible(spark, tmp_path, golden_events):
     base = golden_events.drop("user_host")
     write_segment(base, str(tmp_path), "ds", "2014-10-22/2014-10-23", "v1", shard_num=0)
