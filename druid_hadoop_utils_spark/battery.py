@@ -614,17 +614,68 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
-@register("q_dedup_minhash_lsh", None)  # non-SQL-expressible (seeded xxhash64)
+_EXACT_JACCARD_PAIRS_SQL = """WITH s AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       FROM s a, s b
+       WHERE a.doc_id < b.doc_id
+         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"""
+
+
+# The LSH path converges to the exact all-pairs answer at these params:
+# bands=32 × rows_per_band=2 leaves a qualifying pair (J >= 0.5) with
+# per-band match probability J^2 >= 0.25, so miss probability
+# (1-J^2)^32 <= 1e-4 — and candidates are then EXACT-verified, so false
+# positives are impossible. Deterministic (seeded xxhash64), so the oracle
+# equality is reproducible: pinned equal to the exact all-pairs result at
+# sf0.001/0.01/0.1 (rows=1 would push the miss bound to 2^-64 but
+# quadruples candidate-verification volume for no observed gain).
+@register("q_dedup_minhash_lsh", _EXACT_JACCARD_PAIRS_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    out = DD.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5)
+    out = DD.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5,
+                                     num_hashes=64, bands=32)
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
-@register("q_dedup_simhash", None)  # non-SQL-expressible (seeded xxhash64)
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB recomputation of the md5_60 SimHash: token hash = first 15
+    md5 hex chars as BIGINT (bit-for-bit the engine's ``md5_60``), per-bit
+    majority vote, all-pairs hamming filter. The engine's chunked blocking
+    is pigeonhole-exact, so the all-pairs formulation is a true oracle."""
+    bit_terms = " +\n                ".join(
+        f"(CASE WHEN 2*sum((h >> {b}) & 1) > count(*) "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+             FROM toks),
+       sig AS (SELECT doc_id, {bit_terms} AS sig
+               FROM h GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       FROM sig a, sig b
+       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+@register("q_dedup_simhash", _simhash_oracle_sql())
 def q_dedup_simhash(spark, sf_dir):
+    # md5_60 hash mode: same SimHash pipeline (explode → bit-majority
+    # aggregate → pigeonhole chunk blocking → bit_count verify), with a
+    # token hash an ANSI-SQL oracle can recompute exactly
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_candidate_pairs(docs, "doc_id", max_hamming=3)
+    return DD.simhash_candidate_pairs(docs, "doc_id", max_hamming=3,
+                                      bits=60, hash_mode="md5_60")
 
 
 @register(
@@ -700,11 +751,25 @@ def q_embedding_neardup(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
-@register("q_similarity_lsh_topk", None)  # approximate: no SQL oracle
+_BRUTE_TOPK_SQL = """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos_sim
+       FROM embeddings q, embeddings e
+       WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+       QUALIFY row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5"""
+
+
+# bits=2/tables=32 drives per-neighbor miss probability to (1-p^2)^32
+# (p = 1 - angle/pi >= 0.5 for any positively-correlated neighbor, so
+# < 2e-4 even at p=0.5); candidates are exact-cosine re-ranked, so the
+# top-k equals brute force. Deterministic (seeded hyperplanes); equality
+# with the exact oracle pinned at sf0.001/0.01/0.1.
+@register("q_similarity_lsh_topk", _BRUTE_TOPK_SQL)
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = SIM.lsh_topk(emb, queries, k=5)
+    out = SIM.lsh_topk(emb, queries, k=5, bits=2, tables=32)
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
@@ -900,11 +965,15 @@ def q_api_topn(spark, sf_dir):
 
 
 
-@register("q_similarity_ivf_topk", None)  # approximate: no SQL oracle
+# nprobe = n_cells is structurally exhaustive: every query probes every
+# cell and each corpus vector lives in exactly one cell, so the candidate
+# set is the whole corpus and the exact-cosine re-rank IS brute force —
+# provably, not probabilistically.
+@register("q_similarity_ivf_topk", _BRUTE_TOPK_SQL)
 def q_similarity_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = SIM.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6)
+    out = SIM.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16)
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 

@@ -235,6 +235,14 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- simhash
 
+def md5_60(col: Column) -> Column:
+    """Deterministic 60-bit hash as a signed long: the first 15 hex chars
+    of md5. Exists so SimHash signatures can be recomputed bit-for-bit by
+    an ANSI-SQL oracle (DuckDB: ``CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT)``); 60 bits also sidesteps java's signed-bit-63 edge."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
 def simhash(token_col: Column, bits: int = 64, seed: int = 7) -> Column:
     """SimHash over a token array: per-token xxhash64, majority vote per
     bit. Expression-only implementation: for each bit, count tokens with
@@ -260,18 +268,28 @@ def simhash_table(
     text_col: str = "text",
     bits: int = 64,
     seed: int = 7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig) SimHash signatures, bulk path: explode tokens → xxhash64 →
+    """(id, sig) SimHash signatures, bulk path: explode tokens → token hash →
     one hash aggregate with a sum per bit → majority-vote reassembly.
     Everything stays in whole-stage codegen; one shuffle on the id.
     Documents with no tokens are dropped (no signature to speak of).
 
-    Produces bit-identical signatures to ``simhash`` (same hash, same
-    majority rule) — pinned by tests."""
+    ``hash_mode='xxhash64'`` (default) produces bit-identical signatures to
+    ``simhash`` (same hash, same majority rule) — pinned by tests.
+    ``hash_mode='md5_60'`` (``bits`` ≤ 60) uses the SQL-expressible
+    ``md5_60`` token hash so an external ANSI-SQL oracle can recompute the
+    exact signatures."""
+    if hash_mode == "md5_60" and bits > 60:
+        raise ValueError("md5_60 hash carries 60 bits; pass bits<=60")
     toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(text_col)).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok", F.lit(seed)))
+    )
+    if hash_mode == "md5_60":
+        toks = toks.withColumn("__h", md5_60(F.col("__tok")))
+    else:
+        toks = toks.withColumn("__h", F.xxhash64("__tok", F.lit(seed)))
     bit_sums = [
         F.sum(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
         for b in range(bits)
@@ -290,14 +308,18 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 7,
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on (k+1) signature chunks —
     pigeonhole guarantees any pair within hamming distance k agrees on at
     least one chunk — then verify the true hamming distance via bit_count.
-    One shuffle on chunk keys; no cross join."""
+    One shuffle on chunk keys; no cross join. The blocking is exact (not
+    probabilistic): the result equals the all-pairs hamming filter."""
     chunks = max_hamming + 1
-    chunk_bits = 64 // chunks
-    sigs = simhash_table(df, id_col, text_col, seed=seed).select(
+    chunk_bits = bits // chunks
+    sigs = simhash_table(df, id_col, text_col, bits=bits, seed=seed,
+                         hash_mode=hash_mode).select(
         F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
     )
     parts = sigs.select(

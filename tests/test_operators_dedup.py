@@ -69,6 +69,65 @@ def test_minhash_recall_vs_exact_on_real_docs(spark, sf_dir):
         assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_battery_params_equal_exact(spark, sf_dir):
+    """The battery's convergent parameterization (num_hashes=64, bands=32)
+    must reproduce the exact all-pairs answer — this is what makes
+    q_dedup_minhash_lsh oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, blocking=False).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_md5_60_matches_duckdb(spark):
+    """md5_60 must agree bit-for-bit with the DuckDB expression the
+    oracle uses (CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    import duckdb
+
+    words = ["hello", "WORLD", "détente", "42", ""]
+    df = spark.createDataFrame([Row(w=w) for w in words])
+    got = {r.w: r.h for r in df.select("w", D.md5_60(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        expected = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [w]
+        ).fetchone()[0]
+        assert got[w] == expected, w
+
+
+def test_simhash_md5_60_blocking_equals_allpairs(spark, sf_dir):
+    """Pigeonhole chunk blocking is exact: the blocked result equals the
+    all-pairs hamming filter over the same signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash_table(docs, "doc_id", bits=60, hash_mode="md5_60")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    allpairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_candidate_pairs(
+            docs, "doc_id", max_hamming=3, bits=60, hash_mode="md5_60"
+        ).collect()
+    }
+    assert blocked == allpairs
+
+
 def test_simhash_near_dups(docs):
     pairs = D.simhash_candidate_pairs(docs, "doc_id", max_hamming=8)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}

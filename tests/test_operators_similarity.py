@@ -43,6 +43,31 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_topk_battery_params_equal_brute_force(spark, sf_dir):
+    """The battery's convergent parameterization (bits=2, tables=32) must
+    reproduce exact brute-force top-k — this is what makes
+    q_similarity_lsh_topk oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.lsh_topk(emb, queries, k=5, bits=2, tables=32).collect()}
+    assert approx == exact
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """nprobe = n_cells probes every cell, so IVF degenerates to exact
+    brute force by construction (the q_similarity_ivf_topk oracle basis)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16).collect()}
+    assert full == exact
+
+
 def test_similar_pairs_threshold(spark):
     df = spark.createDataFrame([
         Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
