@@ -102,10 +102,13 @@ def druid_query(
     q = _json.loads(query) if isinstance(query, str) else dict(query)
     qtype = q.get("queryType")
     ds = data_source or q.get("dataSource")
-    intervals = q.get("intervals") or ([q["interval"]] if q.get("interval") else None)
-    if not intervals or len(intervals) != 1:
-        raise ValueError("exactly one interval is required")
-    interval = intervals[0]
+    from druid_hadoop_utils_spark.intervals import parse_intervals
+
+    # Druid native queries carry an "intervals" LIST; condensed and OR-ed
+    # at plan time (the reference took only one — DruidInputFormat.java:87)
+    interval = parse_intervals(q.get("intervals") or q.get("interval"))
+    if not interval:
+        raise ValueError("at least one interval is required")
 
     dims = q.get("dimensions") or ([q["dimension"]] if q.get("dimension") else [])
     aggs = q.get("aggregations") or []
@@ -192,7 +195,6 @@ def druid_query(
     if qtype == "segmentMetadata":
         # driver-side manifest inventory as a DataFrame (the reference's
         # metadata surface, SURVEY.md §2.1 S1)
-        from druid_hadoop_utils_spark.intervals import Interval as _Iv
         from druid_hadoop_utils_spark.sources.segments import (
             list_manifests,
             resolve_visible_windows,
@@ -201,7 +203,11 @@ def druid_query(
         if not isinstance(source, str):
             raise ValueError("segmentMetadata needs a table root path")
         manifests = list_manifests(source, ds)
-        visible = {w.manifest for w in resolve_visible_windows(manifests, _Iv.parse(interval))}
+        visible = {
+            w.manifest
+            for iv in interval
+            for w in resolve_visible_windows(manifests, iv)
+        }
         rows = [
             (m.identifier, m.interval.iso(), m.version, m.shard_num, m.path, m in visible)
             for m in manifests

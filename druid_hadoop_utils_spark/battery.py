@@ -932,6 +932,33 @@ def q_api_timeseries(spark, sf_dir):
 
 
 @register(
+    "q_multi_interval",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+              round(sum(value), 2) AS total, count(*) AS n
+       FROM events
+       WHERE (ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04')
+          OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12')
+       GROUP BY 1 ORDER BY 1""",
+)
+def q_multi_interval(spark, sf_dir):
+    # Druid native "intervals": [a, b] — two disjoint ranges OR-ed into the
+    # pruned scan (real 0.9 clients send interval lists)
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    out = api.druid_query(spark, ev, {
+        "queryType": "timeseries",
+        "granularity": "DAY",
+        "intervals": ["2024-01-02/2024-01-04", "2024-01-10/2024-01-12"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "n"},
+        ],
+    }, time_column="ts")
+    return out.withColumn("total", F.round("total", 2))
+
+
+@register(
     "q_api_topn",
     """SELECT __time, event_type, round(total, 2) AS total, rnk FROM (
          SELECT __time, event_type, total,

@@ -67,6 +67,16 @@ class Interval:
         return self.iso()
 
 
+def parse_intervals(value) -> list["Interval"]:
+    """Normalize an interval argument — a single ``start/end`` string or
+    ``Interval``, or a list of them — to a condensed (merged, sorted) list.
+    Druid condenses its ``intervals`` array the same way before planning."""
+    if value is None:
+        return []
+    items = value if isinstance(value, (list, tuple)) else [value]
+    return merge_adjacent([Interval.parse(v) for v in items])
+
+
 def merge_adjacent(intervals: list[Interval]) -> list[Interval]:
     """Merge touching/overlapping intervals (input in any order)."""
     if not intervals:

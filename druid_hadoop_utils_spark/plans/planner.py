@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
-from druid_hadoop_utils_spark.intervals import Interval
+from druid_hadoop_utils_spark.intervals import Interval, parse_intervals
 from druid_hadoop_utils_spark.plans.spec import LoadSpec
 from druid_hadoop_utils_spark.functions.filters import filter_to_column
 from druid_hadoop_utils_spark.functions.granularity import granularity_expr
@@ -84,7 +84,7 @@ def load(
     spark: SparkSession,
     source: str | DataFrame,
     spec: LoadSpec | dict | str,
-    interval: str | Interval | None = None,
+    interval: str | Interval | list | None = None,
     data_source: str | None = None,
     rollup: bool = False,
     time_column: str = TIME_COL,
@@ -104,17 +104,22 @@ def load(
     """
     if not isinstance(spec, LoadSpec):
         spec = LoadSpec.from_json(spec, data_source=data_source, interval=interval)
-    iv = Interval.parse(interval) if interval is not None else spec.interval
+    ivs = parse_intervals(interval) if interval is not None else spec.intervals
 
     if isinstance(source, DataFrame):
         df = source
     else:
         ds = data_source or spec.data_source
         if ds and os.path.isdir(os.path.join(source, ds, MANIFEST_DIR)):
-            if iv is None:
+            if not ivs:
                 raise ValueError("an interval is required for segment-table loads")
             try:
-                df = _scan_segments(spark, source, ds, iv)
+                # one scan over the SPAN of the condensed intervals: the
+                # timeline resolution is pointwise in time, so restricting
+                # the span's visible set by the per-interval predicates
+                # below equals resolving each interval separately
+                span = Interval(ivs[0].start, ivs[-1].end)
+                df = _scan_segments(spark, source, ds, span)
             except FileNotFoundError:
                 if not ignore_when_no_segments:
                     raise
@@ -128,7 +133,7 @@ def load(
         df = df.withColumnRenamed(time_column, TIME_COL)
 
     time_is_nanos = dict(df.dtypes).get(TIME_COL) == "bigint"
-    if iv is not None:
+    if ivs:
         if time_is_nanos:
             # epoch-nanos long time column: compare raw longs so the range
             # predicate pushes down to parquet row-group stats (a predicate
@@ -138,15 +143,24 @@ def load(
             epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
             us = timedelta(microseconds=1)
             lmin, lmax = -(1 << 63), (1 << 63) - 1
-            # clamp to int64: nanos can only represent ~1677..2262, so a
-            # wider interval (e.g. /3000-01-01) means "no bound"
-            start_ns = max(((iv.start - epoch) // us) * 1000, lmin)
-            end_ns = min(((iv.end - epoch) // us) * 1000, lmax)
-            df = df.where(
-                (F.col(TIME_COL) >= F.lit(start_ns)) & (F.col(TIME_COL) < F.lit(end_ns))
-            )
+
+            def nanos_pred(iv: Interval):
+                # clamp to int64: nanos can only represent ~1677..2262, so
+                # a wider interval (e.g. /3000-01-01) means "no bound"
+                start_ns = max(((iv.start - epoch) // us) * 1000, lmin)
+                end_ns = min(((iv.end - epoch) // us) * 1000, lmax)
+                return (F.col(TIME_COL) >= F.lit(start_ns)) & (
+                    F.col(TIME_COL) < F.lit(end_ns)
+                )
+
+            pred = nanos_pred(ivs[0])
+            for iv in ivs[1:]:
+                pred = pred | nanos_pred(iv)
         else:
-            df = df.where(_interval_pred(iv, F.col(TIME_COL)))
+            pred = _interval_pred(ivs[0], F.col(TIME_COL))
+            for iv in ivs[1:]:
+                pred = pred | _interval_pred(iv, F.col(TIME_COL))
+        df = df.where(pred)
     if time_is_nanos:
         df = df.withColumn(TIME_COL, F.timestamp_micros(F.expr(f"`{TIME_COL}` DIV 1000")))
     if spec.filter is not None:

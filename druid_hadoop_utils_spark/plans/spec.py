@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-from druid_hadoop_utils_spark.intervals import Interval
+from druid_hadoop_utils_spark.intervals import Interval, parse_intervals
 
 SIMPLE_METRIC_TYPES = {"long", "float", "double", "string", "simple"}
 
@@ -61,8 +61,18 @@ class LoadSpec:
     dimensions: list[str] = field(default_factory=list)
     metrics: list[Metric] = field(default_factory=list)
     filter: dict | None = None
+    # multi-interval queries (Druid's "intervals": [a, b, ...]): the full
+    # condensed list. ``interval`` stays the single-interval convenience —
+    # always intervals[0] when exactly one is set.
+    intervals: list[Interval] = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        if self.intervals:
+            self.intervals = parse_intervals(list(self.intervals))
+        elif self.interval is not None:
+            self.intervals = [self.interval]
+        if self.interval is None and len(self.intervals) == 1:
+            self.interval = self.intervals[0]
         if isinstance(self.granularity, str):
             g = self.granularity.upper()
             if g not in GRANULARITIES:
@@ -106,16 +116,16 @@ class LoadSpec:
         """Parse either spec shape; explicit args override JSON fields."""
         obj = json.loads(text) if isinstance(text, str) else dict(text)
         ds = data_source or obj.get("dataSource")
-        iv = interval or obj.get("interval")
-        if iv is None and obj.get("intervals"):
-            ivs = obj["intervals"]
-            if len(ivs) != 1:
-                # reference enforces exactly one (DruidInputFormat.java:87-91)
-                raise ValueError("exactly one interval is required")
-            iv = ivs[0]
+        # the reference enforced exactly one interval
+        # (DruidInputFormat.java:87-91); real Druid 0.9 clients send lists,
+        # so we accept them — condensed, OR-ed at plan time
+        ivs = parse_intervals(
+            interval if interval is not None
+            else obj.get("interval") or obj.get("intervals")
+        )
         return cls(
             data_source=ds,
-            interval=Interval.parse(iv) if iv is not None else None,
+            intervals=ivs,
             granularity=obj.get("granularity") or "NONE",
             dimensions=list(obj.get("dimensions") or []),
             metrics=list(obj.get("metrics") or []),

@@ -94,11 +94,25 @@ def test_scan_query_json(spark, events):
     assert "event_type" in out.columns and "value" in out.columns
 
 
-def test_multiple_intervals_rejected(spark, events):
+def test_multiple_intervals_or_together(spark, events):
+    """Disjoint interval list = union of per-interval results (and only
+    those buckets); a query with no intervals at all is still rejected."""
+    multi = druid_query(spark, events, {
+        "queryType": "timeseries", "granularity": "DAY",
+        "intervals": ["2024-01-01/2024-01-02", "2024-01-03/2024-01-04"],
+        "aggregations": [{"type": "count", "name": "n"}]}, time_column="ts")
+    rows = {r["__time"].day: r.n for r in multi.collect()}
+    assert sorted(rows) == [1, 3]  # day 2 excluded
+
+    for day in (1, 3):
+        single = druid_query(spark, events, {
+            "queryType": "timeseries", "granularity": "DAY",
+            "intervals": [f"2024-01-0{day}/2024-01-0{day + 1}"],
+            "aggregations": [{"type": "count", "name": "n"}]}, time_column="ts")
+        assert single.first().n == rows[day]
+
     with pytest.raises(ValueError):
         druid_query(spark, events, {"queryType": "timeseries",
-                                    "intervals": ["2024-01-01/2024-01-02",
-                                                  "2024-01-03/2024-01-04"],
                                     "aggregations": []}, time_column="ts")
 
 

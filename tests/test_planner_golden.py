@@ -141,6 +141,18 @@ class TestMultiSegment:
                   data_source="events_multiseg")
         assert sum(r.visited_sum for r in df.collect()) == 4500 + 450
 
+    def test_multi_interval_segment_load(self, spark, multiseg_root):
+        """Two disjoint intervals over a segment table: span-scan + OR
+        predicate, overshadow still applied per point in time. Hours
+        [00,01) of day 1 (v2 values) + all of day 2 (v1), hour 01-02
+        of day 1 excluded."""
+        df = load(spark, multiseg_root, SPEC,
+                  interval=["2014-10-22T00/2014-10-22T01",
+                            "2014-10-23/2014-10-24"],
+                  data_source="events_multiseg")
+        # day1 hour0: a.example.com at v2 (100×10); day2: all three at v1
+        assert sum(r.visited_sum for r in df.collect()) == 1000 + 450
+
 
 def test_raw_nanos_wide_interval_no_overflow(spark, sf_dir):
     """An interval beyond nanos-representable range (year 3000) must clamp

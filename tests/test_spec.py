@@ -46,10 +46,22 @@ def test_unknown_granularity_rejected():
         LoadSpec.from_json({"granularity": "FORTNIGHT", "dimensions": [], "metrics": []})
 
 
-def test_multiple_intervals_rejected():
-    # reference enforces exactly one interval (DruidInputFormat.java:87-91)
-    with pytest.raises(ValueError):
-        LoadSpec.from_json({"intervals": ["2014-01-01/2014-01-02", "2014-01-03/2014-01-04"]})
+def test_multiple_intervals_accepted_and_condensed():
+    # extension over the reference (which enforced exactly one interval,
+    # DruidInputFormat.java:87-91): interval lists parse, overlapping /
+    # adjacent members merge, and ``interval`` stays the single-interval
+    # convenience accessor only
+    spec = LoadSpec.from_json(
+        {"intervals": ["2014-01-01/2014-01-02", "2014-01-05/2014-01-06"]})
+    assert len(spec.intervals) == 2
+    assert spec.interval is None
+
+    merged = LoadSpec.from_json(
+        {"intervals": ["2014-01-01/2014-01-03", "2014-01-02/2014-01-05"]})
+    assert len(merged.intervals) == 1
+    assert merged.interval is not None
+    assert merged.interval.iso().startswith("2014-01-01")
+    assert merged.interval.end.day == 5
 
 
 def test_complex_metric_classification():
