@@ -45,6 +45,11 @@ from druid_hadoop_utils_spark.sources.segments import (
     resolve_visible_windows,
 )
 from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.functions.lookups import (
+    lookup_join,
+    register_lookup,
+    unregister_lookup,
+)
 from druid_hadoop_utils_spark import api
 
 __all__ = [
@@ -64,6 +69,9 @@ __all__ = [
     "list_manifests",
     "resolve_visible_windows",
     "publish_segments",
+    "register_lookup",
+    "unregister_lookup",
+    "lookup_join",
     "api",
 ]
 

@@ -160,6 +160,33 @@ def q_filter_search(spark, sf_dir):
 
 
 @register(
+    "q_filter_registered_lookup",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE event_type IN ('click', 'view')""",
+)
+def q_filter_registered_lookup(spark, sf_dir):
+    # extraction filter through a NAMED lookup (Druid registeredLookup):
+    # category(event_type) == 'engagement' ⇔ event_type ∈ {click, view}
+    from druid_hadoop_utils_spark.functions.lookups import register_lookup
+
+    register_lookup("event_category", {
+        "click": "engagement", "view": "engagement",
+        "purchase": "revenue", "signup": "revenue", "error": "ops",
+    })
+    ev = _t_raw(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "extraction", "dimension": "event_type",
+                   "value": "engagement",
+                   "extractionFn": {"type": "registeredLookup",
+                                    "lookup": "event_category"}},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+
+
+@register(
     "q_filter_and_or_not",
     """SELECT ts AS __time, event_type, value, user_id FROM events
        WHERE (event_type = 'click' OR event_type = 'purchase')

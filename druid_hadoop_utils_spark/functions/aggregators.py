@@ -127,7 +127,13 @@ def agg_expr(
             raise ValueError(f"cardinality needs fieldNames: {spec!r}")
         if spec.get("byRow") and len(fields) > 1:
             # tuple cardinality: hash the combined row value
-            combined = F.concat_ws("", *[F.col(f) for f in fields])
+            # \x01 separator keeps value boundaries distinct (('ab','c') vs
+            # ('a','bc')); the \x00 null sentinel matters because concat_ws
+            # SKIPS nulls, which would collapse (null,'x') with ('x',null)
+            combined = F.concat_ws(
+                "\x01",
+                *[F.coalesce(F.col(f).cast("string"), F.lit("\x00")) for f in fields],
+            )
             if _cond is not None:
                 combined = F.when(_cond, combined)
             partial = F.hll_sketch_agg(combined, F.lit(lgk))

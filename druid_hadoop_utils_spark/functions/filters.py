@@ -69,19 +69,29 @@ def _extraction_fn(fn: dict, col: Column) -> Column:
         # inline map lookup (Druid MapLookupExtractor): the map ships as a
         # literal expression; retainMissingValue keeps unmapped values,
         # otherwise they become replaceMissingValueWith (default null)
+        from druid_hadoop_utils_spark.functions.lookups import (
+            apply_missing_policy,
+            lookup_expr,
+        )
+
         lookup = fn.get("lookup", {})
         if lookup.get("type") != "map":
             raise NotImplementedError("only inline map lookups are supported")
-        mapping = lookup.get("map", {})
-        pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-        mapped = F.element_at(F.create_map(*pairs), col) if pairs else F.lit(None)
-        if fn.get("retainMissingValue"):
-            return F.coalesce(mapped, col)
-        replace = fn.get("replaceMissingValueWith")
-        if replace is not None:
-            return F.coalesce(mapped, F.lit(replace))
-        return mapped
-    if ftype in {"javascript", "registeredLookup"}:
+        mapped = lookup_expr(lookup.get("map", {}), col)
+        return apply_missing_policy(mapped, col, fn)
+    if ftype == "registeredLookup":
+        # named lookup resolved from the process-local registry (Druid's
+        # cluster-distributed lookup module); same missing-value policy as
+        # the inline form. Large registered tables → lookups.lookup_join.
+        from druid_hadoop_utils_spark.functions.lookups import (
+            apply_missing_policy,
+            lookup_expr,
+            lookup_mapping,
+        )
+
+        mapped = lookup_expr(lookup_mapping(fn["lookup"]), col)
+        return apply_missing_policy(mapped, col, fn)
+    if ftype == "javascript":
         raise NotImplementedError(f"extractionFn {ftype!r} is not supported")
     raise ValueError(f"unknown extractionFn: {fn!r}")
 
@@ -189,7 +199,9 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
 
             return _any_value(col, frag) if arr else frag(col)
         value = q.get("value", "")
-        case_sensitive = qtype == "contains" and bool(q.get("caseSensitive", True))
+        # Druid 0.9 deserializes a missing caseSensitive as false (Jackson
+        # primitive boolean), so a bare {"type":"contains"} is insensitive
+        case_sensitive = qtype == "contains" and bool(q.get("caseSensitive", False))
         if qtype == "insensitive_contains":
             case_sensitive = False
 

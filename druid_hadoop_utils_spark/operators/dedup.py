@@ -55,7 +55,12 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str,
 
 def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Per distinct key: surviving id + duplicate count (oracle-friendly)."""
-    key_hash = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in key_cols]))
+    # \x00 null sentinel: concat_ws SKIPS nulls, which would collapse
+    # (null,'x') with ('x',null) and null with '' — the \x01 separator
+    # alone keeps value boundaries, the sentinel keeps nulls distinct
+    key_hash = F.md5(F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]
+    ))
     return df.groupBy(key_hash.alias("key_hash")).agg(
         F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
     )

@@ -82,6 +82,16 @@ def test_search_contains_case_sensitive(df):
     assert ids(df, flt) == [1]
 
 
+def test_search_contains_defaults_case_insensitive(df):
+    # Druid 0.9's ContainsSearchQuerySpec deserializes a missing
+    # caseSensitive as false (Jackson primitive boolean)
+    flt = {"type": "search", "dimension": "host",
+           "query": {"type": "contains", "value": "a.example"}}
+    assert ids(df, flt) == ids(
+        df, {"type": "search", "dimension": "host",
+             "query": {"type": "insensitive_contains", "value": "a.example"}})
+
+
 def test_search_insensitive_contains(df):
     flt = {"type": "search", "dimension": "host",
            "query": {"type": "insensitive_contains", "value": "a.example"}}
