@@ -23,9 +23,11 @@ filtering (SURVEY.md §4 O4).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import ArrayType, NumericType, StructType
 
 
 def _is_array(schema: StructType | None, name: str) -> bool:
@@ -46,6 +48,70 @@ def _null_or_empty(col: Column, is_array: bool) -> Column:
     if is_array:
         return col.isNull() | (F.size(col) == 0)
     return col.isNull() | (col == F.lit(""))
+
+
+_CHUNK_SPLIT = r"(?<=[0-9])(?=[^0-9])|(?<=[^0-9])(?=[0-9])"
+
+
+def _alphanum_chunks(s: str) -> list[str]:
+    return re.findall(r"[0-9]+|[^0-9]+", s)
+
+
+def _strip_zeros(s: str) -> str:
+    return s.lstrip("0") or "0"
+
+
+def _natural_cmp(col: Column, bound: str) -> tuple[Column, Column]:
+    """(col < bound, col > bound) under Druid 0.9's alphanumeric comparator
+    (StringComparators.ALPHANUMERIC): strings split into digit / non-digit
+    chunks; two digit chunks compare as nonnegative integers, any other
+    chunk pair compares lexicographically; a string that runs out of chunks
+    first is smaller.
+
+    The bound is a plan-time literal, so its chunking happens in Python and
+    the runtime side is one ``split`` plus an O(#bound-chunks) expression —
+    no UDF. Digit-chunk numeric comparison uses (zero-stripped length,
+    lexicographic) tuple order, which equals integer order at arbitrary
+    precision without any overflow-prone cast.
+    """
+    toks = F.split(col, _CHUNK_SPLIT)
+    kchunks = _alphanum_chunks(bound)
+    if not kchunks:  # empty bound: anything non-empty is greater
+        return F.lit(False), col != F.lit("")
+
+    digits = "^[0-9]+$"
+    lt = F.lit(False)  # all bound chunks matched equally...
+    gt = F.size(toks) > len(kchunks)  # ...col bigger only via extra chunks
+    for i in reversed(range(len(kchunks))):
+        # try_element_at: out-of-bounds → null (ANSI element_at throws)
+        t = F.try_element_at(toks, F.lit(i + 1))
+        kc = kchunks[i]
+        if kc.isdigit():
+            kn = _strip_zeros(kc)
+            ts = F.regexp_replace(t, "^0+", "")
+            ts = F.when(ts == "", F.lit("0")).otherwise(ts)
+            both = t.rlike(digits)
+            c_lt = F.when(
+                both,
+                (F.length(ts) < len(kn)) | ((F.length(ts) == len(kn)) & (ts < kn)),
+            ).otherwise(t < F.lit(kc))
+            c_gt = F.when(
+                both,
+                (F.length(ts) > len(kn)) | ((F.length(ts) == len(kn)) & (ts > kn)),
+            ).otherwise(t > F.lit(kc))
+        else:
+            c_lt, c_gt = t < F.lit(kc), t > F.lit(kc)
+        # a missing chunk at i means col is a strict prefix of the bound
+        lt = F.when(t.isNull(), F.lit(True)).otherwise(
+            F.when(c_lt, F.lit(True)).when(c_gt, F.lit(False)).otherwise(lt)
+        )
+        gt = F.when(t.isNull(), F.lit(False)).otherwise(
+            F.when(c_gt, F.lit(True)).when(c_lt, F.lit(False)).otherwise(gt)
+        )
+    # Spark splits "" into [""] (one empty token) — force the prefix rule
+    lt = F.when(col == F.lit(""), F.lit(True)).otherwise(lt)
+    gt = F.when(col == F.lit(""), F.lit(False)).otherwise(gt)
+    return lt, gt
 
 
 def _extraction_fn(fn: dict, col: Column) -> Column:
@@ -154,7 +220,26 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
         return pred
 
     if ftype == "bound":
-        numeric = bool(spec.get("alphaNumeric")) or spec.get("ordering") == "numeric"
+        # Three orderings:
+        # - plain: lexicographic (Druid default)
+        # - "ordering": "numeric" (engine extension) or alphaNumeric on a
+        #   NUMERIC column: compare as doubles — for a genuinely numeric
+        #   column this equals Druid's alphanumeric chunk order (nonneg
+        #   values), and the plain comparison pushes down to parquet stats
+        # - alphaNumeric on a STRING column: Druid 0.9's chunked
+        #   natural-sort comparator (digit runs numeric, e.g. "a9" < "a10")
+        col_numeric = False
+        if schema is not None:
+            try:
+                dt = schema[dim].dataType
+                col_numeric = isinstance(
+                    dt.elementType if isinstance(dt, ArrayType) else dt, NumericType
+                )
+            except KeyError:
+                pass
+        alpha = bool(spec.get("alphaNumeric")) or spec.get("ordering") == "alphanumeric"
+        numeric = spec.get("ordering") == "numeric" or (alpha and col_numeric)
+        natural = alpha and not numeric
 
         def one(v: Column) -> Column:
             # try_cast: under ANSI mode a plain cast THROWS on non-numeric
@@ -164,11 +249,19 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
             target = v.try_cast("double") if numeric else v
             pred = target.isNotNull()
             if spec.get("lower") is not None:
-                lo = F.lit(float(spec["lower"])) if numeric else F.lit(spec["lower"])
-                pred = pred & (target > lo if spec.get("lowerStrict") else target >= lo)
+                if natural:
+                    lt, gt = _natural_cmp(v.cast("string"), str(spec["lower"]))
+                    pred = pred & (gt if spec.get("lowerStrict") else ~lt)
+                else:
+                    lo = F.lit(float(spec["lower"])) if numeric else F.lit(spec["lower"])
+                    pred = pred & (target > lo if spec.get("lowerStrict") else target >= lo)
             if spec.get("upper") is not None:
-                hi = F.lit(float(spec["upper"])) if numeric else F.lit(spec["upper"])
-                pred = pred & (target < hi if spec.get("upperStrict") else target <= hi)
+                if natural:
+                    lt, gt = _natural_cmp(v.cast("string"), str(spec["upper"]))
+                    pred = pred & (lt if spec.get("upperStrict") else ~gt)
+                else:
+                    hi = F.lit(float(spec["upper"])) if numeric else F.lit(spec["upper"])
+                    pred = pred & (target < hi if spec.get("upperStrict") else target <= hi)
             return pred
 
         if arr:

@@ -31,9 +31,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     cheap relative to the per-row hashing it unlocks; no-op when the scan
     is already wide enough."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # width heuristic from driver-side file metadata: len(inputFiles) costs
+    # no job, unlike df.rdd.getNumPartitions() which forces a full plan
+    # conversion per call
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------- exact
@@ -134,6 +141,7 @@ def lsh_candidate_pairs(
     signature_col: str = "signature",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature; documents sharing any
     band bucket become a candidate pair.
@@ -141,6 +149,16 @@ def lsh_candidate_pairs(
     Plan shape: explode bands (xN map-side) → shuffle once on the band
     bucket key → within-bucket self-join (buckets are small by
     construction) → distinct pairs. No cross join at any scale.
+
+    ``max_bucket_size`` bounds the within-bucket join against degenerate
+    corpora (thousands of near-identical docs landing in one band bucket
+    would make that bucket's self-join quadratic): buckets above the cap
+    are deterministically truncated to their ``max_bucket_size`` lowest
+    ids, so candidate volume stays ≤ bands × n × max_bucket_size (linear
+    in n). Truncation can only LOSE pairs among docs that already share a
+    bucket with 10k+ others — run ``exact_dedup`` first (as
+    examples/training_pipeline.py does) if such pile-ups are expected, or
+    pass ``None`` to disable the cap.
     """
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
@@ -160,6 +178,13 @@ def lsh_candidate_pairs(
             )
         ).alias("__bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__band", "__bucket").orderBy("__id")
+        banded = (
+            banded.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -184,6 +209,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
     Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
@@ -196,7 +222,9 @@ def minhash_lsh_dedup_pairs(
     # the verification join); persist so shingling runs once, not three times
     base = base.persist()
     with_sig = minhash_table(base, "__id", "__sh", num_hashes, seed)
-    cands = lsh_candidate_pairs(with_sig, "__id", "signature", bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        with_sig, "__id", "signature", bands, rows_per_band, max_bucket_size
+    )
     verified = (
         cands.join(base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -315,12 +343,16 @@ def simhash_candidate_pairs(
     seed: int = 7,
     bits: int = 64,
     hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on (k+1) signature chunks —
     pigeonhole guarantees any pair within hamming distance k agrees on at
     least one chunk — then verify the true hamming distance via bit_count.
     One shuffle on chunk keys; no cross join. The blocking is exact (not
-    probabilistic): the result equals the all-pairs hamming filter."""
+    probabilistic): the result equals the all-pairs hamming filter —
+    unless a chunk bucket exceeds ``max_bucket_size`` (see
+    ``lsh_candidate_pairs``; same deterministic truncation, same
+    exact-dedup-first advice for pathological corpora)."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     sigs = simhash_table(df, id_col, text_col, bits=bits, seed=seed,
@@ -342,6 +374,13 @@ def simhash_candidate_pairs(
             ])
         ).alias("__c"),
     ).select("__id", "__sig", F.col("__c.chunk").alias("__chunk"), F.col("__c.key").alias("__key"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__chunk", "__key").orderBy("__id")
+        parts = (
+            parts.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     l, r = parts.alias("l"), parts.alias("r")
     pairs = (
         l.join(

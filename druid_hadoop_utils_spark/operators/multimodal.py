@@ -135,10 +135,22 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def media_stats(df: DataFrame) -> DataFrame:
-    """Metadata-only stats — verifies that the binary column is pruned out
-    of the scan when untouched (check ReadSchema in .explain)."""
+    """Metadata-only stats: touches ONLY ``kind`` and ``meta``, so column
+    pruning keeps the ``content`` blobs out of the parquet scan entirely
+    (check ReadSchema in .explain — pinned by tests)."""
+    return df.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("meta.width") * F.col("meta.height")).alias("avg_pixels"),
+        F.avg("meta.duration_ms").alias("avg_duration_ms"),
+    )
+
+
+def media_byte_stats(df: DataFrame) -> DataFrame:
+    """Byte-level stats: necessarily READS every blob (``length(content)``
+    cannot come from metadata) — keep it a separate, deliberate full-scan
+    pass rather than a rider on ``media_stats``."""
     return df.groupBy("kind").agg(
         F.count("*").alias("n"),
         F.sum(F.length("content")).alias("total_bytes"),
-        F.avg(F.col("meta.width") * F.col("meta.height")).alias("avg_pixels"),
+        F.avg(F.length("content")).alias("avg_bytes"),
     )

@@ -136,8 +136,19 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Coarse-quantizer centroids for IVF: Lloyd's k-means on a driver-side
     sample (deterministic seed). At 100 TB the sample is still thousands of
-    rows — the centroids are tiny and ride to executors as a closure."""
-    rows = df.select(vec_col).limit(sample).collect()
+    rows — the centroids are tiny and ride to executors as a closure.
+
+    The sample is ordered by a seeded hash of the vector itself, so it —
+    and therefore the centroids — is identical across repartitioned /
+    re-laid-out copies of the same data (a bare ``limit`` would depend on
+    file order). ``orderBy + limit`` plans as TakeOrderedAndProject: a
+    per-partition top-k, no global sort shuffle."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

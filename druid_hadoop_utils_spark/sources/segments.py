@@ -22,6 +22,7 @@ file splitting, column pruning, and predicate pushdown natively.
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 import uuid
@@ -167,44 +168,76 @@ def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
     return out
 
 
+class _MaxKey:
+    """Inverts tuple ordering so heapq's min-heap acts as a max-heap over
+    (version, start, end) keys (version strings compare lexicographically,
+    as in Druid)."""
+
+    __slots__ = ("k",)
+
+    def __init__(self, k):
+        self.k = k
+
+    def __lt__(self, other):
+        return self.k > other.k
+
+
 def resolve_visible_windows(
     manifests: list[SegmentManifest], query_interval: Interval
 ) -> list[WindowedSegment]:
     """Versioned-timeline lookup: max version wins at every instant.
 
-    Sweep over elementary intervals formed by all segment boundaries clipped
-    to the query interval; in each, all shards of the lexicographically
-    greatest version covering it are visible (version strings compare
-    lexicographically, as in Druid). Adjacent windows per segment are merged.
+    A true boundary sweep — O(n log n) in segment count, which matters when
+    hourly ingest produces tens of thousands of segments: shards group into
+    (interval, version) chunks; chunks enter/leave an active set as the
+    sweep passes their boundaries; the visible chunk per elementary cell is
+    the max of a lazy-deletion heap keyed on (version, start, end). The
+    same-version-different-interval tie-break (newest interval wins —
+    pathological; Druid's publish protocol prevents it) is folded into that
+    key. Adjacent windows per segment are merged.
     """
     relevant = [m for m in manifests if m.interval.overlaps(query_interval)]
     if not relevant:
         return []
 
-    points = {query_interval.start, query_interval.end}
+    # all shards of one (interval, version) are visible together — Druid's
+    # timeline entry / partition-chunk grouping
+    chunks: dict[tuple, list[SegmentManifest]] = {}
     for m in relevant:
-        if query_interval.contains_point(m.interval.start):
-            points.add(m.interval.start)
-        if query_interval.contains_point(m.interval.end):
-            points.add(m.interval.end)
+        chunks.setdefault((m.interval.start, m.interval.end, m.version), []).append(m)
+
+    points = {query_interval.start, query_interval.end}
+    for s, e, _v in chunks:
+        if query_interval.contains_point(s):
+            points.add(s)
+        if query_interval.contains_point(e):
+            points.add(e)
     bounds = sorted(points)
 
+    keys = sorted(chunks)  # by (start, end, version): admission order
+    version_heap: list = []  # (_MaxKey((version, start, end)), chunk key)
+    end_heap: list = []  # (end, chunk key) — expiry order
+    active: set = set()
+    i = 0
     windows: dict[SegmentManifest, list[Interval]] = {}
     for lo, hi in zip(bounds, bounds[1:]):
-        cell = Interval(lo, hi)
-        covering = [m for m in relevant if m.interval.overlaps(cell)]
-        if not covering:
+        while i < len(keys) and keys[i][0] <= lo:
+            key = keys[i]
+            i += 1
+            s, e, v = key
+            if e > lo:  # chunk still alive at this cell
+                active.add(key)
+                heapq.heappush(version_heap, (_MaxKey((v, s, e)), key))
+                heapq.heappush(end_heap, (e, key))
+        while end_heap and end_heap[0][0] <= lo:
+            active.discard(heapq.heappop(end_heap)[1])
+        while version_heap and version_heap[0][1] not in active:
+            heapq.heappop(version_heap)  # lazy deletion of expired chunks
+        if not version_heap:
             continue
-        best_version = max(m.version for m in covering)
-        winners = [m for m in covering if m.version == best_version]
-        # all shards of the winning (version, interval) are visible; if the
-        # same version string covers the cell under DIFFERENT intervals
-        # (pathological — Druid's publish protocol prevents it), tie-break
-        # deterministically on the newest interval
-        best_interval = max((m.interval.start, m.interval.end) for m in winners)
-        for m in winners:
-            if (m.interval.start, m.interval.end) == best_interval:
-                windows.setdefault(m, []).append(cell)
+        cell = Interval(lo, hi)
+        for m in chunks[version_heap[0][1]]:
+            windows.setdefault(m, []).append(cell)
 
     out = []
     for m, cells in windows.items():

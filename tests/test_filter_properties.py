@@ -47,11 +47,15 @@ leaf_bound_lex = st.builds(
     st.booleans(), st.booleans(),
 )
 leaf_bound_num = st.builds(
-    lambda lo, hi: {"type": "bound", "dimension": "n", "alphaNumeric": True,
-                    **({"lower": lo} if lo is not None else {}),
-                    **({"upper": hi} if hi is not None else {})},
-    st.sampled_from(["-5", "0", "1", "2", "10", None]),
-    st.sampled_from(["-5", "0", "1", "2", "10", None]),
+    lambda d, lo, hi, ls, us: {"type": "bound", "dimension": d,
+                               "alphaNumeric": True, "lowerStrict": ls,
+                               "upperStrict": us,
+                               **({"lower": lo} if lo is not None else {}),
+                               **({"upper": hi} if hi is not None else {})},
+    st.sampled_from(["n", "s", "arr"]),
+    st.sampled_from(["-5", "0", "1", "2", "10", "a9", "a10", "ab", "", None]),
+    st.sampled_from(["-5", "0", "1", "2", "10", "a9", "a10", "ab", "", None]),
+    st.booleans(), st.booleans(),
 )
 leaf_search = st.builds(
     lambda d, v, ins: {"type": "search", "dimension": d,
@@ -76,6 +80,27 @@ def trees(depth: int = 2):
 
 
 # --- pure-Python reference evaluator (three-valued: True/False/None) ---
+
+import re
+
+
+def _an_chunks(s):
+    return re.findall(r"[0-9]+|[^0-9]+", s)
+
+
+def druid_alphanum_cmp(a, b):
+    """Reference implementation of Druid 0.9's alphanumeric comparator:
+    digit chunks compare as nonnegative integers, other chunks
+    lexicographically, shorter chunk-list first on a tie."""
+    ca, cb = _an_chunks(a), _an_chunks(b)
+    for x, y in zip(ca, cb):
+        if x.isdigit() and y.isdigit():
+            xi, yi = int(x), int(y)
+            if xi != yi:
+                return -1 if xi < yi else 1
+        elif x != y:
+            return -1 if x < y else 1
+    return (len(ca) > len(cb)) - (len(ca) < len(cb))
 
 def _tri_and(vals):
     if any(v is False for v in vals):
@@ -104,21 +129,23 @@ def _scalar_pred(spec, v):
     if t == "bound":
         if v is None:
             return None
-        numeric = bool(spec.get("alphaNumeric"))
-        if numeric:
-            try:
-                tv = float(v)
-            except ValueError:
-                return None  # cast failure → unknown, like Spark
-        else:
-            tv = v
+        # alphaNumeric on a STRING column = Druid 0.9's chunked
+        # natural-sort comparator (numeric columns would compare as
+        # doubles, but every column in ROWS is a string)
+        if spec.get("alphaNumeric"):
+            ok = True
+            if spec.get("lower") is not None:
+                c = druid_alphanum_cmp(v, spec["lower"])
+                ok = ok and (c > 0 if spec.get("lowerStrict") else c >= 0)
+            if spec.get("upper") is not None:
+                c = druid_alphanum_cmp(v, spec["upper"])
+                ok = ok and (c < 0 if spec.get("upperStrict") else c <= 0)
+            return ok
         ok = True
         if spec.get("lower") is not None:
-            lo = float(spec["lower"]) if numeric else spec["lower"]
-            ok = ok and (tv > lo if spec.get("lowerStrict") else tv >= lo)
+            ok = ok and (v > spec["lower"] if spec.get("lowerStrict") else v >= spec["lower"])
         if spec.get("upper") is not None:
-            hi = float(spec["upper"]) if numeric else spec["upper"]
-            ok = ok and (tv < hi if spec.get("upperStrict") else tv <= hi)
+            ok = ok and (v < spec["upper"] if spec.get("upperStrict") else v <= spec["upper"])
         return ok
     if t == "search":
         if v is None:
@@ -178,6 +205,30 @@ def py_eval(spec, row):
 @pytest.fixture(scope="module")
 def df(spark):
     return spark.createDataFrame([Row(**r) for r in ROWS])
+
+
+def test_natural_cmp_grid_matches_druid_comparator(spark):
+    """All-pairs grid: the Catalyst natural comparator must agree with the
+    Python reference of Druid 0.9's StringComparators.ALPHANUMERIC on
+    tricky mixed strings (digit runs, leading zeros, punctuation chunk
+    boundaries, empties, big numbers)."""
+    from druid_hadoop_utils_spark.functions.filters import _natural_cmp
+    from pyspark.sql import functions as F
+
+    vals = ["", "0", "7", "007", "10", "9", "a", "a9", "a10", "a.5", "a15",
+            "ab", "a1b2", "a1b10", "-3", "-5", "1.2.3", "x10y", "x9y",
+            "12345678901234567890123456789012345678901", "z"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    cols = []
+    for j, b in enumerate(vals):
+        lt, gt = _natural_cmp(F.col("v"), b)
+        cols += [lt.alias(f"lt{j}"), gt.alias(f"gt{j}")]
+    rows = {r.v: r for r in df.select("v", *cols).collect()}
+    for a in vals:
+        for j, b in enumerate(vals):
+            c = druid_alphanum_cmp(a, b)
+            assert rows[a][f"lt{j}"] == (c < 0), (a, b)
+            assert rows[a][f"gt{j}"] == (c > 0), (a, b)
 
 
 @settings(max_examples=60, deadline=None,

@@ -50,10 +50,23 @@ def test_frame_sample_plan_no_decode(media):
     assert rows == [0, 1000, 2000, 3000]
 
 
-def test_media_stats(media):
+def test_media_stats_is_metadata_only(media, spark, tmp_path):
     out = {r.kind: r for r in M.media_stats(media).collect()}
     assert out["image"].n == 2
+    assert out["image"].avg_pixels == (64 * 48 + 32 * 32) / 2
+    # over parquet, the stats plan must NOT read the content column
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    plan = M.media_stats(spark.read.parquet(path))._jdf.queryExecution() \
+        .executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("content" not in ln for ln in read_schema)
+
+
+def test_media_byte_stats_reads_blobs(media):
+    out = {r.kind: r for r in M.media_byte_stats(media).collect()}
     assert out["image"].total_bytes == 403
+    assert out["video"].total_bytes == 50
 
 
 def test_streaming_segment_publish(spark, tmp_path):

@@ -69,6 +69,30 @@ def test_minhash_recall_vs_exact_on_real_docs(spark, sf_dir):
         assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Adversarial all-identical corpus: every doc lands in every band
+    bucket, so the uncapped self-join would be quadratic (C(500,2) =
+    124750 pairs). The cap truncates each bucket to its lowest ids,
+    keeping candidate volume linear in n."""
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same text repeated for every single document here").alias("text"),
+    )
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5,
+                                      max_bucket_size=20)
+    assert pairs.count() == 190  # C(20,2): pairs among the 20 kept ids only
+
+
+def test_simhash_hot_bucket_cap_bounds_candidates(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same text repeated for every single document here").alias("text"),
+    )
+    pairs = D.simhash_candidate_pairs(docs, "doc_id", max_hamming=3,
+                                      max_bucket_size=20)
+    assert pairs.count() == 190
+
+
 def test_minhash_battery_params_equal_exact(spark, sf_dir):
     """The battery's convergent parameterization (num_hashes=64, bands=32)
     must reproduce the exact all-pairs answer — this is what makes

@@ -91,6 +91,18 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_centroids_layout_stable(spark, sf_dir):
+    """Centroids must be identical across repartitioned copies of the same
+    data (the sample is hash-ordered, not file-order-dependent)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = S.kmeans_centroids(emb, n_cells=8, sample=256)
+    b = S.kmeans_centroids(emb.repartition(17), n_cells=8, sample=256)
+    c = S.kmeans_centroids(emb.coalesce(1), n_cells=8, sample=256)
+    assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
 def test_ivf_deterministic(spark, sf_dir):
     from druid_hadoop_utils_spark.operators.similarity import ivf_topk
 

@@ -144,10 +144,12 @@ def test_extraction_lookup_replace_missing(df):
     assert ids(df, flt) == [2, 3, 4]
 
 
-def test_extraction_registered_lookup_rejected(df):
+def test_extraction_unregistered_lookup_raises(df):
+    # registeredLookup is supported (functions/lookups registry); an
+    # UNREGISTERED name must fail loudly, not silently match nothing
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(KeyError):
         filter_to_column({"type": "extraction", "dimension": "host", "value": "x",
                           "extractionFn": {"type": "registeredLookup", "lookup": "l"}},
                          df.schema)
