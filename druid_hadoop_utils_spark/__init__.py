@@ -50,6 +50,11 @@ from druid_hadoop_utils_spark.functions.lookups import (
     register_lookup,
     unregister_lookup,
 )
+from druid_hadoop_utils_spark.sources.druid_segment import (
+    druid_hll_estimate,
+    druid_hll_merge_estimate,
+    import_druid_segment,
+)
 from druid_hadoop_utils_spark import api
 
 __all__ = [
@@ -72,6 +77,9 @@ __all__ = [
     "register_lookup",
     "unregister_lookup",
     "lookup_join",
+    "import_druid_segment",
+    "druid_hll_estimate",
+    "druid_hll_merge_estimate",
     "api",
 ]
 
