@@ -959,6 +959,26 @@ def q_api_timeseries(spark, sf_dir):
 
 
 @register(
+    "q_theta_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS theta_users,
+              count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q_theta_distinct(spark, sf_dir):
+    # KMV theta-style distinct through the AggregatorFactory grammar; the
+    # default k (16384) exceeds the distinct-user cardinality at these SFs,
+    # so the state is under-full and the estimate is EXACT (theta = 1) —
+    # which is what makes the count(distinct) oracle a hash-match
+    ev = _t(spark, sf_dir, "events")
+    return group_aggregate(
+        ev, ["event_type"],
+        [{"type": "thetaSketch", "name": "theta_users", "fieldName": "user_id"},
+         {"type": "count", "name": "n"}],
+        time_column=None,
+    )
+
+
+@register(
     "q_multi_interval",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
               round(sum(value), 2) AS total, count(*) AS n

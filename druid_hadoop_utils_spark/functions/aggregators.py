@@ -148,6 +148,33 @@ def agg_expr(
             F.hll_sketch_estimate(partial).cast(_FINAL_CASTS[finalize_type]).alias(name)
         )
 
+    if atype == "thetaSketch":
+        # KMV theta-style distinct (functions/theta): array<long> state,
+        # mergeable; Druid DataSketches-extension JSON shape {type, name,
+        # fieldName, size}. A field that is ALREADY a state (array<long>)
+        # merges instead of rebuilding — same convention as hyperUnique.
+        from druid_hadoop_utils_spark.functions.theta import (
+            DEFAULT_K,
+            is_kmv_state,
+            kmv_estimate,
+            kmv_merge,
+            kmv_state,
+        )
+
+        if field is None:
+            raise ValueError(f"thetaSketch needs fieldName: {spec!r}")
+        k = int(spec.get("size", DEFAULT_K))
+        try:
+            already_state = schema is not None and is_kmv_state(schema[field].dataType)
+        except KeyError:
+            already_state = False
+        partial = (
+            kmv_merge(value(field), k) if already_state else kmv_state(value(field), k)
+        )
+        if not finalize:
+            return partial.alias(name)
+        return kmv_estimate(partial, k).cast(_FINAL_CASTS[finalize_type]).alias(name)
+
     if atype in {"approxHistogram", "approxHistogramFold"}:
         # Druid's approximate-histogram extension, re-expressed on the
         # engine's mergeable binned-histogram state (functions/quantiles);
@@ -210,6 +237,14 @@ def _post_expr(spec: dict) -> Column:
         # finalize a non-finalized sketch column → double estimate
         # (reference: druid_exporter.pig:4,15 + PostAggregatorAdapter.java:94)
         return F.hll_sketch_estimate(F.col(spec["fieldName"])).cast("double")
+    if ptype == "thetaSketchEstimate":
+        # finalize a non-finalized KMV theta state column → double estimate
+        # (Druid DataSketches extension post-agg shape)
+        from druid_hadoop_utils_spark.functions.theta import DEFAULT_K, kmv_estimate
+
+        inner = spec.get("field")
+        target = _post_expr(inner) if inner else F.col(spec["fieldName"])
+        return kmv_estimate(target, int(spec.get("size", DEFAULT_K)))
     if ptype == "arithmetic":
         fn = spec["fn"]
         parts = [_post_expr(f).cast("double") for f in spec["fields"]]

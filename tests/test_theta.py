@@ -1,0 +1,110 @@
+"""KMV theta-sketch distinct: state/merge/estimate, grammar wiring,
+memory-bounded path, estimator accuracy."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.functions import theta as T
+from druid_hadoop_utils_spark.functions.aggregators import (
+    agg_expr,
+    group_aggregate,
+    post_agg_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # 3 groups; group g{i} has (i+1)*10 distinct users, each seen twice
+    rows = [
+        Row(g=f"g{i}", u=f"user{i}_{j % ((i + 1) * 10)}")
+        for i in range(3)
+        for j in range(2 * (i + 1) * 10)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_underfull_state_is_exact(people):
+    out = {r.g: r.d for r in people.groupBy("g").agg(
+        T.kmv_estimate(T.kmv_state(F.col("u"), k=256), k=256).alias("d")
+    ).collect()}
+    assert out == {"g0": 10.0, "g1": 20.0, "g2": 30.0}
+
+
+def test_merge_equals_direct(people):
+    """Partial states per (g, parity-of-row) merged together must estimate
+    the same as one direct aggregation — the two-phase contract."""
+    k = 256
+    halves = people.withColumn("half", F.length("u") % 2)
+    partial = halves.groupBy("g", "half").agg(
+        T.kmv_state(F.col("u"), k).alias("st"))
+    merged = partial.groupBy("g").agg(
+        T.kmv_estimate(T.kmv_merge(F.col("st"), k), k).alias("d"))
+    direct = people.groupBy("g").agg(
+        T.kmv_estimate(T.kmv_state(F.col("u"), k), k).alias("d"))
+    assert {r.g: r.d for r in merged.collect()} == \
+           {r.g: r.d for r in direct.collect()}
+
+
+def test_estimator_accuracy_at_small_k(spark):
+    """10k distinct with k=1024: the (k-1)/theta estimator must land within
+    10% (RSE ~ 1/sqrt(k-2) ~ 3.1%; deterministic seed, so this is a fixed
+    value, not a flaky bound)."""
+    df = spark.range(10_000).select(F.concat(F.lit("v"), F.col("id")).alias("u"))
+    est = df.agg(
+        T.kmv_estimate(T.kmv_state(F.col("u"), k=1024), k=1024).alias("d")
+    ).first().d
+    assert est == pytest.approx(10_000, rel=0.10)
+
+
+def test_kmv_distinct_bounded_path_matches_expression_path(people):
+    k = 64
+    bounded = {r.g: r.estimate for r in T.kmv_distinct(people, ["g"], "u", k).collect()}
+    expr = {r.g: r.d for r in people.groupBy("g").agg(
+        T.kmv_estimate(T.kmv_state(F.col("u"), k), k).alias("d")).collect()}
+    assert bounded == expr
+
+
+def test_nulls_do_not_count(spark):
+    df = spark.createDataFrame([Row(u="a"), Row(u="b"), Row(u=None), Row(u=None)])
+    est = df.agg(T.kmv_estimate(T.kmv_state(F.col("u"))).alias("d")).first().d
+    assert est == 2.0
+
+
+def test_theta_sketch_aggregator_grammar(people):
+    out = group_aggregate(
+        people, ["g"],
+        [{"type": "thetaSketch", "name": "d", "fieldName": "u", "size": 256}],
+        time_column=None,
+    )
+    assert {r.g: r.d for r in out.collect()} == {"g0": 10.0, "g1": 20.0, "g2": 30.0}
+
+
+def test_theta_two_phase_with_post_agg(people):
+    """NonFinalizing (state array) → re-merge over a pre-built state column
+    → thetaSketchEstimate post-agg, mirroring the hyperUnique chain."""
+    partial = group_aggregate(
+        people, ["g"],
+        [{"type": "thetaSketch", "name": "st", "fieldName": "u", "size": 256}],
+        finalize=False, time_column=None,
+    )
+    assert dict(partial.dtypes)["st"] == "array<bigint>"
+    # re-aggregate the state column: agg_expr detects array<long> → merge
+    total = partial.agg(
+        agg_expr({"type": "thetaSketch", "name": "st", "fieldName": "st",
+                  "size": 256}, partial.schema, finalize=False)
+    ).select(post_agg_expr({"type": "thetaSketchEstimate", "name": "d",
+                            "fieldName": "st", "size": 256}))
+    assert total.first().d == 60.0  # 10 + 20 + 30 disjoint users
+
+
+def test_filtered_theta(people):
+    out = group_aggregate(
+        people, [],
+        [{"type": "filtered", "name": "d",
+          "filter": {"type": "selector", "dimension": "g", "value": "g2"},
+          "aggregator": {"type": "thetaSketch", "name": "d", "fieldName": "u",
+                         "size": 256}}],
+        time_column=None,
+    )
+    assert out.first().d == 30.0
