@@ -12,7 +12,7 @@ top-k per partition (TakeOrderedAndProject), not a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
@@ -68,10 +68,13 @@ def topn(
 ) -> DataFrame:
     """Druid ``topN``: leaderboard of ``dimension`` values by ``metric``
     within each granularity bucket (ties broken by dimension value for
-    determinism)."""
+    determinism). ``dimension`` may be a name or a DimensionSpec."""
     from pyspark.sql import Window
 
     df, _ = _base(spark, source, spec, interval, data_source, time_column)
+    df, (dimension,) = _apply_dimension_specs(
+        df, [_normalize_dimension_spec(dimension)]
+    )
     out = group_aggregate(df, [dimension], aggregations, post_aggregations)
     w = Window.partitionBy("__time").orderBy(F.desc(metric), F.col(dimension))
     return (
@@ -80,6 +83,93 @@ def topn(
         .drop("__rank")
         .orderBy("__time", F.desc(metric), F.col(dimension))
     )
+
+
+def _apply_dimension_specs(df: DataFrame, specs: list[dict]) -> tuple[DataFrame, list[str]]:
+    """Materialize DimensionSpec outputs (renames / extractionFns) as
+    columns; returns the frame plus the output group-key names. Extraction
+    over a multi-value dimension maps per element (Druid semantics)."""
+    from pyspark.sql.types import ArrayType
+
+    from druid_hadoop_utils_spark.functions.filters import _extraction_fn
+
+    for d in specs:
+        fn, src, out = d["extractionFn"], d["dimension"], d["outputName"]
+        if fn is not None:
+            col = F.col(src)
+            if isinstance(df.schema[src].dataType, ArrayType):
+                df = df.withColumn(out, F.transform(col, lambda v: _extraction_fn(fn, v)))
+            else:
+                df = df.withColumn(out, _extraction_fn(fn, col))
+        elif out != src:
+            df = df.withColumn(out, F.col(src))
+    return df, [d["outputName"] for d in specs]
+
+
+def _normalize_dimension_spec(d) -> dict:
+    """Druid DimensionSpec: a bare string, {"type": "default", "dimension",
+    "outputName"}, or {"type": "extraction", ..., "extractionFn"}."""
+    if isinstance(d, str):
+        return {"dimension": d, "outputName": d, "extractionFn": None}
+    dtype = d.get("type", "default")
+    if dtype not in {"default", "extraction"}:
+        raise ValueError(f"unknown dimensionSpec type: {dtype!r}")
+    fn = d.get("extractionFn") if dtype == "extraction" else None
+    if dtype == "extraction" and fn is None:
+        raise ValueError(f"extraction dimensionSpec needs extractionFn: {d!r}")
+    return {
+        "dimension": d["dimension"],
+        "outputName": d.get("outputName") or d["dimension"],
+        "extractionFn": fn,
+    }
+
+
+def having_to_column(spec: dict) -> Column:
+    """Druid 0.9 HavingSpec → boolean Column over the aggregated output:
+    equalTo / greaterThan / lessThan on aggregation names, dimSelector on
+    group keys, and / or / not combinators."""
+    htype = spec.get("type")
+    if htype == "and":
+        out = having_to_column(spec["havingSpecs"][0])
+        for h in spec["havingSpecs"][1:]:
+            out = out & having_to_column(h)
+        return out
+    if htype == "or":
+        out = having_to_column(spec["havingSpecs"][0])
+        for h in spec["havingSpecs"][1:]:
+            out = out | having_to_column(h)
+        return out
+    if htype == "not":
+        return ~F.coalesce(having_to_column(spec["havingSpec"]), F.lit(False))
+    if htype in {"equalTo", "greaterThan", "lessThan"}:
+        col = F.col(spec["aggregation"]).cast("double")
+        val = F.lit(float(spec["value"]))
+        return {"equalTo": col == val, "greaterThan": col > val,
+                "lessThan": col < val}[htype]
+    if htype == "dimSelector":
+        return F.col(spec["dimension"]) == F.lit(spec["value"])
+    raise ValueError(f"unknown havingSpec type: {htype!r}")
+
+
+def _apply_limit_spec(df: DataFrame, spec: dict) -> DataFrame:
+    """Druid 0.9 DefaultLimitSpec: ordered columns + limit."""
+    if spec.get("type", "default") != "default":
+        raise ValueError(f"unknown limitSpec type: {spec!r}")
+    orders = []
+    for c in spec.get("columns", []):
+        if isinstance(c, str):
+            orders.append(F.col(c).asc())
+        else:
+            col = F.col(c["dimension"])
+            orders.append(
+                col.desc() if c.get("direction", "ascending").lower()
+                in {"descending", "desc"} else col.asc()
+            )
+    if orders:
+        df = df.orderBy(*orders)
+    if spec.get("limit") is not None:
+        df = df.limit(int(spec["limit"]))
+    return df
 
 
 def druid_query(
@@ -93,9 +183,11 @@ def druid_query(
     0.9.x client would POST (queryType timeseries | topN | groupBy |
     select/scan), compiled to one DataFrame plan.
 
-    Recognized fields: ``queryType``, ``dataSource``, ``intervals`` (one),
-    ``granularity``, ``dimension(s)``, ``filter``, ``aggregations``,
-    ``postAggregations``, ``metric`` + ``threshold`` (topN), ``limit``.
+    Recognized fields: ``queryType``, ``dataSource``, ``intervals``,
+    ``granularity``, ``dimension(s)`` (strings or default/extraction
+    DimensionSpecs), ``filter``, ``aggregations``, ``postAggregations``,
+    ``metric`` + ``threshold`` (topN), ``having``, ``limitSpec``,
+    ``limit``.
     """
     import json as _json
 
@@ -110,7 +202,9 @@ def druid_query(
     if not interval:
         raise ValueError("at least one interval is required")
 
-    dims = q.get("dimensions") or ([q["dimension"]] if q.get("dimension") else [])
+    raw_dims = q.get("dimensions") or ([q["dimension"]] if q.get("dimension") else [])
+    dim_specs = [_normalize_dimension_spec(d) for d in raw_dims]
+    dims = [d["dimension"] for d in dim_specs]  # scan-input names
     aggs = q.get("aggregations") or []
     posts = q.get("postAggregations") or []
 
@@ -225,8 +319,12 @@ def druid_query(
                     aggregations=aggs, post_aggregations=posts,
                     interval=interval, data_source=ds, time_column=time_column)
     if qtype == "groupBy":
-        out = groupby(spark, source, spec, dims, aggs, posts,
+        out = groupby(spark, source, spec, raw_dims, aggs, posts,
                       interval=interval, data_source=ds, time_column=time_column)
+        if q.get("having"):
+            out = out.where(having_to_column(q["having"]))
+        if q.get("limitSpec"):
+            out = _apply_limit_spec(out, q["limitSpec"])
         if q.get("limit"):
             out = out.limit(int(q["limit"]))
         return out
@@ -247,11 +345,13 @@ def groupby(
 ) -> DataFrame:
     """Druid ``groupBy``: group on (bucket, dims). Multi-value dimensions
     explode so each value groups separately (Druid semantics,
-    SURVEY.md §7.4), unless ``explode_multivalue=False``."""
+    SURVEY.md §7.4), unless ``explode_multivalue=False``. Dimensions may
+    be bare names or Druid DimensionSpecs (default / extraction)."""
     from pyspark.sql.types import ArrayType
 
     df, spec_obj = _base(spark, source, spec, interval, data_source, time_column)
-    dims = dimensions if dimensions is not None else spec_obj.dimensions
+    raw = dimensions if dimensions is not None else spec_obj.dimensions
+    df, dims = _apply_dimension_specs(df, [_normalize_dimension_spec(d) for d in raw])
     if explode_multivalue:
         for d in dims:
             if isinstance(df.schema[d].dataType, ArrayType):

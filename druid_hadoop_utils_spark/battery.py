@@ -1309,6 +1309,43 @@ def q_api_groupby(spark, sf_dir):
     return out.withColumn("total", F.round("total", 2))
 
 
+@register(
+    "q_api_groupby_having_limit",
+    """SELECT substr(event_type, 1, 2) AS etype2,
+              round(sum(value), 2) AS total, count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+       GROUP BY 1 HAVING count(*) > 100
+       ORDER BY sum(value) DESC, etype2 LIMIT 3""",
+)
+def q_api_groupby_having_limit(spark, sf_dir):
+    # full Druid 0.9 groupBy JSON surface in one query: an extraction
+    # DimensionSpec (substring, renamed output), a havingSpec over an
+    # aggregation, and a DefaultLimitSpec with ordered columns
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    out = api.druid_query(spark, ev, {
+        "queryType": "groupBy",
+        "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": [{"type": "extraction", "dimension": "event_type",
+                        "outputName": "etype2",
+                        "extractionFn": {"type": "substring", "index": 0,
+                                         "length": 2}}],
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "n"},
+        ],
+        "having": {"type": "greaterThan", "aggregation": "n", "value": 100},
+        "limitSpec": {"type": "default", "limit": 3,
+                      "columns": [{"dimension": "total",
+                                   "direction": "descending"},
+                                  {"dimension": "etype2"}]},
+    }, time_column="ts")
+    return out.withColumn("total", F.round("total", 2)).drop("__time")
+
+
 # =====================================================================
 # entry points for __spark_entry__.py
 # =====================================================================

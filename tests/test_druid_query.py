@@ -116,6 +116,65 @@ def test_multiple_intervals_or_together(spark, events):
                                     "aggregations": []}, time_column="ts")
 
 
+def test_groupby_having_and_limit_spec(spark, events):
+    base = {
+        "queryType": "groupBy", "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"},
+                         {"type": "doubleSum", "name": "total",
+                          "fieldName": "value"}],
+    }
+    plain = {r.event_type: r.n for r in
+             druid_query(spark, events, base, time_column="ts").collect()}
+
+    q = dict(base, having={"type": "and", "havingSpecs": [
+        {"type": "greaterThan", "aggregation": "n", "value": 10},
+        {"type": "not", "havingSpec":
+            {"type": "dimSelector", "dimension": "event_type", "value": "error"}},
+    ]})
+    rows = druid_query(spark, events, q, time_column="ts").collect()
+    assert {r.event_type for r in rows} == \
+           {t for t, n in plain.items() if n > 10 and t != "error"}
+
+    q = dict(base, limitSpec={"type": "default", "limit": 2,
+                              "columns": [{"dimension": "n",
+                                           "direction": "descending"},
+                                          "event_type"]})
+    rows = druid_query(spark, events, q, time_column="ts").collect()
+    top2 = sorted(plain.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r.event_type, r.n) for r in rows] == top2
+
+
+def test_extraction_dimension_spec(spark, events):
+    q = {
+        "queryType": "groupBy", "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": [{"type": "extraction", "dimension": "event_type",
+                        "outputName": "first2",
+                        "extractionFn": {"type": "substring", "index": 0,
+                                         "length": 2}}],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    rows = {r.first2 for r in druid_query(spark, events, q, time_column="ts").collect()}
+    assert rows == {"cl", "er", "pu", "si", "vi"}
+
+
+def test_topn_with_dimension_spec(spark, events):
+    q = {
+        "queryType": "topN", "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-01-08"],
+        "dimension": {"type": "extraction", "dimension": "event_type",
+                      "outputName": "e1",
+                      "extractionFn": {"type": "upper"}},
+        "metric": "n", "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    rows = druid_query(spark, events, q, time_column="ts").collect()
+    assert len(rows) == 2
+    assert all(r.e1.isupper() for r in rows)
+
+
 def test_unknown_query_type_rejected(spark, events):
     with pytest.raises(ValueError):
         druid_query(spark, events, {"queryType": "mystery",
