@@ -672,6 +672,39 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
+@register(
+    "q_dedup_clusters",
+    """WITH RECURSIVE s AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+       SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY 1""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    # near-dup CLUSTERS: LSH pairs (convergent params == exact all-pairs)
+    # → iterative connected components; oracle recomputes components with
+    # a recursive CTE over the exact pair list
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5,
+                                       num_hashes=64, bands=32)
+    comp = DD.connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB recomputation of the md5_60 SimHash: token hash = first 15
     md5 hex chars as BIGINT (bit-for-bit the engine's ``md5_60``), per-bit

@@ -152,6 +152,35 @@ def test_simhash_md5_60_blocking_equals_allpairs(spark, sf_dir):
     assert blocked == allpairs
 
 
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6),
+         Row(id_a=3, id_b=9)]
+    )
+    out = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-node path: pointer jumping must converge in O(log n) rounds,
+    well under the iteration cap (plain propagation would need ~200)."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(200)]
+    )
+    out = D.connected_components(pairs, max_iterations=15)
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 201
+
+
+def test_neardup_dedup_keeps_one_per_cluster(docs):
+    out = D.neardup_dedup(docs, "doc_id", num_hashes=64, bands=32)
+    ids = sorted(r.doc_id for r in out.collect())
+    # two clusters: {1,2,3} (exact + near dup) and {4,5} (doc 5 extends
+    # doc 4, sharing 10 of 15 shingles → J = 0.67); min id survives each
+    assert ids == [1, 4]
+
+
 def test_simhash_near_dups(docs):
     pairs = D.simhash_candidate_pairs(docs, "doc_id", max_hamming=8)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
