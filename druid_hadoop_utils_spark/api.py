@@ -36,6 +36,43 @@ def _base(
     return df, spec
 
 
+def _bucket_frame(spark: SparkSession, granularity, intervals) -> DataFrame:
+    """One row per granularity bucket start covering the (condensed)
+    intervals — Catalyst ``sequence`` + ``explode``, no driver loop over
+    buckets."""
+    from druid_hadoop_utils_spark.functions.granularity import (
+        bucket_step_sql,
+        granularity_expr,
+    )
+    from druid_hadoop_utils_spark.intervals import parse_intervals
+
+    ivs = parse_intervals(intervals)
+    step = F.expr(bucket_step_sql(granularity))
+    parts = []
+    for iv in ivs:
+        start = F.lit(iv.start.replace(tzinfo=None)).cast("timestamp")
+        # sequence stop is inclusive: stop just short of the exclusive end
+        stop = F.lit(iv.end.replace(tzinfo=None)).cast("timestamp") - F.expr(
+            "INTERVAL 1 MICROSECOND"
+        )
+        parts.append(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(granularity_expr(granularity, start), stop, step)
+                ).alias("__time")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# aggregator types whose Druid "empty bucket" value is zero; everything
+# else (min/max, sketches) fills as null
+_ZERO_FILL_TYPES = {"count", "longSum", "doubleSum"}
+
+
 def timeseries(
     spark: SparkSession,
     source,
@@ -45,11 +82,37 @@ def timeseries(
     interval=None,
     data_source: str | None = None,
     time_column: str = "__time",
+    skip_empty_buckets: bool = False,
 ) -> DataFrame:
     """Druid ``timeseries``: one row per granularity bucket, ordered by
-    time. Dimensions in the spec are ignored for grouping (per Druid)."""
+    time. Dimensions in the spec are ignored for grouping (per Druid).
+
+    Druid's default is ``skipEmptyBuckets: false`` — buckets of the query
+    interval with no rows still appear, count/sum aggregators zero-filled
+    (min/max/sketches null) and post-aggs evaluated over the fill. Pass
+    ``skip_empty_buckets=True`` for the data-buckets-only behavior."""
+    if not isinstance(spec, LoadSpec):
+        spec = LoadSpec.from_json(spec, data_source=data_source, interval=interval)
     df, _ = _base(spark, source, spec, interval, data_source, time_column)
-    out = group_aggregate(df, [], aggregations, post_aggregations)
+    # post-aggs evaluate AFTER the empty-bucket fill (Druid computes them
+    # over the filled aggregate row)
+    out = group_aggregate(df, [], aggregations, None)
+    gran = spec.granularity
+    if not skip_empty_buckets and gran not in {"NONE", "ALL"}:
+        ivs = spec.intervals if interval is None else interval
+        buckets = _bucket_frame(spark, gran, ivs)
+        out = buckets.join(out, "__time", "left")
+        fills = [
+            F.coalesce(F.col(a["name"]), F.lit(0)).alias(a["name"])
+            if a.get("type") in _ZERO_FILL_TYPES
+            else F.col(a["name"])
+            for a in aggregations
+        ]
+        out = out.select("__time", *fills)
+    if post_aggregations:
+        from druid_hadoop_utils_spark.functions.aggregators import post_agg_expr
+
+        out = out.select("*", *[post_agg_expr(p) for p in post_aggregations])
     return out.orderBy("__time")
 
 
@@ -311,8 +374,10 @@ def druid_query(
                   "shard_num int, path string, visible boolean"
         )
     if qtype == "timeseries":
+        skip = bool((q.get("context") or {}).get("skipEmptyBuckets", False))
         return timeseries(spark, source, spec, aggs, posts,
-                          interval=interval, data_source=ds, time_column=time_column)
+                          interval=interval, data_source=ds,
+                          time_column=time_column, skip_empty_buckets=skip)
     if qtype == "topN":
         return topn(spark, source, spec, dimension=q["dimension"],
                     metric=q["metric"], threshold=int(q["threshold"]),

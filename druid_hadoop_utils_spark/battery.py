@@ -1012,6 +1012,37 @@ def q_theta_distinct(spark, sf_dir):
 
 
 @register(
+    "q_timeseries_zero_fill",
+    """SELECT g.b AS __time,
+              round(CAST(coalesce(sum(e.value), 0) AS DOUBLE), 2) AS total,
+              count(e.ts) AS n
+       FROM generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                            TIMESTAMP '2024-01-03 23:45:00',
+                            INTERVAL 15 MINUTE) g(b)
+       LEFT JOIN events e
+         ON e.ts >= g.b AND e.ts < g.b + INTERVAL 15 MINUTE
+       GROUP BY 1""",
+)
+def q_timeseries_zero_fill(spark, sf_dir):
+    # Druid timeseries default semantics: skipEmptyBuckets=false — every
+    # 15-minute bucket of the day appears, zero-filled when empty (96 rows
+    # regardless of data density)
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    out = api.druid_query(spark, ev, {
+        "queryType": "timeseries",
+        "granularity": "FIFTEEN_MINUTE",
+        "intervals": ["2024-01-03/2024-01-04"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "n"},
+        ],
+    }, time_column="ts")
+    return out.withColumn("total", F.round("total", 2))
+
+
+@register(
     "q_multi_interval",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
               round(sum(value), 2) AS total, count(*) AS n

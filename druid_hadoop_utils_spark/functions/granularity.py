@@ -108,6 +108,51 @@ def _period_expr(period: str, col: Column) -> Column:
     return _duration_trunc(col, secs)
 
 
+def bucket_step_sql(granularity: str | dict) -> str:
+    """The SQL INTERVAL literal stepping from one bucket start to the next
+    (for empty-bucket enumeration). Raises for NONE (no bucket structure)
+    and ALL (a single epoch bucket — no stepping)."""
+    if isinstance(granularity, dict):
+        gtype = granularity.get("type")
+        if gtype == "duration":
+            ms = int(granularity["duration"])
+            if ms % 1000:
+                raise ValueError("sub-second duration granularity unsupported")
+            return f"INTERVAL {ms // 1000} SECOND"
+        if gtype == "period":
+            p = granularity["period"].upper()
+            calendar = {"P1M": "INTERVAL 1 MONTH", "P3M": "INTERVAL 3 MONTH",
+                        "P1Y": "INTERVAL 1 YEAR"}
+            if p in calendar:
+                return calendar[p]
+            m = _PERIOD_RE.match(p)
+            if not m:
+                raise ValueError(f"unparseable period: {granularity['period']!r}")
+            secs = (
+                int(m.group("weeks") or 0) * 604800
+                + int(m.group("days") or 0) * 86400
+                + int(m.group("hours") or 0) * 3600
+                + int(m.group("minutes") or 0) * 60
+                + int(m.group("seconds") or 0)
+            )
+            if secs <= 0:
+                raise ValueError(f"empty period: {granularity['period']!r}")
+            return f"INTERVAL {secs} SECOND"
+        raise ValueError(f"unknown granularity spec: {granularity!r}")
+    g = granularity.upper()
+    fixed = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+             "WEEK": 604800, **_DURATION_SECONDS}
+    if g in fixed:
+        return f"INTERVAL {fixed[g]} SECOND"
+    if g == "MONTH":
+        return "INTERVAL 1 MONTH"
+    if g == "QUARTER":
+        return "INTERVAL 3 MONTH"
+    if g == "YEAR":
+        return "INTERVAL 1 YEAR"
+    raise ValueError(f"no bucket step for granularity: {granularity!r}")
+
+
 def oracle_trunc_sql(granularity: str | dict, col_sql: str) -> str:
     """DuckDB SQL equivalent of granularity_expr, for oracle checks."""
     def duration_sql(secs: int) -> str:

@@ -29,6 +29,38 @@ def test_timeseries_shape(spark, events):
     assert all(r.n > 0 for r in rows)
 
 
+def test_timeseries_zero_fills_empty_buckets(spark, events):
+    """Druid default skipEmptyBuckets=false: every bucket of the interval
+    appears; count/sum zero-fill; skip_empty_buckets=True drops them."""
+    spec = {"granularity": "HOUR", "dimensions": [],
+            "metrics": [{"name": "value", "type": "double"}]}
+    aggs = [{"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    # restrict to one event type over a long interval to force gaps? the
+    # events table is dense hourly — instead query an interval extending
+    # beyond the data's end so trailing buckets are empty
+    filled = api.timeseries(
+        spark, events, dict(spec, filter={"type": "selector",
+                                          "dimension": "event_type",
+                                          "value": "purchase"}),
+        aggs, interval="2024-01-01/2024-01-02", time_column="ts")
+    rows = filled.collect()
+    assert len(rows) == 24  # every hour of the day, data or not
+    assert all(r.n >= 0 and r.total is not None for r in rows)
+
+    sparse = api.timeseries(
+        spark, events, spec, aggs,
+        interval="2024-12-30/2025-01-02",  # beyond the data's end
+        time_column="ts")
+    rows = sparse.collect()
+    assert len(rows) == 72
+    assert sum(r.n for r in rows) == 0  # all empty, all zero-filled
+    skipped = api.timeseries(
+        spark, events, spec, aggs, interval="2024-12-30/2025-01-02",
+        time_column="ts", skip_empty_buckets=True)
+    assert skipped.count() == 0
+
+
 def test_timeseries_ignores_dimensions(spark, events):
     out = api.timeseries(spark, events, SPEC, AGGS,
                          interval="2024-01-01/2024-01-03", time_column="ts")
