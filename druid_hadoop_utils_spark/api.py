@@ -344,7 +344,15 @@ def druid_query(
         for p in parts[1:]:
             out = out.unionByName(p)
         limit = int(q.get("limit", 1000))
-        return out.orderBy(F.desc("count"), "dimension", "value").limit(limit)
+        # Druid 0.9 SearchSortSpec: lexicographic (default) or strlen
+        sort = (q.get("sort") or {}).get("type", "lexicographic")
+        if sort == "lexicographic":
+            order = [F.col("value"), F.col("dimension")]
+        elif sort == "strlen":
+            order = [F.length("value"), F.col("value"), F.col("dimension")]
+        else:
+            raise ValueError(f"unknown search sort type: {sort!r}")
+        return out.orderBy(*order).limit(limit)
     if qtype == "timeBoundary":
         df = load(spark, source, spec, interval=interval, data_source=ds,
                   time_column=time_column)

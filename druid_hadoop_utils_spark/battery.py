@@ -259,6 +259,30 @@ def q_granularity_week(spark, sf_dir):
 
 
 @register(
+    "q_granularity_day_tz",
+    """SELECT CAST(timezone('America/Los_Angeles', CAST(date_trunc('day',
+              timezone('America/Los_Angeles', CAST(ts AS TIMESTAMPTZ)))
+              AS TIMESTAMP)) AS TIMESTAMP) AS __time,
+              count(*) AS n, round(sum(value), 2) AS total
+       FROM events GROUP BY 1""",
+)
+def q_granularity_day_tz(spark, sf_dir):
+    # Druid PeriodGranularity with a timeZone: local-midnight day buckets
+    # reported as their UTC instants (DST-correct via from/to_utc_timestamp)
+    ev = _t_raw(spark, sf_dir, "events")
+    spec = {"granularity": {"type": "period", "period": "P1D",
+                            "timeZone": "America/Los_Angeles"},
+            "dimensions": [], "metrics": EVENTS_METRICS}
+    df = load(spark, ev, spec, interval="2024-01-01/2025-01-01", time_column="ts")
+    out = group_aggregate(
+        df, [],
+        [{"type": "count", "name": "n"},
+         {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
+@register(
     "q_granularity_all",
     """SELECT TIMESTAMP '1970-01-01 00:00:00' AS __time, event_type,
               round(sum(value), 2) AS total, count(*) AS n,

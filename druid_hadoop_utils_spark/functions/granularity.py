@@ -44,9 +44,21 @@ _PERIOD_RE = re.compile(
 )
 
 
-def _duration_trunc(col: Column, seconds: int) -> Column:
-    # floor(epoch/d)*d, all JVM-side; sub-second input floors to the bucket
-    return F.timestamp_seconds(F.floor(F.unix_timestamp(col) / seconds).cast("long") * seconds)
+def _origin_seconds(origin) -> int:
+    from druid_hadoop_utils_spark.intervals import parse_ts
+
+    return int(parse_ts(origin).timestamp())
+
+
+def _duration_trunc(col: Column, seconds: int, origin=None) -> Column:
+    # floor(epoch/d)*d, all JVM-side; sub-second input floors to the bucket.
+    # With an origin, buckets anchor to it instead of the epoch (Druid's
+    # DurationGranularity origin): origin + floor((ts-origin)/d)*d.
+    off = _origin_seconds(origin) % seconds if origin else 0
+    base = F.unix_timestamp(col) - F.lit(off)
+    return F.timestamp_seconds(
+        F.floor(base / seconds).cast("long") * seconds + F.lit(off)
+    )
 
 
 def granularity_expr(granularity: str | dict, col: Column) -> Column:
@@ -58,13 +70,15 @@ def granularity_expr(granularity: str | dict, col: Column) -> Column:
     """
     if isinstance(granularity, dict):
         gtype = granularity.get("type")
+        tz = granularity.get("timeZone")
+        origin = granularity.get("origin")
         if gtype == "duration":
             ms = int(granularity["duration"])
             if ms % 1000:
                 raise ValueError("sub-second duration granularity unsupported")
-            return _duration_trunc(col, ms // 1000)
+            return _duration_trunc(col, ms // 1000, origin)
         if gtype == "period":
-            return _period_expr(granularity["period"], col)
+            return _period_expr(granularity["period"], col, tz, origin)
         raise ValueError(f"unknown granularity spec: {granularity!r}")
 
     g = granularity.upper()
@@ -81,18 +95,28 @@ def granularity_expr(granularity: str | dict, col: Column) -> Column:
     raise ValueError(f"unknown granularity: {granularity!r}")
 
 
-def _period_expr(period: str, col: Column) -> Column:
+def _period_expr(period: str, col: Column, tz: str | None = None,
+                 origin=None) -> Column:
+    """PeriodGranularity: calendar periods truncate via date_trunc, fixed
+    periods via duration floor. ``timeZone`` localizes the truncation frame
+    (DST-correct for calendar periods: convert to local wall time, truncate,
+    convert back — the bucket start is the UTC instant of the local
+    boundary, matching Druid/Joda). ``origin`` anchors fixed periods; an
+    origin on a calendar period is rejected (rare; Joda's chronology-origin
+    math isn't worth approximating silently)."""
     p = period.upper()
-    if p in {"P1D", "PT24H"}:
-        return F.date_trunc("day", col)
-    if p == "P1W":
-        return F.date_trunc("week", col)
-    if p == "P1M":
-        return F.date_trunc("month", col)
-    if p == "P3M":
-        return F.date_trunc("quarter", col)
-    if p == "P1Y":
-        return F.date_trunc("year", col)
+    calendar = {"P1D": "day", "PT24H": "day", "P1W": "week", "P1M": "month",
+                "P3M": "quarter", "P1Y": "year"}
+    if p in calendar:
+        if origin is not None:
+            raise NotImplementedError(
+                "origin on a calendar period granularity is not supported"
+            )
+        if tz:
+            return F.to_utc_timestamp(
+                F.date_trunc(calendar[p], F.from_utc_timestamp(col, tz)), tz
+            )
+        return F.date_trunc(calendar[p], col)
     m = _PERIOD_RE.match(p)
     if not m:
         raise ValueError(f"unparseable period: {period!r}")
@@ -105,7 +129,13 @@ def _period_expr(period: str, col: Column) -> Column:
     )
     if secs <= 0:
         raise ValueError(f"empty period: {period!r}")
-    return _duration_trunc(col, secs)
+    if tz:
+        # sub-day fixed periods only shift for fractional-hour zones; floor
+        # in the local wall-time frame, then return to UTC instants
+        return F.to_utc_timestamp(
+            _duration_trunc(F.from_utc_timestamp(col, tz), secs, origin), tz
+        )
+    return _duration_trunc(col, secs, origin)
 
 
 def bucket_step_sql(granularity: str | dict) -> str:
@@ -162,9 +192,25 @@ def oracle_trunc_sql(granularity: str | dict, col_sql: str) -> str:
         )
 
     if isinstance(granularity, dict):
-        if granularity.get("type") == "duration":
+        gtype = granularity.get("type")
+        if gtype == "duration" and not granularity.get("origin"):
             return duration_sql(int(granularity["duration"]) // 1000)
-        raise ValueError("oracle sql for period granularity: use named form")
+        if gtype == "period":
+            calendar = {"P1D": "day", "PT24H": "day", "P1W": "week",
+                        "P1M": "month", "P3M": "quarter", "P1Y": "year"}
+            p = granularity["period"].upper()
+            tz = granularity.get("timeZone")
+            if p in calendar and tz and not granularity.get("origin"):
+                # localize → truncate → back to UTC instants (DuckDB's
+                # timezone() flips direction on TIMESTAMP vs TIMESTAMPTZ)
+                return (
+                    f"CAST(timezone('{tz}', CAST(date_trunc('{calendar[p]}', "
+                    f"timezone('{tz}', CAST({col_sql} AS TIMESTAMPTZ))) "
+                    f"AS TIMESTAMP)) AS TIMESTAMP)"
+                )
+            if p in calendar and not tz:
+                return f"CAST(date_trunc('{calendar[p]}', {col_sql}) AS TIMESTAMP)"
+        raise ValueError(f"no oracle sql for granularity spec: {granularity!r}")
     g = granularity.upper()
     if g == "NONE":
         return col_sql

@@ -194,6 +194,18 @@ def test_search_query_json(spark, events):
     assert rows["purchase"]["count"] > 0
 
 
+def test_search_query_sort_specs(spark, events):
+    q = {"queryType": "search", "intervals": ["2024-01-01/2024-02-01"],
+         "searchDimensions": ["event_type"],
+         "query": {"type": "insensitive_contains", "value": "e"}}
+    lex = [r.value for r in druid_query(spark, events, q, time_column="ts").collect()]
+    assert lex == sorted(lex)  # lexicographic is the Druid 0.9 default
+    strlen = [r.value for r in druid_query(
+        spark, events, dict(q, sort={"type": "strlen"}), time_column="ts"
+    ).collect()]
+    assert strlen == sorted(strlen, key=lambda v: (len(v), v))
+
+
 def test_time_boundary_query_json(spark, events):
     q = {"queryType": "timeBoundary", "dataSource": "events",
          "intervals": ["2024-01-05/2024-01-07"]}

@@ -59,3 +59,30 @@ def test_period_specs(one):
 def test_unknown_granularity_rejected(one):
     with pytest.raises(ValueError):
         trunc(one, "FORTNIGHT")
+
+
+def test_duration_with_origin(one):
+    # Druid DurationGranularity origin: hour buckets anchored at :30
+    g = {"type": "duration", "duration": 3600000,
+         "origin": "1970-01-01T00:30:00Z"}
+    assert trunc(one, g) == datetime(2014, 10, 22, 13, 30)
+    # 13:47 with 15-min buckets anchored at :05 → 13:35..13:50 bucket
+    g = {"type": "duration", "duration": 900000,
+         "origin": "2000-01-01T00:05:00Z"}
+    assert trunc(one, g) == datetime(2014, 10, 22, 13, 35)
+
+
+def test_period_with_timezone(one):
+    # 2014-10-22T13:47 UTC = 06:47 PDT (UTC-7, DST) → LA midnight is
+    # 2014-10-22T07:00:00 UTC
+    g = {"type": "period", "period": "P1D", "timeZone": "America/Los_Angeles"}
+    assert trunc(one, g) == datetime(2014, 10, 22, 7)
+    # Kathmandu is UTC+5:45: hour buckets shift by 45 minutes
+    g = {"type": "period", "period": "PT1H", "timeZone": "Asia/Kathmandu"}
+    assert trunc(one, g) == datetime(2014, 10, 22, 13, 15)
+
+
+def test_calendar_period_origin_rejected(one):
+    with pytest.raises(NotImplementedError):
+        trunc(one, {"type": "period", "period": "P1M",
+                    "origin": "2000-01-01T00:00:00Z"})
