@@ -790,6 +790,28 @@ def q_text_analysis(spark, sf_dir):
 
 
 @register(
+    "q_text_tfidf_topk",
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+       SELECT doc_id, term,
+              round(tf * ln(n.n * 1.0 / df), 4) AS score
+       FROM tf JOIN dfreq USING (term), n
+       WHERE doc_id < 20
+       QUALIFY row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * ln(n.n * 1.0 / df) DESC, term) <= 3""",
+)
+def q_text_tfidf_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs, "doc_id", k=3).where(F.col("doc_id") < 20)
+    return out.withColumn("score", F.round("score", 4))
+
+
+@register(
     "q_text_langid",
     """SELECT lang AS labeled_lang, count(*) AS n_docs,
               round(avg(n_chars), 2) AS avg_chars

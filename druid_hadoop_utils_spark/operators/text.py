@@ -129,6 +129,45 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
     return expr.otherwise(F.lit(langs[-1]))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, score).
+
+    score = tf × ln(N / df), ranked per document (ties broken by term).
+    Plan shape: explode tokens → (doc, term) hash-aggregate for tf → one
+    more aggregate for document frequencies → join back (df table is
+    term-cardinality sized — broadcastable) → per-doc window top-k. The
+    corpus size N enters as a broadcast one-row cross join, so the whole
+    thing is a single declarative plan — no driver-side count action."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis feature set."""
     feats = quality_features(text_col)

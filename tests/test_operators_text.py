@@ -81,3 +81,20 @@ def test_repetition_ratio(spark):
     got = {r.doc_id: r.rr for r in df.select(
         "doc_id", T.repetition_ratio("text").alias("rr")).collect()}
     assert got == {1: 0.0, 2: 0.75, 3: 0.5}
+
+
+def test_tfidf_top_terms(spark):
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="apple apple banana common"),
+        Row(doc_id=2, text="banana cherry common"),
+        Row(doc_id=3, text="cherry cherry cherry common"),
+    ])
+    out = tfidf_top_terms(docs, "doc_id", k=1)
+    top = {r.doc_id: r.term for r in out.collect()}
+    # "common" appears in every doc → idf = ln(1) = 0 → never the top term
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    assert all(r.score > 0 for r in out.collect())

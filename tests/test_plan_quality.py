@@ -135,3 +135,45 @@ def test_segment_load_plans_one_scan(spark, tmp_path, golden_events):
     plan = plan_str(df)
     assert nodes(plan).count("Scan") == 1
     assert "Union" not in plan
+
+
+def test_multi_interval_pushes_or_predicate(spark, sf_dir):
+    """Two disjoint intervals must land as ONE scan with an Or() range in
+    PushedFilters — not two scan branches or a post-scan-only filter."""
+    fn, _ = QUERIES["q_multi_interval"]
+    plan = plan_str(fn(spark, sf_dir))
+    assert nodes(plan).count("Scan") == 1
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "Or(And(GreaterThanOrEqual" in pushed[0]
+
+
+def test_registered_lookup_filter_has_no_join(spark, sf_dir):
+    """The registeredLookup extraction filter compiles to a literal map
+    expression — no join, no Python in the plan."""
+    fn, _ = QUERIES["q_filter_registered_lookup"]
+    plan = plan_str(fn(spark, sf_dir))
+    ns = nodes(plan)
+    assert not any("Join" in n for n in ns)
+    assert "EvalPython" not in plan
+
+
+def test_theta_sketch_is_two_phase_jvm_side(spark, sf_dir):
+    fn, _ = QUERIES["q_theta_distinct"]
+    plan = plan_str(fn(spark, sf_dir))
+    ns = nodes(plan)
+    assert ns.count("Exchange") == 1  # one shuffle, partial+final agg
+    assert "EvalPython" not in plan
+
+
+def test_natural_bound_filter_stays_codegen(spark, sf_dir):
+    """The alphanumeric natural-sort bound on a string column is a pure
+    expression — no Python, still a whole-stage-codegen filter."""
+    from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.where(filter_to_column(
+        {"type": "bound", "dimension": "event_type", "lower": "a9",
+         "upper": "z2", "alphaNumeric": True}, ev.schema))
+    plan = plan_str(df)
+    assert "EvalPython" not in plan
+    assert "* Filter" in plan
