@@ -311,8 +311,17 @@ def druid_query(
     if qtype in {"select", "scan"}:
         df = load(spark, source, spec, interval=interval, data_source=ds,
                   time_column=time_column)
-        if q.get("limit"):
-            df = df.limit(int(q["limit"]))
+        # select: pagingSpec.threshold caps rows, descending flips time
+        # order; scan: "order" ascending/descending (none by default)
+        order = q.get("order")
+        if q.get("descending") or (isinstance(order, str) and
+                                   order.lower() == "descending"):
+            df = df.orderBy(F.desc("__time"))
+        elif isinstance(order, str) and order.lower() == "ascending":
+            df = df.orderBy("__time")
+        threshold = (q.get("pagingSpec") or {}).get("threshold") or q.get("limit")
+        if threshold:
+            df = df.limit(int(threshold))
         return df
     if qtype == "search":
         # Druid search query: dimension values matching a search query
@@ -356,7 +365,15 @@ def druid_query(
     if qtype == "timeBoundary":
         df = load(spark, source, spec, interval=interval, data_source=ds,
                   time_column=time_column)
-        return df.agg(F.min("__time").alias("minTime"), F.max("__time").alias("maxTime"))
+        bound = q.get("bound")  # Druid 0.9: minTime | maxTime | absent=both
+        aggs_tb = []
+        if bound in (None, "minTime"):
+            aggs_tb.append(F.min("__time").alias("minTime"))
+        if bound in (None, "maxTime"):
+            aggs_tb.append(F.max("__time").alias("maxTime"))
+        if not aggs_tb:
+            raise ValueError(f"unknown timeBoundary bound: {bound!r}")
+        return df.agg(*aggs_tb)
     if qtype == "segmentMetadata":
         # driver-side manifest inventory as a DataFrame (the reference's
         # metadata surface, SURVEY.md §2.1 S1)

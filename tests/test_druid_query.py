@@ -206,6 +206,28 @@ def test_search_query_sort_specs(spark, events):
     assert strlen == sorted(strlen, key=lambda v: (len(v), v))
 
 
+def test_select_paging_and_descending(spark, events):
+    q = {"queryType": "select", "intervals": ["2024-01-01/2024-01-08"],
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "doubleSum", "name": "x", "fieldName": "value"}],
+         "descending": True, "pagingSpec": {"threshold": 4}}
+    rows = druid_query(spark, events, q, time_column="ts").collect()
+    assert len(rows) == 4
+    ts = [r["__time"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_time_boundary_bound_field(spark, events):
+    base = {"queryType": "timeBoundary", "intervals": ["2024-01-01/2024-02-01"]}
+    both = druid_query(spark, events, base, time_column="ts").first()
+    lo = druid_query(spark, events, dict(base, bound="minTime"),
+                     time_column="ts").first()
+    hi = druid_query(spark, events, dict(base, bound="maxTime"),
+                     time_column="ts").first()
+    assert lo.asDict() == {"minTime": both.minTime}
+    assert hi.asDict() == {"maxTime": both.maxTime}
+
+
 def test_time_boundary_query_json(spark, events):
     q = {"queryType": "timeBoundary", "dataSource": "events",
          "intervals": ["2024-01-05/2024-01-07"]}
