@@ -1038,6 +1038,31 @@ def q_api_timeseries(spark, sf_dir):
 
 
 @register(
+    "q_agg_first_last",
+    """SELECT event_type,
+              arg_min(user_id, ts) AS first_user,
+              arg_max(user_id, ts) AS last_user,
+              round(arg_min(value, ts), 2) AS first_value,
+              round(arg_max(value, ts), 2) AS last_value
+       FROM events GROUP BY 1""",
+)
+def q_agg_first_last(spark, sf_dir):
+    # Druid 0.9.1 first/last aggregators (metric value at the min/max row
+    # timestamp) — deterministic here: no (event_type, ts) ties in testdata
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("ts", "__time")
+    out = group_aggregate(
+        ev, ["event_type"],
+        [{"type": "longFirst", "name": "first_user", "fieldName": "user_id"},
+         {"type": "longLast", "name": "last_user", "fieldName": "user_id"},
+         {"type": "doubleFirst", "name": "first_value", "fieldName": "value"},
+         {"type": "doubleLast", "name": "last_value", "fieldName": "value"}],
+        time_column=None,
+    )
+    return (out.withColumn("first_value", F.round("first_value", 2))
+               .withColumn("last_value", F.round("last_value", 2)))
+
+
+@register(
     "q_theta_distinct",
     """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS theta_users,
               count(*) AS n

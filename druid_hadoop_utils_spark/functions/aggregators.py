@@ -111,6 +111,15 @@ def agg_expr(
             raise ValueError(f"{atype} aggregator needs fieldName: {spec!r}")
         return _SIMPLE[atype](value(field)).alias(name)
 
+    if atype in {"longFirst", "longLast", "doubleFirst", "doubleLast"}:
+        # Druid 0.9.1 first/last aggregators: the metric value at the
+        # min/max __time of the group — Spark's min_by/max_by exactly
+        if field is None:
+            raise ValueError(f"{atype} aggregator needs fieldName: {spec!r}")
+        pick = F.min_by if atype.endswith("First") else F.max_by
+        cast = "long" if atype.startswith("long") else "double"
+        return pick(value(field).cast(cast), F.col("__time")).alias(name)
+
     if atype == "hyperUnique":
         if field is None:
             raise ValueError(f"hyperUnique needs fieldName: {spec!r}")

@@ -179,3 +179,25 @@ def test_hyper_unique_cardinality_post_agg(df):
         {"type": "hyperUniqueCardinality", "name": "est", "fieldName": "u"}
     )).collect()
     assert all(r.est == 17.0 for r in out)
+
+
+def test_first_last_aggregators(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+
+    df = spark.createDataFrame([
+        Row(__time=datetime(2024, 1, 1, h), g="a", v=float(h * 10), u=h)
+        for h in (3, 1, 2)
+    ])
+    out = group_aggregate(
+        df, ["g"],
+        [{"type": "longFirst", "name": "fu", "fieldName": "u"},
+         {"type": "longLast", "name": "lu", "fieldName": "u"},
+         {"type": "doubleFirst", "name": "fv", "fieldName": "v"},
+         {"type": "doubleLast", "name": "lv", "fieldName": "v"}],
+        time_column=None,
+    ).first()
+    assert (out.fu, out.lu, out.fv, out.lv) == (1, 3, 10.0, 30.0)
