@@ -20,8 +20,11 @@ def hostile_tz(spark):
 TZ_SENSITIVE = [
     "q_granularity_hour_rollup",
     "q_granularity_week",
+    "q_granularity_day_tz",
     "q_sessionize",
     "q_scan_interval_project",
+    "q_timeseries_zero_fill",
+    "q_multi_interval",
 ]
 
 

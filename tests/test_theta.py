@@ -108,3 +108,21 @@ def test_filtered_theta(people):
         time_column=None,
     )
     assert out.first().d == 30.0
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=80))
+def test_underfull_exactness_property(spark, values):
+    """For ANY multiset with fewer than k distinct values, the KMV
+    estimate equals the exact distinct count (theta = 1) — the property
+    that makes q_theta_distinct oracle-exact."""
+    df = spark.createDataFrame([(v,) for v in values], "u string")
+    est = df.agg(
+        T.kmv_estimate(T.kmv_state(F.col("u"), k=128), k=128).alias("d")
+    ).first().d
+    assert est == float(len(set(values)))
