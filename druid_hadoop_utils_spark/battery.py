@@ -790,6 +790,29 @@ def q_text_analysis(spark, sf_dir):
 
 
 @register(
+    "q_sample_split",
+    """WITH b AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                      1, 15)) AS BIGINT) % 1000000 AS bk
+         FROM documents)
+       SELECT doc_id,
+              CASE WHEN bk < 900000 THEN 'train'
+                   WHEN bk < 950000 THEN 'valid'
+                   ELSE 'test' END AS split
+       FROM b""",
+)
+def q_sample_split(spark, sf_dir):
+    # deterministic hash-split (train/valid/test): the md5_60 bucketing is
+    # reproducible in ANSI SQL, so the oracle recomputes every assignment
+    from druid_hadoop_utils_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id"), "doc_id",
+                      {"train": 0.9, "valid": 0.05, "test": 0.05})
+
+
+@register(
     "q_text_tfidf_topk",
     """WITH toks AS (
          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term

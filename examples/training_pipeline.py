@@ -5,12 +5,15 @@
       → text analysis (tokens / language / quality features)
       → quality gate
       → exact dedup (hash groupBy)
-      → MinHash-LSH near-dup removal (keep the lowest doc_id per pair)
+      → MinHash-LSH near-dup CLUSTER removal (connected components,
+        keep one doc per cluster)
       → embedding near-dup pruning (cosine threshold)
+      → deterministic train/valid/test hash split
       → clean corpus + summary stats
 
 Every stage is a DataFrame transform built for 100 TB: no driver-side
-loops over data, no cross joins in the scale paths, one shuffle per stage.
+loops over data, no cross joins in the scale paths, one shuffle per stage
+(components iterate O(log diameter) rounds with checkpointed lineage).
 
 Usage: python examples/training_pipeline.py [sf_dir]
 """
@@ -49,10 +52,9 @@ def main() -> None:
     ).drop("__norm")
     n2 = deduped.count()
 
-    # 3. near-dup removal: LSH pairs -> drop the higher doc_id of each pair
-    pairs = D.minhash_lsh_dedup_pairs(deduped, "doc_id", threshold=0.5)
-    to_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    neardeduped = deduped.join(to_drop, "doc_id", "left_anti")
+    # 3. near-dup CLUSTER removal: LSH pairs -> connected components ->
+    #    keep exactly one doc (the min id) per cluster, not per pair
+    neardeduped = D.neardup_dedup(deduped, "doc_id", threshold=0.5)
     n3 = neardeduped.count()
 
     # 4. embedding near-dup pruning (vec_id aligns with doc_id in testdata)
@@ -61,16 +63,22 @@ def main() -> None:
     final = neardeduped.join(edrop, "doc_id", "left_anti")
     n4 = final.count()
 
-    # 5. corpus stats
-    stats = final.groupBy("pred_lang").agg(
+    # 5. deterministic, layout-independent train/valid/test assignment
+    from druid_hadoop_utils_spark.operators.sampling import hash_split
+
+    split = hash_split(final, "doc_id",
+                       {"train": 0.9, "valid": 0.05, "test": 0.05})
+
+    # 6. corpus stats per split and language
+    stats = split.groupBy("split", "pred_lang").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.round(F.avg("nonalpha_ratio"), 4).alias("avg_nonalpha"),
     )
-    stats.orderBy(F.desc("docs")).show()
+    stats.orderBy("split", F.desc("docs")).show()
     print(
         f"pipeline: {n0} raw -> {n1} quality-kept -> {n2} exact-deduped "
-        f"-> {n3} minhash-deduped -> {n4} embedding-pruned"
+        f"-> {n3} cluster-deduped -> {n4} embedding-pruned"
     )
     spark.stop()
 
