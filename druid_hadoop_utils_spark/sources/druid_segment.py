@@ -18,13 +18,13 @@ import time, not in any query path):
 - GenericIndexed v1 (dictionary values, compressed-block holders,
   complex-column values);
 - CompressedLongs/Floats suppliers v2 (LZ4 block or uncompressed);
-- CompressedVSizeInts v2 (single-value dictionary id column);
+- CompressedVSizeInts v2 (single-value dictionary id column) and
+  CompressedVSizeIndexed v2 (multi-value rows: offsets + flat values);
 - Druid ``HyperLogLogCollector`` cardinality estimation (dense + sparse),
   so imported ``hyperUnique`` columns can be finalized without Druid.
 
-Multi-value dimensions and pre-v9 (legacy v8) column encodings raise
-``NotImplementedError`` with a clear message — the reference fixture and
-standard 0.9 batch-indexer output are single-value v9.
+Pre-v9 (legacy v8) column encodings raise ``NotImplementedError`` with a
+clear message — standard 0.9 batch-indexer output is v9.
 
 Complex ``hyperUnique`` metrics keep their raw Druid sketch bytes in the
 imported parquet (BinaryType); ``druid_hll_estimate`` finalizes them. They
@@ -196,6 +196,25 @@ def read_compressed_vsize_ints(buf: _Buf) -> list[int]:
     return out[:total]
 
 
+def read_compressed_vsize_indexed(buf: _Buf) -> list[list[int]]:
+    """CompressedVSizeIndexedSupplier v2 (multi-value dictionary ids): a
+    version byte followed by two CompressedVSizeIntsIndexedSuppliers —
+    per-row END offsets into a flat values stream, then the values."""
+    version = buf.byte()
+    if version != 0x2:
+        raise NotImplementedError(
+            f"multi-value indexed version {version} (expected 2)"
+        )
+    offsets = read_compressed_vsize_ints(buf)
+    values = read_compressed_vsize_ints(buf)
+    rows: list[list[int]] = []
+    prev = 0
+    for end in offsets:
+        rows.append(values[prev:end])
+        prev = end
+    return rows
+
+
 # ------------------------------------------------------------- columns
 
 
@@ -205,6 +224,7 @@ class DruidColumn:
     value_type: str  # STRING | LONG | FLOAT | COMPLEX
     type_name: str | None  # complex type, e.g. hyperUnique
     values: list
+    multi_value: bool = False  # values are lists of strings
 
 
 def read_column(name: str, blob: bytes) -> DruidColumn:
@@ -213,11 +233,6 @@ def read_column(name: str, blob: bytes) -> DruidColumn:
     vtype = desc["valueType"]
     part = desc["parts"][0]
     if vtype == "STRING":
-        if desc.get("hasMultipleValues"):
-            raise NotImplementedError(
-                f"column {name!r}: multi-value dimension import is not supported "
-                "(single-value v9 only)"
-            )
         version = buf.byte()
         if version != 0x2:
             raise NotImplementedError(
@@ -225,11 +240,13 @@ def read_column(name: str, blob: bytes) -> DruidColumn:
                 "(pre-0.9 segments); only v2 is supported"
             )
         flags = buf.int4()
-        if flags & 0x1:
-            raise NotImplementedError(
-                f"column {name!r}: multi-value dimension import is not supported"
-            )
         dictionary = [v.decode("utf-8") if v else "" for v in read_generic_indexed(buf)]
+        if flags & 0x1:  # multi-value: CompressedVSizeIndexed (offsets+values)
+            rows = read_compressed_vsize_indexed(buf)
+            return DruidColumn(
+                name, vtype, None, [[dictionary[i] for i in row] for row in rows],
+                multi_value=True,
+            )
         ids = read_compressed_vsize_ints(buf)
         return DruidColumn(name, vtype, None, [dictionary[i] for i in ids])
     if vtype in {"LONG", "FLOAT"}:
@@ -495,8 +512,12 @@ def import_druid_segment(
         if name == "__time":
             continue
         if col.value_type == "STRING":
-            # dimensions ride as single-value arrays (reference emits lists)
-            if name in dims or not dims:
+            if col.multi_value:
+                fields.append(StructField(name, ArrayType(StringType())))
+                data[name] = [list(v) for v in col.values]
+            # single-value dimensions ride as one-element arrays
+            # (reference emits every dimension as a list)
+            elif name in dims or not dims:
                 fields.append(StructField(name, ArrayType(StringType())))
                 data[name] = [[v] if v != "" else [] for v in col.values]
             else:

@@ -49,6 +49,60 @@ def test_lz4_block_decoder():
     assert lz4_block_decompress(bytes([0x12, ord("a"), 0x01, 0x00]), 7) == b"aaaaaaa"
 
 
+def _enc_gi(items):
+    """Encode a GenericIndexed v1 (the test-side twin of the decoder)."""
+    import struct
+
+    offs, body = [], b""
+    for it in items:
+        body += struct.pack(">i", len(it)) + it
+        offs.append(len(body))
+    payload = (struct.pack(">i", len(items))
+               + b"".join(struct.pack(">i", o) for o in offs) + body)
+    return bytes([1, 1]) + struct.pack(">i", len(payload)) + payload
+
+
+def _enc_cvints(values, num_bytes=1, size_per=4):
+    """Encode a CompressedVSizeIntsIndexedSupplier v2 (uncompressed)."""
+    import struct
+
+    blocks = []
+    for i in range(0, max(len(values), 1), size_per):
+        chunk = values[i:i + size_per]
+        raw = b"".join(v.to_bytes(num_bytes, "big") for v in chunk)
+        raw += b"\x00" * (size_per * num_bytes + (4 - num_bytes) - len(raw))
+        blocks.append(raw)
+    return (bytes([2, num_bytes]) + struct.pack(">i", len(values))
+            + struct.pack(">i", size_per) + bytes([0xFF]) + _enc_gi(blocks))
+
+
+def test_multivalue_dimension_decode():
+    """Multi-value dictionary column: v2 serde with the MULTI_VALUE flag,
+    CompressedVSizeIndexed = offsets + flat values. Encoded by the
+    test-side twin, decoded by the importer."""
+    import json
+    import struct
+
+    from druid_hadoop_utils_spark.sources.druid_segment import read_column
+
+    rows = [["a"], ["b", "c"], [], ["c"], ["a", "b", "c", "a"]]
+    dictionary = [b"a", b"b", b"c"]
+    flat = [{"a": 0, "b": 1, "c": 2}[v] for r in rows for v in r]
+    ends, n = [], 0
+    for r in rows:
+        n += len(r)
+        ends.append(n)
+    desc = json.dumps({"valueType": "STRING", "hasMultipleValues": True,
+                       "parts": [{"type": "stringDictionary"}]}).encode()
+    blob = (struct.pack(">i", len(desc)) + desc
+            + bytes([2]) + struct.pack(">i", 1)  # serde v2, MULTI_VALUE flag
+            + _enc_gi(dictionary)
+            + bytes([2]) + _enc_cvints(ends) + _enc_cvints(flat))
+    col = read_column("tags", blob)
+    assert col.multi_value
+    assert col.values == rows
+
+
 def test_import_golden_rows(spark, tmp_path):
     """DruidInputFormatTest.java:124-163: 3 rows, host as list,
     visited_sum long, unique_hosts estimate ≈ 1.0."""
