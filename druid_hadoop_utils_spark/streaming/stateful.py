@@ -60,3 +60,58 @@ def running_totals(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup: emit only the first row ever seen per
+    key, dropping duplicates arriving later in the same batch or in any
+    later batch — the streaming twin of ``operators.dedup.exact_dedup``.
+
+    State per distinct key is a single flag (O(distinct keys) in the state
+    store, checkpointed, restart-safe). Within a batch the surviving row is
+    the minimum of ``order_col`` (or the first Arrow row). Output mode:
+    ``append``.
+
+    The group key is the null-sentinel md5 of ``key_cols`` — the same
+    injective hashing as the batch operator — so key columns of any type
+    work and the shuffled key is one 32-char string, not the row.
+    """
+    from pyspark.sql import functions as F
+
+    key_hash = F.md5(F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]
+    ))
+    tagged = events.withColumn("__key", key_hash)
+    out_schema = tagged.schema
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def first_only(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            for _ in batches:  # drain; duplicates of an already-seen key
+                pass
+            return
+        first = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col).iloc[:1] if order_col else pdf.iloc[:1]
+            if first is None:
+                first = cand
+            elif order_col is not None and (
+                cand[order_col].iloc[0] < first[order_col].iloc[0]
+            ):
+                first = cand
+        if first is not None:
+            state.update((1,))
+            yield first
+
+    deduped = tagged.groupBy("__key").applyInPandasWithState(
+        first_only, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return deduped.drop("__key")

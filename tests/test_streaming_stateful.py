@@ -45,3 +45,43 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert final["3"] == (1, 2.0)
     # user 1 must have been emitted at least twice (state updated per batch)
     assert sum(1 for r in rows if r.key == "1") >= 2
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Exact dedup across micro-batches: first occurrence survives,
+    duplicates within a later batch (or the same batch) are dropped."""
+    from druid_hadoop_utils_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 0, 0), doc_id=1, text="alpha"),
+        Row(ts=datetime(2024, 1, 1, 0, 1), doc_id=2, text="beta"),
+        Row(ts=datetime(2024, 1, 1, 0, 2), doc_id=3, text="alpha"),  # in-batch dup
+    ])
+    b2 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 1, 0), doc_id=4, text="alpha"),  # cross-batch dup
+        Row(ts=datetime(2024, 1, 1, 1, 1), doc_id=5, text="gamma"),
+    ])
+    # one file per logical batch: maxFilesPerTrigger=1 makes each FILE a
+    # micro-batch, and the in-batch min-order guarantee is per batch
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_dedup(stream, ["text"], order_col="doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    by_text = {r.text: r.doc_id for r in rows}
+    assert len(rows) == 3  # one row per distinct text
+    assert by_text == {"alpha": 1, "beta": 2, "gamma": 5}
