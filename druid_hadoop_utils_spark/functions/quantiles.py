@@ -95,6 +95,50 @@ def qhist_quantile(state: Column | str, q: float) -> Column:
     )
 
 
+def qhist_state_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Histogram state per group via a (group, bucket) COUNT pre-aggregate
+    instead of the ``qhist_state`` expression's bins+2 conditional sums.
+
+    Identical state values; very different cost profile: per row this path
+    evaluates ONE ``width_bucket`` and a plain count (vs bins+2 when-chains
+    that also take seconds to codegen-compile at bins=100+). The extra
+    shuffle is on (group, bucket) with map-side combine — at most bins+2
+    rows per group per partition — and the dense array assembles from the
+    sparse pairs on the handful of final rows. Preferred whenever state
+    construction doesn't have to be a single aggregate expression."""
+    c = F.col(value_col).cast("double")
+    bucket = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
+    per_bucket = (
+        df.select(*group_cols, bucket.alias("__bk"))
+        .groupBy(*group_cols, "__bk")
+        .agg(F.count("*").alias("__c"))
+    )
+    pairs = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__bk"), F.col("__c")))
+    )
+    agged = (
+        per_bucket.groupBy(*group_cols).agg(pairs.alias("__m"))
+        if group_cols
+        else per_bucket.agg(pairs.alias("__m"))
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(bins + 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("__m"), i), F.lit(0)).cast("long"),
+    )
+    state = F.struct(
+        F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"),
+        counts.alias("counts"),
+    )
+    return agged.select(*group_cols, state.alias("__qh"))
+
+
 def approx_quantiles(
     df: DataFrame,
     value_col: str,
@@ -104,9 +148,8 @@ def approx_quantiles(
     hi: float,
     bins: int = DEFAULT_BINS,
 ) -> DataFrame:
-    """Grouped quantile estimates in one pass (partial+final automatic)."""
-    state = qhist_state(value_col, lo, hi, bins).alias("__qh")
-    out = df.groupBy(*group_cols).agg(state) if group_cols else df.agg(state)
+    """Grouped quantile estimates via the two-stage state build."""
+    out = qhist_state_grouped(df, value_col, group_cols, lo, hi, bins)
     cols = [
         qhist_quantile(F.col("__qh"), q).alias(f"p{int(q * 100)}")
         for q in quantiles

@@ -127,3 +127,29 @@ def test_approx_histogram_finalize_is_quantile(values):
             "probability": 0.5}
     med = values.agg(agg_expr(spec, values.schema, finalize=True)).first().med
     assert med == pytest.approx(500, abs=10)
+
+
+def test_grouped_state_build_equals_expression_state(spark, sf_dir):
+    """qhist_state_grouped (two-stage count path) must produce the exact
+    state struct the qhist_state aggregate expression produces."""
+    from pyspark.sql import functions as F
+
+    from druid_hadoop_utils_spark.functions.quantiles import (
+        qhist_state,
+        qhist_state_grouped,
+    )
+    from druid_hadoop_utils_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    expr_states = {
+        r.event_type: r.s.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(qhist_state("value", 0.0, 200.0, 50).alias("s"))
+        .collect()
+    }
+    grouped_states = {
+        r.event_type: r["__qh"].asDict()
+        for r in qhist_state_grouped(ev, "value", ["event_type"], 0.0, 200.0, 50)
+        .collect()
+    }
+    assert expr_states == grouped_states
