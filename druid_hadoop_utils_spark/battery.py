@@ -835,6 +835,50 @@ def q_text_tfidf_topk(spark, sf_dir):
 
 
 @register(
+    "q_text_chunking",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 50)
+       SELECT doc_id,
+              CAST((s.start - 1) / 24 AS INT) AS chunk_id,
+              array_to_string(toks[s.start : s.start + 31], ' ') AS chunk_text,
+              least(32, len(toks) - s.start + 1) AS n_tokens
+       FROM t, LATERAL (
+           SELECT unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS start
+       ) s""",
+)
+def q_text_chunking(spark, sf_dir):
+    # fixed-token chunking with overlap (chunk=32, overlap=8 → stride 24):
+    # the standard pre-tokenization step of an embedding/training pipeline
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    out = TX.chunk_documents(docs, "doc_id", chunk_tokens=32, overlap=8)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@register(
+    "q_embedding_mean_pool",
+    """SELECT vec_id % 10 AS grp, i.i - 1 AS pos,
+              round(avg(embedding[i.i]), 4) + 0.0 AS m
+       FROM embeddings, LATERAL (
+           SELECT unnest(generate_series(1, len(embedding))) AS i
+       ) i
+       GROUP BY 1, 2""",
+)
+def q_embedding_mean_pool(spark, sf_dir):
+    # chunk-to-document pooling: element-wise mean embedding per group,
+    # re-exploded to scalar rows for exact oracle comparison
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "grp", (F.col("vec_id") % 10).cast("long"))
+    pooled = SIM.mean_pool(emb, ["grp"])
+    return (
+        pooled.select("grp", F.posexplode("embedding").alias("pos", "m"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        # + 0.0 canonicalizes IEEE negative zero on both sides
+        .withColumn("m", F.round("m", 4) + F.lit(0.0))
+    )
+
+
+@register(
     "q_text_langid",
     """SELECT lang AS labeled_lang, count(*) AS n_docs,
               round(avg(n_chars), 2) AS avg_chars

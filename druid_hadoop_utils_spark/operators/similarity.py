@@ -42,6 +42,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalize(a: Column) -> Column:
+    """L2-normalized copy of an embedding (zero vectors pass through)."""
+    n = norm(a)
+    return F.when(n == 0, a).otherwise(
+        F.transform(a, lambda x: (x.cast("double") / n).cast("float"))
+    )
+
+
+def mean_pool(df: DataFrame, keys: list[str], vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean embedding per key group — pooling chunk embeddings
+    back to document level. Positional explode → (key, pos) average →
+    re-assemble sorted — all builtins with map-side partial aggregation,
+    no UDF, no collect; works for any dimensionality without declaring it."""
+    exploded = df.select(
+        *keys, F.posexplode(F.col(vec_col)).alias("__pos", "__v")
+    )
+    pooled = exploded.groupBy(*keys, "__pos").agg(
+        F.avg(F.col("__v").cast("double")).alias("__m")
+    )
+    return (
+        pooled.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+            ).alias("__pm")
+        )
+        .select(
+            *keys,
+            F.transform(F.col("__pm"), lambda s: s["__m"]).alias(vec_col),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

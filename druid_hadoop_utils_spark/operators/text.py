@@ -168,6 +168,46 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with overlap —
+    (id, chunk_id, chunk_text, n_tokens) — the standard pre-tokenization
+    step for training/embedding pipelines.
+
+    Pure expressions: tokenization, a ``sequence`` of chunk starts
+    (stride = chunk_tokens - overlap), ``posexplode``, and a token-slice
+    rejoin. One generator per row, no shuffle, no UDFs; output rows carry
+    only their chunk text, so a 100 TB corpus never duplicates whole
+    documents."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
+                        F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"),
+                  F.posexplode(starts).alias("chunk_id", "__start"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(F.col("__toks")) - F.col("__start") + 1,
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis feature set."""
     feats = quality_features(text_col)

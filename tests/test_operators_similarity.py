@@ -111,3 +111,21 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     assert a == b
+
+
+def test_mean_pool_and_normalize(spark):
+    df = spark.createDataFrame([
+        Row(doc=1, embedding=[1.0, 0.0, 2.0]),
+        Row(doc=1, embedding=[3.0, 2.0, 0.0]),
+        Row(doc=2, embedding=[0.0, 4.0, 0.0]),
+    ])
+    pooled = {r.doc: r.embedding for r in S.mean_pool(df, ["doc"]).collect()}
+    assert pooled[1] == [2.0, 1.0, 1.0]
+    assert pooled[2] == [0.0, 4.0, 0.0]
+
+    normed = df.select(S.normalize(F.col("embedding")).alias("e")).collect()
+    import math
+    for r in normed:
+        assert math.isclose(sum(v * v for v in r.e), 1.0, rel_tol=1e-5)
+    zero = spark.createDataFrame([Row(embedding=[0.0, 0.0])])
+    assert zero.select(S.normalize(F.col("embedding")).alias("e")).first().e == [0.0, 0.0]

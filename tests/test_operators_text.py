@@ -98,3 +98,26 @@ def test_tfidf_top_terms(spark):
     # "common" appears in every doc → idf = ln(1) = 0 → never the top term
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
     assert all(r.score > 0 for r in out.collect())
+
+
+def test_chunk_documents(spark):
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text),
+                                Row(doc_id=2, text="short text")])
+    out = chunk_documents(df, "doc_id", chunk_tokens=4, overlap=1)
+    rows = sorted((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+                  for r in out.collect())
+    # stride 3: starts 1,4,7 cover w0..w9 with 1-token overlap
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "short text", 2),
+    ]
+    # every token appears in at least one chunk
+    covered = set(" ".join(r[2] for r in rows if r[0] == 1).split())
+    assert covered == {f"w{i}" for i in range(10)}

@@ -43,6 +43,8 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
+        if v == 0:
+            v = 0.0  # canonicalize IEEE -0.0
         # normalize float formatting between engines
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, bool):
