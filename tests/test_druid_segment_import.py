@@ -103,6 +103,109 @@ def test_multivalue_dimension_decode():
     assert col.values == rows
 
 
+def _enc_compressed_primitives(values, fmt, size_per=2):
+    """Encode a CompressedLongs/FloatsIndexedSupplier v2 (uncompressed,
+    little-endian blocks)."""
+    import struct
+
+    width = struct.calcsize(fmt)
+    blocks = []
+    for i in range(0, max(len(values), 1), size_per):
+        chunk = values[i:i + size_per]
+        raw = struct.pack(f"<{len(chunk)}{fmt}", *chunk)
+        raw += b"\x00" * (size_per * width - len(raw))
+        blocks.append(raw)
+    return (bytes([2]) + struct.pack(">i", len(values))
+            + struct.pack(">i", size_per) + bytes([0xFF]) + _enc_gi(blocks))
+
+
+def _enc_column(desc: dict, payload: bytes) -> bytes:
+    import json
+    import struct
+
+    blob = json.dumps(desc).encode()
+    return struct.pack(">i", len(blob)) + blob + payload
+
+
+def _write_synthetic_segment(path: str):
+    """A complete synthetic v9 index.zip exercising every decoder path the
+    reference fixture does NOT: FLOAT metrics, multi-value dimensions, and
+    columns split across TWO smoosh chunk files."""
+    import json
+    import os
+    import struct
+    import zipfile
+
+    times = [1500000000000 + i * 3600000 for i in range(4)]
+    longs = [10, 20, 30, 40]
+    floats = [1.5, 2.5, 3.5, 4.5]
+    tag_rows = [["x"], ["x", "y"], [], ["y"]]
+    flat = [{"x": 0, "y": 1}[v] for r in tag_rows for v in r]
+    ends, n = [], 0
+    for r in tag_rows:
+        n += len(r)
+        ends.append(n)
+
+    cols = {
+        "__time": _enc_column(
+            {"valueType": "LONG", "hasMultipleValues": False,
+             "parts": [{"type": "long", "byteOrder": "LITTLE_ENDIAN"}]},
+            _enc_compressed_primitives(times, "q")),
+        "visits": _enc_column(
+            {"valueType": "LONG", "hasMultipleValues": False,
+             "parts": [{"type": "long", "byteOrder": "LITTLE_ENDIAN"}]},
+            _enc_compressed_primitives(longs, "q")),
+        "score": _enc_column(
+            {"valueType": "FLOAT", "hasMultipleValues": False,
+             "parts": [{"type": "float", "byteOrder": "LITTLE_ENDIAN"}]},
+            _enc_compressed_primitives(floats, "f")),
+        "tags": _enc_column(
+            {"valueType": "STRING", "hasMultipleValues": True,
+             "parts": [{"type": "stringDictionary"}]},
+            bytes([2]) + struct.pack(">i", 1) + _enc_gi([b"x", b"y"])
+            + bytes([2]) + _enc_cvints(ends) + _enc_cvints(flat)),
+    }
+    # two smoosh chunks: __time + visits in file 0, the rest in file 1
+    chunk0 = cols["__time"] + cols["visits"]
+    chunk1 = cols["score"] + cols["tags"]
+    meta = ["v1,2147483647,2"]
+    meta.append(f"__time,0,0,{len(cols['__time'])}")
+    meta.append(f"visits,0,{len(cols['__time'])},{len(chunk0)}")
+    meta.append(f"score,1,0,{len(cols['score'])}")
+    meta.append(f"tags,1,{len(cols['score'])},{len(chunk1)}")
+
+    os.makedirs(path, exist_ok=True)
+    with zipfile.ZipFile(os.path.join(path, "index.zip"), "w") as zf:
+        zf.writestr("version.bin", struct.pack(">i", 9))
+        zf.writestr("meta.smoosh", "\n".join(meta) + "\n")
+        zf.writestr("00000.smoosh", chunk0)
+        zf.writestr("00001.smoosh", chunk1)
+    with open(os.path.join(path, "descriptor.json"), "w") as f:
+        json.dump({"dataSource": "synth", "version": "v1",
+                   "interval": "2017-07-14/2017-07-15",
+                   "dimensions": "tags", "metrics": "visits,score",
+                   "shardSpec": {"type": "none"}}, f)
+
+
+def test_synthetic_segment_full_import(spark, tmp_path):
+    """Float metrics, multi-value dims, and multi-chunk smoosh layouts all
+    flow through import_druid_segment into a queryable segment."""
+    seg = str(tmp_path / "seg")
+    _write_synthetic_segment(seg)
+    root = str(tmp_path / "tables")
+    import_druid_segment(spark, seg, root)
+
+    spec = {"granularity": "NONE", "dimensions": ["tags"],
+            "metrics": [{"name": "visits", "type": "long"},
+                        {"name": "score", "type": "double"}]}
+    df = load(spark, root, spec, interval="1970-01-01/3000-01-01",
+              data_source="synth")
+    rows = sorted(df.collect(), key=lambda r: r["__time"])
+    assert [r.visits for r in rows] == [10, 20, 30, 40]
+    assert [r.score for r in rows] == [1.5, 2.5, 3.5, 4.5]
+    assert [r.tags for r in rows] == [["x"], ["x", "y"], [], ["y"]]
+
+
 def test_import_golden_rows(spark, tmp_path):
     """DruidInputFormatTest.java:124-163: 3 rows, host as list,
     visited_sum long, unique_hosts estimate ≈ 1.0."""
@@ -168,3 +271,12 @@ def test_import_is_idempotent_under_overshadow(spark, tmp_path):
               data_source="testds")
     assert df.count() == 3
     assert all("v=z9999" in f for f in df.inputFiles())
+
+
+def test_mr_fixture_decodes_identically():
+    """Both reference fixtures (druid-pig and druid-mr copies of the same
+    segment) decode to the same rows."""
+    pig = read_segment(FIXTURE)
+    mr = read_segment("/root/reference/druid-mr/src/test/resources/test-segment")
+    for name in pig:
+        assert pig[name].values == mr[name].values, name
