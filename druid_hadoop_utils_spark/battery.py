@@ -1105,6 +1105,33 @@ def q_api_timeseries(spark, sf_dir):
 
 
 @register(
+    "q_asof_join",
+    """SELECT l.ts AS __time, l.user_id, l.event_type,
+              round(r.value, 2) AS last_purchase_value
+       FROM (SELECT * FROM events WHERE user_id < 20) l
+       ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_asof_join(spark, sf_dir):
+    # as-of join (the time-series join Spark lacks natively): every event
+    # gets the user's most recent purchase value at or before it; oracle
+    # is DuckDB's native ASOF JOIN
+    from druid_hadoop_utils_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("user_id") < 20).select("ts", "user_id", "event_type")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    out = asof_join(left, right, on="ts", keys=["user_id"],
+                    right_cols=["value"], suffix="_asof")
+    return out.select(
+        F.col("ts").alias("__time"), "user_id", "event_type",
+        F.round("value_asof", 2).alias("last_purchase_value"),
+    )
+
+
+@register(
     "q_agg_first_last",
     """SELECT event_type,
               arg_min(user_id, ts) AS first_user,

@@ -42,3 +42,48 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.createDataFrame([Row(k=1)])
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full")
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([
+        Row(k=1, ts=t(1)), Row(k=1, ts=t(5)), Row(k=1, ts=t(10)),
+        Row(k=2, ts=t(3)),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, ts=t(0), v=10.0), Row(k=1, ts=t(5), v=50.0),
+        Row(k=2, ts=t(9), v=90.0),
+    ])
+    out = asof_join(left, right, on="ts", keys=["k"], right_cols=["v"])
+    got = {(r.k, r.ts.minute): r.v for r in out.collect()}
+    assert got == {
+        (1, 1): 10.0,   # latest right at or before :01 is :00
+        (1, 5): 50.0,   # equal timestamp: the right row at :05 wins (<=)
+        (1, 10): 50.0,  # carried forward
+        (2, 3): None,   # no right row yet for k=2
+    }
+    assert out.count() == 4  # left rows preserved exactly
+
+
+def test_asof_join_collision_requires_suffix(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k=1, ts=datetime(2024, 1, 1), v=1.0)])
+    right = spark.createDataFrame([Row(k=1, ts=datetime(2024, 1, 1), v=2.0)])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="ts", keys=["k"], right_cols=["v"])
+    out = asof_join(left, right, on="ts", keys=["k"], right_cols=["v"],
+                    suffix="_r")
+    r = out.first()
+    assert r.v == 1.0 and r.v_r == 2.0
