@@ -1132,6 +1132,32 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_range_join",
+    """SELECT l.ts AS __time, l.user_id, l.event_type, r.ts AS window_start
+       FROM (SELECT * FROM events WHERE user_id < 20) l
+       JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id
+        AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 2 HOUR""",
+)
+def q_range_join(spark, sf_dir):
+    # point-in-interval join via binning (events attributed to the 2-hour
+    # window after each purchase); oracle is the plain inequality join
+    from druid_hadoop_utils_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("user_id") < 20).select("ts", "user_id", "event_type")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("window_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("window_end"),
+    )
+    out = range_join(left, right, "ts", "window_start", "window_end",
+                     keys=["user_id"], bin_width=7200.0)
+    return out.select(F.col("ts").alias("__time"), "user_id", "event_type",
+                      "window_start")
+
+
+@register(
     "q_agg_first_last",
     """SELECT event_type,
               arg_min(user_id, ts) AS first_user,

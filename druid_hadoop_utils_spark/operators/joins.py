@@ -71,6 +71,78 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lower: str,
+    right_upper: str,
+    keys: list[str],
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: left rows match right rows whose half-open
+    ``[lower, upper)`` contains the left point (same key group) — binned
+    into an EQUI-join, the scale pattern for what Spark would otherwise
+    plan as a broadcast nested-loop range join.
+
+    Each right interval explodes over the bins it covers (≈ span /
+    bin_width rows); each left point maps to exactly one bin; the
+    (keys, bin) hash join meets them and the exact range predicate
+    filters bin-edge false positives. No pair is produced twice — a point
+    lives in one bin. Pick ``bin_width`` near the typical interval span:
+    replication stays ~1-2× while the join stays a hash join.
+
+    Timestamp columns are compared as epoch seconds (``bin_width`` in
+    seconds then).
+    """
+    if how not in {"inner", "left"}:
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+
+    def as_num(df: DataFrame, col: str):
+        # timestamps compare as (fractional) epoch seconds
+        return F.col(col).cast("double")
+
+    r = (
+        right.withColumn("__rlo", as_num(right, right_lower))
+        .withColumn("__rhi", as_num(right, right_upper))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__rlo") / bin_width).cast("long"),
+                    F.floor(F.col("__rhi") / bin_width).cast("long"),
+                )
+            ),
+        )
+    )
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__rk_{k}")
+    l = left.withColumn("__lp", as_num(left, left_point)).withColumn(
+        "__bin", F.floor(F.col("__lp") / bin_width).cast("long")
+    )
+    if how == "left":
+        # row identity so unmatched left rows can be rebuilt with nulls —
+        # persisted so the id assignment is computed once
+        l = l.withColumn("__lid", F.monotonically_increasing_id()).persist()
+    cond = None
+    for a, b in [("__bin", "__bin")] + [(k, f"__rk_{k}") for k in keys]:
+        c = l[a] == r[b]
+        cond = c if cond is None else cond & c
+    joined = l.join(r, cond, "inner")
+    # exact half-open range check resolves bin-edge false positives
+    in_range = (F.col("__rlo") <= F.col("__lp")) & (F.col("__lp") < F.col("__rhi"))
+    matched = joined.where(in_range).drop(l["__bin"]).drop(r["__bin"])
+    helpers = ["__lp", "__rlo", "__rhi", *[f"__rk_{k}" for k in keys]]
+    if how == "inner":
+        return matched.drop(*helpers)
+    # left join: rows with no candidate IN RANGE (not merely no bin-mate)
+    # come back with null right columns
+    unmatched = l.join(matched.select("__lid").distinct(), "__lid", "left_anti")
+    out = matched.unionByName(unmatched.drop("__bin"), allowMissingColumns=True)
+    return out.drop("__lid", *helpers)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -87,3 +87,52 @@ def test_asof_join_collision_requires_suffix(spark):
                     suffix="_r")
     r = out.first()
     assert r.v == 1.0 and r.v_r == 2.0
+
+
+def test_range_join_point_in_interval(spark):
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, p=5.0), Row(k=1, p=15.0), Row(k=1, p=25.0), Row(k=2, p=5.0)]
+    )
+    right = spark.createDataFrame([
+        Row(k=1, lo=0.0, hi=10.0, tag="a"),     # covers p=5
+        Row(k=1, lo=4.0, hi=30.0, tag="b"),     # covers 5, 15, 25
+        Row(k=1, lo=15.0, hi=16.0, tag="c"),    # covers 15 (lo inclusive)
+        Row(k=1, lo=20.0, hi=25.0, tag="d"),    # 25 excluded (hi exclusive)
+        Row(k=2, lo=0.0, hi=10.0, tag="e"),
+    ])
+    out = range_join(left, right, "p", "lo", "hi", keys=["k"], bin_width=10.0)
+    got = sorted((r.k, r.p, r.tag) for r in out.collect())
+    assert got == [(1, 5.0, "a"), (1, 5.0, "b"), (1, 15.0, "b"),
+                   (1, 15.0, "c"), (1, 25.0, "b"), (2, 5.0, "e")]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([Row(k=1, p=5.0), Row(k=1, p=99.0)])
+    right = spark.createDataFrame([Row(k=1, lo=0.0, hi=10.0, tag="a")])
+    out = range_join(left, right, "p", "lo", "hi", keys=["k"],
+                     bin_width=10.0, how="left")
+    got = {r.p: r.tag for r in out.collect()}
+    assert got == {5.0: "a", 99.0: None}
+
+
+def test_range_join_left_keeps_range_misses_sharing_a_bin(spark):
+    """A left row whose bin-mates all FAIL the exact range check must still
+    survive a left join with null right columns."""
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([Row(k=1, p=9.0)])
+    right = spark.createDataFrame([Row(k=1, lo=0.0, hi=5.0, tag="a")])  # same bin
+    out = range_join(left, right, "p", "lo", "hi", keys=["k"],
+                     bin_width=10.0, how="left")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].tag is None
