@@ -19,7 +19,9 @@ import time, not in any query path):
   complex-column values);
 - CompressedLongs/Floats suppliers v2 (LZ4 block or uncompressed);
 - CompressedVSizeInts v2 (single-value dictionary id column) and
-  CompressedVSizeIndexed v2 (multi-value rows: offsets + flat values);
+  CompressedVSizeIndexed v2 / CompressedVSizeIndexedV3 (multi-value rows:
+  numRows+1 start offsets + flat values; v3 is the MULTI_VALUE_V3 serde
+  flag IndexMergerV9 writes);
 - Druid ``HyperLogLogCollector`` cardinality estimation (dense + sparse),
   so imported ``hyperUnique`` columns can be finalized without Druid.
 
@@ -172,10 +174,12 @@ def read_compressed_primitives(buf: _Buf, fmt: str, byte_order: str) -> list:
     return out[:total]
 
 
-def read_compressed_vsize_ints(buf: _Buf) -> list[int]:
+def read_compressed_vsize_ints(buf: _Buf, byte_order: str = "BIG_ENDIAN") -> list[int]:
     """CompressedVSizeIntsIndexedSupplier v2 (single-value dictionary ids):
-    version, numBytes, totalSize, sizePer, compression, blocks. Values are
-    numBytes wide, big-endian."""
+    version, numBytes, totalSize, sizePer, compression, blocks. Values
+    narrower than 4 bytes are always big-endian (the writer truncates a
+    big-endian helper buffer); full-width 4-byte values follow the column
+    byte order."""
     version = buf.byte()
     if version != 0x2:
         raise NotImplementedError(f"vsize-ints version {version} (expected 2)")
@@ -183,6 +187,7 @@ def read_compressed_vsize_ints(buf: _Buf) -> list[int]:
     total = buf.int4()
     size_per = buf.int4()
     compression = buf.byte()
+    endian = "little" if (num_bytes == 4 and byte_order == "LITTLE_ENDIAN") else "big"
     out: list[int] = []
     for block in read_generic_indexed(buf):
         # blocks carry 4 - numBytes padding so java can getInt at the tail
@@ -190,16 +195,31 @@ def read_compressed_vsize_ints(buf: _Buf) -> list[int]:
         for i in range(size_per):
             if len(out) >= total:
                 break
-            out.append(int.from_bytes(raw[i * num_bytes:(i + 1) * num_bytes], "big"))
+            out.append(int.from_bytes(raw[i * num_bytes:(i + 1) * num_bytes], endian))
         if len(out) >= total:
             break
     return out[:total]
 
 
+def _rows_from_start_offsets(offsets: list[int], values: list[int]) -> list[list[int]]:
+    """Both multi-value suppliers store numRows+1 START offsets (leading 0,
+    trailing total-values length); row i is values[offsets[i]:offsets[i+1]]
+    (CompressedVSizeIndexedSupplier.get reads offsets[i]..offsets[i+1])."""
+    if not offsets or offsets[0] != 0 or offsets[-1] != len(values):
+        raise ValueError(
+            f"corrupt multi-value offsets: {len(offsets)} entries, "
+            f"first={offsets[0] if offsets else None}, "
+            f"last={offsets[-1] if offsets else None}, values={len(values)}"
+        )
+    rows = [values[offsets[i]:offsets[i + 1]] for i in range(len(offsets) - 1)]
+    assert len(rows) + 1 == len(offsets)
+    return rows
+
+
 def read_compressed_vsize_indexed(buf: _Buf) -> list[list[int]]:
     """CompressedVSizeIndexedSupplier v2 (multi-value dictionary ids): a
     version byte followed by two CompressedVSizeIntsIndexedSuppliers —
-    per-row END offsets into a flat values stream, then the values."""
+    numRows+1 START offsets into a flat values stream, then the values."""
     version = buf.byte()
     if version != 0x2:
         raise NotImplementedError(
@@ -207,12 +227,22 @@ def read_compressed_vsize_indexed(buf: _Buf) -> list[list[int]]:
         )
     offsets = read_compressed_vsize_ints(buf)
     values = read_compressed_vsize_ints(buf)
-    rows: list[list[int]] = []
-    prev = 0
-    for end in offsets:
-        rows.append(values[prev:end])
-        prev = end
-    return rows
+    return _rows_from_start_offsets(offsets, values)
+
+
+def read_compressed_vsize_indexed_v3(buf: _Buf, byte_order: str) -> list[list[int]]:
+    """CompressedVSizeIndexedV3Supplier (written by IndexMergerV9 under the
+    MULTI_VALUE_V3 serde flag): version 0x3, then a CompressedIntsIndexed
+    supplier of numRows+1 START offsets (full-width ints in the column
+    byte order), then a CompressedVSizeIntsIndexedSupplier of values."""
+    version = buf.byte()
+    if version != 0x3:
+        raise NotImplementedError(
+            f"multi-value v3 indexed version {version} (expected 3)"
+        )
+    offsets = read_compressed_primitives(buf, "i", byte_order)
+    values = read_compressed_vsize_ints(buf, byte_order)
+    return _rows_from_start_offsets(offsets, values)
 
 
 # ------------------------------------------------------------- columns
@@ -240,14 +270,26 @@ def read_column(name: str, blob: bytes) -> DruidColumn:
                 "(pre-0.9 segments); only v2 is supported"
             )
         flags = buf.int4()
+        byte_order = part.get("byteOrder", "LITTLE_ENDIAN")
         dictionary = [v.decode("utf-8") if v else "" for v in read_generic_indexed(buf)]
-        if flags & 0x1:  # multi-value: CompressedVSizeIndexed (offsets+values)
+        if flags & ~0x3:
+            raise NotImplementedError(
+                f"column {name!r}: unknown dictionary serde feature flags "
+                f"0x{flags:x} (MULTI_VALUE 0x1 / MULTI_VALUE_V3 0x2 only)"
+            )
+        if flags & 0x2:  # MULTI_VALUE_V3: CompressedVSizeIndexedV3
+            rows = read_compressed_vsize_indexed_v3(buf, byte_order)
+            return DruidColumn(
+                name, vtype, None, [[dictionary[i] for i in row] for row in rows],
+                multi_value=True,
+            )
+        if flags & 0x1:  # MULTI_VALUE: CompressedVSizeIndexed (offsets+values)
             rows = read_compressed_vsize_indexed(buf)
             return DruidColumn(
                 name, vtype, None, [[dictionary[i] for i in row] for row in rows],
                 multi_value=True,
             )
-        ids = read_compressed_vsize_ints(buf)
+        ids = read_compressed_vsize_ints(buf, byte_order)
         return DruidColumn(name, vtype, None, [dictionary[i] for i in ids])
     if vtype in {"LONG", "FLOAT"}:
         fmt = "q" if vtype == "LONG" else "f"

@@ -62,6 +62,16 @@ def _enc_gi(items):
     return bytes([1, 1]) + struct.pack(">i", len(payload)) + payload
 
 
+def _start_offsets(rows):
+    """numRows+1 START offsets (leading 0, trailing total values) — the
+    CompressedVSizeIndexedSupplier convention."""
+    starts, n = [0], 0
+    for r in rows:
+        n += len(r)
+        starts.append(n)
+    return starts
+
+
 def _enc_cvints(values, num_bytes=1, size_per=4):
     """Encode a CompressedVSizeIntsIndexedSupplier v2 (uncompressed)."""
     import struct
@@ -88,19 +98,57 @@ def test_multivalue_dimension_decode():
     rows = [["a"], ["b", "c"], [], ["c"], ["a", "b", "c", "a"]]
     dictionary = [b"a", b"b", b"c"]
     flat = [{"a": 0, "b": 1, "c": 2}[v] for r in rows for v in r]
-    ends, n = [], 0
-    for r in rows:
-        n += len(r)
-        ends.append(n)
+    starts = _start_offsets(rows)
     desc = json.dumps({"valueType": "STRING", "hasMultipleValues": True,
                        "parts": [{"type": "stringDictionary"}]}).encode()
     blob = (struct.pack(">i", len(desc)) + desc
             + bytes([2]) + struct.pack(">i", 1)  # serde v2, MULTI_VALUE flag
             + _enc_gi(dictionary)
-            + bytes([2]) + _enc_cvints(ends) + _enc_cvints(flat))
+            + bytes([2]) + _enc_cvints(starts) + _enc_cvints(flat))
     col = read_column("tags", blob)
     assert col.multi_value
     assert col.values == rows
+
+
+def test_multivalue_v3_dimension_decode():
+    """MULTI_VALUE_V3 serde flag (IndexMergerV9 output): version 0x3, then
+    full-width CompressedInts START offsets, then vsize values."""
+    import json
+    import struct
+
+    from druid_hadoop_utils_spark.sources.druid_segment import read_column
+
+    rows = [["a", "c"], [], ["b"], ["c", "c", "a"]]
+    dictionary = [b"a", b"b", b"c"]
+    flat = [{"a": 0, "b": 1, "c": 2}[v] for r in rows for v in r]
+    starts = _start_offsets(rows)
+    desc = json.dumps({"valueType": "STRING", "hasMultipleValues": True,
+                       "parts": [{"type": "stringDictionary",
+                                  "byteOrder": "LITTLE_ENDIAN"}]}).encode()
+    blob = (struct.pack(">i", len(desc)) + desc
+            + bytes([2]) + struct.pack(">i", 2)  # serde v2, MULTI_VALUE_V3
+            + _enc_gi(dictionary)
+            + bytes([3]) + _enc_compressed_primitives(starts, "i")
+            + _enc_cvints(flat))
+    col = read_column("tags", blob)
+    assert col.multi_value
+    assert col.values == rows
+
+
+def test_unknown_serde_flags_rejected():
+    """Unknown feature bits fail loudly instead of decoding garbage."""
+    import json
+    import struct
+
+    from druid_hadoop_utils_spark.sources.druid_segment import read_column
+
+    desc = json.dumps({"valueType": "STRING", "hasMultipleValues": False,
+                       "parts": [{"type": "stringDictionary"}]}).encode()
+    blob = (struct.pack(">i", len(desc)) + desc
+            + bytes([2]) + struct.pack(">i", 4)  # unknown flag bit
+            + _enc_gi([b"a"]) + _enc_cvints([0]))
+    with pytest.raises(NotImplementedError, match="feature flags"):
+        read_column("bad", blob)
 
 
 def _enc_compressed_primitives(values, fmt, size_per=2):
@@ -141,10 +189,7 @@ def _write_synthetic_segment(path: str):
     floats = [1.5, 2.5, 3.5, 4.5]
     tag_rows = [["x"], ["x", "y"], [], ["y"]]
     flat = [{"x": 0, "y": 1}[v] for r in tag_rows for v in r]
-    ends, n = [], 0
-    for r in tag_rows:
-        n += len(r)
-        ends.append(n)
+    starts = _start_offsets(tag_rows)
 
     cols = {
         "__time": _enc_column(
@@ -163,7 +208,7 @@ def _write_synthetic_segment(path: str):
             {"valueType": "STRING", "hasMultipleValues": True,
              "parts": [{"type": "stringDictionary"}]},
             bytes([2]) + struct.pack(">i", 1) + _enc_gi([b"x", b"y"])
-            + bytes([2]) + _enc_cvints(ends) + _enc_cvints(flat)),
+            + bytes([2]) + _enc_cvints(starts) + _enc_cvints(flat)),
     }
     # two smoosh chunks: __time + visits in file 0, the rest in file 1
     chunk0 = cols["__time"] + cols["visits"]
