@@ -39,7 +39,13 @@ def _base(
 def _bucket_frame(spark: SparkSession, granularity, intervals) -> DataFrame:
     """One row per granularity bucket start covering the (condensed)
     intervals — Catalyst ``sequence`` + ``explode``, no driver loop over
-    buckets."""
+    buckets.
+
+    timeZone period granularities enumerate in the LOCAL wall-time frame
+    (truncate → sequence → to_utc_timestamp): stepping UTC instants by a
+    fixed INTERVAL diverges from the tz-aware ``granularity_expr`` values
+    after a DST transition, which would silently drop those buckets'
+    aggregated rows in the fill join."""
     from druid_hadoop_utils_spark.functions.granularity import (
         bucket_step_sql,
         granularity_expr,
@@ -47,6 +53,7 @@ def _bucket_frame(spark: SparkSession, granularity, intervals) -> DataFrame:
     from druid_hadoop_utils_spark.intervals import parse_intervals
 
     ivs = parse_intervals(intervals)
+    tz = granularity.get("timeZone") if isinstance(granularity, dict) else None
     step = F.expr(bucket_step_sql(granularity))
     parts = []
     for iv in ivs:
@@ -55,13 +62,25 @@ def _bucket_frame(spark: SparkSession, granularity, intervals) -> DataFrame:
         stop = F.lit(iv.end.replace(tzinfo=None)).cast("timestamp") - F.expr(
             "INTERVAL 1 MICROSECOND"
         )
-        parts.append(
-            spark.range(1).select(
-                F.explode(
-                    F.sequence(granularity_expr(granularity, start), stop, step)
-                ).alias("__time")
+        first = granularity_expr(granularity, start)
+        if tz:
+            # same from_utc → trunc → to_utc composition as granularity_expr,
+            # so enumerated starts join exactly against truncated data rows
+            seq = F.sequence(
+                F.from_utc_timestamp(first, tz), F.from_utc_timestamp(stop, tz),
+                step,
             )
-        )
+            parts.append(
+                spark.range(1)
+                .select(F.explode(seq).alias("__local"))
+                .select(F.to_utc_timestamp("__local", tz).alias("__time"))
+            )
+        else:
+            parts.append(
+                spark.range(1).select(
+                    F.explode(F.sequence(first, stop, step)).alias("__time")
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -98,7 +117,13 @@ def timeseries(
     # over the filled aggregate row)
     out = group_aggregate(df, [], aggregations, None)
     gran = spec.granularity
-    if not skip_empty_buckets and gran not in {"NONE", "ALL"}:
+    # dict granularities (duration/period) always have bucket structure;
+    # only the named NONE/ALL shapes skip the fill (and a dict must not hit
+    # set membership — unhashable)
+    has_buckets = not (
+        isinstance(gran, str) and gran.upper() in {"NONE", "ALL"}
+    )
+    if not skip_empty_buckets and has_buckets:
         ivs = spec.intervals if interval is None else interval
         buckets = _bucket_frame(spark, gran, ivs)
         out = buckets.join(out, "__time", "left")

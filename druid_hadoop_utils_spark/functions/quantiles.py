@@ -120,8 +120,16 @@ def qhist_state_grouped(
         .groupBy(*group_cols, "__bk")
         .agg(F.count("*").alias("__c"))
     )
+    # Null values bucket to NULL; a null map key would fail at runtime
+    # (NULL_MAP_KEY) and the qhist_state expression path ignores nulls.
+    # collect_list skips null entries, so the when() drops the null bucket
+    # while an all-null group still surfaces with a zero-count state.
     pairs = F.map_from_entries(
-        F.collect_list(F.struct(F.col("__bk"), F.col("__c")))
+        F.collect_list(
+            F.when(
+                F.col("__bk").isNotNull(), F.struct(F.col("__bk"), F.col("__c"))
+            )
+        )
     )
     agged = (
         per_bucket.groupBy(*group_cols).agg(pairs.alias("__m"))

@@ -61,6 +61,45 @@ def test_timeseries_zero_fills_empty_buckets(spark, events):
     assert skipped.count() == 0
 
 
+def test_timeseries_dict_granularity_zero_fills(spark, events):
+    """A duration-spec granularity (dict, unhashable) must still zero-fill
+    under the default skip_empty_buckets=False."""
+    spec = {"granularity": {"type": "duration", "duration": 21600000},
+            "dimensions": [],
+            "metrics": [{"name": "value", "type": "double"}]}
+    aggs = [{"type": "count", "name": "n"}]
+    out = api.timeseries(spark, events, spec, aggs,
+                         interval="2024-12-31/2025-01-01", time_column="ts")
+    rows = out.collect()
+    assert len(rows) == 4  # four 6h buckets, all beyond the data's end
+    assert all(r.n == 0 for r in rows)
+
+
+def test_timeseries_tz_period_fill_across_dst(spark):
+    """P1D America/Los_Angeles buckets across the 2024-03-10 spring-forward:
+    after the transition local midnight moves from 08:00Z to 07:00Z. The
+    enumerated fill buckets must track that, or the join drops the
+    aggregated rows for every post-DST day."""
+    from datetime import datetime
+
+    rows = [Row(ts=datetime(2024, 3, d, 9, 30), v=float(d)) for d in (9, 10, 11)]
+    df = spark.createDataFrame(rows)  # 09:30Z = inside each LA day
+    spec = {"granularity": {"type": "period", "period": "P1D",
+                            "timeZone": "America/Los_Angeles"},
+            "dimensions": [], "metrics": [{"name": "v", "type": "double"}]}
+    aggs = [{"type": "doubleSum", "name": "total", "fieldName": "v"},
+            {"type": "count", "name": "n"}]
+    out = api.timeseries(spark, df, spec, aggs,
+                         interval="2024-03-09T08:00:00/2024-03-12T07:00:00",
+                         time_column="ts").collect()
+    assert len(out) == 3
+    # bucket starts are the UTC instants of LA midnight: 08Z, 08Z, 07Z
+    assert [r["__time"].hour for r in out] == [8, 8, 7]
+    # no aggregated row was dropped by the fill join
+    assert [r.total for r in out] == [9.0, 10.0, 11.0]
+    assert all(r.n == 1 for r in out)
+
+
 def test_timeseries_ignores_dimensions(spark, events):
     out = api.timeseries(spark, events, SPEC, AGGS,
                          interval="2024-01-01/2024-01-03", time_column="ts")

@@ -58,6 +58,21 @@ def test_empty_input_yields_null(spark):
     assert out.p50 is None
 
 
+def test_nulls_ignored_in_grouped_state(spark):
+    """Null values must not become null map keys (NULL_MAP_KEY): they are
+    ignored, matching the expression path, and an all-null group still
+    yields a zero-count state (null quantile)."""
+    df = spark.createDataFrame(
+        [Row(g="a", v=10.0), Row(g="a", v=None), Row(g="a", v=30.0),
+         Row(g="b", v=None)],
+        "g string, v double",
+    )
+    out = approx_quantiles(df, "v", ["g"], [0.5], lo=0, hi=100, bins=10)
+    rows = {r.g: r.p50 for r in out.collect()}
+    assert rows["a"] == pytest.approx(20.0, abs=10)  # nulls skipped
+    assert rows["b"] is None                          # all-null group kept
+
+
 def test_grouped_quantiles(values):
     out = approx_quantiles(values, "v", ["g"], [0.5], lo=0, hi=1000, bins=100)
     rows = {r.g: r.p50 for r in out.collect()}
