@@ -33,15 +33,23 @@ def asof_join(
     Spark lacks natively (DuckDB spells it ASOF JOIN; kdb calls it aj).
 
     Implemented as union + window instead of a range join: tag both
-    sides, union them, and carry each right column forward with
+    sides, union them, and carry the right row forward with
     ``last(..., ignorenulls)`` over (keys ORDER BY on, side) — a right row
     at the exact left timestamp wins (<= semantics). ONE shuffle on the
     keys, no range-condition nested-loop join, no right-side broadcast
     requirement: both sides can be arbitrarily large.
+
+    The right columns travel as ONE struct, so every output column comes
+    from the SAME most-recent right row and a stored null in that row
+    survives (carrying columns independently would let an older row's
+    value leak through a null — DuckDB ASOF JOIN, the oracle, never mixes
+    rows).
     """
     from pyspark.sql import Window
 
     rcols = right_cols or [c for c in right.columns if c != on and c not in keys]
+    if not rcols:
+        raise ValueError("asof_join: no right columns to attach")
     out_names = {c: f"{c}{suffix}" for c in rcols}
     clash = [out_names[c] for c in rcols if out_names[c] in left.columns]
     if clash:
@@ -49,11 +57,11 @@ def asof_join(
 
     r = right.select(
         *keys, F.col(on),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__rrow"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__side", F.lit(1))
-    for c in rcols:
-        l = l.withColumn(f"__r_{c}", F.lit(None))
+    # left rows get a null __rrow via allowMissingColumns, which ignorenulls
+    # skips; a right row's struct is non-null even when its fields are null
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     w = (
@@ -61,13 +69,14 @@ def asof_join(
         .orderBy(F.col(on), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in rcols:
-        unioned = unioned.withColumn(
-            out_names[c], F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+    carried = F.last("__rrow", ignorenulls=True).over(w)
     return (
-        unioned.where(F.col("__side") == 1)
-        .drop("__side", *[f"__r_{c}" for c in rcols])
+        unioned.withColumn("__carried", carried)
+        .where(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[F.col("__carried")[c].alias(out_names[c]) for c in rcols],
+        )
     )
 
 
@@ -121,26 +130,24 @@ def range_join(
     l = left.withColumn("__lp", as_num(left, left_point)).withColumn(
         "__bin", F.floor(F.col("__lp") / bin_width).cast("long")
     )
-    if how == "left":
-        # row identity so unmatched left rows can be rebuilt with nulls —
-        # persisted so the id assignment is computed once
-        l = l.withColumn("__lid", F.monotonically_increasing_id()).persist()
     cond = None
     for a, b in [("__bin", "__bin")] + [(k, f"__rk_{k}") for k in keys]:
         c = l[a] == r[b]
         cond = c if cond is None else cond & c
-    joined = l.join(r, cond, "inner")
     # exact half-open range check resolves bin-edge false positives
-    in_range = (F.col("__rlo") <= F.col("__lp")) & (F.col("__lp") < F.col("__rhi"))
-    matched = joined.where(in_range).drop(l["__bin"]).drop(r["__bin"])
+    in_range = (r["__rlo"] <= l["__lp"]) & (l["__lp"] < r["__rhi"])
+    matched = l.join(r, cond & in_range, "inner").drop(l["__bin"]).drop(r["__bin"])
     helpers = ["__lp", "__rlo", "__rhi", *[f"__rk_{k}" for k in keys]]
     if how == "inner":
         return matched.drop(*helpers)
     # left join: rows with no candidate IN RANGE (not merely no bin-mate)
-    # come back with null right columns
-    unmatched = l.join(matched.select("__lid").distinct(), "__lid", "left_anti")
-    out = matched.unionByName(unmatched.drop("__bin"), allowMissingColumns=True)
-    return out.drop("__lid", *helpers)
+    # come back with null right columns. A left_anti with the SAME equi keys
+    # + range condition — no row ids, no persist (the round-2 version pinned
+    # the whole probe side in memory); both joins shuffle l on (bin, keys)
+    # identically so the exchange is reused.
+    unmatched = l.join(r, cond & in_range, "left_anti").drop("__bin")
+    out = matched.unionByName(unmatched, allowMissingColumns=True)
+    return out.drop(*helpers)
 
 
 def salted_join(

@@ -71,6 +71,48 @@ def test_asof_join_semantics(spark):
     assert out.count() == 4  # left rows preserved exactly
 
 
+def test_asof_join_null_right_values_survive(spark):
+    """A stored null in the most recent right row must come through as null
+    (not an older row's value), and all output columns must come from the
+    SAME right row — DuckDB ASOF JOIN semantics (the module's oracle)."""
+    from datetime import datetime
+
+    import duckdb
+
+    from druid_hadoop_utils_spark.operators.joins import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(1)), Row(k=1, ts=t(6)), Row(k=1, ts=t(11))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(0), a=10.0, b="x"),
+         Row(k=1, ts=t(5), a=None, b="y"),   # stored null must survive
+         Row(k=1, ts=t(10), a=30.0, b=None)],
+        "k int, ts timestamp, a double, b string",
+    )
+    out = asof_join(left, right, on="ts", keys=["k"], right_cols=["a", "b"])
+    got = {r.ts.minute: (r.a, r.b) for r in out.collect()}
+    # :06 → right row :05 → (None, 'y'); column a must NOT leak 10.0 from :00
+    assert got == {1: (10.0, "x"), 6: (None, "y"), 11: (30.0, None)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l AS SELECT * FROM (VALUES "
+                "(1, TIMESTAMP '2024-01-01 00:01:00'),"
+                "(1, TIMESTAMP '2024-01-01 00:06:00'),"
+                "(1, TIMESTAMP '2024-01-01 00:11:00')) t(k, ts)")
+    con.execute("CREATE TABLE r AS SELECT * FROM (VALUES "
+                "(1, TIMESTAMP '2024-01-01 00:00:00', 10.0, 'x'),"
+                "(1, TIMESTAMP '2024-01-01 00:05:00', NULL, 'y'),"
+                "(1, TIMESTAMP '2024-01-01 00:10:00', 30.0, NULL)) t(k, ts, a, b)")
+    oracle = con.execute(
+        "SELECT l.ts, r.a, r.b FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.ts"
+    ).fetchall()
+    assert {ts.minute: (a, b) for ts, a, b in oracle} == got
+
+
 def test_asof_join_collision_requires_suffix(spark):
     from datetime import datetime
 
@@ -136,3 +178,26 @@ def test_range_join_left_keeps_range_misses_sharing_a_bin(spark):
                      bin_width=10.0, how="left")
     rows = out.collect()
     assert len(rows) == 1 and rows[0].tag is None
+
+
+def test_range_join_left_does_not_persist(spark):
+    """The left path must not pin the probe side in memory: no
+    InMemoryRelation in the plan (the anti-join derives unmatched rows
+    instead), and duplicate left rows behave like a plain left join."""
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import range_join
+
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    left = spark.createDataFrame(
+        [Row(k=1, p=5.0), Row(k=1, p=5.0), Row(k=1, p=99.0), Row(k=1, p=99.0)]
+    )
+    right = spark.createDataFrame([Row(k=1, lo=0.0, hi=10.0, tag="a")])
+    out = range_join(left, right, "p", "lo", "hi", keys=["k"],
+                     bin_width=10.0, how="left")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    got = sorted((r.p, r.tag) for r in out.collect())
+    assert got == [(5.0, "a"), (5.0, "a"), (99.0, None), (99.0, None)]
+    # nothing newly cached behind the caller's back
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
