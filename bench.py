@@ -36,11 +36,17 @@ HEADLINE = [
     "q_window_topn_per_group",
     "q_set_ops",
     "q_dedup_exact",
-    "q_dedup_minhash_lsh",
+    # the _prod entries run PRODUCTION LSH selectivity (bands=16; bits=8/
+    # tables=16). The convergent oracle configs (q_dedup_minhash_lsh,
+    # q_similarity_lsh_topk) deliberately degrade selectivity to make
+    # recall provably 1.0 for the correctness gate — benching those
+    # measured only the degenerate path (VERDICT r2), so the bench tracks
+    # the real one.
+    "q_dedup_minhash_lsh_prod",
     "q_dedup_simhash",
     "q_text_analysis",
     "q_similarity_topk",
-    "q_similarity_lsh_topk",
+    "q_similarity_lsh_topk_prod",
     "q_segment_table_load",
     "q_sessionize",
     "q_quantile_sketch",

@@ -56,6 +56,48 @@ def test_lsh_topk_battery_params_equal_brute_force(spark, sf_dir):
     assert approx == exact
 
 
+def test_lsh_topk_prod_params_shape_and_quality(spark, sf_dir):
+    """The PRODUCTION config (bits=8, tables=16 — q_similarity_lsh_topk_prod,
+    the benched path) still returns a full exact-cosine-ranked top-k per
+    query, and the best neighbor it finds is within a constant factor of
+    the true best (this corpus has no strong pairs — max cos ≈ 0.51 — so
+    set-equality with brute force is unattainable at real selectivity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    prod = S.lsh_topk(emb, queries, k=5, bits=8, tables=16).collect()
+    by_q = {}
+    for r in prod:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for q, nbrs in by_q.items():
+        assert len(nbrs) == 5
+        sims = [n.cos_sim for n in nbrs]
+        assert sims == sorted(sims, reverse=True)
+    exact_best = {r.query_id: r.cos_sim
+                  for r in S.brute_force_topk(emb, queries, k=1).collect()}
+    for q, nbrs in by_q.items():
+        assert nbrs[0].cos_sim >= 0.5 * exact_best[q], (
+            f"query {q}: prod best {nbrs[0].cos_sim} vs exact {exact_best[q]}"
+        )
+
+
+def test_minhash_prod_bands_equal_exact_on_testdata(spark, sf_dir):
+    """q_dedup_minhash_lsh_prod's bands=16 finds the identical pair set as
+    the convergent bands=32 config on this data (high-Jaccard duplicates) —
+    the empirical property that lets the prod bench entry keep the exact
+    oracle."""
+    from druid_hadoop_utils_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {tuple(r) for r in DD.minhash_lsh_dedup_pairs(
+        docs, "doc_id", threshold=0.5, num_hashes=64, bands=32
+    ).drop("jaccard").collect()}
+    b = {tuple(r) for r in DD.minhash_lsh_dedup_pairs(
+        docs, "doc_id", threshold=0.5, num_hashes=64, bands=16
+    ).drop("jaccard").collect()}
+    assert a == b
+
+
 def test_ivf_full_probe_is_exact(spark, sf_dir):
     """nprobe = n_cells probes every cell, so IVF degenerates to exact
     brute force by construction (the q_similarity_ivf_topk oracle basis)."""
