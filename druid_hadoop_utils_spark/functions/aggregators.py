@@ -319,10 +319,59 @@ def group_aggregate(
     One shuffle on the group keys; Catalyst plans partial+final hash
     aggregation automatically (map-side combine), so sketch partials merge
     exactly like the reference's NonFinalizing → merge → Finalizing chain.
+
+    Finalizing ``thetaSketch`` aggregations over RAW (non-state) columns
+    route through ``kmv_distinct``'s memory-bounded two-shuffle build and
+    join back on the group keys: the expression state's transient
+    ``collect_set`` is O(group distinct count), which is a cliff for
+    unbounded groups (VERDICT r2). The expression path remains for
+    ``finalize=False`` (a mergeable state column is the point there), for
+    re-merging existing state columns, for filtered-wrapped thetas, and
+    for global (keyless) aggregation where both paths funnel one group
+    through one reducer anyway.
     """
     keys = ([time_column] if time_column else []) + list(dimensions)
-    aggs = [agg_expr(a, df.schema, finalize=finalize, lgk=lgk) for a in aggregations]
+
+    def _bounded_theta(a: dict) -> bool:
+        if not (finalize and keys) or a.get("type") != "thetaSketch":
+            return False
+        from druid_hadoop_utils_spark.functions.theta import is_kmv_state
+
+        f = a.get("fieldName")
+        try:
+            return f is not None and not is_kmv_state(df.schema[f].dataType)
+        except KeyError:
+            return False
+
+    bounded = [a for a in aggregations if _bounded_theta(a)]
+    rest = [a for a in aggregations if not _bounded_theta(a)]
+
+    aggs = [agg_expr(a, df.schema, finalize=finalize, lgk=lgk) for a in rest]
+    if bounded and not rest:
+        # base frame still defines the group universe (incl. groups whose
+        # theta field is entirely null)
+        aggs = [F.count(F.lit(1)).alias("__ga_n")]
     out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if bounded:
+        from druid_hadoop_utils_spark.functions.theta import DEFAULT_K, kmv_distinct
+
+        for a in bounded:
+            k = int(a.get("size", DEFAULT_K))
+            th = kmv_distinct(df, keys, a["fieldName"], k).select(
+                *keys, F.col("estimate").alias(a["name"])
+            )
+            out = out.join(th, keys, "left")
+        # an absent group in the theta frame means zero non-null values —
+        # the expression path estimates 0.0 there too
+        fills = [
+            F.coalesce(F.col(a["name"]), F.lit(0.0)).cast("double").alias(a["name"])
+            for a in bounded
+        ]
+        out = out.select(
+            *keys,
+            *[F.col(a["name"]) for a in rest],
+            *fills,
+        ).select(*keys, *[a["name"] for a in aggregations])
     if post_aggregations:
         out = out.select("*", *[post_agg_expr(p) for p in post_aggregations])
     return out

@@ -80,6 +80,30 @@ def test_theta_sketch_aggregator_grammar(people):
     assert {r.g: r.d for r in out.collect()} == {"g0": 10.0, "g1": 20.0, "g2": 30.0}
 
 
+def test_theta_grammar_routes_through_bounded_path(people):
+    """Finalizing thetaSketch via group_aggregate must compile to the
+    kmv_distinct two-shuffle form (no per-group collect_set in the plan),
+    mixed with other aggregators, and an all-null group estimates 0.0."""
+    with_nulls = people.unionByName(
+        people.sparkSession.createDataFrame(
+            [Row(g="g_null", u=None), Row(g="g_null", u=None)],
+            "g string, u string",
+        )
+    )
+    out = group_aggregate(
+        with_nulls, ["g"],
+        [{"type": "count", "name": "n"},
+         {"type": "thetaSketch", "name": "d", "fieldName": "u", "size": 256}],
+        time_column=None,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" not in plan, "expression state leaked into finalize path"
+    got = {r.g: (r.n, r.d) for r in out.collect()}
+    assert got == {"g0": (20, 10.0), "g1": (40, 20.0), "g2": (60, 30.0),
+                   "g_null": (2, 0.0)}
+    assert out.columns == ["g", "n", "d"]  # declared aggregation order kept
+
+
 def test_theta_two_phase_with_post_agg(people):
     """NonFinalizing (state array) → re-merge over a pre-built state column
     → thetaSketchEstimate post-agg, mirroring the hyperUnique chain."""
