@@ -52,6 +52,8 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_tpch_q3_shipping_priority",
     "q_similarity_ivf_topk",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -107,6 +107,73 @@ def main() -> None:
         "q_dedup_exact": lambda: t("documents")
         .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count")),
+        "q_tpch_q3_shipping_priority": lambda: t("lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .join(t("orders").where(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t("customer").where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10),
+        # gaps-and-islands sessionization — what a plain-Spark user writes
+        # in place of the engine's session_window operator
+        "q_sessionize": lambda: events()
+        .select("user_id", ts.alias("t"), "value")
+        .withColumn("prev", F.lag("t").over(
+            Window.partitionBy("user_id").orderBy("t")))
+        .withColumn("new_s", F.when(
+            F.col("prev").isNull()
+            | (F.col("t").cast("long") - F.col("prev").cast("long") > 1800), 1
+        ).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("session_start"),
+             F.max("t").alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total")),
+        # plain grouped median via percentile_approx (the builtin a plain
+        # user reaches for instead of the mergeable histogram state)
+        "q_quantile_sketch": lambda: events()
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5).alias("p50")),
+        # naive as-of: equi join on the key with the time inequality, then
+        # row_number to keep the latest matching right row per left row
+        "q_asof_join": lambda: (lambda l, r: l
+            .withColumn("__lid", F.monotonically_increasing_id())
+            .join(r, (l["user_id"] == r["r_uid"]) & (F.col("r_ts") <= F.col("t")),
+                  "left")
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("__lid").orderBy(F.desc("r_ts"))))
+            .where(F.col("rn") == 1)
+            .select("t", "user_id", "event_type",
+                    F.round("r_value", 2).alias("last_purchase_value")))(
+            events().where(F.col("user_id") < 20)
+            .select(ts.alias("t"), "user_id", "event_type"),
+            events().where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("r_uid"), ts.alias("r_ts"),
+                    F.col("value").alias("r_value"))),
+        # plain inequality range join: hash join on the key, range filter
+        "q_range_join": lambda: (lambda l, r: l
+            .join(r, (l["user_id"] == r["r_uid"]) & (F.col("t") >= F.col("r_ts"))
+                  & (F.col("t") < F.col("r_ts") + F.expr("INTERVAL 2 HOUR")))
+            .select("t", "user_id", "event_type",
+                    F.col("r_ts").alias("window_start")))(
+            events().where(F.col("user_id") < 20)
+            .select(ts.alias("t"), "user_id", "event_type"),
+            events().where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("r_uid"), ts.alias("r_ts"))),
+        # direct parquet read + filter + rollup — no manifest/overshadow
+        "q_segment_table_load": lambda: events()
+        .where((F.col("ts") >= 1704240000 * 10**9) & (F.col("ts") < 1704844800 * 10**9)
+               & F.col("event_type").isin("click", "view"))
+        .groupBy(F.date_trunc("day", ts).alias("__time"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("value"), F.count("*").alias("n")),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
