@@ -25,6 +25,7 @@ from druid_hadoop_utils_spark.intervals import Interval
 from druid_hadoop_utils_spark.sources.segments import (
     SegmentManifest,
     register_manifest,
+    register_manifest_group,
     segment_dir,
 )
 
@@ -52,6 +53,7 @@ def publish_segments(
     bucket: str = "DAY",
     files_per_bucket: int = 1,
     sort_by: list[str] | None = None,
+    shards_per_bucket: int = 1,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -60,34 +62,58 @@ def publish_segments(
     the directory listing, newest-version-wins visibility applying only
     once the manifest lands (crash-safe: orphan parquet without a manifest
     is invisible).
+
+    ``shards_per_bucket > 1`` splits each time bucket into N shard
+    segments (reference descriptor.json:10-14 shardSpec): a hot bucket's
+    writers run in parallel on disjoint row-hash partitions, and ALL of a
+    bucket's shards are announced in ONE group manifest so the replace
+    flips atomically — readers never see a partially-announced version
+    (``register_manifest_group``). ``files_per_bucket`` then bounds files
+    per SHARD.
     """
     if bucket not in {"HOUR", "DAY", "MONTH"}:
         raise ValueError(f"unsupported ingest bucket: {bucket!r} (HOUR/DAY/MONTH)")
+    if shards_per_bucket < 1:
+        raise ValueError(f"shards_per_bucket must be >= 1: {shards_per_bucket}")
 
     if time_column != "__time":
         df = df.withColumnRenamed(time_column, "__time")
-    # salt bounds output files at files_per_bucket per bucket: each
-    # (bucket, salt) pair lands in one shuffle partition, so partitionBy
-    # emits at most files_per_bucket files per bucket dir
+    sharded = shards_per_bucket > 1
+    bucketed = df.withColumn("__bucket", granularity_expr(bucket, F.col("__time")))
+    if sharded:
+        # shard on the full row hash: identical timestamps spread across
+        # shards (hashing __time alone would skew hot seconds into one)
+        bucketed = bucketed.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                   F.lit(shards_per_bucket)),
+        )
+    # salt bounds output files at files_per_bucket per (bucket[, shard]):
+    # each partition-column combo lands in one shuffle partition, so
+    # partitionBy emits at most files_per_bucket files per leaf dir
+    part_cols = ["__bucket", "__shard"] if sharded else ["__bucket"]
     bucketed = (
-        df.withColumn("__bucket", granularity_expr(bucket, F.col("__time")))
-        .withColumn("__salt", F.pmod(F.xxhash64(F.col("__time")), F.lit(files_per_bucket)))
-        .repartition(F.col("__bucket"), F.col("__salt"))
+        bucketed.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("__time")), F.lit(files_per_bucket))
+        )
+        .repartition(*[F.col(c) for c in part_cols + ["__salt"]])
         .drop("__salt")
     )
     if sort_by:
         # clustering dims within each file tightens parquet row-group
         # min/max stats → better predicate skipping on those dims at read
         # time (the Spark-era stand-in for Druid's bitmap indexes).
-        # __bucket leads the sort so the dynamic-partition writer's own
-        # required ordering is already satisfied and it won't re-sort.
-        bucketed = bucketed.sortWithinPartitions("__bucket", *sort_by)
+        # the partition columns lead the sort so the dynamic-partition
+        # writer's own required ordering is already satisfied and it won't
+        # re-sort.
+        bucketed = bucketed.sortWithinPartitions(*part_cols, *sort_by)
 
     staging = os.path.join(table_root, data_source, f"_staging_{version}")
-    bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+    bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
 
     # promote each staged bucket dir to its segment location (a rename, no
-    # second write) and announce it; manifests land last (crash-safe)
+    # second write) and announce it; manifests land last (crash-safe), one
+    # file per bucket covering all its shards
     manifests: list[SegmentManifest] = []
     for name in sorted(os.listdir(staging)):
         if not name.startswith("__bucket="):
@@ -95,11 +121,29 @@ def publish_segments(
         raw = urllib.parse.unquote(name.split("=", 1)[1])
         start = datetime.fromisoformat(raw).replace(tzinfo=timezone.utc)
         iv = Interval(start, _bucket_end(start, bucket))
-        seg_dir = segment_dir(table_root, data_source, iv, version)
-        os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
-        os.replace(os.path.join(staging, name), seg_dir)
-        manifest = SegmentManifest(data_source, iv, str(version), 0, seg_dir)
-        register_manifest(table_root, manifest)
-        manifests.append(manifest)
+        bucket_manifests: list[SegmentManifest] = []
+        if sharded:
+            bdir = os.path.join(staging, name)
+            for sname in sorted(os.listdir(bdir)):
+                if not sname.startswith("__shard="):
+                    continue
+                shard_num = int(sname.split("=", 1)[1])
+                seg_dir = segment_dir(table_root, data_source, iv, version,
+                                      shard_num)
+                os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
+                os.replace(os.path.join(bdir, sname), seg_dir)
+                bucket_manifests.append(
+                    SegmentManifest(data_source, iv, str(version), shard_num,
+                                    seg_dir)
+                )
+            register_manifest_group(table_root, bucket_manifests)
+        else:
+            seg_dir = segment_dir(table_root, data_source, iv, version)
+            os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
+            os.replace(os.path.join(staging, name), seg_dir)
+            manifest = SegmentManifest(data_source, iv, str(version), 0, seg_dir)
+            register_manifest(table_root, manifest)
+            bucket_manifests.append(manifest)
+        manifests.extend(bucket_manifests)
     shutil.rmtree(staging, ignore_errors=True)  # only _SUCCESS remains
     return manifests

@@ -54,6 +54,7 @@ def compact_segments(
     bucket: str = "DAY",
     files_per_bucket: int = 1,
     sort_by: list[str] | None = None,
+    shards_per_bucket: int = 1,
 ) -> list[SegmentManifest]:
     """Rewrite the visible rows of ``interval`` as fresh segments bucketed
     at ``bucket`` granularity under a new version (atomic flip)."""
@@ -70,6 +71,7 @@ def compact_segments(
     return publish_segments(
         df, table_root, data_source, version=version,
         bucket=bucket, files_per_bucket=files_per_bucket, sort_by=sort_by,
+        shards_per_bucket=shards_per_bucket,
     )
 
 
@@ -86,17 +88,24 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     lo = min(m.interval.start for m in manifests)
     hi = max(m.interval.end for m in manifests)
     visible = {w.manifest for w in resolve_visible_windows(manifests, Interval(lo, hi))}
-    removed = []
+    # a multi-shard group file is removed only once EVERY shard it carries
+    # is invisible (they share (interval, version), so the timeline makes
+    # them visible or invisible together — this is belt and braces)
+    by_file: dict[str, list[SegmentManifest]] = {}
     for m in manifests:
-        if m in visible:
-            continue
-        removed.append(m.identifier)
-        if dry_run:
-            continue
-        mpath = os.path.join(
+        mfile = m.manifest_file or os.path.join(
             table_root, data_source, MANIFEST_DIR, f"{_safe(m.identifier)}.json"
         )
-        if os.path.exists(mpath):
-            os.remove(mpath)
-        shutil.rmtree(m.path, ignore_errors=True)
+        by_file.setdefault(mfile, []).append(m)
+    removed = []
+    for mfile, members in by_file.items():
+        if any(m in visible for m in members):
+            continue
+        removed.extend(m.identifier for m in members)
+        if dry_run:
+            continue
+        if os.path.exists(mfile):
+            os.remove(mfile)
+        for m in members:
+            shutil.rmtree(m.path, ignore_errors=True)
     return removed

@@ -42,6 +42,11 @@ class SegmentManifest:
     version: str
     shard_num: int
     path: str  # directory holding this segment's parquet files
+    # the _segments/*.json file this entry came from (a multi-shard group
+    # file carries several entries); provenance only — excluded from
+    # equality/hashing so timeline identity stays (ds, interval, version,
+    # shard, path)
+    manifest_file: str | None = field(default=None, compare=False)
 
     @property
     def identifier(self) -> str:
@@ -155,16 +160,86 @@ def register_manifest(table_root: str, manifest: SegmentManifest) -> None:
     os.replace(tmp, mpath)
 
 
+def register_manifest_group(
+    table_root: str, manifests: list[SegmentManifest]
+) -> str:
+    """Atomically announce ALL shards of one (interval, version) in a
+    single manifest file (Druid's shardSpec list, descriptor.json:10-14):
+    readers see every shard or none, so replacing a hot bucket with N
+    parallel-written shards flips atomically — per-shard files would open
+    a window where a half-announced new version overshadows the complete
+    old one. Returns the manifest file path."""
+    if not manifests:
+        raise ValueError("register_manifest_group needs at least one shard")
+    heads = {(m.data_source, m.interval, m.version) for m in manifests}
+    if len(heads) != 1:
+        raise ValueError(
+            f"group manifest must cover ONE (dataSource, interval, version); got {heads}"
+        )
+    shards = sorted(m.shard_num for m in manifests)
+    if len(set(shards)) != len(shards):
+        raise ValueError(f"duplicate shardNum in group: {shards}")
+    m0 = manifests[0]
+    mdir = os.path.join(table_root, m0.data_source, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    group_id = (
+        f"{m0.data_source}_{m0.interval.start.isoformat()}"
+        f"_{m0.interval.end.isoformat()}_{m0.version}"
+    )
+    mpath = os.path.join(mdir, f"{_safe(group_id)}.json")
+    obj = {
+        "dataSource": m0.data_source,
+        "interval": m0.interval.iso(),
+        "version": m0.version,
+        "shards": [
+            {"shardNum": m.shard_num, "path": m.path}
+            for m in sorted(manifests, key=lambda m: m.shard_num)
+        ],
+    }
+    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, mpath)
+    return mpath
+
+
+def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
+    """Parse one manifest file: the single-segment shape or the
+    multi-shard group shape (``shards`` list)."""
+    if "shards" in obj:
+        iv = Interval.parse(obj["interval"])
+        return [
+            SegmentManifest(
+                data_source=obj["dataSource"],
+                interval=iv,
+                version=str(obj["version"]),
+                shard_num=int(s["shardNum"]),
+                path=s["path"],
+                manifest_file=mpath,
+            )
+            for s in obj["shards"]
+        ]
+    m = SegmentManifest.from_json(obj)
+    return [
+        SegmentManifest(
+            m.data_source, m.interval, m.version, m.shard_num, m.path,
+            manifest_file=mpath,
+        )
+    ]
+
+
 def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
-    """Driver-side metadata listing (replaces the overlord HTTP hop)."""
+    """Driver-side metadata listing (replaces the overlord HTTP hop). A
+    multi-shard group file expands to one entry per shard."""
     mdir = os.path.join(table_root, data_source, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         raise FileNotFoundError(f"no segment manifests under {mdir}")
     out = []
     for name in sorted(os.listdir(mdir)):
         if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                out.append(SegmentManifest.from_json(json.load(f)))
+            mpath = os.path.join(mdir, name)
+            with open(mpath) as f:
+                out.extend(_manifests_from_json(json.load(f), mpath))
     return out
 
 

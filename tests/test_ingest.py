@@ -56,6 +56,66 @@ def test_reingest_new_version_overshadows(spark, sf_dir, table_root):
     assert df.count() == one_day.count()
 
 
+def test_sharded_publish_round_trip(spark, sf_dir, tmp_path):
+    """shards_per_bucket=3: every bucket carries 1-3 shard segments under
+    ONE group manifest file, rows partition losslessly across shards, and
+    the load path reads the union."""
+    from druid_hadoop_utils_spark.sources.segments import (
+        MANIFEST_DIR,
+        list_manifests,
+    )
+
+    root = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select("ts", "event_type", "value", "user_id")
+    manifests = publish_segments(
+        src, root, "ev3", version="v1", time_column="ts", bucket="DAY",
+        shards_per_bucket=3,
+    )
+    by_iv = {}
+    for m in manifests:
+        by_iv.setdefault(m.interval.iso(), []).append(m)
+    assert any(len(ms) > 1 for ms in by_iv.values()), "no bucket got >1 shard"
+    for ms in by_iv.values():
+        assert sorted(m.shard_num for m in ms) == list(range(len(ms)))
+    # one manifest FILE per bucket, not per shard
+    mfiles = os.listdir(os.path.join(root, "ev3", MANIFEST_DIR))
+    assert len(mfiles) == len(by_iv)
+    assert {m.manifest_file for m in list_manifests(root, "ev3")} == {
+        os.path.join(root, "ev3", MANIFEST_DIR, f) for f in mfiles
+    }
+    df = load(spark, root, SPEC, interval="2020-01-01/2030-01-01",
+              data_source="ev3")
+    assert df.count() == src.count()
+    assert df.agg(F.sum("user_id")).first()[0] == src.agg(F.sum("user_id")).first()[0]
+
+
+def test_sharded_reingest_overshadows_atomically(spark, sf_dir, tmp_path):
+    """A sharded v2 replaces a single-shard v1 for its bucket; vacuum
+    removes all of v1's bucket data and the whole v2 group survives."""
+    from druid_hadoop_utils_spark.sources.maintenance import vacuum
+
+    root = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events")
+    one_day = ev.where(
+        (F.col("ts") >= F.lit("2024-01-03")) & (F.col("ts") < F.lit("2024-01-04"))
+    ).select("ts", "event_type", "value", "user_id")
+    publish_segments(one_day, root, "ev4", version="v1", time_column="ts",
+                     bucket="DAY")
+    zeroed = one_day.withColumn("value", F.lit(0.0))
+    publish_segments(zeroed, root, "ev4", version="v2", time_column="ts",
+                     bucket="DAY", shards_per_bucket=4)
+    df = load(spark, root, SPEC, interval="2024-01-03/2024-01-04",
+              data_source="ev4")
+    assert df.count() == one_day.count()
+    assert df.agg(F.sum("value")).first()[0] == 0.0
+    removed = vacuum(root, "ev4")
+    assert removed and all("_v1_" in r for r in removed)
+    df2 = load(spark, root, SPEC, interval="2024-01-03/2024-01-04",
+               data_source="ev4")
+    assert df2.count() == one_day.count()
+
+
 def test_files_per_bucket_bound(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").limit(500)
     manifests = publish_segments(

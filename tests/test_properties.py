@@ -29,6 +29,7 @@ segments_strategy = st.lists(
         st.integers(min_value=0, max_value=40),  # start hour
         st.integers(min_value=1, max_value=12),  # duration hours
         st.integers(min_value=0, max_value=5),  # version
+        st.integers(min_value=1, max_value=3),  # shards in this publish
     ),
     min_size=1,
     max_size=12,
@@ -36,12 +37,17 @@ segments_strategy = st.lists(
 
 
 def build(segs):
-    # distinct shard numbers: duplicate (interval, version) pairs model
-    # multi-shard segments, which are all visible together
-    return [
-        SegmentManifest("ds", Interval(hours(s), hours(s + d)), f"v{v}", i, f"/p/{i}")
-        for i, (s, d, v) in enumerate(segs)
-    ]
+    # each entry expands to `n` shard manifests of one (interval, version)
+    # chunk — what a multi-shard group manifest registers; all shards are
+    # visible together
+    out = []
+    for i, (s, d, v, n) in enumerate(segs):
+        for shard in range(n):
+            out.append(
+                SegmentManifest("ds", Interval(hours(s), hours(s + d)),
+                                f"v{v}", shard, f"/p/{i}/{shard}")
+            )
+    return out
 
 
 QUERY = Interval(hours(0), hours(48))
@@ -100,6 +106,25 @@ def test_timeline_full_coverage_no_gaps(segs):
             assert len(versions) == 1, f"instant {t} sees versions {versions}"
         else:
             assert not visible
+
+
+@settings(max_examples=200, deadline=None)
+@given(segments_strategy)
+def test_timeline_shards_visible_together(segs):
+    """Every shard of a visible (interval, version) chunk is visible with
+    IDENTICAL windows — the invariant that makes a multi-shard group
+    manifest an atomic replace unit."""
+    manifests = build(segs)
+    out = resolve_visible_windows(manifests, QUERY)
+    windows_by_manifest = {w.manifest: w.windows for w in out}
+    chunks: dict[tuple, list[SegmentManifest]] = {}
+    for m in manifests:
+        chunks.setdefault((m.interval, m.version), []).append(m)
+    for members in chunks.values():
+        member_windows = {windows_by_manifest.get(m) for m in members}
+        assert len(member_windows) == 1, (
+            f"shards of one chunk diverged: {member_windows}"
+        )
 
 
 @pytest.mark.parametrize("gran,align_secs,calendar", [
