@@ -896,6 +896,88 @@ def q_embedding_mean_pool(spark, sf_dir):
 
 
 @register(
+    "q_text_winnowing",
+    """WITH nt AS (
+         SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                     '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+         FROM documents WHERE doc_id < 100),
+       g AS (
+         SELECT doc_id,
+                list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                    i -> CAST('0x'||substr(md5(substr(t, i, 8)), 1, 15) AS BIGINT)) AS h
+         FROM nt)
+       SELECT doc_id,
+              unnest(list_sort(list_distinct(list_transform(
+                  generate_series(1, greatest(len(h) - 3, 1)),
+                  i -> list_aggregate(h[i:i+3], 'min'))))) AS fp
+       FROM g""",
+)
+def q_text_winnowing(spark, sf_dir):
+    # rolling-hash winnowing fingerprints (MOSS), bit-identical to the
+    # DuckDB twin via the md5-prefix portable hash
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.explode(TX.winnowing_fingerprints("text", k=8, window=4)).alias("fp"),
+    )
+
+
+# =====================================================================
+# multimodal plumbing (SURVEY.md extension): binary media columns through
+# Arrow-batched mapInPandas
+# =====================================================================
+
+
+@register(
+    "q_multimodal_features",
+    """SELECT doc_id AS media_id, sha256(text) AS sha256,
+              octet_length(encode(text)) AS n_bytes
+       FROM documents WHERE doc_id < 200""",
+)
+def q_multimodal_features(spark, sf_dir):
+    # the media pipeline's Spark-side plumbing on a documents-derived
+    # binary column (the testdata ships no media table): binary content →
+    # mapInPandas (Arrow batches) → per-record digest/size/feature rows.
+    # sha256/n_bytes are exact against DuckDB; the fake-decoder feature
+    # vector is deterministic but numpy-side, so it stays out of the
+    # oracle projection.
+    from druid_hadoop_utils_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    out = image_features(media, fake=True)
+    return out.select("media_id", "sha256",
+                      F.col("n_bytes").cast("long").alias("n_bytes"))
+
+
+def _register_media_queries() -> None:
+    """Auto-activate real-media queries when the driver ships a media
+    table (none today): registered only if any sf dir carries
+    media.parquet, so the battery skips them cleanly otherwise."""
+    import glob
+    import os
+
+    if not glob.glob("/root/testdata/sf*/media.parquet") and not os.environ.get(
+        "SPARK_GRAFT_MEDIA_TABLE"
+    ):
+        return
+
+    @register("q_media_stats", None)
+    def q_media_stats(spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.multimodal import media_stats
+
+        media = _t(spark, sf_dir, "media")
+        return media_stats(media)
+
+
+_register_media_queries()
+
+
+@register(
     "q_text_langid",
     """SELECT lang AS labeled_lang, count(*) AS n_docs,
               round(avg(n_chars), 2) AS avg_chars
@@ -1645,6 +1727,7 @@ def q_api_groupby_having_limit(spark, sf_dir):
 # they enter the hard signal; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
+    "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",
     "q_theta_distinct", "q_timeseries_zero_fill", "q_multi_interval",

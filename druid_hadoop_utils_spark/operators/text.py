@@ -46,6 +46,36 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+def winnowing_fingerprints(
+    col: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Rolling-hash document fingerprints via winnowing (Schleimer/
+    Wilkerson/Aiken's MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum, return the sorted distinct selections.
+
+    The winnowing guarantee: any shared substring of length k+window-1
+    between two documents yields at least one shared fingerprint, so
+    near-duplicates overlap heavily while edits only perturb fingerprints
+    within ``window`` positions of the change. Pure Catalyst (substring /
+    transform / slice / array_min — no UDF), and the hash is the
+    engine-portable md5-prefix integer so the DuckDB oracle computes the
+    identical value."""
+    c = normalize_text(col)
+    num_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), num_grams),
+        lambda i: F.conv(F.substring(F.md5(F.substring(c, i, k)), 1, 15),
+                         16, 10).cast("long"),
+    )
+    num_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), num_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical cleaning for dedup/fingerprinting: lowercase, strip
     control characters, collapse runs of whitespace, trim. Pure regexp —

@@ -121,3 +121,42 @@ def test_chunk_documents(spark):
     # every token appears in at least one chunk
     covered = set(" ".join(r[2] for r in rows if r[0] == 1).split())
     assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_winnowing_fingerprints_guarantee(spark):
+    """Winnowing invariants (MOSS): identical docs → identical prints; a
+    shared substring of length k+window-1 → at least one shared print; a
+    single-char edit perturbs only a bounded share of prints; disjoint
+    alphabets share nothing."""
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.text import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("jumps", "leaps")
+    other = "zxqwv " * 12
+    df = spark.createDataFrame(
+        [Row(i=1, t=base), Row(i=2, t=base), Row(i=3, t=edited),
+         Row(i=4, t=other)]
+    )
+    out = {r.i: set(r.fp) for r in df.select(
+        "i", winnowing_fingerprints("t", k=8, window=4).alias("fp")
+    ).collect()}
+    assert out[1] == out[2]                      # deterministic
+    inter = len(out[1] & out[3]) / len(out[1] | out[3])
+    assert inter >= 0.5, f"near-dup overlap too low: {inter}"
+    assert not (out[1] & out[4])                 # unrelated docs disjoint
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    """Docs shorter than k still produce one fingerprint (whole-text gram);
+    empty text yields the empty-string gram rather than failing."""
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([Row(i=1, t="hi"), Row(i=2, t="")])
+    out = {r.i: r.fp for r in df.select(
+        "i", winnowing_fingerprints("t").alias("fp")).collect()}
+    assert len(out[1]) == 1 and len(out[2]) == 1
+    assert out[1] != out[2]
