@@ -285,8 +285,13 @@ def druid_query(
     from druid_hadoop_utils_spark.intervals import parse_intervals
 
     # Druid native queries carry an "intervals" LIST; condensed and OR-ed
-    # at plan time (the reference took only one — DruidInputFormat.java:87)
-    interval = parse_intervals(q.get("intervals") or q.get("interval"))
+    # at plan time (the reference took only one — DruidInputFormat.java:87).
+    # dataSourceMetadata is the one 0.9 query type with no intervals field:
+    # it inspects the whole datasource (eternity).
+    raw_intervals = q.get("intervals") or q.get("interval")
+    if raw_intervals is None and qtype == "dataSourceMetadata":
+        raw_intervals = ["0001-01-01T00:00:00/9999-12-31T00:00:00"]
+    interval = parse_intervals(raw_intervals)
     if not interval:
         raise ValueError("at least one interval is required")
 
@@ -399,6 +404,14 @@ def druid_query(
         if not aggs_tb:
             raise ValueError(f"unknown timeBoundary bound: {bound!r}")
         return df.agg(*aggs_tb)
+    if qtype == "dataSourceMetadata":
+        # Druid 0.9 DataSourceMetadataQuery: the most recent ingested event
+        # timestamp (DataSourceMetadataResultValue.maxIngestedEventTime).
+        # One partial+final max — no shuffle of data rows, scan prunes to
+        # the time column only.
+        df = load(spark, source, spec, interval=interval, data_source=ds,
+                  time_column=time_column)
+        return df.agg(F.max("__time").alias("maxIngestedEventTime"))
     if qtype == "segmentMetadata":
         # driver-side manifest inventory as a DataFrame (the reference's
         # metadata surface, SURVEY.md §2.1 S1)

@@ -1716,6 +1716,23 @@ def q_api_groupby_having_limit(spark, sf_dir):
     return out.withColumn("total", F.round("total", 2)).drop("__time")
 
 
+@register(
+    "q_api_datasource_metadata",
+    "SELECT max(ts) AS maxIngestedEventTime FROM events",
+)
+def q_api_datasource_metadata(spark, sf_dir):
+    # Druid 0.9 dataSourceMetadata query (DataSourceMetadataQuery — the
+    # only native query type with no intervals field): latest ingested
+    # event timestamp. Compiles to a time-column-only scan + one max.
+    from druid_hadoop_utils_spark.api import druid_query
+
+    ev = _t_raw(spark, sf_dir, "events")
+    return druid_query(
+        spark, ev, {"queryType": "dataSourceMetadata", "dataSource": "events"},
+        time_column="ts",
+    )
+
+
 # =====================================================================
 # driver-snapshot ordering
 # =====================================================================
@@ -1727,6 +1744,7 @@ def q_api_groupby_having_limit(spark, sf_dir):
 # they enter the hard signal; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
+    "q_api_datasource_metadata",
     "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",

@@ -228,6 +228,17 @@ def test_time_boundary_bound_field(spark, events):
     assert hi.asDict() == {"maxTime": both.maxTime}
 
 
+def test_datasource_metadata_query(spark, events):
+    # no intervals field: dataSourceMetadata inspects the whole datasource
+    q = {"queryType": "dataSourceMetadata", "dataSource": "events"}
+    out = druid_query(spark, events, q, time_column="ts")
+    assert out.columns == ["maxIngestedEventTime"]
+    expected = events.agg(
+        F.max(F.timestamp_micros(F.expr("ts DIV 1000")))
+    ).first()[0]
+    assert out.first().maxIngestedEventTime == expected
+
+
 def test_time_boundary_query_json(spark, events):
     q = {"queryType": "timeBoundary", "dataSource": "events",
          "intervals": ["2024-01-05/2024-01-07"]}
