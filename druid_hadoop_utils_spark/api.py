@@ -297,7 +297,9 @@ def druid_query(
 
     raw_dims = q.get("dimensions") or ([q["dimension"]] if q.get("dimension") else [])
     dim_specs = [_normalize_dimension_spec(d) for d in raw_dims]
-    dims = [d["dimension"] for d in dim_specs]  # scan-input names
+    # scan-input names; __time is always carried by the scan, so an
+    # extraction dimension over it (e.g. timeFormat) must not re-declare it
+    dims = [d["dimension"] for d in dim_specs if d["dimension"] != "__time"]
     aggs = q.get("aggregations") or []
     posts = q.get("postAggregations") or []
 

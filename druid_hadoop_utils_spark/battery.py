@@ -214,6 +214,53 @@ def q_filter_and_or_not(spark, sf_dir):
 
 
 @register(
+    "q_filter_extraction_time_format",
+    """SELECT ts AS __time, event_type, value, user_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+         AND strftime(ts, '%H') = '12'""",
+)
+def q_filter_extraction_time_format(spark, sf_dir):
+    # Druid extraction filter with a timeFormat extractionFn over __time
+    # (TimeFormatExtractionFn): rows whose hour-of-day formats to "12"
+    ev = _t_raw(spark, sf_dir, "events")
+    spec = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": EVENTS_METRICS,
+        "filter": {"type": "extraction", "dimension": "__time", "value": "12",
+                   "extractionFn": {"type": "timeFormat", "format": "HH"}},
+    }
+    return load(spark, ev, spec, interval="2024-01-01/2024-02-01", time_column="ts")
+
+
+@register(
+    "q_groupby_extraction_partial",
+    """SELECT CASE WHEN regexp_matches(event_type, '^(p|c)') THEN event_type
+              END AS pc_type,
+              count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+       GROUP BY 1""",
+)
+def q_groupby_extraction_partial(spark, sf_dir):
+    # Druid `partial` (MatchingDimExtractionFn) as a groupBy extraction
+    # dimension: non-matching values extract to null and group together
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    out = api.druid_query(spark, ev, {
+        "queryType": "groupBy",
+        "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": [{"type": "extraction", "dimension": "event_type",
+                        "outputName": "pc_type",
+                        "extractionFn": {"type": "partial", "expr": "^(p|c)"}}],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }, time_column="ts")
+    return out.drop("__time")
+
+
+@register(
     "q_granularity_hour_rollup",
     """SELECT date_trunc('hour', ts) AS __time, event_type,
               round(sum(value), 2) AS value
@@ -1744,7 +1791,8 @@ def q_api_datasource_metadata(spark, sf_dir):
 # they enter the hard signal; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    "q_api_datasource_metadata",
+    "q_api_datasource_metadata", "q_filter_extraction_time_format",
+    "q_groupby_extraction_partial",
     "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",

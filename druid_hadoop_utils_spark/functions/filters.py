@@ -114,10 +114,70 @@ def _natural_cmp(col: Column, bound: str) -> tuple[Column, Column]:
     return lt, gt
 
 
+def _search_query_pred(q: dict):
+    """Druid 0.9 SearchQuerySpec → per-value boolean predicate builder
+    (shared by the ``search`` filter and the ``searchQuery`` extractionFn)."""
+    qtype = q.get("type", "contains")
+    if qtype == "fragment":
+        values = q.get("values", [])
+        case_sensitive = bool(q.get("caseSensitive"))
+
+        def frag(v: Column) -> Column:
+            pred = F.lit(True)
+            for needle in values:
+                if case_sensitive:
+                    pred = pred & v.contains(needle)
+                else:
+                    pred = pred & F.lower(v).contains(needle.lower())
+            return pred
+
+        return frag
+    value = q.get("value", "")
+    # Druid 0.9 deserializes a missing caseSensitive as false (Jackson
+    # primitive boolean), so a bare {"type":"contains"} is insensitive
+    case_sensitive = qtype == "contains" and bool(q.get("caseSensitive", False))
+    if qtype == "insensitive_contains":
+        case_sensitive = False
+
+    def contains(v: Column) -> Column:
+        if case_sensitive:
+            return v.contains(value)
+        return F.lower(v).contains(value.lower())
+
+    return contains
+
+
+# Joda-Time pattern letters that mean the same thing to java.time's
+# DateTimeFormatter (what Spark's date_format/to_timestamp use). Anything
+# outside this set is rejected loudly instead of silently reformatting
+# differently than Druid would have.
+_SAFE_TIME_PATTERN_LETTERS = set("yMdHhmsSEaDKkwZXx")
+
+
+def _check_time_pattern(pattern: str) -> str:
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "'":  # quoted literal — skip to closing quote
+            j = pattern.find("'", i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quote in time pattern: {pattern!r}")
+            i = j + 1
+            continue
+        if c.isalpha() and c not in _SAFE_TIME_PATTERN_LETTERS:
+            raise NotImplementedError(
+                f"time pattern letter {c!r} in {pattern!r} is not in the "
+                "Joda/java.time-compatible subset"
+            )
+        i += 1
+    return pattern
+
+
 def _extraction_fn(fn: dict, col: Column) -> Column:
     """Druid extractionFn grammar (the subset with Spark-native mappings):
-    substring, regex (capture group 1), lower, upper, strlen. javascript
-    and lookup-table fns are rejected."""
+    substring, regex (capture group 1), partial, searchQuery, timeFormat,
+    time, lower, upper, strlen, lookup/registeredLookup. javascript is
+    rejected."""
     ftype = fn.get("type")
     if ftype == "substring":
         index = int(fn.get("index", 0))
@@ -125,6 +185,35 @@ def _extraction_fn(fn: dict, col: Column) -> Column:
         return F.substring(col, index + 1, int(length) if length is not None else 2**31 - 1)
     if ftype == "regex":
         return F.regexp_extract(col, fn["expr"], 1)
+    if ftype == "partial":
+        # Druid MatchingDimExtractionFn: keep the value when it matches the
+        # regex, else null (rows with null extraction drop out of groupBys)
+        return F.when(col.rlike(fn["expr"]), col)
+    if ftype == "searchQuery":
+        # Druid SearchQuerySpecDimExtractionFn: keep the value when it
+        # matches the SearchQuerySpec, else null
+        q = fn.get("query", {})
+        return F.when(_search_query_pred(q)(col), col)
+    if ftype == "timeFormat":
+        # Druid TimeFormatExtractionFn over __time: format the timestamp
+        # with a Joda pattern (java.time-compatible subset) in an optional
+        # timeZone. Null/absent format = ISO8601 (Druid default).
+        tz = fn.get("timeZone")
+        locale = fn.get("locale")
+        if locale not in (None, "en", "en-US", "en_US"):
+            raise NotImplementedError(
+                f"timeFormat locale {locale!r} is not supported (en only)"
+            )
+        ts = F.from_utc_timestamp(col, tz) if tz else col
+        pattern = fn.get("format")
+        if pattern is None:
+            return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        return F.date_format(ts, _check_time_pattern(pattern))
+    if ftype == "time":
+        # Druid TimeDimExtractionFn: parse a STRING dimension with
+        # timeFormat, re-format with resultFormat (e.g. MM/dd/yyyy → yyyy-MM)
+        parsed = F.to_timestamp(col, _check_time_pattern(fn["timeFormat"]))
+        return F.date_format(parsed, _check_time_pattern(fn["resultFormat"]))
     if ftype == "lower":
         return F.lower(col)
     if ftype == "upper":
@@ -275,35 +364,8 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
         return col.rlike(pattern)
 
     if ftype == "search":
-        q = spec.get("query", {})
-        qtype = q.get("type", "contains")
-        if qtype == "fragment":
-            values = q.get("values", [])
-            case_sensitive = bool(q.get("caseSensitive"))
-
-            def frag(v: Column) -> Column:
-                pred = F.lit(True)
-                for needle in values:
-                    if case_sensitive:
-                        pred = pred & v.contains(needle)
-                    else:
-                        pred = pred & F.lower(v).contains(needle.lower())
-                return pred
-
-            return _any_value(col, frag) if arr else frag(col)
-        value = q.get("value", "")
-        # Druid 0.9 deserializes a missing caseSensitive as false (Jackson
-        # primitive boolean), so a bare {"type":"contains"} is insensitive
-        case_sensitive = qtype == "contains" and bool(q.get("caseSensitive", False))
-        if qtype == "insensitive_contains":
-            case_sensitive = False
-
-        def contains(v: Column) -> Column:
-            if case_sensitive:
-                return v.contains(value)
-            return F.lower(v).contains(value.lower())
-
-        return _any_value(col, contains) if arr else contains(col)
+        pred = _search_query_pred(spec.get("query", {}))
+        return _any_value(col, pred) if arr else pred(col)
 
     if ftype == "like":
         pattern = spec["pattern"]

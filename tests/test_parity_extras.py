@@ -51,6 +51,62 @@ def test_extraction_strlen(df):
     assert ids(df, flt) == [1, 2, 3]  # the 4-char host is excluded
 
 
+def test_extraction_partial(df):
+    # MatchingDimExtractionFn: value survives when the regex finds a match,
+    # else null (so equality with a value only hits matching rows)
+    flt = {"type": "extraction", "dimension": "host", "value": "a.example.com",
+           "extractionFn": {"type": "partial", "expr": r"\.com$"}}
+    assert ids(df, flt) == [1]
+
+
+def test_extraction_search_query(df):
+    flt = {"type": "extraction", "dimension": "host", "value": "b.example.org",
+           "extractionFn": {"type": "searchQuery",
+                            "query": {"type": "insensitive_contains",
+                                      "value": "EXAMPLE"}}}
+    assert ids(df, flt) == [2]
+
+
+def test_extraction_time_format(spark):
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.functions.filters import _extraction_fn
+    from pyspark.sql import functions as F
+
+    rows = [Row(ts=datetime(2024, 3, 15, 22, 30))]
+    base = spark.createDataFrame(rows)
+    got = base.select(
+        _extraction_fn({"type": "timeFormat", "format": "yyyy-MM-dd HH"},
+                       F.col("ts")).alias("utc"),
+        _extraction_fn({"type": "timeFormat", "format": "HH",
+                        "timeZone": "America/Los_Angeles"},
+                       F.col("ts")).alias("la_hour"),
+        _extraction_fn({"type": "timeFormat"}, F.col("ts")).alias("iso"),
+    ).first()
+    assert got.utc == "2024-03-15 22"
+    assert got.la_hour == "15"  # PDT = UTC-7 on that date
+    assert got.iso == "2024-03-15T22:30:00.000Z"
+
+
+def test_extraction_time_dim(spark):
+    from druid_hadoop_utils_spark.functions.filters import _extraction_fn
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([Row(d="03/15/2024")])
+    got = base.select(
+        _extraction_fn({"type": "time", "timeFormat": "MM/dd/yyyy",
+                        "resultFormat": "yyyy-MM"}, F.col("d")).alias("ym")
+    ).first()
+    assert got.ym == "2024-03"
+
+
+def test_extraction_time_format_rejects_exotic_pattern(df):
+    from druid_hadoop_utils_spark.functions.filters import _check_time_pattern
+
+    with pytest.raises(NotImplementedError):
+        _check_time_pattern("xxxx-'W'ww-e")  # Joda day-of-week-number 'e'
+
+
 def test_extraction_javascript_rejected(df):
     with pytest.raises(NotImplementedError):
         filter_to_column({"type": "extraction", "dimension": "host", "value": "x",
