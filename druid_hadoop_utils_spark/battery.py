@@ -827,6 +827,25 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "q_heavy_hitters",
+    """SELECT user_id, count(*) AS cnt
+       FROM events
+       WHERE user_id IS NOT NULL
+       GROUP BY user_id
+       HAVING count(*) >= 0.008 * (SELECT count(*) FROM events
+                                   WHERE user_id IS NOT NULL)""",
+)
+def q_heavy_hitters(spark, sf_dir):
+    # exact frequent items: per-partition Misra-Gries candidate generation
+    # (bounded, no wide shuffle over distinct keys) + exact verify pass —
+    # output is exactly the true >=0.8%-share keys, hash-matchable
+    from druid_hadoop_utils_spark.operators.frequency import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_share=0.008)
+
+
+@register(
     "q_text_analysis",
     """SELECT doc_id,
               len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
@@ -1792,7 +1811,7 @@ def q_api_datasource_metadata(spark, sf_dir):
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
     "q_api_datasource_metadata", "q_filter_extraction_time_format",
-    "q_groupby_extraction_partial",
+    "q_groupby_extraction_partial", "q_heavy_hitters",
     "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",
