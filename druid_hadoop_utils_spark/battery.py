@@ -989,6 +989,57 @@ def q_text_winnowing(spark, sf_dir):
     )
 
 
+@register(
+    "q_contamination_check",
+    """WITH s AS (
+         SELECT doc_id,
+                CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || 's0'), 1, 15)) AS BIGINT) % 1000000 < 900000
+                     THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || 's0'), 1, 15)) AS BIGINT) % 1000000 < 950000
+                     THEN 'valid' ELSE 'test' END AS split
+         FROM documents),
+       nt AS (
+         SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                     '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                    i -> CAST('0x'||substr(md5(substr(t, i, 8)), 1, 15) AS BIGINT)) AS h
+         FROM nt),
+       f AS (
+         SELECT doc_id,
+                unnest(list_sort(list_distinct(list_transform(
+                    generate_series(1, greatest(len(h) - 3, 1)),
+                    i -> list_aggregate(h[i:i+3], 'min'))))) AS fp
+         FROM g),
+       fs AS (SELECT f.doc_id, s.split, f.fp FROM f JOIN s USING (doc_id)),
+       keep AS (SELECT fp FROM fs GROUP BY fp
+                HAVING count(DISTINCT doc_id) <= 50),
+       tr AS (SELECT doc_id AS train_id, fp FROM fs
+              WHERE split = 'train' AND fp IN (SELECT fp FROM keep)),
+       te AS (SELECT doc_id AS test_id, fp FROM fs
+              WHERE split = 'test' AND fp IN (SELECT fp FROM keep))
+       SELECT train_id, test_id, count(*) AS shared_fps
+       FROM tr JOIN te USING (fp)
+       GROUP BY 1, 2 HAVING count(*) >= 20""",
+)
+def q_contamination_check(spark, sf_dir):
+    # train/test benchmark-leakage sweep: hash-split the corpus, then find
+    # cross-split pairs sharing >=20 winnowing fingerprints (with the
+    # boilerplate cap at 50 docs/fingerprint) — every stage reproduced
+    # exactly by the SQL twin
+    from druid_hadoop_utils_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs.select("doc_id", "text"), "doc_id",
+                       {"train": 0.9, "valid": 0.05, "test": 0.05})
+    return TX.contamination_pairs(split, min_shared=20, max_fp_docs=50)
+
+
 # =====================================================================
 # multimodal plumbing (SURVEY.md extension): binary media columns through
 # Arrow-batched mapInPandas
@@ -1812,6 +1863,7 @@ def q_api_datasource_metadata(spark, sf_dir):
 _DRIVER_PRIORITY = [
     "q_api_datasource_metadata", "q_filter_extraction_time_format",
     "q_groupby_extraction_partial", "q_heavy_hitters",
+    "q_contamination_check",
     "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",

@@ -61,6 +61,8 @@ def winnowing_fingerprints(
     transform / slice / array_min — no UDF), and the hash is the
     engine-portable md5-prefix integer so the DuckDB oracle computes the
     identical value."""
+    from functools import reduce
+
     c = normalize_text(col)
     num_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
     hashes = F.transform(
@@ -68,10 +70,18 @@ def winnowing_fingerprints(
         lambda i: F.conv(F.substring(F.md5(F.substring(c, i, k)), 1, 15),
                          16, 10).cast("long"),
     )
-    num_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), num_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    # window minima as an element-wise least() over `window` shifted
+    # slices, combined with a zip_with reduce-tree. Each slice evaluates
+    # `hashes` ONCE per row (HOF arguments are evaluated once; expressions
+    # referenced INSIDE a lambda re-evaluate per element, which made the
+    # previous transform-over-positions formulation O(n²) per document).
+    # zip_with pads the shorter shifted slices with null and least()
+    # ignores nulls, which exactly reproduces the "min of whatever fits"
+    # edge semantics of the SQL twin for texts shorter than k + window - 1.
+    num_windows = F.greatest(num_grams - (window - 1), F.lit(1))
+    shifted = [F.slice(hashes, j + 1, num_windows) for j in range(window)]
+    mins = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), shifted
     )
     return F.array_sort(F.array_distinct(mins))
 
@@ -235,6 +245,70 @@ def chunk_documents(
                 F.size(F.col("__toks")) - F.col("__start") + 1,
             ).alias("n_tokens"),
         )
+    )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    train_split: str = "train",
+    test_split: str = "test",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int | None = 10_000,
+) -> DataFrame:
+    """Train/test contamination check: pairs of (train doc, test doc)
+    sharing at least ``min_shared`` winnowing fingerprints — the standard
+    benchmark-leakage sweep a training pipeline runs before a data release.
+
+    Pipeline (all DataFrame ops, one fingerprint computation):
+    1. explode each document's winnowing fingerprints (k-gram rolling
+       hash + window minima — any shared substring of length k+window-1
+       guarantees a shared fingerprint);
+    2. drop ubiquitous fingerprints appearing in more than ``max_fp_docs``
+       documents (boilerplate — same role as the LSH hot-bucket cap: keeps
+       the fingerprint join's candidate volume linear at 100 TB; ``None``
+       disables for exact oracle runs);
+    3. join train-side to test-side on fingerprint and count shared prints
+       per (train_id, test_id).
+
+    Shuffles: one on fingerprint (the cap's groupBy partitions on the same
+    key the join needs, so AQE reuses the exchange) and one on the pair
+    key for the final count. No driver-side state.
+    """
+    # the fingerprint frame feeds three consumers (the cap, the train
+    # side, the test side) — localCheckpoint materializes it once instead
+    # of re-running the winnowing expression per branch, and its blocks
+    # are reclaimed by the ContextCleaner when the frame is GC'd (a
+    # DataFrame persist() would pin the cache for the session lifetime)
+    fps = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(winnowing_fingerprints(text_col, k=k, window=window)).alias("fp"),
+    ).localCheckpoint(eager=False)
+    if max_fp_docs is not None:
+        # fingerprints are distinct per document, so count(*) == doc count
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__docs"))
+            .where(F.col("__docs") <= int(max_fp_docs))
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    train = fps.where(F.col(split_col) == train_split).select(
+        F.col(id_col).alias("train_id"), "fp"
+    )
+    test = fps.where(F.col(split_col) == test_split).select(
+        F.col(id_col).alias("test_id"), "fp"
+    )
+    return (
+        train.join(test, "fp")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= int(min_shared))
     )
 
 

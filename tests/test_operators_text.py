@@ -160,3 +160,44 @@ def test_winnowing_short_and_empty_docs(spark):
         "i", winnowing_fingerprints("t").alias("fp")).collect()}
     assert len(out[1]) == 1 and len(out[2]) == 1
     assert out[1] != out[2]
+
+
+def test_contamination_pairs_detects_planted_leak(spark):
+    """A test doc sharing a long substring with a train doc is flagged;
+    unrelated docs are not; ubiquitous boilerplate is capped out."""
+    import random
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.text import contamination_pairs
+
+    rng = random.Random(7)
+
+    def sentence(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(6)) for _ in range(n)
+        )
+
+    leaked = sentence(30)
+    boiler = "all rights reserved terms of service apply"
+    rows = [
+        Row(doc_id=1, split="train", text=leaked + " " + boiler),
+        Row(doc_id=2, split="test", text="intro words " + leaked + " " + boiler),
+        Row(doc_id=3, split="train", text=sentence(30) + " " + boiler),
+        Row(doc_id=4, split="test", text=sentence(30) + " " + boiler),
+    ]
+    # boilerplate appears in all 4 docs, so the cap (<=3 docs) removes its
+    # fingerprints; only the planted leak survives the min_shared gate
+    got = contamination_pairs(
+        spark.createDataFrame(rows), min_shared=5, max_fp_docs=3
+    ).collect()
+    assert [(r.train_id, r.test_id) for r in got] == [(1, 2)]
+    assert got[0].shared_fps >= 5
+
+    # without the cap, boiler fingerprints link even unrelated docs —
+    # pinning that the cap is what keeps candidate volume bounded
+    uncapped = contamination_pairs(
+        spark.createDataFrame(rows), min_shared=1, max_fp_docs=None
+    )
+    pairs = {(r.train_id, r.test_id) for r in uncapped.collect()}
+    assert (3, 4) in pairs and (1, 2) in pairs
