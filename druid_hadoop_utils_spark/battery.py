@@ -990,6 +990,53 @@ def q_text_winnowing(spark, sf_dir):
 
 
 @register(
+    "q_text_redact",
+    """WITH d AS (
+         SELECT doc_id,
+                'contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or https://ex.com/d/'
+                  || CAST(doc_id AS VARCHAR) || ' ref '
+                  || CAST(doc_id * 7654321 AS VARCHAR) || ' ' || text AS raw
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(raw,
+                  'https?://[^\\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUMBER>', 'g') AS redacted,
+              len(regexp_extract_all(raw, 'https?://[^\\s]+')) AS n_url,
+              len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS n_email,
+              len(regexp_extract_all(raw, '[0-9]{7,}')) AS n_number
+       FROM d""",
+)
+def q_text_redact(spark, sf_dir):
+    # PII-ish scrubbing sweep: the corpus is clean synthetic text, so the
+    # query plants deterministic doc_id-derived emails/URLs/ids and both
+    # engines redact the identical dirty column (regex subset chosen to
+    # mean the same thing to Java regex and RE2)
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://ex.com/d/"),
+        F.col("doc_id").cast("string"), F.lit(" ref "),
+        (F.col("doc_id") * 7654321).cast("string"), F.lit(" "), F.col("text"),
+    )
+    counts = TX.redaction_counts(F.col("raw"))
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            TX.redact_text("raw").alias("redacted"),
+            counts["url"].cast("long").alias("n_url"),
+            counts["email"].cast("long").alias("n_email"),
+            counts["number"].cast("long").alias("n_number"),
+        )
+    )
+
+
+@register(
     "q_contamination_check",
     """WITH s AS (
          SELECT doc_id,
@@ -1863,7 +1910,7 @@ def q_api_datasource_metadata(spark, sf_dir):
 _DRIVER_PRIORITY = [
     "q_api_datasource_metadata", "q_filter_extraction_time_format",
     "q_groupby_extraction_partial", "q_heavy_hitters",
-    "q_contamination_check",
+    "q_contamination_check", "q_text_redact",
     "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",

@@ -248,6 +248,44 @@ def chunk_documents(
     )
 
 
+# PII-ish scrubbing rules, applied in order (URLs before emails so an
+# address inside a URL is swallowed by <URL>; long digit runs last). The
+# regexes stay inside the syntax subset that Java regex (Spark) and RE2
+# (DuckDB and most external validators) interpret identically: character
+# classes, +, {m,}, alternation — no backrefs, no lookaround.
+REDACTION_RULES: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", r"[0-9]{7,}", "<NUMBER>"),
+]
+
+
+def redact_text(
+    col: Column | str, rules: list[tuple[str, str, str]] | None = None
+) -> Column:
+    """Scrub PII-ish spans (URLs, emails, long digit runs by default) with
+    typed placeholders — the standard pre-release pass over a training
+    corpus. A chain of builtin ``regexp_replace`` calls: whole-stage
+    codegen, no UDFs, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, placeholder in rules or REDACTION_RULES:
+        c = F.regexp_replace(c, pattern, placeholder)
+    return c
+
+
+def redaction_counts(
+    col: Column | str, rules: list[tuple[str, str, str]] | None = None
+) -> dict[str, Column]:
+    """Per-rule match counts over the RAW text (audit metric for a
+    redaction run). Counted before any replacement, so rule order does not
+    affect the numbers."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pattern))
+        for name, pattern, _ in rules or REDACTION_RULES
+    }
+
+
 def contamination_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

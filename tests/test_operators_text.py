@@ -201,3 +201,29 @@ def test_contamination_pairs_detects_planted_leak(spark):
     )
     pairs = {(r.train_id, r.test_id) for r in uncapped.collect()}
     assert (3, 4) in pairs and (1, 2) in pairs
+
+
+def test_redact_text_and_counts(spark):
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.text import (
+        redact_text,
+        redaction_counts,
+    )
+
+    df = spark.createDataFrame([
+        Row(i=1, t="mail a.b+c@foo.org or https://x.io/p?q=1#f tel 5551234567"),
+        Row(i=2, t="clean text, short num 123456"),
+        Row(i=3, t="ftp://not-matched and user@localhost (no tld)"),
+    ])
+    counts = redaction_counts("t")
+    out = {r.i: r for r in df.select(
+        "i", redact_text("t").alias("red"),
+        counts["url"].alias("u"), counts["email"].alias("e"),
+        counts["number"].alias("n")).collect()}
+    assert out[1].red == "mail <EMAIL> or <URL> tel <NUMBER>"
+    assert (out[1].u, out[1].e, out[1].n) == (1, 1, 1)
+    assert out[2].red == out[2]["red"] == "clean text, short num 123456"
+    assert (out[2].u, out[2].e, out[2].n) == (0, 0, 0)
+    # no scheme match, no TLD match: untouched
+    assert out[3].red == "ftp://not-matched and user@localhost (no tld)"
