@@ -141,12 +141,35 @@ def timeseries(
     return out.orderBy("__time")
 
 
+def _topn_ordering(metric, dimension: str) -> tuple[list, Column | None]:
+    """Druid 0.9 TopNMetricSpec → (orderBy columns, optional pre-filter).
+
+    A bare string means ``{"type": "numeric", "metric": <string>}``.
+    ``numeric`` ranks by the aggregation descending; ``lexicographic``
+    ranks by the dimension ascending starting after ``previousStop``
+    (Druid's pagination cursor); ``inverted`` flips the ordering of the
+    spec it wraps."""
+    if isinstance(metric, str):
+        metric = {"type": "numeric", "metric": metric}
+    mtype = metric.get("type", "numeric")
+    if mtype == "numeric":
+        return [(metric["metric"], False), (dimension, True)], None
+    if mtype == "lexicographic":
+        stop = metric.get("previousStop")
+        flt = F.col(dimension) > F.lit(stop) if stop is not None else None
+        return [(dimension, True)], flt
+    if mtype == "inverted":
+        inner, flt = _topn_ordering(metric["metric"], dimension)
+        return [(name, not asc) for name, asc in inner], flt
+    raise ValueError(f"unknown topN metric spec: {metric!r}")
+
+
 def topn(
     spark: SparkSession,
     source,
     spec: LoadSpec | dict | str,
     dimension: str,
-    metric: str,
+    metric,
     threshold: int,
     aggregations: list[dict],
     post_aggregations: list[dict] | None = None,
@@ -154,9 +177,10 @@ def topn(
     data_source: str | None = None,
     time_column: str = "__time",
 ) -> DataFrame:
-    """Druid ``topN``: leaderboard of ``dimension`` values by ``metric``
-    within each granularity bucket (ties broken by dimension value for
-    determinism). ``dimension`` may be a name or a DimensionSpec."""
+    """Druid ``topN``: leaderboard of ``dimension`` values within each
+    granularity bucket (ties broken by dimension value for determinism).
+    ``dimension`` may be a name or a DimensionSpec; ``metric`` a name or a
+    TopNMetricSpec (numeric / lexicographic / inverted)."""
     from pyspark.sql import Window
 
     df, _ = _base(spark, source, spec, interval, data_source, time_column)
@@ -164,12 +188,16 @@ def topn(
         df, [_normalize_dimension_spec(dimension)]
     )
     out = group_aggregate(df, [dimension], aggregations, post_aggregations)
-    w = Window.partitionBy("__time").orderBy(F.desc(metric), F.col(dimension))
+    pairs, pre_filter = _topn_ordering(metric, dimension)
+    order = [F.col(n).asc() if asc else F.col(n).desc() for n, asc in pairs]
+    if pre_filter is not None:
+        out = out.where(pre_filter)
+    w = Window.partitionBy("__time").orderBy(*order)
     return (
         out.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= threshold)
         .drop("__rank")
-        .orderBy("__time", F.desc(metric), F.col(dimension))
+        .orderBy("__time", *order)
     )
 
 
@@ -282,6 +310,24 @@ def druid_query(
     q = _json.loads(query) if isinstance(query, str) else dict(query)
     qtype = q.get("queryType")
     ds = data_source or q.get("dataSource")
+    if isinstance(ds, dict):
+        # Druid query dataSource ({"type": "query", "query": {...}}): run
+        # the inner query first and scan its result — Druid 0.9's nested
+        # groupBy. Compiles to ONE Catalyst plan (the inner DataFrame is
+        # lazy), so the optimizer sees through both layers. Note the outer
+        # intervals filter the INNER result's bucket timestamps — an
+        # ALL-granularity inner buckets to the epoch, so give the outer an
+        # interval that covers it (or use a bucketing inner granularity).
+        if ds.get("type") != "query":
+            raise ValueError(f"unknown dataSource spec: {ds!r}")
+        inner = druid_query(spark, source, ds["query"],
+                            data_source=data_source, time_column=time_column)
+        inner_ds = ds["query"].get("dataSource")
+        return druid_query(
+            spark, inner, dict(q, dataSource=None),
+            data_source=inner_ds if isinstance(inner_ds, str) else None,
+            time_column="__time",
+        )
     from druid_hadoop_utils_spark.intervals import parse_intervals
 
     # Druid native queries carry an "intervals" LIST; condensed and OR-ed

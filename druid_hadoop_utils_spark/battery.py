@@ -1384,6 +1384,74 @@ def q_api_timeseries(spark, sf_dir):
 
 
 @register(
+    "q_api_topn_lexicographic",
+    """WITH g AS (
+         SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS __time,
+                event_type, count(*) AS n
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+         GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY __time
+                                          ORDER BY event_type) AS rn
+             FROM g)
+       SELECT __time, event_type, n FROM r WHERE rn <= 3""",
+)
+def q_api_topn_lexicographic(spark, sf_dir):
+    # Druid TopNMetricSpec beyond the numeric default: lexicographic
+    # ordering (the dimension-paging spec) through the native query JSON
+    from druid_hadoop_utils_spark.api import druid_query
+
+    ev = _t_raw(spark, sf_dir, "events")
+    return druid_query(spark, ev, {
+        "queryType": "topN",
+        "granularity": "WEEK",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimension": "event_type",
+        "metric": {"type": "lexicographic"},
+        "threshold": 3,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }, time_column="ts")
+
+
+@register(
+    "q_nested_groupby",
+    """WITH i AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+                user_id, count(*) AS n
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+         GROUP BY 1, 2)
+       SELECT __time, count(*) AS active_users,
+              CAST(sum(n) AS BIGINT) AS total_events
+       FROM i GROUP BY 1""",
+)
+def q_nested_groupby(spark, sf_dir):
+    # Druid 0.9 nested groupBy (query dataSource): the outer query scans
+    # the inner query's result; both layers compile into one Catalyst plan
+    from druid_hadoop_utils_spark.api import druid_query
+
+    ev = _t_raw(spark, sf_dir, "events")
+    return druid_query(spark, ev, {
+        "queryType": "groupBy",
+        "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "DAY",
+            "intervals": ["2024-01-01/2024-01-15"],
+            "dimensions": ["user_id"],
+            "aggregations": [{"type": "count", "name": "n"}],
+        }},
+        "granularity": "DAY",
+        "intervals": ["2024-01-01/2024-01-15"],
+        "dimensions": [],
+        "aggregations": [
+            {"type": "count", "name": "active_users"},
+            {"type": "longSum", "name": "total_events", "fieldName": "n"},
+        ],
+    }, time_column="ts")
+
+
+@register(
     "q_asof_join",
     """SELECT l.ts AS __time, l.user_id, l.event_type,
               round(r.value, 2) AS last_purchase_value
@@ -1911,6 +1979,7 @@ _DRIVER_PRIORITY = [
     "q_api_datasource_metadata", "q_filter_extraction_time_format",
     "q_groupby_extraction_partial", "q_heavy_hitters",
     "q_contamination_check", "q_text_redact",
+    "q_api_topn_lexicographic", "q_nested_groupby",
     "q_multimodal_features", "q_text_winnowing",
     "q_dedup_minhash_lsh_prod", "q_similarity_lsh_topk_prod",
     "q_api_timeseries", "q_asof_join", "q_range_join", "q_agg_first_last",

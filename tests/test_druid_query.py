@@ -175,6 +175,71 @@ def test_topn_with_dimension_spec(spark, events):
     assert all(r.e1.isupper() for r in rows)
 
 
+def test_topn_metric_specs(spark, events):
+    base = {
+        "queryType": "topN",
+        "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimension": "event_type",
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    lex = druid_query(spark, events, dict(base, metric={"type": "lexicographic"}),
+                      time_column="ts").collect()
+    assert [r.event_type for r in lex] == ["click", "error"]
+    paged = druid_query(
+        spark, events,
+        dict(base, metric={"type": "lexicographic", "previousStop": "error"}),
+        time_column="ts").collect()
+    assert [r.event_type for r in paged] == ["purchase", "signup"]
+    # inverted numeric = bottom-N by the aggregation
+    inv = druid_query(
+        spark, events,
+        dict(base, metric={"type": "inverted",
+                           "metric": {"type": "numeric", "metric": "n"}}),
+        time_column="ts").collect()
+    all_counts = sorted(
+        r.n for r in druid_query(
+            spark, events, dict(base, metric="n", threshold=100),
+            time_column="ts").collect()
+    )
+    assert sorted(r.n for r in inv) == all_counts[:2]
+    with pytest.raises(ValueError):
+        druid_query(spark, events, dict(base, metric={"type": "mystery"}),
+                    time_column="ts")
+
+
+def test_nested_query_datasource(spark, events):
+    # inner granularity DAY: the outer interval applies to the INNER
+    # result's bucket timestamps (an ALL-granularity inner buckets to the
+    # epoch and would fall outside the outer interval — see druid_query)
+    inner = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "DAY",
+        "intervals": ["2024-01-01/2024-01-08"],
+        "dimensions": ["user_id"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    outer = {
+        "queryType": "groupBy",
+        "dataSource": {"type": "query", "query": inner},
+        "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-01-08"],
+        "dimensions": [],
+        "aggregations": [{"type": "count", "name": "active_users"},
+                         {"type": "longSum", "name": "total", "fieldName": "n"}],
+    }
+    out = druid_query(spark, events, outer, time_column="ts")
+    total_users = sum(r.active_users for r in out.collect())
+    expected = druid_query(spark, events, inner, time_column="ts").count()
+    assert total_users == expected
+    with pytest.raises(ValueError):
+        druid_query(spark, events,
+                    dict(outer, dataSource={"type": "table", "name": "x"}),
+                    time_column="ts")
+
+
 def test_unknown_query_type_rejected(spark, events):
     with pytest.raises(ValueError):
         druid_query(spark, events, {"queryType": "mystery",
