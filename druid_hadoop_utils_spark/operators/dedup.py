@@ -75,21 +75,44 @@ def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 
 # ------------------------------------------------------------- shingles
 
+def _shifted_ngrams(parts: Column, num: Column, n: int, sep: str) -> Column:
+    """n-grams as an element-wise join of ``n`` shifted slices of
+    ``parts``. Each slice evaluates ``parts`` ONCE per row — an expression
+    referenced INSIDE a higher-order-function lambda re-evaluates per
+    element, which made the previous transform-over-positions shingle
+    formulation O(n²) per document (same fix as winnowing_fingerprints).
+    zip_with pads the shorter shifted slices with null and concat_ws skips
+    nulls, reproducing the old short-text edge (one gram of however many
+    parts fit)."""
+    from functools import reduce
+
+    shifted = [F.slice(parts, j + 1, num) for j in range(n)]
+    grams = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(sep, x, y)),
+        shifted,
+    )
+    # empty input → one empty-string gram (the historical contract: keeps
+    # downstream jaccard/minhash total — no ANSI division-by-zero, no null
+    # signatures for empty documents)
+    return F.when(F.size(grams) == 0, F.array(F.lit(""))).otherwise(grams)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (built-ins only:
-    split → sequence → transform(slice) → array_distinct)."""
+    """Distinct word n-gram shingles of a text column (built-ins only,
+    linear in document length)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    num = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(_shifted_ngrams(toks, num, n, " "))
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:
-    """Distinct character n-gram shingles (lowercased)."""
+    """Distinct character n-gram shingles (lowercased, linear in document
+    length: the string lowers and splits to characters once instead of
+    re-lowering per gram position)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(c, i, n))
-    return F.array_distinct(grams)
+    chars = F.split(c, "")
+    num = F.greatest(F.length(c) - (n - 1), F.lit(1))
+    return F.array_distinct(_shifted_ngrams(chars, num, n, ""))
 
 
 def jaccard(a: Column, b: Column) -> Column:
