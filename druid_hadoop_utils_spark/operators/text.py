@@ -317,12 +317,17 @@ def contamination_pairs(
     key the join needs, so AQE reuses the exchange) and one on the pair
     key for the final count. No driver-side state.
     """
-    # the fingerprint frame feeds three consumers (the cap, the train
-    # side, the test side) — localCheckpoint materializes it once instead
-    # of re-running the winnowing expression per branch, and its blocks
-    # are reclaimed by the ContextCleaner when the frame is GC'd (a
-    # DataFrame persist() would pin the cache for the session lifetime)
-    fps = df.select(
+    from druid_hadoop_utils_spark.operators.dedup import spread
+
+    # spread: the per-document winnowing is the CPU-heavy stage — a small
+    # parquet file would otherwise plan as one input partition and run the
+    # whole corpus on a single core. The fingerprint frame then feeds
+    # three consumers (the cap, the train side, the test side) —
+    # localCheckpoint materializes it once instead of re-running the
+    # winnowing expression per branch, and its blocks are reclaimed by the
+    # ContextCleaner when the frame is GC'd (a DataFrame persist() would
+    # pin the cache for the session lifetime)
+    fps = spread(df.select(id_col, split_col, text_col)).select(
         F.col(id_col),
         F.col(split_col),
         F.explode(winnowing_fingerprints(text_col, k=k, window=window)).alias("fp"),
