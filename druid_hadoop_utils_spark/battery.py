@@ -261,6 +261,36 @@ def q_groupby_extraction_partial(spark, sf_dir):
 
 
 @register(
+    "q_extraction_cascade_format",
+    """SELECT printf('[%s]', upper(substring(event_type, 1, 2))) AS tag,
+              count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+       GROUP BY 1""",
+)
+def q_extraction_cascade_format(spark, sf_dir):
+    # Druid cascade + stringFormat extractionFns chained in a groupBy
+    # DimensionSpec (CascadeExtractionFn / StringFormatExtractionFn)
+    from druid_hadoop_utils_spark import api
+
+    ev = _t_raw(spark, sf_dir, "events")
+    out = api.druid_query(spark, ev, {
+        "queryType": "groupBy",
+        "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": [{"type": "extraction", "dimension": "event_type",
+                        "outputName": "tag",
+                        "extractionFn": {"type": "cascade", "extractionFns": [
+                            {"type": "substring", "index": 0, "length": 2},
+                            {"type": "upper"},
+                            {"type": "stringFormat", "format": "[%s]"},
+                        ]}}],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }, time_column="ts")
+    return out.drop("__time")
+
+
+@register(
     "q_granularity_hour_rollup",
     """SELECT date_trunc('hour', ts) AS __time, event_type,
               round(sum(value), 2) AS value
@@ -1788,6 +1818,67 @@ def q_tpch_q3_shipping_priority(spark, sf_dir):
     )
 
 
+@register(
+    "q_tpch_q5_local_supplier_volume",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY 1 ORDER BY revenue DESC, n_name""",
+)
+def q_tpch_q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5: 6-way star join where only lineitem/orders are big — dims
+    # broadcast, fact-fact join shuffles once on orderkey. Same-nation
+    # customer/supplier predicate rides the supplier join condition.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q_window_distribution",
+    """SELECT event_type, event_id,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cdist
+       FROM events
+       WHERE event_id < 2000
+       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+)
+def q_window_distribution(spark, sf_dir):
+    # distribution window functions: ntile / percent_rank / cume_dist over
+    # a totally-ordered per-group window (value ties broken by event_id)
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type", "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
 
 
 @register(
@@ -1976,6 +2067,8 @@ def q_api_datasource_metadata(spark, sf_dir):
 # they enter the hard signal; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
+    "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
+    "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",
     "q_groupby_extraction_partial", "q_heavy_hitters",
     "q_contamination_check", "q_text_redact",

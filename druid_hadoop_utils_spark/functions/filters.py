@@ -176,9 +176,32 @@ def _check_time_pattern(pattern: str) -> str:
 def _extraction_fn(fn: dict, col: Column) -> Column:
     """Druid extractionFn grammar (the subset with Spark-native mappings):
     substring, regex (capture group 1), partial, searchQuery, timeFormat,
-    time, lower, upper, strlen, lookup/registeredLookup. javascript is
-    rejected."""
+    time, lower, upper, strlen, cascade, stringFormat,
+    lookup/registeredLookup. javascript is rejected."""
     ftype = fn.get("type")
+    if ftype == "cascade":
+        # Druid CascadeExtractionFn: apply each listed extractionFn in order
+        for sub in fn.get("extractionFns", []):
+            col = _extraction_fn(sub, col)
+        return col
+    if ftype == "stringFormat":
+        # Druid StringFormatExtractionFn: java String.format with the value
+        # as the single %s argument. 0.9.1 formatted null as the literal
+        # "null" (Java Formatter behavior) = later Druid's NULLSTRING mode;
+        # EMPTYSTRING / RETURNNULL match the post-0.10 nullHandling knob.
+        fmt = fn["format"]
+        if fmt.count("%") != 1 or "%s" not in fmt:
+            raise NotImplementedError(
+                f"stringFormat format {fmt!r}: only a single %s is supported"
+            )
+        null_mode = fn.get("nullHandling", "NULLSTRING")
+        if null_mode == "NULLSTRING":
+            return F.format_string(fmt, F.coalesce(col, F.lit("null")))
+        if null_mode == "EMPTYSTRING":
+            return F.format_string(fmt, F.coalesce(col, F.lit("")))
+        if null_mode == "RETURNNULL":
+            return F.when(col.isNotNull(), F.format_string(fmt, col))
+        raise ValueError(f"unknown stringFormat nullHandling: {null_mode!r}")
     if ftype == "substring":
         index = int(fn.get("index", 0))
         length = fn.get("length")

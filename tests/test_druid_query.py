@@ -160,6 +160,39 @@ def test_extraction_dimension_spec(spark, events):
     assert rows == {"cl", "er", "pu", "si", "vi"}
 
 
+def test_cascade_and_string_format_extraction(spark, events):
+    # cascade = substring(0,2) then upper then stringFormat "[%s]"
+    q = {
+        "queryType": "groupBy", "granularity": "ALL",
+        "intervals": ["2024-01-01/2024-02-01"],
+        "dimensions": [{"type": "extraction", "dimension": "event_type",
+                        "outputName": "tag",
+                        "extractionFn": {"type": "cascade", "extractionFns": [
+                            {"type": "substring", "index": 0, "length": 2},
+                            {"type": "upper"},
+                            {"type": "stringFormat", "format": "[%s]"},
+                        ]}}],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    rows = {r.tag for r in druid_query(spark, events, q, time_column="ts").collect()}
+    assert rows == {"[CL]", "[ER]", "[PU]", "[SI]", "[VI]"}
+
+
+def test_string_format_null_handling(spark):
+    from druid_hadoop_utils_spark.functions.filters import _extraction_fn
+
+    df = spark.createDataFrame([("a",), (None,)], "v string")
+    out = df.select(
+        _extraction_fn({"type": "stringFormat", "format": "<%s>"}, F.col("v")).alias("ns"),
+        _extraction_fn({"type": "stringFormat", "format": "<%s>",
+                        "nullHandling": "EMPTYSTRING"}, F.col("v")).alias("es"),
+        _extraction_fn({"type": "stringFormat", "format": "<%s>",
+                        "nullHandling": "RETURNNULL"}, F.col("v")).alias("rn"),
+    ).collect()
+    got = {(r.ns, r.es, r.rn) for r in out}
+    assert got == {("<a>", "<a>", "<a>"), ("<null>", "<>", None)}
+
+
 def test_topn_with_dimension_spec(spark, events):
     q = {
         "queryType": "topN", "granularity": "ALL",
