@@ -44,6 +44,7 @@ def _prep(spark: SparkSession) -> None:
     # the driver may hand us a session without our session.py defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

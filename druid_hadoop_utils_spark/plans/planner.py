@@ -45,8 +45,12 @@ from druid_hadoop_utils_spark.sources.segments import (
 TIME_COL = "__time"
 
 
-def _interval_pred(iv: Interval, col):
-    return (col >= F.lit(iv.start.replace(tzinfo=None))) & (col < F.lit(iv.end.replace(tzinfo=None)))
+def _interval_pred(iv: Interval, col, ntz: bool = False):
+    lo = F.lit(iv.start.replace(tzinfo=None))
+    hi = F.lit(iv.end.replace(tzinfo=None))
+    if ntz:
+        lo, hi = lo.cast("timestamp_ntz"), hi.cast("timestamp_ntz")
+    return (col >= lo) & (col < hi)
 
 
 def _scan_segments(spark: SparkSession, table_root: str, data_source: str, iv: Interval) -> DataFrame:
@@ -132,7 +136,9 @@ def load(
     if time_column != TIME_COL:
         df = df.withColumnRenamed(time_column, TIME_COL)
 
-    time_is_nanos = dict(df.dtypes).get(TIME_COL) == "bigint"
+    time_type = dict(df.dtypes).get(TIME_COL)
+    time_is_nanos = time_type == "bigint"
+    time_is_ntz = time_type == "timestamp_ntz"
     if ivs:
         if time_is_nanos:
             # epoch-nanos long time column: compare raw longs so the range
@@ -157,12 +163,19 @@ def load(
             for iv in ivs[1:]:
                 pred = pred | nanos_pred(iv)
         else:
-            pred = _interval_pred(ivs[0], F.col(TIME_COL))
+            # TIMESTAMP_NTZ columns compare against NTZ literals so the
+            # range predicate pushes down to the parquet scan unwrapped
+            # (an LTZ literal would coerce the column and block pushdown)
+            pred = _interval_pred(ivs[0], F.col(TIME_COL), ntz=time_is_ntz)
             for iv in ivs[1:]:
-                pred = pred | _interval_pred(iv, F.col(TIME_COL))
+                pred = pred | _interval_pred(iv, F.col(TIME_COL), ntz=time_is_ntz)
         df = df.where(pred)
     if time_is_nanos:
         df = df.withColumn(TIME_COL, F.timestamp_micros(F.expr(f"`{TIME_COL}` DIV 1000")))
+    elif time_is_ntz:
+        # session tz is pinned UTC (session.py), so NTZ → LTZ preserves the
+        # instant; downstream granularity/filter/agg code sees one time type
+        df = df.withColumn(TIME_COL, F.col(TIME_COL).cast("timestamp"))
     if spec.filter is not None:
         df = df.where(filter_to_column(spec.filter, df.schema))
 

@@ -56,6 +56,11 @@ def load_table(
     push, forfeiting row-group skipping — fatal at 100 TB)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp[us] columns (isAdjustedToUTC=false) must read as session-tz
+    # TimestampType, not TIMESTAMP_NTZ: the session is pinned UTC so the
+    # values are identical, engine literals/predicates stay pushdown-able,
+    # and output matches the DuckDB oracle's naive timestamps.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if convert_nanos:
         for col in _nanos_timestamp_columns(path):

@@ -331,9 +331,7 @@ def test_datasource_metadata_query(spark, events):
     q = {"queryType": "dataSourceMetadata", "dataSource": "events"}
     out = druid_query(spark, events, q, time_column="ts")
     assert out.columns == ["maxIngestedEventTime"]
-    expected = events.agg(
-        F.max(F.timestamp_micros(F.expr("ts DIV 1000")))
-    ).first()[0]
+    expected = events.agg(F.max("ts")).first()[0]
     assert out.first().maxIngestedEventTime == expected
 
 

@@ -154,16 +154,35 @@ class TestMultiSegment:
         assert sum(r.visited_sum for r in df.collect()) == 1000 + 450
 
 
-def test_raw_nanos_wide_interval_no_overflow(spark, sf_dir):
+def test_raw_nanos_wide_interval_no_overflow(spark, tmp_path):
     """An interval beyond nanos-representable range (year 3000) must clamp
-    to int64 bounds, not overflow (regression: examples/print_rows.py)."""
+    to int64 bounds, not overflow (regression: examples/print_rows.py).
+
+    The driver's testdata moved to timestamp[us], so the nanos path is
+    pinned with a synthetic timestamp[ns] parquet (read back as raw longs
+    under nanosAsLong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     from druid_hadoop_utils_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events", convert_nanos=False)
+    path = str(tmp_path / "ns_events")
+    tbl = pa.table({
+        "ts": pa.array([1704067200_000_000_000 + i * 3_600_000_000_000
+                        for i in range(48)], pa.timestamp("ns")),
+        "event_type": pa.array(["click", "view"] * 24),
+        "value": pa.array([float(i) for i in range(48)]),
+    })
+    pq.write_table(tbl, path + ".parquet")
+    ev = load_table(spark, str(tmp_path), "ns_events", convert_nanos=False)
+    assert dict(ev.dtypes)["ts"] == "bigint"  # raw epoch-nanos longs
     spec = {"granularity": "NONE", "dimensions": ["event_type"],
             "metrics": [{"name": "value", "type": "double"}]}
     df = load(spark, ev, spec, interval="1970-01-01/3000-01-01", time_column="ts")
     assert df.count() == ev.count()
+    # and a tight interval still prunes + converts correctly
+    day1 = load(spark, ev, spec, interval="2024-01-01/2024-01-02", time_column="ts")
+    assert day1.count() == 24
+    assert dict(day1.dtypes)["__time"] == "timestamp"
 
 
 def test_load_plain_parquet_events(spark, sf_dir):

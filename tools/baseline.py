@@ -36,11 +36,15 @@ def main() -> None:
     def t(name):
         return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
 
-    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    # events.ts is parquet timestamp[us] → session-tz TimestampType
+    ts = F.col("ts")
 
     BASELINE = {
         "q_scan_interval_project": lambda: events()
-        .where((F.col("ts") >= 1704412800 * 10**9) & (F.col("ts") < 1705708800 * 10**9))
+        .where(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
         .select(ts.alias("__time"), "event_type", "value", "user_id"),
         "q_filter_and_or_not": lambda: events()
         .where(F.col("event_type").isin("click", "purchase") & ~(F.col("user_id") >= 100))
@@ -170,7 +174,8 @@ def main() -> None:
             .select(F.col("user_id").alias("r_uid"), ts.alias("r_ts"))),
         # direct parquet read + filter + rollup — no manifest/overshadow
         "q_segment_table_load": lambda: events()
-        .where((F.col("ts") >= 1704240000 * 10**9) & (F.col("ts") < 1704844800 * 10**9)
+        .where((F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp"))
+               & (F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
                & F.col("event_type").isin("click", "view"))
         .groupBy(F.date_trunc("day", ts).alias("__time"), "event_type")
         .agg(F.round(F.sum("value"), 2).alias("value"), F.count("*").alias("n")),
