@@ -2057,6 +2057,68 @@ def q_api_datasource_metadata(spark, sf_dir):
     )
 
 
+@register(
+    "q_rank_quantiles",
+    """WITH pv AS (
+         SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+         FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+       ), cum AS (
+         SELECT l_returnflag, v,
+                sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                sum(c) OVER (PARTITION BY l_returnflag) AS n
+         FROM pv
+       )
+       SELECT l_returnflag,
+              min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN v END) AS p50,
+              min(CASE WHEN cum >= greatest(ceil(0.9 * n), 1) THEN v END) AS p90,
+              min(CASE WHEN cum >= greatest(ceil(0.99 * n), 1) THEN v END) AS p99
+       FROM cum GROUP BY l_returnflag""",
+)
+def q_rank_quantiles(spark, sf_dir):
+    # EXACT rank-based quantiles without a raw-row sort and without the
+    # histogram state's fixed [lo, hi) range: (group, value) count collapse
+    # → cumulative window over the collapsed distribution → rank pick.
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return rank_quantiles(li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9, 0.99])
+
+
+@register(
+    "q_interval_overlap_join",
+    """SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event
+       FROM (SELECT user_id, event_id, ts AS lo,
+                    ts + INTERVAL 2 HOUR AS hi
+             FROM events WHERE event_type = 'purchase' AND user_id < 50) l
+       JOIN (SELECT user_id, event_id, ts AS lo,
+                    ts + INTERVAL 1 HOUR AS hi
+             FROM events WHERE event_type = 'click' AND user_id < 50) r
+       ON l.user_id = r.user_id AND l.lo < r.hi AND r.lo < l.hi""",
+)
+def q_interval_overlap_join(spark, sf_dir):
+    # interval × interval overlap join (range_join generalization): both
+    # sides explode over covered time bins and meet in an equi hash join;
+    # each pair emits exactly once from its first intersection bin.
+    from druid_hadoop_utils_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    lhs = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("l_event"),
+        F.col("ts").alias("__l_lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("__l_hi"),
+    )
+    rhs = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("r_event"),
+        F.col("ts").alias("__r_lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__r_hi"),
+    )
+    out = interval_overlap_join(
+        lhs, rhs, "__l_lo", "__l_hi", "__r_lo", "__r_hi",
+        keys=["user_id"], bin_width=3600.0,
+    )
+    return out.select("user_id", "l_event", "r_event")
+
+
 # =====================================================================
 # driver-snapshot ordering
 # =====================================================================
@@ -2068,6 +2130,7 @@ def q_api_datasource_metadata(spark, sf_dir):
 # they enter the hard signal; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
+    "q_rank_quantiles", "q_interval_overlap_join",
     "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
     "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",

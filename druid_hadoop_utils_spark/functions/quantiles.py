@@ -163,3 +163,60 @@ def approx_quantiles(
         for q in quantiles
     ]
     return out.select(*group_cols, *cols)
+
+
+def rank_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float],
+) -> DataFrame:
+    """EXACT grouped quantiles by rank, without sorting the raw rows and
+    without the fixed [lo, hi) range the histogram state needs.
+
+    Discrete lower-quantile semantics: for n non-null values, quantile q is
+    the value whose 1-indexed rank in sorted order is ``ceil(q*n)``
+    (q=0 → rank 1, the minimum; q=1 → rank n, the maximum).
+
+    Shape: (group, value) COUNT pre-aggregate (map-side combine collapses
+    duplicates before the shuffle) → cumulative count window per group
+    ordered by value → one row per requested q via a conditional min. The
+    heavy input shuffles ONCE, keyed by (group, value) at distinct-value
+    cardinality — never a global sort of raw rows; the window runs over
+    the collapsed per-group distribution. For a group whose values are all
+    distinct this degrades to the sort-based cost; for typical metric
+    distributions the collapse is 10-1000×.
+    """
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("rank_quantiles: need at least one quantile")
+    c = F.col(value_col).cast("double")
+    per_value = (
+        df.where(c.isNotNull())
+        .select(*group_cols, c.alias("__v"))
+        .groupBy(*group_cols, "__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = per_value.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    # rank(q) = max(ceil(q*n), 1); pick the smallest value whose cumulative
+    # count reaches it — min() over values at/past the threshold
+    cols = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)),
+                F.col("__v"),
+            )
+        ).alias(f"p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    if group_cols:
+        return cum.groupBy(*group_cols).agg(*cols)
+    return cum.agg(*cols)

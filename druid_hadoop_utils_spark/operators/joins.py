@@ -150,6 +150,89 @@ def range_join(
     return out.drop(*helpers)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lower: str,
+    left_upper: str,
+    right_lower: str,
+    right_upper: str,
+    keys: list[str],
+    bin_width: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval × interval OVERLAP join: emit (l, r) when the half-open
+    intervals ``[l.lower, l.upper)`` and ``[r.lower, r.upper)`` intersect
+    within the same key group — the range×range generalization of
+    ``range_join`` (point×range). Spark plans the naive formulation as a
+    broadcast-nested-loop; here BOTH sides explode over the fixed-width
+    bins their interval covers and meet in an EQUI hash join on
+    (keys, bin), so the plan is shuffle-hash/sort-merge and scales to two
+    arbitrarily large inputs.
+
+    A pair whose overlap spans k bins would meet k times; instead of a
+    ``distinct`` over the full output, each pair is emitted ONLY from the
+    first bin of its intersection (``bin == floor(max(l.lo, r.lo) /
+    bin_width)``) — exactly-once without a dedup shuffle.
+
+    Timestamps compare as fractional epoch seconds (``bin_width`` in
+    seconds). Pick ``bin_width`` near the typical interval span:
+    replication stays ~(span/bin_width + 1)× per side.
+    """
+
+    def binned(df: DataFrame, lower: str, upper: str, lo_name: str, hi_name: str):
+        out = df.withColumn(lo_name, F.col(lower).cast("double")).withColumn(
+            hi_name, F.col(upper).cast("double")
+        )
+        # a half-open interval covers bins floor(lo/w) .. floor(hi/w), the
+        # last one only when hi is not exactly on the bin edge — harmless
+        # to include (the overlap predicate rejects edge false positives)
+        return out.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_name) / bin_width).cast("long"),
+                    F.floor(F.col(hi_name) / bin_width).cast("long"),
+                )
+            ),
+        )
+
+    l = binned(left, left_lower, left_upper, "__llo", "__lhi")
+    r = binned(right, right_lower, right_upper, "__rlo", "__rhi")
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__rk_{k}")
+    renames = {
+        c: (f"{c}{suffix}" if c in left.columns else c)
+        for c in right.columns
+        if c not in keys
+    }
+    clash = [v for v in renames.values() if v in left.columns]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash}; pass suffix=")
+    for old, new in renames.items():
+        if old != new:
+            r = r.withColumnRenamed(old, new)
+
+    cond = l["__bin"] == r["__bin"]
+    for k in keys:
+        cond = cond & (l[k] == r[f"__rk_{k}"])
+    # the classic lo<hi' && lo'<hi formula assumes non-empty intervals; the
+    # extra guards make an empty [x, x) interval match nothing
+    overlap = (
+        (l["__llo"] < r["__rhi"]) & (r["__rlo"] < l["__lhi"])
+        & (l["__llo"] < l["__lhi"]) & (r["__rlo"] < r["__rhi"])
+    )
+    first_bin = l["__bin"] == F.floor(
+        F.greatest(l["__llo"], r["__rlo"]) / bin_width
+    ).cast("long")
+    out = l.join(r, cond & overlap & first_bin, "inner")
+    helpers = ["__llo", "__lhi", "__rlo", "__rhi", "__bin",
+               *[f"__rk_{k}" for k in keys]]
+    return out.drop(l["__bin"]).drop(r["__bin"]).drop(
+        *[h for h in helpers if h != "__bin"]
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

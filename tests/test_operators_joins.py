@@ -201,3 +201,74 @@ def test_range_join_left_does_not_persist(spark):
     assert got == [(5.0, "a"), (5.0, "a"), (99.0, None), (99.0, None)]
     # nothing newly cached behind the caller's back
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Binned overlap join == naive non-equi overlap join, exactly once per
+    pair — including pairs whose intersection spans many bins."""
+    import random
+
+    from druid_hadoop_utils_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    lrows = [(rng.randrange(3), i, rng.uniform(0, 100)) for i in range(60)]
+    rrows = [(rng.randrange(3), i, rng.uniform(0, 100)) for i in range(60)]
+    left = spark.createDataFrame(
+        [(k, i, lo, lo + rng.uniform(0.1, 40)) for (k, i, lo) in lrows],
+        "k int, lid int, llo double, lhi double",
+    )
+    right = spark.createDataFrame(
+        [(k, i, lo, lo + rng.uniform(0.1, 40)) for (k, i, lo) in rrows],
+        "k int, rid int, rlo double, rhi double",
+    )
+    out = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", keys=["k"], bin_width=5.0
+    )
+    got = sorted((r.k, r.lid, r.rid) for r in out.collect())
+    naive = left.join(
+        right.withColumnRenamed("k", "rk"),
+        (left.k == F.col("rk")) & (left.llo < F.col("rhi")) & (F.col("rlo") < left.lhi),
+    )
+    want = sorted((r.k, r.lid, r.rid) for r in naive.collect())
+    assert got == want and len(got) == len(set(got))
+
+
+def test_interval_overlap_join_half_open_edges(spark):
+    """[a,b) × [b,c) do NOT overlap; identical intervals do; empty
+    intervals never match."""
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([
+        Row(k=1, lid=0, llo=0.0, lhi=10.0),
+        Row(k=1, lid=1, llo=10.0, lhi=20.0),
+        Row(k=1, lid=2, llo=5.0, lhi=5.0),    # empty
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rid=0, rlo=10.0, rhi=30.0),
+        Row(k=1, rid=1, rlo=0.0, rhi=10.0),
+        Row(k=2, rid=2, rlo=0.0, rhi=100.0),  # other key group
+    ])
+    out = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", keys=["k"], bin_width=8.0
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    assert got == [(0, 1), (1, 0)]
+
+
+def test_interval_overlap_join_no_shuffle_dedup_in_plan(spark):
+    """The exactly-once guarantee must come from the first-bin predicate,
+    not a distinct/dedup aggregate over the joined output."""
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([Row(k=1, lid=0, llo=0.0, lhi=50.0)])
+    right = spark.createDataFrame([Row(k=1, rid=0, rlo=1.0, rhi=49.0)])
+    out = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", keys=["k"], bin_width=5.0
+    )
+    assert out.count() == 1  # 10 shared bins, one output row
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan and "Distinct" not in plan

@@ -168,3 +168,52 @@ def test_grouped_state_build_equals_expression_state(spark, sf_dir):
         .collect()
     }
     assert expr_states == grouped_states
+
+
+def test_rank_quantiles_exact_vs_python(spark):
+    """rank_quantiles == rank picks over the sorted values, per group,
+    with duplicates and nulls in play."""
+    import math
+    import random
+
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    rng = random.Random(11)
+    rows = [("g%d" % rng.randrange(3), float(rng.randrange(20)))
+            for _ in range(500)] + [("g0", None), ("g1", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.0, 0.5, 0.9, 1.0]
+    got = {r.g: (r.p0, r.p50, r.p90, r.p100)
+           for r in rank_quantiles(df, "v", ["g"], qs).collect()}
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        want = tuple(vals[max(math.ceil(q * n), 1) - 1] for q in qs)
+        assert got[g] == want, g
+
+
+def test_rank_quantiles_global_no_groups(spark):
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    row = rank_quantiles(df, "v", [], [0.5, 0.99]).first()
+    assert (row.p50, row.p99) == (50.0, 99.0)
+
+
+def test_rank_quantiles_single_shuffle_of_raw_rows(spark):
+    """The raw input must shuffle once, keyed (group, value) — the window
+    and final agg run over the collapsed distribution, never a global sort
+    of raw rows."""
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    df = spark.range(10_000).selectExpr(
+        "cast(id % 3 as string) AS g", "cast(id % 17 as double) AS v"
+    )
+    out = rank_quantiles(df, "v", ["g"], [0.5])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # partial_count before the exchange = map-side combine on (g, v)
+    assert plan.count("Sort") <= 2  # window sort + agg, no extra global sort
