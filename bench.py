@@ -54,6 +54,8 @@ HEADLINE = [
     "q_similarity_ivf_topk",
     "q_asof_join",
     "q_range_join",
+    "q_rank_quantiles",
+    "q_interval_overlap_join",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -2119,6 +2119,28 @@ def q_interval_overlap_join(spark, sf_dir):
     return out.select("user_id", "l_event", "r_event")
 
 
+@register(
+    "q_weighted_sample",
+    """WITH s AS (
+         SELECT doc_id, lang, n_chars,
+                ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                          1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+                / n_chars AS esk
+         FROM documents WHERE n_chars > 0
+       )
+       SELECT doc_id, lang, n_chars FROM s
+       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY esk DESC, doc_id) <= 5""",
+)
+def q_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sampling without replacement, k=5 per
+    # language, weight = document length; the deterministic-hash RNG makes
+    # the draw reproducible and exactly recomputable by the SQL oracle.
+    from druid_hadoop_utils_spark.operators.sampling import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_hash_sample(docs, "doc_id", "n_chars", 5, ["lang"])
+
+
 # =====================================================================
 # driver-snapshot ordering
 # =====================================================================
@@ -2130,7 +2152,7 @@ def q_interval_overlap_join(spark, sf_dir):
 # they enter the hard signal; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    "q_rank_quantiles", "q_interval_overlap_join",
+    "q_rank_quantiles", "q_interval_overlap_join", "q_weighted_sample",
     "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
     "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",

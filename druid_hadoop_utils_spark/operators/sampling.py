@@ -70,6 +70,47 @@ def hash_split(
     return out.where(F.col(output).isNotNull())
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group):
+    Efraimidis–Spirakis A-ES with the deterministic hash as the RNG, so
+    the sample is reproducible, layout-independent, and recomputable by
+    the SQL oracle. P(row selected) scales with ``weight_col`` (rows with
+    non-positive or null weight never qualify).
+
+    Each row draws u = (bucket(id ‖ seed) + 0.5) / 1e6 ∈ (0, 1) and gets
+    key = ln(u) / w — the log-space E-S key (u^(1/w) monotone) — and the
+    k LARGEST keys win. Grouped: one shuffle on the group keys, then a
+    row_number window. Global: sort-limit compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge of k×P
+    rows) — no single-partition window, no full sort at scale.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    u = (sample_bucket(F.col(id_col), seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    scored = df.where(w > 0).withColumn("__esk", key)
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.desc("__esk"), F.col(id_col)
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= k)
+            .drop("__esk", "__rn")
+        )
+    return scored.orderBy(F.desc("__esk"), F.col(id_col)).limit(k).drop("__esk")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,
