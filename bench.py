@@ -56,6 +56,7 @@ HEADLINE = [
     "q_range_join",
     "q_rank_quantiles",
     "q_interval_overlap_join",
+    "q_weighted_sample",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

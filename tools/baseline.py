@@ -179,6 +179,38 @@ def main() -> None:
                & F.col("event_type").isin("click", "view"))
         .groupBy(F.date_trunc("day", ts).alias("__time"), "event_type")
         .agg(F.round(F.sum("value"), 2).alias("value"), F.count("*").alias("n")),
+        # plain exact grouped quantiles: the builtin sort-based percentile
+        "q_rank_quantiles": lambda: t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ps")),
+        # naive overlap join: inequality condition the optimizer can only
+        # plan as a broadcast-nested-loop join
+        "q_interval_overlap_join": lambda: (lambda l, r: l
+            .join(r, (l["user_id"] == r["r_uid"]) & (l["lo"] < r["rhi"])
+                  & (r["rlo"] < l["hi"]))
+            .select("user_id", "l_event", "r_event"))(
+            events().where((F.col("user_id") < 50)
+                           & (F.col("event_type") == "purchase"))
+            .select("user_id", F.col("event_id").alias("l_event"),
+                    ts.alias("lo"),
+                    (ts + F.expr("INTERVAL 2 HOUR")).alias("hi")),
+            events().where((F.col("user_id") < 50)
+                           & (F.col("event_type") == "click"))
+            .select(F.col("user_id").alias("r_uid"),
+                    F.col("event_id").alias("r_event"),
+                    ts.alias("rlo"),
+                    (ts + F.expr("INTERVAL 1 HOUR")).alias("rhi")),
+        ),
+        # plain weighted sampling: rand()-keyed E-S draw (not reproducible
+        # across layouts — the thing the hash RNG fixes) with a window
+        "q_weighted_sample": lambda: (lambda d: d
+            .withColumn("esk", F.log(F.rand(42)) / F.col("n_chars"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("esk"))))
+            .where(F.col("rn") <= 5).drop("esk", "rn"))(
+            t("documents").where(F.col("n_chars") > 0)
+            .select("doc_id", "lang", "n_chars")),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

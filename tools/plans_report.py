@@ -19,9 +19,11 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 ANNOTATED = {
     "q_scan_interval_project": (
-        "Engine LoadSpec scan: the interval rides the raw nanos column as "
-        "pushed long bounds (`GreaterThanOrEqual(ts,...)` in PushedFilters) "
-        "and ReadSchema carries only the spec's columns."
+        "Engine LoadSpec scan: the interval predicate reaches the parquet "
+        "scan (`GreaterThanOrEqual(ts,...)`/`LessThan(ts,...)` in "
+        "PushedFilters — timestamp bounds on the timestamp[us] testdata, "
+        "raw long bounds when the time column is epoch-nanos) and "
+        "ReadSchema carries only the spec's columns."
     ),
     "q_filter_selector": (
         "DimFilter pushdown: the selector appears as `EqualTo(event_type,"
@@ -83,6 +85,25 @@ ANNOTATED = {
         "Binned range join: the interval containment runs as a "
         "SortMergeJoin/ShuffledHashJoin on (key, bin) — never a "
         "BroadcastNestedLoopJoin."
+    ),
+    "q_rank_quantiles": (
+        "Exact rank quantiles: partial_count BEFORE the first Exchange "
+        "(map-side combine on (group, value)), second Exchange only on the "
+        "group key for the cumulative window, final agg over the collapsed "
+        "distribution — the raw table never globally sorts."
+    ),
+    "q_interval_overlap_join": (
+        "Interval overlap join: both sides Generate (explode) their bin "
+        "ranges and meet in an equi hash join keyed (bin, key) — the "
+        "overlap + first-bin predicates ride as the join condition, no "
+        "BroadcastNestedLoopJoin, no Deduplicate node (exactly-once comes "
+        "from the first-bin predicate)."
+    ),
+    "q_weighted_sample": (
+        "Weighted sampling: Spark's WindowGroupLimit kicks in Partial+Final "
+        "— each partition keeps only its top-k E-S keys per group BEFORE "
+        "the shuffle, so the exchange moves ≤ k×partitions rows per group; "
+        "the hash RNG is a codegen expression, no Python."
     ),
 }
 
