@@ -57,6 +57,7 @@ HEADLINE = [
     "q_rank_quantiles",
     "q_interval_overlap_join",
     "q_weighted_sample",
+    "q_kll_quantiles",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

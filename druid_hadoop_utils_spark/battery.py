@@ -2141,6 +2141,39 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_hash_sample(docs, "doc_id", "n_chars", 5, ["lang"])
 
 
+@register(
+    "q_kll_quantiles",
+    """WITH pv AS (
+         SELECT event_type, value AS v, count(*) AS c
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       ), cum AS (
+         SELECT event_type, v,
+                sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                sum(c) OVER (PARTITION BY event_type) AS n
+         FROM pv
+       )
+       SELECT event_type,
+              min(CASE WHEN cum >= greatest(ceil(0.25 * n), 1) THEN v END) AS p25,
+              min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN v END) AS p50,
+              min(CASE WHEN cum >= greatest(ceil(0.95 * n), 1) THEN v END) AS p95
+       FROM cum GROUP BY event_type""",
+)
+def q_kll_quantiles(spark, sf_dir):
+    # Mergeable KLL-style rank sketch: map-side partial states
+    # (mapInPandas, no raw-row shuffle), per-group state merge, pure
+    # Catalyst quantile evaluation. k=8192 ≥ any sf0.01 group, so the
+    # sketch is EXACT here and hash-matches the rank-rule oracle; at
+    # larger scales the same query runs compacted/approximate.
+    from druid_hadoop_utils_spark.functions.kll import (
+        kll_quantiles,
+        kll_state_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    states = kll_state_grouped(ev, "value", ["event_type"], k=8192)
+    return kll_quantiles(states, ["event_type"], [0.25, 0.5, 0.95])
+
+
 # =====================================================================
 # driver-snapshot ordering
 # =====================================================================
@@ -2153,6 +2186,7 @@ def q_weighted_sample(spark, sf_dir):
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
     "q_rank_quantiles", "q_interval_overlap_join", "q_weighted_sample",
+    "q_kll_quantiles",
     "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
     "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",

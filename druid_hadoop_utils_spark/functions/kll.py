@@ -1,0 +1,228 @@
+"""KLL-style mergeable rank-quantile sketch.
+
+Completes the engine's mergeable-state family (Druid hyperUnique bytes,
+KMV theta, fixed-range ``qhist`` histograms) with a RANK-based sketch:
+no [lo, hi) range declaration, works on any numeric distribution, and its
+partial states merge associatively — the property segment-level
+pre-aggregation needs (build one small state per segment, merge states at
+query time instead of rescanning raw rows; reference analog: the
+non-finalizing complex-metric path, DruidStorage.java:142-151).
+
+Where ``rank_quantiles`` (quantiles.py) answers one query exactly,
+``kll_state_grouped`` produces a REUSABLE state whose size is
+O(k·log(n/k)) regardless of group size.
+
+Layout:
+- state = struct<k int, levels array<array<double>>>; an item at level i
+  carries weight 2^i. Level 0 holds raw values.
+- build: ``mapInPandas`` over arrow batches — each PARTITION emits one
+  partial state per group it holds (bounded memory, no pre-shuffle);
+  the single shuffle moves ≤ partitions × groups small states.
+- merge: level-wise concatenation + deterministic compaction (sort,
+  keep even indices, promote pairs one level up — Manku/KLL collapse).
+  Compaction triggers only when a level exceeds k items, so with
+  k ≥ group size the sketch is EXACT (all values at level 0) and any
+  merge order yields identical quantiles — which is what lets the DuckDB
+  oracle hash-match it at test scale while production uses small k.
+- query: pure Catalyst — posexplode levels → explode items with weight
+  2^level → cumulative-weight window → the same ceil(q·W) lower-rank
+  pick as ``rank_quantiles`` (coincides with it exactly when k ≥ n).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_K = 200
+
+
+def _state_schema(group_fields) -> StructType:
+    return StructType(
+        list(group_fields)
+        + [
+            StructField("__kll_k", IntegerType(), False),
+            StructField("__kll_levels", ArrayType(ArrayType(DoubleType())), False),
+        ]
+    )
+
+
+# ------------------------------------------------------------- pure-python core
+
+
+def _compact(levels: list[list[float]], k: int) -> None:
+    """Deterministic in-place collapse: the lowest level holding more than
+    k items sorts, pairs promote every other item (even indices) up one
+    level, an odd trailing item stays. Repeats until all levels fit."""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) <= k:
+            i += 1
+            continue
+        items = sorted(levels[i])
+        odd = len(items) % 2 == 1
+        keep_last = [items[-1]] if odd else []
+        if odd:
+            items = items[:-1]
+        promoted = items[0::2]
+        levels[i] = keep_last
+        if i + 1 == len(levels):
+            levels.append([])
+        levels[i + 1].extend(promoted)
+        # the promoted items may overflow the next level — loop continues
+        # there; never re-expands a compacted level
+        i += 1
+
+
+def _merge_levels(a: list[list[float]], b: list[list[float]], k: int) -> list[list[float]]:
+    out = [list(a[i]) if i < len(a) else [] for i in range(max(len(a), len(b)))]
+    for i, items in enumerate(b):
+        out[i].extend(items)
+    _compact(out, k)
+    return out
+
+
+# ------------------------------------------------------------- build / merge
+
+
+def kll_state_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One mergeable KLL state per group.
+
+    Stage 1 (``mapInPandas``, no shuffle): every partition folds its arrow
+    batches into one partial state per group it contains — memory is
+    O(groups-per-partition × k·log), never the raw values.
+    Stage 2 (the only shuffle): partial states group-merge via
+    ``applyInPandas``; at most #partitions small states per group move.
+    """
+    if k < 8:
+        raise ValueError(f"k must be ≥ 8: {k}")
+    import pandas as pd
+
+    gcols = list(group_cols)
+    src = df.select(
+        *gcols, F.col(value_col).cast("double").alias("__v")
+    )
+    group_fields = [src.schema[c] for c in gcols]
+    partial_schema = _state_schema(group_fields)
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        states: dict[tuple, list[list[float]]] = {}
+        for pdf in batches:
+            vals = pdf["__v"]
+            mask = vals.notna()
+            if gcols:
+                for key, sub in pdf[mask].groupby(gcols, dropna=False, sort=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    lv = states.setdefault(key, [[]])
+                    lv[0].extend(float(v) for v in sub["__v"])
+                    _compact(lv, k)
+            else:
+                lv = states.setdefault((), [[]])
+                lv[0].extend(float(v) for v in vals[mask])
+                _compact(lv, k)
+        rows = [
+            dict(zip(gcols, key), __kll_k=k, __kll_levels=levels)
+            for key, levels in states.items()
+        ]
+        yield pd.DataFrame(
+            rows, columns=gcols + ["__kll_k", "__kll_levels"]
+        ) if rows else pd.DataFrame(columns=gcols + ["__kll_k", "__kll_levels"])
+
+    partials = src.mapInPandas(build, schema=partial_schema)
+    return merge_kll_states(partials, gcols)
+
+
+def merge_kll_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge partial KLL states per group (associative — reusable for
+    segment-level re-aggregation of stored states)."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    out_fields = [states.schema[c] for c in gcols]
+    out_schema = _state_schema(out_fields)
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        k = int(pdf["__kll_k"].iloc[0])
+        acc: list[list[float]] = [[]]
+        # deterministic fold order regardless of shuffle arrival
+        for levels in sorted(
+            ([list(l) for l in lv] for lv in pdf["__kll_levels"]),
+            key=lambda lv: (len(lv), [len(l) for l in lv], lv),
+        ):
+            acc = _merge_levels(acc, levels, k)
+        row = {c: pdf[c].iloc[0] for c in gcols}
+        row["__kll_k"] = k
+        row["__kll_levels"] = acc
+        return pd.DataFrame([row], columns=gcols + ["__kll_k", "__kll_levels"])
+
+    if gcols:
+        return states.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
+    # grouping by a literal expression: the pdf carries only the state
+    # columns (no synthetic key column to drop)
+    return states.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: merge(pdf), schema=out_schema
+    )
+
+
+# ------------------------------------------------------------- query
+
+
+def kll_quantiles(
+    states: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+) -> DataFrame:
+    """Evaluate quantiles from states in PURE Catalyst: explode the
+    (item, 2^level weight) pairs, cumulative-weight window per group,
+    lower-rank pick at ceil(q·W) — identical semantics to
+    ``rank_quantiles`` (and identical RESULTS when the sketch is exact)."""
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("kll_quantiles: need at least one quantile")
+    gcols = list(group_cols)
+    pairs = (
+        states.select(
+            *gcols,
+            F.posexplode("__kll_levels").alias("__lvl", "__items"),
+        )
+        .select(
+            *gcols,
+            F.pow(F.lit(2.0), F.col("__lvl")).alias("__w"),
+            F.explode("__items").alias("__v"),
+        )
+    )
+    w = Window.partitionBy(*gcols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*gcols)
+    cum = pairs.withColumn("__cum", F.sum("__w").over(w)).withColumn(
+        "__n", F.sum("__w").over(wall)
+    )
+    cols = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)),
+                F.col("__v"),
+            )
+        ).alias(f"p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    if gcols:
+        return cum.groupBy(*gcols).agg(*cols)
+    return cum.agg(*cols)

@@ -1,0 +1,112 @@
+"""KLL-style mergeable rank sketch (functions/kll.py)."""
+
+import math
+import random
+
+import pytest
+
+from druid_hadoop_utils_spark.functions.kll import (
+    _compact,
+    _merge_levels,
+    kll_quantiles,
+    kll_state_grouped,
+    merge_kll_states,
+)
+
+
+def _exact_lower_quantile(vals, q):
+    vals = sorted(vals)
+    n = len(vals)
+    return vals[max(math.ceil(q * n), 1) - 1]
+
+
+def test_compact_preserves_weight_and_bounds_size():
+    rng = random.Random(3)
+    levels = [[rng.uniform(0, 100) for _ in range(1000)]]
+    _compact(levels, 64)
+    total_w = sum(len(items) * 2**i for i, items in enumerate(levels))
+    assert total_w <= 1000  # collapse only ever drops odd leftovers' pairs
+    assert total_w >= 500
+    assert all(len(items) <= 64 for items in levels)
+
+
+def test_exact_mode_equals_rank_quantiles(spark):
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    rng = random.Random(5)
+    rows = [("g%d" % (i % 3), float(rng.randrange(500))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    qs = [0.1, 0.5, 0.9]
+    states = kll_state_grouped(df, "v", ["g"], k=4096)  # k > any group: exact
+    got = {r.g: (r.p10, r.p50, r.p90)
+           for r in kll_quantiles(states, ["g"], qs).collect()}
+    want = {r.g: (r.p10, r.p50, r.p90)
+            for r in rank_quantiles(df, "v", ["g"], qs).collect()}
+    assert got == want
+    # layout independence in exact mode
+    states2 = kll_state_grouped(df.repartition(2), "v", ["g"], k=4096)
+    got2 = {r.g: (r.p10, r.p50, r.p90)
+            for r in kll_quantiles(states2, ["g"], qs).collect()}
+    assert got2 == want
+
+
+def test_compacted_mode_rank_error_bounded(spark):
+    rng = random.Random(9)
+    vals = [rng.gauss(50, 20) for _ in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    states = kll_state_grouped(df, "v", [], k=256)
+    row = kll_quantiles(states, [], [0.5, 0.9]).first()
+    svals = sorted(vals)
+
+    def rank_of(x):
+        import bisect
+
+        return bisect.bisect_right(svals, x)
+
+    for q, got in ((0.5, row.p50), (0.9, row.p90)):
+        err = abs(rank_of(got) - q * len(vals)) / len(vals)
+        assert err < 0.05, (q, got, err)
+
+
+def test_state_size_bounded(spark):
+    df = spark.range(100_000).selectExpr("cast(id as double) AS v")
+    states = kll_state_grouped(df, "v", [], k=128)
+    row = states.first()
+    n_items = sum(len(l) for l in row["__kll_levels"])
+    assert n_items <= 128 * (len(row["__kll_levels"]) + 1)
+    assert len(row["__kll_levels"]) <= 24
+
+
+def test_merge_states_matches_direct_build(spark):
+    rng = random.Random(13)
+    rows = [("g%d" % (i % 2), float(rng.randrange(100))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    half1 = df.where("v < 50")
+    half2 = df.where("v >= 50")
+    s1 = kll_state_grouped(half1, "v", ["g"], k=4096)
+    s2 = kll_state_grouped(half2, "v", ["g"], k=4096)
+    merged = merge_kll_states(s1.unionByName(s2), ["g"])
+    got = {r.g: r.p50 for r in kll_quantiles(merged, ["g"], [0.5]).collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = {g: _exact_lower_quantile(vs, 0.5) for g, vs in by_g.items()}
+    assert got == want
+
+
+def test_merge_levels_associative_weight():
+    rng = random.Random(21)
+    a = [[rng.uniform(0, 1) for _ in range(30)], [rng.uniform(0, 1) for _ in range(10)]]
+    b = [[rng.uniform(0, 1) for _ in range(25)]]
+    m = _merge_levels(a, b, 16)
+    wa = sum(len(l) * 2**i for i, l in enumerate(a))
+    wb = sum(len(l) * 2**i for i, l in enumerate(b))
+    wm = sum(len(l) * 2**i for i, l in enumerate(m))
+    assert wm <= wa + wb and wm >= (wa + wb) * 0.4
+    assert all(len(l) <= 16 for l in m)
+
+
+def test_rejects_tiny_k(spark):
+    df = spark.range(10).selectExpr("cast(id as double) AS v")
+    with pytest.raises(ValueError):
+        kll_state_grouped(df, "v", [], k=4)
