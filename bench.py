@@ -58,6 +58,7 @@ HEADLINE = [
     "q_interval_overlap_join",
     "q_weighted_sample",
     "q_kll_quantiles",
+    "q_similarity_pq_topk_prod",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -1258,6 +1258,33 @@ def q_similarity_lsh_topk_prod(spark, sf_dir):
 
 
 
+# IVF-PQ in its ORACLE configuration: nprobe = n_cells (every cell
+# probed) and refine = 10^9 ≥ corpus (every ADC candidate exact-cosine
+# re-ranked), so the result EQUALS exact brute force regardless of
+# quantization error — deterministic (hash-ordered training sample,
+# seeded k-means). Production runs nprobe≪n_cells / refine≈4k; its
+# recall floor is pinned by tests/test_operators_similarity.py.
+@register("q_similarity_pq_topk", _BRUTE_TOPK_SQL)
+def q_similarity_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.ivfpq_topk(
+        emb, queries, k=5, n_cells=8, nprobe=8, m=8, ks=16, refine=10**9
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+# PRODUCTION IVF-PQ: 4-of-16 cells probed, compressed-domain ADC keeps
+# 4k per query for the exact refine. Rows-only checked (approximate at
+# real selectivity); exists so BENCH measures the real path.
+@register("q_similarity_pq_topk_prod", None)
+def q_similarity_pq_topk_prod(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.ivfpq_topk(emb, queries, k=5, n_cells=16, nprobe=4, m=8, ks=16)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
 @register(
     "q_multivalue_explode_groupby",
     """SELECT tok AS token, count(*) AS n, CAST(count(DISTINCT doc_id) AS DOUBLE) AS docs
@@ -2186,7 +2213,7 @@ def q_kll_quantiles(spark, sf_dir):
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
     "q_rank_quantiles", "q_interval_overlap_join", "q_weighted_sample",
-    "q_kll_quantiles",
+    "q_kll_quantiles", "q_similarity_pq_topk", "q_similarity_pq_topk_prod",
     "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
     "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",

@@ -171,3 +171,77 @@ def test_mean_pool_and_normalize(spark):
         assert math.isclose(sum(v * v for v in r.e), 1.0, rel_tol=1e-5)
     zero = spark.createDataFrame([Row(embedding=[0.0, 0.0])])
     assert zero.select(S.normalize(F.col("embedding")).alias("e")).first().e == [0.0, 0.0]
+
+
+def test_ivfpq_oracle_config_equals_brute_force(spark, sf_dir):
+    """nprobe = n_cells + refine >= corpus: IVF-PQ must return EXACTLY the
+    brute-force top-k (quantization only orders the shortlist, which covers
+    everything)."""
+    from druid_hadoop_utils_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    exact = sorted((r.query_id, r.neighbor_id)
+                   for r in brute_force_topk(emb, queries, k=5).collect())
+    pq = sorted((r.query_id, r.neighbor_id)
+                for r in ivfpq_topk(emb, queries, k=5, n_cells=8, nprobe=8,
+                                    refine=10**9).collect())
+    assert pq == exact
+
+
+def test_ivfpq_production_recall_floor(spark, sf_dir):
+    from druid_hadoop_utils_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivfpq_topk(emb, queries, k=5, n_cells=16, nprobe=4,
+                                  m=8, ks=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 4/16 cells probed; floor, not a target
+
+
+def test_pq_train_deterministic_and_layout_independent(spark, sf_dir):
+    import numpy as np
+
+    from druid_hadoop_utils_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = pq_train(emb, m=8, ks=8, sample=256)
+    b = pq_train(emb.repartition(11), m=8, ks=8, sample=256)
+    assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7, ks=8, sample=64)  # dim 64 not divisible by 7
+
+
+def test_pq_codes_reconstruct_better_with_more_centroids(spark, sf_dir):
+    """Quantization error must drop as ks grows — sanity that the codebook
+    training actually trains."""
+    import numpy as np
+
+    from druid_hadoop_utils_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.limit(200).collect()
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    def mse(ks):
+        books = pq_train(emb, m=8, ks=ks, sample=512)
+        dsub = mat.shape[1] // 8
+        err = 0.0
+        for j in range(8):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).mean()
+        return err
+
+    assert mse(32) < mse(4)
