@@ -1887,6 +1887,93 @@ def q_tpch_q5_local_supplier_volume(spark, sf_dir):
 
 
 @register(
+    "q_tpch_q10_returned_items",
+    """SELECT c_custkey, c_name,
+              CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+              round(c_acctbal, 2) AS acctbal, n_name
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q_tpch_q10_returned_items(spark, sf_dir):
+    # TPC-H Q10: returned-item revenue per customer for one quarter. The
+    # fact-fact lineitem join shuffles once on orderkey; customer scales
+    # with SF so it hash-joins on custkey (AQE may still broadcast at
+    # small SF); nation broadcasts. Global top-20 is TakeOrdered.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # decimal summation is EXACT and order-independent (a plain double
+        # sum lands a cent off the oracle at round() boundaries depending
+        # on partition-merge order), and the half-up round happens in the
+        # DECIMAL domain — double rounding of an exact .xx5 tie diverges
+        # between engines
+        .agg(F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q18_large_volume_customer",
+    """SELECT c_name, c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+              sum(l_quantity) AS total_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY 1 HAVING sum(l_quantity) > 250)
+       GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+       ORDER BY totalprice DESC, o_orderkey LIMIT 100""",
+)
+def q_tpch_q18_large_volume_customer(spark, sf_dir):
+    # TPC-H Q18: orders whose total quantity crosses a threshold. The
+    # heavy-order set comes from ONE aggregation of lineitem (map-side
+    # partials) semi-joined back — no correlated per-row subquery; the
+    # final per-order rollup reuses the same orderkey partitioning.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(heavy.withColumnRenamed("l_orderkey", "__hk"),
+                li.l_orderkey == F.col("__hk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "total_qty")
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
     "q_window_distribution",
     """SELECT event_type, event_id,
               ntile(4) OVER w AS quartile,
@@ -2214,6 +2301,7 @@ def q_kll_quantiles(spark, sf_dir):
 _DRIVER_PRIORITY = [
     "q_rank_quantiles", "q_interval_overlap_join", "q_weighted_sample",
     "q_kll_quantiles", "q_similarity_pq_topk", "q_similarity_pq_topk_prod",
+    "q_tpch_q10_returned_items", "q_tpch_q18_large_volume_customer",
     "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
     "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",
