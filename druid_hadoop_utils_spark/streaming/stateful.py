@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -59,6 +60,75 @@ def running_totals(
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    quantiles: list[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-key LIFETIME rank quantiles over a stream, updated each
+    micro-batch — the streaming twin of ``functions.kll``: the state store
+    holds one bounded KLL sketch per key (O(k·log n), checkpointed,
+    restart-safe), each batch folds its values in with the same
+    deterministic compaction, and the current quantile estimates emit in
+    'update' mode. Exact while the key's value count stays ≤ k.
+    """
+    from druid_hadoop_utils_spark.functions.kll import _compact
+
+    if not quantiles:
+        raise ValueError("streaming_quantiles: need at least one quantile")
+    qnames = [f"p{int(round(q * 100))}" for q in quantiles]
+    out_schema = StructType(
+        [StructField("key", StringType()), StructField("n_values", LongType())]
+        + [StructField(nm, DoubleType()) for nm in qnames]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("levels", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def update(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, levels = state.get
+            levels = [list(l) for l in levels]
+        else:
+            n, levels = 0, [[]]
+        for pdf in batches:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            levels[0].extend(float(v) for v in vals)
+            _compact(levels, k)
+        state.update((n, levels))
+        pairs = sorted(
+            (v, 2.0**lvl) for lvl, items in enumerate(levels) for v in items
+        )
+        total = sum(w for _, w in pairs)
+        row = {"key": str(key[0]), "n_values": n}
+        for q, nm in zip(quantiles, qnames):
+            if total == 0:
+                row[nm] = None
+                continue
+            rank = max(-(-q * total // 1), 1)  # ceil(q·W), ≥ 1
+            cum = 0.0
+            pick = pairs[-1][0]
+            for v, w in pairs:
+                cum += w
+                if cum >= rank:
+                    pick = v
+                    break
+            row[nm] = pick
+        yield pd.DataFrame([row])
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 

@@ -85,3 +85,52 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     by_text = {r.text: r.doc_id for r in rows}
     assert len(rows) == 3  # one row per distinct text
     assert by_text == {"alpha": 1, "beta": 2, "gamma": 5}
+
+
+def test_streaming_quantiles_accumulate_across_batches(spark, tmp_path):
+    """Per-key KLL state folds values across micro-batches; small keys are
+    EXACT (k >= n), matching the batch lower-rank rule."""
+    import math
+
+    from druid_hadoop_utils_spark.streaming.stateful import streaming_quantiles
+
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 0, i), g="a", v=float(x))
+        for i, x in enumerate([10, 20, 30, 40])
+    ] + [Row(ts=datetime(2024, 1, 1, 0, 9), g="b", v=5.0)])
+    b2 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 1, i), g="a", v=float(x))
+        for i, x in enumerate([50, 60])
+    ])
+    b1.write.parquet(src + "/f1")
+    b2.write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_quantiles(stream, "g", "v", [0.5, 1.0], k=64)
+    q = (
+        out.writeStream.format("memory").queryName("stream_q")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM stream_q").collect()
+    final = {r.key: r for r in rows}  # last emission per key wins
+
+    def lower_q(vals, qq):
+        vals = sorted(vals)
+        return vals[max(math.ceil(qq * len(vals)), 1) - 1]
+
+    a_vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    assert final["a"].n_values == 6
+    assert final["a"].p50 == lower_q(a_vals, 0.5) == 30.0
+    assert final["a"].p100 == 60.0
+    assert final["b"].n_values == 1 and final["b"].p50 == 5.0
+    # key "a" saw both batches → at least two emissions
+    assert sum(1 for r in rows if r.key == "a") >= 2
