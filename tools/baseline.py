@@ -202,6 +202,30 @@ def main() -> None:
                     ts.alias("rlo"),
                     (ts + F.expr("INTERVAL 1 HOUR")).alias("rhi")),
         ),
+        # plain grouped quantiles via percentile_approx (built-in sketch,
+        # not mergeable as a reusable state — what the KLL path adds)
+        "q_kll_quantiles": lambda: events()
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.25, 0.5, 0.95]).alias("ps")),
+        # plain ANN: exact brute-force cosine top-k (the formulation a
+        # plain user writes; no cell pruning, no compressed-domain pass)
+        "q_similarity_pq_topk_prod": lambda: (lambda emb, qs: qs
+            .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ce")),
+                  F.col("vec_id") != F.col("neighbor_id"))
+            .withColumn("cos_sim", F.aggregate(
+                F.zip_with("embedding", "ce",
+                           lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+                / (F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                   lambda acc, v: acc + v.cast("double") * v.cast("double")))
+                   * F.sqrt(F.aggregate("ce", F.lit(0.0),
+                     lambda acc, v: acc + v.cast("double") * v.cast("double")))))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("vec_id")
+                .orderBy(F.desc("cos_sim"), "neighbor_id")))
+            .where(F.col("rn") <= 5).drop("rn", "ce", "embedding"))(
+            t("embeddings"), t("embeddings").where(F.col("vec_id") < 5)),
         # plain weighted sampling: rand()-keyed E-S draw (not reproducible
         # across layouts — the thing the hash RNG fixes) with a window
         "q_weighted_sample": lambda: (lambda d: d
