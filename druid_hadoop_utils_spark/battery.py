@@ -2199,6 +2199,26 @@ def q_rank_quantiles(spark, sf_dir):
 
 
 @register(
+    "q_rank_quantiles_cont",
+    """SELECT l_returnflag,
+              quantile_cont(l_extendedprice, 0.5) AS p50,
+              quantile_cont(l_extendedprice, 0.9) AS p90
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_rank_quantiles_cont(spark, sf_dir):
+    # continuous (type-7 / quantile_cont) interpolation over the same
+    # count-collapse + cumulative-window machinery — the oracle is
+    # DuckDB's native quantile_cont, no rank-rule re-derivation needed.
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return rank_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9],
+        interpolation="linear",
+    )
+
+
+@register(
     "q_interval_overlap_join",
     """SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event
        FROM (SELECT user_id, event_id, ts AS lo,
@@ -2302,6 +2322,7 @@ _DRIVER_PRIORITY = [
     "q_rank_quantiles", "q_interval_overlap_join", "q_weighted_sample",
     "q_kll_quantiles", "q_similarity_pq_topk", "q_similarity_pq_topk_prod",
     "q_tpch_q10_returned_items", "q_tpch_q18_large_volume_customer",
+    "q_rank_quantiles_cont",
     "q_extraction_cascade_format", "q_tpch_q5_local_supplier_volume",
     "q_window_distribution",
     "q_api_datasource_metadata", "q_filter_extraction_time_format",

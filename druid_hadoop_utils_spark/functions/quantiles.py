@@ -170,13 +170,18 @@ def rank_quantiles(
     value_col: str,
     group_cols: list[str],
     quantiles: list[float],
+    interpolation: str = "lower",
 ) -> DataFrame:
     """EXACT grouped quantiles by rank, without sorting the raw rows and
     without the fixed [lo, hi) range the histogram state needs.
 
-    Discrete lower-quantile semantics: for n non-null values, quantile q is
-    the value whose 1-indexed rank in sorted order is ``ceil(q*n)``
-    (q=0 → rank 1, the minimum; q=1 → rank n, the maximum).
+    ``interpolation="lower"`` (default) is discrete: for n non-null
+    values, quantile q is the value whose 1-indexed rank in sorted order
+    is ``ceil(q*n)`` (q=0 → rank 1, the minimum; q=1 → rank n, the
+    maximum). ``interpolation="linear"`` is the type-7 continuous
+    estimator (SQL ``quantile_cont`` / numpy default): with
+    h = (n-1)·q + 1, linearly interpolate between the values at ranks
+    ⌊h⌋ and ⌈h⌉.
 
     Shape: (group, value) COUNT pre-aggregate (map-side combine collapses
     duplicates before the shuffle) → cumulative count window per group
@@ -205,18 +210,31 @@ def rank_quantiles(
     cum = per_value.withColumn("__cum", F.sum("__c").over(w)).withColumn(
         "__n", F.sum("__c").over(wall)
     )
-    # rank(q) = max(ceil(q*n), 1); pick the smallest value whose cumulative
-    # count reaches it — min() over values at/past the threshold
-    cols = [
-        F.min(
-            F.when(
-                F.col("__cum")
-                >= F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)),
-                F.col("__v"),
-            )
-        ).alias(f"p{int(round(q * 100))}")
-        for q in quantiles
-    ]
+    if interpolation not in {"lower", "linear"}:
+        raise ValueError(f"unknown interpolation: {interpolation!r}")
+
+    def at_rank(rank_col):
+        # smallest value whose cumulative count reaches the rank
+        return F.min(F.when(F.col("__cum") >= rank_col, F.col("__v")))
+
+    cols = []
+    for q in quantiles:
+        name = f"p{int(round(q * 100))}"
+        if interpolation == "lower":
+            # rank(q) = max(ceil(q*n), 1)
+            rank = F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
+            cols.append(at_rank(rank).alias(name))
+        else:
+            # type-7 with the ZERO-based h = (n-1)q DuckDB/numpy compute
+            # internally (computing (n-1)q + 1 instead can round to a
+            # different fractional part in float64 and diverge from the
+            # oracle by an ulp): interpolate between 1-indexed ranks
+            # ⌊h⌋+1 and ⌈h⌉+1 by frac = h - ⌊h⌋
+            h = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(q))
+            lo = at_rank(F.floor(h) + F.lit(1))
+            hi = at_rank(F.ceil(h) + F.lit(1))
+            frac = F.max(h - F.floor(h))  # constant per group
+            cols.append((lo + frac * (hi - lo)).alias(name))
     if group_cols:
         return cum.groupBy(*group_cols).agg(*cols)
     return cum.agg(*cols)

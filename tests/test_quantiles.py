@@ -217,3 +217,36 @@ def test_rank_quantiles_single_shuffle_of_raw_rows(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # partial_count before the exchange = map-side combine on (g, v)
     assert plan.count("Sort") <= 2  # window sort + agg, no extra global sort
+
+
+def test_rank_quantiles_linear_matches_numpy(spark):
+    """interpolation='linear' must reproduce numpy's default (type-7)
+    quantile bit-for-bit on the same values."""
+    import random
+
+    import numpy as np
+
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    rng = random.Random(17)
+    rows = [("g%d" % (i % 2), float(rng.randrange(1000)) / 7) for i in range(701)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: (r.p25, r.p50, r.p99) for r in rank_quantiles(
+        df, "v", ["g"], [0.25, 0.5, 0.99], interpolation="linear").collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        want = tuple(float(np.quantile(np.array(vals), q))
+                     for q in (0.25, 0.5, 0.99))
+        assert got[g] == want, g
+
+
+def test_rank_quantiles_rejects_unknown_interpolation(spark):
+    import pytest
+
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        rank_quantiles(df, "v", [], [0.5], interpolation="nearest")
