@@ -132,6 +132,71 @@ def streaming_quantiles(
     )
 
 
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Per-key frequent items over a stream: one bounded Misra-Gries
+    summary (≤ ``k`` counters) per key in the state store, merged each
+    micro-batch with the Agarwal et al. mergeable-summaries rule — the
+    streaming twin of ``operators.frequency.heavy_hitters``' candidate
+    stage. Emits the current candidates in 'update' mode.
+
+    Guarantees (classic MG): every item with true count > n/(k+1) is
+    present, and each ``approx_count`` undercounts its true count by at
+    most ``n_total/(k+1)``. Counts are EXACT while a key has seen ≤ k
+    distinct items. State is O(k) per key regardless of stream length.
+    """
+    if k < 1:
+        raise ValueError(f"k must be positive: {k}")
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("item", StringType()),
+            StructField("approx_count", LongType()),
+            StructField("n_total", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n = state.get
+            mg = dict(zip(items, (int(c) for c in counts)))
+        else:
+            mg, n = {}, 0
+        for pdf in batches:
+            vals = pdf[item_col].dropna().astype(str)
+            n += len(vals)
+            for item, c in vals.value_counts().items():
+                mg[item] = mg.get(item, 0) + int(c)
+            if len(mg) > k:
+                # mergeable-summaries shrink: subtract the (k+1)-th
+                # largest count from everything, drop the non-positive
+                cut = sorted(mg.values(), reverse=True)[k]
+                mg = {it: c - cut for it, c in mg.items() if c - cut > 0}
+        state.update((list(mg.keys()), list(mg.values()), n))
+        ks = str(key[0])
+        yield pd.DataFrame(
+            [{"key": ks, "item": it, "approx_count": c, "n_total": n}
+             for it, c in sorted(mg.items(), key=lambda t: (-t[1], t[0]))]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str],

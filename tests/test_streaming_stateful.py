@@ -134,3 +134,53 @@ def test_streaming_quantiles_accumulate_across_batches(spark, tmp_path):
     assert final["b"].n_values == 1 and final["b"].p50 == 5.0
     # key "a" saw both batches → at least two emissions
     assert sum(1 for r in rows if r.key == "a") >= 2
+
+
+def test_streaming_heavy_hitters_across_batches(spark, tmp_path):
+    """MG state merges across micro-batches: exact under low cardinality,
+    heavy item guaranteed present under counter overflow."""
+    from druid_hadoop_utils_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "in")
+    # key "x": 2 distinct items, k=3 → exact counts across batches
+    # key "y": 6 distinct items, k=3 → 'hot' (12 of 22 rows) must survive
+    b1 = spark.createDataFrame(
+        [Row(g="x", item="a")] * 4 + [Row(g="x", item="b")] * 2
+        + [Row(g="y", item="hot")] * 6
+        + [Row(g="y", item=c) for c in "pqrst"]
+    )
+    b2 = spark.createDataFrame(
+        [Row(g="x", item="a")] * 3
+        + [Row(g="y", item="hot")] * 6 + [Row(g="y", item=c) for c in "pqrst"]
+    )
+    b1.write.parquet(src + "/f1")
+    b2.write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_heavy_hitters(stream, "g", "item", k=3)
+    q = (
+        out.writeStream.format("memory").queryName("stream_hh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM stream_hh").collect()
+    # keep only the final batch's emission per key (largest n_total)
+    final_n = {}
+    for r in rows:
+        final_n[r.key] = max(final_n.get(r.key, 0), r.n_total)
+    final = {(r.key, r.item): r.approx_count for r in rows
+             if r.n_total == final_n[r.key]}
+    assert final[("x", "a")] == 7 and final[("x", "b")] == 2  # exact
+    assert final_n["y"] == 22
+    hot = final.get(("y", "hot"))
+    assert hot is not None            # true count 12 > n/(k+1) = 5.5
+    assert 12 - 22 // 4 <= hot <= 12  # undercount bounded by n/(k+1)
