@@ -64,10 +64,19 @@ def _scan_segments(spark: SparkSession, table_root: str, data_source: str, iv: I
     full_paths: list[str] = []
     windowed: dict[tuple[Interval, ...], list[str]] = defaultdict(list)
     for w in visible:
+        if w.manifest.tombstone:
+            # holds the timeline slot (hiding older versions) but has no
+            # data to scan — Druid drop/kill semantics
+            continue
         if w.is_fully_visible(iv):
             full_paths.append(w.manifest.path)
         else:
             windowed[w.windows].append(w.manifest.path)
+    if not full_paths and not windowed:
+        raise FileNotFoundError(
+            f"no visible segments for {data_source} in {iv.iso()} "
+            "(interval fully dropped)"
+        )
 
     parts: list[DataFrame] = []
     if full_paths:

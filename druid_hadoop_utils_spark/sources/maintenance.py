@@ -1,4 +1,4 @@
-"""Segment-table maintenance: compaction and vacuum.
+"""Segment-table maintenance: compaction, interval drop, and vacuum.
 
 Druid's compaction task rewrites many small segments of an interval into
 fewer, larger ones under a NEW version — readers atomically flip via the
@@ -75,6 +75,32 @@ def compact_segments(
     )
 
 
+def drop_interval(
+    table_root: str,
+    data_source: str,
+    interval: str | Interval,
+) -> SegmentManifest:
+    """Logically DELETE an interval (Druid drop/kill semantics): publish a
+    TOMBSTONE under a fresh highest version. The timeline makes every
+    older segment of the interval invisible atomically — readers in
+    flight keep their snapshot, new reads see no rows — and ``vacuum``
+    then physically reclaims the hidden data. Metadata-only: no Spark
+    job, no data rewrite, O(1) regardless of how much data it hides."""
+    from druid_hadoop_utils_spark.sources.segments import register_manifest
+
+    iv = Interval.parse(interval)
+    manifest = SegmentManifest(
+        data_source=data_source,
+        interval=iv,
+        version=next_version(table_root, data_source, prefix="drop"),
+        shard_num=0,
+        path="",
+        tombstone=True,
+    )
+    register_manifest(table_root, manifest)
+    return manifest
+
+
 def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str]:
     """Delete segments that are invisible for their ENTIRE interval (fully
     overshadowed). Returns the removed segment identifiers.
@@ -107,5 +133,6 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
         if os.path.exists(mfile):
             os.remove(mfile)
         for m in members:
-            shutil.rmtree(m.path, ignore_errors=True)
+            if m.path:  # tombstones own no data directory
+                shutil.rmtree(m.path, ignore_errors=True)
     return removed

@@ -47,6 +47,10 @@ class SegmentManifest:
     # equality/hashing so timeline identity stays (ds, interval, version,
     # shard, path)
     manifest_file: str | None = field(default=None, compare=False)
+    # a tombstone participates in the overshadow timeline (hiding older
+    # versions of its interval — Druid's kill/drop semantics) but carries
+    # no data: scans skip it, vacuum then reclaims what it hides
+    tombstone: bool = False
 
     @property
     def identifier(self) -> str:
@@ -57,13 +61,16 @@ class SegmentManifest:
         )
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "dataSource": self.data_source,
             "interval": self.interval.iso(),
             "version": self.version,
             "shardNum": self.shard_num,
             "path": self.path,
         }
+        if self.tombstone:
+            out["tombstone"] = True
+        return out
 
     @classmethod
     def from_json(cls, obj: dict) -> "SegmentManifest":
@@ -73,6 +80,7 @@ class SegmentManifest:
             version=str(obj["version"]),
             shard_num=int(obj.get("shardNum", 0)),
             path=obj["path"],
+            tombstone=bool(obj.get("tombstone", False)),
         )
 
 
@@ -223,7 +231,7 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
     return [
         SegmentManifest(
             m.data_source, m.interval, m.version, m.shard_num, m.path,
-            manifest_file=mpath,
+            manifest_file=mpath, tombstone=m.tombstone,
         )
     ]
 

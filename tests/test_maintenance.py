@@ -130,3 +130,65 @@ def test_orphan_data_without_manifest_is_invisible(spark, tmp_path, golden_event
               data_source="ds")
     assert sum(r.visited_sum for r in df.collect()) == 450  # v1 only
     assert all("v=v1" in f for f in df.inputFiles())
+
+
+def test_drop_interval_tombstone_lifecycle(spark, tmp_path, golden_events):
+    """drop → invisible → vacuum reclaims → republish resurrects."""
+    from druid_hadoop_utils_spark.sources.maintenance import drop_interval
+
+    root = str(tmp_path)
+    base = golden_events.drop("user_host")
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    write_segment(base, root, "ds", "2014-10-22/2014-10-23", "v1")
+    day1 = load(spark, root, spec, interval="2014-10-22/2014-10-23",
+                data_source="ds")
+    n = day1.count()
+    assert n > 0
+
+    drop_interval(root, "ds", "2014-10-22/2014-10-23")
+    # fully-dropped interval: no rows by default (ignoreWhenNoSegments
+    # reference default), loud FileNotFoundError when the flag is off
+    empty = load(spark, root, spec, interval="2014-10-22/2014-10-23",
+                 data_source="ds")
+    assert empty.count() == 0
+    with pytest.raises(FileNotFoundError, match="dropped"):
+        load(spark, root, spec, interval="2014-10-22/2014-10-23",
+             data_source="ds", ignore_when_no_segments=False)
+
+    # vacuum physically reclaims the hidden segment, keeps the tombstone
+    removed = vacuum(root, "ds")
+    assert any("v1" in r for r in removed)
+    manifests = list_manifests(root, "ds")
+    assert len(manifests) == 1 and manifests[0].tombstone
+
+    # a later republish sits above the tombstone and is visible again
+    write_segment(base, root, "ds", "2014-10-22/2014-10-23", "zzz-v2")
+    again = load(spark, root, spec, interval="2014-10-22/2014-10-23",
+                 data_source="ds")
+    assert again.count() == n
+
+
+def test_drop_partial_interval_keeps_other_days(spark, tmp_path, golden_events):
+    """Dropping one day of a two-day segment hides ONLY that day."""
+    from druid_hadoop_utils_spark.sources.maintenance import drop_interval
+
+    root = str(tmp_path)
+    base = golden_events.drop("user_host")
+    d2 = base.withColumn("__time", F.col("__time") + F.expr("INTERVAL 1 DAY"))
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    write_segment(base.unionByName(d2), root, "ds",
+                  "2014-10-22/2014-10-24", "v1")
+    both = load(spark, root, spec, interval="2014-10-22/2014-10-24",
+                data_source="ds")
+    n_both = both.count()
+
+    drop_interval(root, "ds", "2014-10-23/2014-10-24")
+    after = load(spark, root, spec, interval="2014-10-22/2014-10-24",
+                 data_source="ds")
+    rows = after.collect()
+    assert len(rows) == n_both // 2
+    assert all(r["__time"].day == 22 for r in rows)
+    # vacuum must NOT remove the segment — day 1 is still visible
+    assert vacuum(root, "ds") == []
