@@ -101,6 +101,50 @@ def drop_interval(
     return manifest
 
 
+def apply_retention(
+    table_root: str,
+    data_source: str,
+    drop_before: datetime | str,
+    dry_run: bool = False,
+) -> list[SegmentManifest]:
+    """Age-based retention (Druid drop rules): tombstone every interval
+    that ends at or before ``drop_before``. Metadata-only and idempotent —
+    intervals already hidden by a tombstone are skipped; run ``vacuum``
+    afterwards to reclaim the bytes. Returns the tombstones published
+    (or, under ``dry_run``, the ones that WOULD be)."""
+    from druid_hadoop_utils_spark.intervals import merge_adjacent
+
+    if isinstance(drop_before, str):
+        boundary = Interval.parse(f"1970-01-01/{drop_before}").end
+    else:
+        boundary = drop_before
+    manifests = list_manifests(table_root, data_source)
+    expired = [
+        m.interval for m in manifests
+        if not m.tombstone and m.interval.end <= boundary
+    ]
+    if not expired:
+        return []
+    # one tombstone per contiguous run, not per segment
+    lo = min(iv.start for iv in expired)
+    hi = max(iv.end for iv in expired)
+    span = Interval(lo, hi)
+    visible = resolve_visible_windows(manifests, span)
+    already_dark = {
+        w.manifest.interval for w in visible if w.manifest.tombstone
+    }
+    targets = [
+        iv for iv in merge_adjacent(sorted(set(expired), key=lambda i: i.start))
+        if iv not in already_dark
+    ]
+    if dry_run:
+        return [
+            SegmentManifest(data_source, iv, "(dry-run)", 0, "", tombstone=True)
+            for iv in targets
+        ]
+    return [drop_interval(table_root, data_source, iv) for iv in targets]
+
+
 def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str]:
     """Delete segments that are invisible for their ENTIRE interval (fully
     overshadowed). Returns the removed segment identifiers.

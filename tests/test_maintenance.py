@@ -192,3 +192,37 @@ def test_drop_partial_interval_keeps_other_days(spark, tmp_path, golden_events):
     assert all(r["__time"].day == 22 for r in rows)
     # vacuum must NOT remove the segment — day 1 is still visible
     assert vacuum(root, "ds") == []
+
+
+def test_apply_retention_drops_old_keeps_recent(spark, tmp_path, golden_events):
+    from druid_hadoop_utils_spark.sources.maintenance import apply_retention
+
+    root = str(tmp_path)
+    base = golden_events.drop("user_host")
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    for day, v in (("22", "v1"), ("23", "v1"), ("24", "v1")):
+        shifted = base.withColumn(
+            "__time", F.col("__time") + F.expr(f"INTERVAL {int(day)-22} DAY"))
+        write_segment(shifted, root, "ds",
+                      f"2014-10-{day}/2014-10-{int(day)+1:02d}", v)
+    per_day = load(spark, root, spec, interval="2014-10-22/2014-10-23",
+                   data_source="ds").count()
+
+    # dry run: reports, changes nothing
+    would = apply_retention(root, "ds", "2014-10-24", dry_run=True)
+    assert [w.interval.iso() for w in would] == [
+        "2014-10-22T00:00:00+00:00/2014-10-24T00:00:00+00:00"]
+    assert load(spark, root, spec, interval="2014-10-22/2014-10-25",
+                data_source="ds").count() == 3 * per_day
+
+    dropped = apply_retention(root, "ds", "2014-10-24")
+    assert len(dropped) == 1  # contiguous run -> ONE tombstone
+    rows = load(spark, root, spec, interval="2014-10-22/2014-10-25",
+                data_source="ds").collect()
+    assert len(rows) == per_day
+    assert all(r["__time"].day == 24 for r in rows)
+    # idempotent: nothing new to drop
+    assert apply_retention(root, "ds", "2014-10-24") == []
+    # vacuum reclaims the two hidden days
+    assert len(vacuum(root, "ds")) == 2
