@@ -51,7 +51,10 @@ HEADLINE = [
     "q_sessionize",
     "q_quantile_sketch",
     "q_tpch_q3_shipping_priority",
-    "q_similarity_ivf_topk",
+    # pre-trained persisted-index production config (nprobe=4/16); the
+    # exhaustive-probe oracle config q_similarity_ivf_topk is
+    # correctness-only (VERDICT r3 items 1-2)
+    "q_similarity_ivf_topk_prod",
     "q_asof_join",
     "q_range_join",
     "q_rank_quantiles",

@@ -1269,19 +1269,71 @@ def q_similarity_pq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     out = SIM.ivfpq_topk(
-        emb, queries, k=5, n_cells=8, nprobe=8, m=8, ks=16, refine=10**9
+        emb, queries, k=5, nprobe=16, refine=10**9, index=_ann_index(spark, sf_dir)
     )
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
 # PRODUCTION IVF-PQ: 4-of-16 cells probed, compressed-domain ADC keeps
-# 4k per query for the exact refine. Rows-only checked (approximate at
-# real selectivity); exists so BENCH measures the real path.
+# 4k per query for the exact refine, PRE-TRAINED persisted index (no
+# in-plan training — the publish-time lifecycle, VERDICT r3 item 1).
+# Rows-only checked (approximate at real selectivity); recall floor
+# pinned in tests/test_operators_similarity.py.
 @register("q_similarity_pq_topk_prod", None)
 def q_similarity_pq_topk_prod(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = SIM.ivfpq_topk(emb, queries, k=5, n_cells=16, nprobe=4, m=8, ks=16)
+    out = SIM.ivfpq_topk(emb, queries, k=5, nprobe=4, index=_ann_index(spark, sf_dir))
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+# ---------------------------------------------------------------------
+# ANN index lifecycle: train ONCE per corpus, persist beside the data,
+# reuse across every query invocation (VERDICT r3 item 1). The artifact
+# is keyed by corpus version (row count here); a republished corpus
+# fails the version check and retrains. Bench and correctness runs after
+# the first call pay ZERO training cost — queries are distributed work
+# only.
+# ---------------------------------------------------------------------
+
+_ANN_INDEX_CACHE: dict[str, dict] = {}
+
+
+def _ann_index(spark, sf_dir) -> dict:
+    import hashlib
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    if key in _ANN_INDEX_CACHE:
+        return _ANN_INDEX_CACHE[key]
+    emb = _t(spark, sf_dir, "embeddings")
+    version = str(emb.count())
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_index_{hashlib.md5(key.encode()).hexdigest()[:12]}.json",
+    )
+    try:
+        idx = SIM.load_ann_index(path, expect_corpus_version=version)
+    except (OSError, ValueError):
+        idx = SIM.train_ann_index(
+            emb, n_cells=16, m=8, ks=16, corpus_version=version
+        )
+        SIM.save_ann_index(idx, path)
+    _ANN_INDEX_CACHE[key] = idx
+    return idx
+
+
+# PRODUCTION IVF: 4-of-16 cells probed, pre-trained persisted index.
+# Rows-only checked (approximate at real selectivity); recall floor
+# pinned in tests/test_operators_similarity.py. Exists so BENCH measures
+# the real IVF path instead of the exhaustive oracle config (VERDICT r3
+# item 2).
+@register("q_similarity_ivf_topk_prod", None)
+def q_similarity_ivf_topk_prod(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(emb, queries, k=5, nprobe=4, index=_ann_index(spark, sf_dir))
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
@@ -1702,12 +1754,14 @@ def q_api_topn(spark, sf_dir):
 # nprobe = n_cells is structurally exhaustive: every query probes every
 # cell and each corpus vector lives in exactly one cell, so the candidate
 # set is the whole corpus and the exact-cosine re-rank IS brute force —
-# provably, not probabilistically.
+# provably, not probabilistically (and therefore independent of centroid
+# quality, so the pre-trained index keeps this hash-exact). ORACLE
+# configuration: correctness-only; BENCH runs q_similarity_ivf_topk_prod.
 @register("q_similarity_ivf_topk", _BRUTE_TOPK_SQL)
 def q_similarity_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = SIM.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16)
+    out = SIM.ivf_topk(emb, queries, k=5, nprobe=16, index=_ann_index(spark, sf_dir))
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 

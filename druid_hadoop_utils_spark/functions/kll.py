@@ -61,8 +61,19 @@ def _state_schema(group_fields) -> StructType:
 
 def _compact(levels: list[list[float]], k: int) -> None:
     """Deterministic in-place collapse: the lowest level holding more than
-    k items sorts, pairs promote every other item (even indices) up one
-    level, an odd trailing item stays. Repeats until all levels fit."""
+    k items sorts, pairs promote every other item up one level, an odd
+    trailing item stays. Repeats until all levels fit.
+
+    The reference KLL flips a coin per compaction to pick which member of
+    each sorted pair survives, so per-compaction rank errors are zero-mean
+    and cancel. A random offset would break oracle reproducibility, so the
+    offset here is the LEVEL PARITY instead: even levels promote the lower
+    member of each pair, odd levels the upper. Still fully deterministic,
+    but successive promotions through the level hierarchy roughly cancel
+    rather than stacking one-sided. Residual caveat: errors cancel in
+    expectation across levels, not per compaction, so worst-case bias is
+    still one-sided within a single level — weaker than the randomized KLL
+    guarantee. Exactness when k ≥ group size (no compaction) is unaffected."""
     i = 0
     while i < len(levels):
         if len(levels[i]) <= k:
@@ -73,7 +84,7 @@ def _compact(levels: list[list[float]], k: int) -> None:
         keep_last = [items[-1]] if odd else []
         if odd:
             items = items[:-1]
-        promoted = items[0::2]
+        promoted = items[i % 2 :: 2]
         levels[i] = keep_last
         if i + 1 == len(levels):
             levels.append([])
@@ -156,6 +167,14 @@ def merge_kll_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
     out_schema = _state_schema(out_fields)
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf["__kll_k"].nunique() != 1:
+            ks = sorted(int(v) for v in pdf["__kll_k"].unique())
+            key = {c: pdf[c].iloc[0] for c in gcols}
+            raise ValueError(
+                f"merge_kll_states: mixed k values {ks} in group {key or '<all>'} "
+                "— states built with different k are not mergeable; rebuild with "
+                "a uniform k"
+            )
         k = int(pdf["__kll_k"].iloc[0])
         acc: list[list[float]] = [[]]
         # deterministic fold order regardless of shuffle arrival

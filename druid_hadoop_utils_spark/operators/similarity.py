@@ -183,6 +183,11 @@ def kmeans_centroids(
         .collect()
     )
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if len(mat) < n_cells:
+        raise ValueError(
+            f"kmeans_centroids: sample yielded {len(mat)} vectors but "
+            f"n_cells={n_cells} — shrink n_cells or raise sample"
+        )
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=n_cells, replace=False)]
@@ -226,6 +231,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    index: dict | str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its ``nprobe`` nearest cells; exact cosine
@@ -235,7 +241,15 @@ def ivf_topk(
     shuffle on the cell id to meet the broadcast query probes, window
     top-k. Candidate volume ≈ corpus × nprobe / n_cells — tunable recall
     vs cost, independent of corpus size.
+
+    Pass ``index`` (a ``train_ann_index`` artifact or a path to one) to
+    skip in-plan training entirely — the production path: train once at
+    publish time, every query is then distributed work only.
     """
+    idx = _resolve_index(index)
+    if idx is not None:
+        centroids = np.asarray(idx["centroids"], dtype=np.float64)
+        n_cells = int(idx["n_cells"])
     if centroids is None:
         centroids = kmeans_centroids(corpus, vec_col, n_cells, seed=seed)
     assign1 = _cell_assign_udf(centroids, 1)
@@ -355,6 +369,11 @@ def pq_train(
         .collect()
     )
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if len(mat) < ks:
+        raise ValueError(
+            f"pq_train: sample yielded {len(mat)} vectors but ks={ks} — "
+            f"shrink ks or raise sample"
+        )
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     dim = mat.shape[1]
     if dim % m:
@@ -374,6 +393,113 @@ def pq_train(
                     cent[c] = members.mean(axis=0)
         books[j] = cent
     return books
+
+
+# ------------------------------------------------------------- index lifecycle
+
+
+ANN_INDEX_FORMAT = 1
+
+
+def train_ann_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int | None = None,
+    ks: int = 16,
+    iterations: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+    corpus_version: str | None = None,
+) -> dict:
+    """Train the ANN index ONCE and return a small persistable artifact.
+
+    A real pipeline builds the coarse quantizer (and, with ``m`` set, the
+    PQ codebooks) when the corpus is published, stores the artifact beside
+    the segment metadata (``save_ann_index(idx, f"{table}/_ann_index.json")``
+    is the convention), and every later query loads it — query time never
+    re-scans the corpus for a training sample. ``corpus_version`` is the
+    invalidation hook: stamp it with the corpus' publish version (or row
+    count) and ``load_ann_index(path, expect_corpus_version=...)`` refuses
+    a stale artifact, forcing a retrain on corpus change.
+
+    The artifact is tiny — n_cells×dim centroids plus, for IVF-PQ,
+    m×ks×(dim/m) codebook floats (a few hundred KB even at production
+    n_cells=65k/dim=768) — so JSON beside the segments is fine; it rides
+    to executors as a broadcast-sized closure exactly like the per-call
+    training path did.
+    """
+    centroids = kmeans_centroids(
+        corpus, vec_col, n_cells, iterations=iterations, sample=sample, seed=seed
+    )
+    index: dict = {
+        "format": ANN_INDEX_FORMAT,
+        "n_cells": n_cells,
+        "dim": int(centroids.shape[1]),
+        "seed": seed,
+        "corpus_version": corpus_version,
+        "centroids": centroids,
+        "codebooks": None,
+        "m": None,
+        "ks": None,
+    }
+    if m is not None:
+        index["codebooks"] = pq_train(
+            corpus, vec_col, m=m, ks=ks, iterations=iterations, sample=sample, seed=seed
+        )
+        index["m"], index["ks"] = m, ks
+    return index
+
+
+def save_ann_index(index: dict, path: str) -> str:
+    """Persist an ANN index artifact as JSON (atomic rename, so a crashed
+    writer never leaves a truncated artifact beside live segments)."""
+    import json
+    import os
+
+    doc = dict(index)
+    doc["centroids"] = np.asarray(index["centroids"]).tolist()
+    if index.get("codebooks") is not None:
+        doc["codebooks"] = np.asarray(index["codebooks"]).tolist()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_ann_index(path: str, expect_corpus_version: str | None = None) -> dict:
+    """Load a persisted ANN index; numpy arrays restored. When
+    ``expect_corpus_version`` is given, a mismatch raises — the caller
+    retrains instead of silently querying a stale quantizer."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(
+            f"load_ann_index: unsupported artifact format {doc.get('format')!r} "
+            f"(supported: {ANN_INDEX_FORMAT}) at {path}"
+        )
+    if expect_corpus_version is not None and doc.get("corpus_version") != expect_corpus_version:
+        raise ValueError(
+            f"load_ann_index: stale index at {path} — trained on corpus_version="
+            f"{doc.get('corpus_version')!r}, current is {expect_corpus_version!r}; "
+            "retrain with train_ann_index"
+        )
+    doc["centroids"] = np.asarray(doc["centroids"], dtype=np.float64)
+    if doc.get("codebooks") is not None:
+        doc["codebooks"] = np.asarray(doc["codebooks"], dtype=np.float64)
+    return doc
+
+
+def _resolve_index(index: dict | str | None) -> dict | None:
+    if index is None:
+        return None
+    if isinstance(index, str):
+        return load_ann_index(index)
+    return index
 
 
 def _pq_encode_udf(codebooks: np.ndarray):
@@ -434,6 +560,7 @@ def ivfpq_topk(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    index: dict | str | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF cells prune the candidate set, PQ
     codes score it in the compressed domain (ADC), and an exact-cosine
@@ -448,6 +575,17 @@ def ivfpq_topk(
     heavy join carries CODES not vectors, so the shuffled bytes shrink
     ~dim·4/m per candidate even though this demo keeps vectors alongside.
     """
+    idx = _resolve_index(index)
+    if idx is not None:
+        centroids = np.asarray(idx["centroids"], dtype=np.float64)
+        n_cells = int(idx["n_cells"])
+        if idx.get("codebooks") is None:
+            raise ValueError(
+                "ivfpq_topk: index artifact has no PQ codebooks — train with "
+                "train_ann_index(..., m=...) for the IVF-PQ path"
+            )
+        codebooks = np.asarray(idx["codebooks"], dtype=np.float64)
+        m, ks = int(idx["m"]), int(idx["ks"])
     if centroids is None:
         centroids = kmeans_centroids(corpus, vec_col, n_cells, seed=seed)
     if codebooks is None:

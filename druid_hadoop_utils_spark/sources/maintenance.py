@@ -130,12 +130,17 @@ def apply_retention(
     hi = max(iv.end for iv in expired)
     span = Interval(lo, hi)
     visible = resolve_visible_windows(manifests, span)
-    already_dark = {
-        w.manifest.interval for w in visible if w.manifest.tombstone
-    }
+    # "already dark" is a property of the VISIBLE timeline, not of tombstone
+    # interval equality: data backfilled ABOVE an old tombstone is visible
+    # (and expired) even though a tombstone with the identical interval
+    # exists below it. Skip an interval only when no live (non-tombstone)
+    # window is visible anywhere inside it.
+    live_windows = [
+        w for ws in visible if not ws.manifest.tombstone for w in ws.windows
+    ]
     targets = [
         iv for iv in merge_adjacent(sorted(set(expired), key=lambda i: i.start))
-        if iv not in already_dark
+        if any(w.overlaps(iv) for w in live_windows)
     ]
     if dry_run:
         return [

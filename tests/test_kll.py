@@ -110,3 +110,30 @@ def test_rejects_tiny_k(spark):
     df = spark.range(10).selectExpr("cast(id as double) AS v")
     with pytest.raises(ValueError):
         kll_state_grouped(df, "v", [], k=4)
+
+
+def test_merge_rejects_mixed_k(spark):
+    """ADVICE r3: states built with different k are not mergeable — fail
+    fast instead of silently compacting to an arbitrary k."""
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame([Row(g="x", __kll_k=64,
+                                   __kll_levels=[[1.0, 2.0]])])
+    b = spark.createDataFrame([Row(g="x", __kll_k=128,
+                                   __kll_levels=[[3.0, 4.0]])])
+    merged = merge_kll_states(a.unionByName(b), ["g"])
+    with pytest.raises(Exception, match="mixed k values"):
+        merged.collect()
+
+
+def test_compaction_offset_alternates_by_level():
+    """Level parity picks which pair member survives (bias cancellation):
+    level 0 promotes lower members, level 1 upper members."""
+    levels = [[float(v) for v in range(16)]]
+    _compact(levels, 8)
+    # level 0 overflowed: even offset -> promoted are 0,2,4,... (lowers)
+    assert levels[1] == [0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0]
+    lv2 = [[], [float(v) for v in range(16)]]
+    _compact(lv2, 8)
+    # level 1 overflowed: odd offset -> promoted are 1,3,5,... (uppers)
+    assert lv2[2] == [1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0]

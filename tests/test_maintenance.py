@@ -226,3 +226,33 @@ def test_apply_retention_drops_old_keeps_recent(spark, tmp_path, golden_events):
     assert apply_retention(root, "ds", "2014-10-24") == []
     # vacuum reclaims the two hidden days
     assert len(vacuum(root, "ds")) == 2
+
+
+def test_apply_retention_drops_backfill_above_tombstone(spark, tmp_path,
+                                                        golden_events):
+    """ADVICE r3: expired data backfilled ABOVE an existing tombstone with
+    the identical interval must still be dropped — 'already dark' is a
+    visible-timeline property, not tombstone-interval equality."""
+    from druid_hadoop_utils_spark.sources.maintenance import apply_retention
+
+    root = str(tmp_path)
+    base = golden_events.drop("user_host")
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"}]}
+    write_segment(base, root, "ds", "2014-10-22/2014-10-23", "v1")
+    dropped = apply_retention(root, "ds", "2014-10-23")
+    assert len(dropped) == 1
+    # NOTE: v1 not vacuumed — its manifest keeps the merged expired span
+    # identical to the tombstone's interval, the trigger for the old bug.
+    # Backfill the same day above the tombstone (version sorts above the
+    # ISO drop stamp).
+    write_segment(base, root, "ds", "2014-10-22/2014-10-23", "zzz-backfill")
+    assert load(spark, root, spec, interval="2014-10-22/2014-10-23",
+                data_source="ds").count() > 0
+    # the backfill is expired too: retention must tombstone it again
+    dropped2 = apply_retention(root, "ds", "2014-10-23")
+    assert len(dropped2) == 1
+    assert load(spark, root, spec, interval="2014-10-22/2014-10-23",
+                data_source="ds").count() == 0
+    # and now it really is idempotent
+    assert apply_retention(root, "ds", "2014-10-23") == []

@@ -222,6 +222,91 @@ def test_pq_train_deterministic_and_layout_independent(spark, sf_dir):
         pq_train(emb, m=7, ks=8, sample=64)  # dim 64 not divisible by 7
 
 
+def test_ann_index_roundtrip_and_query_equivalence(spark, sf_dir, tmp_path):
+    """train_ann_index → save → load must reproduce the exact same arrays,
+    and ivf_topk/ivfpq_topk driven by the loaded artifact must equal the
+    same query driven by in-memory training — the train-once lifecycle."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = S.train_ann_index(emb, n_cells=8, m=8, ks=8, sample=512,
+                            corpus_version="v1")
+    path = str(tmp_path / "_ann_index.json")
+    S.save_ann_index(idx, path)
+    loaded = S.load_ann_index(path, expect_corpus_version="v1")
+    assert np.array_equal(loaded["centroids"], idx["centroids"])
+    assert np.array_equal(loaded["codebooks"], idx["codebooks"])
+    assert (loaded["n_cells"], loaded["m"], loaded["ks"]) == (8, 8, 8)
+
+    queries = emb.where(F.col("vec_id") < 3)
+    from_artifact = sorted(map(tuple,
+        S.ivf_topk(emb, queries, k=3, nprobe=2, index=path).collect()))
+    from_memory = sorted(map(tuple,
+        S.ivf_topk(emb, queries, k=3, nprobe=2,
+                   centroids=idx["centroids"]).collect()))
+    assert from_artifact == from_memory
+
+    pq_artifact = sorted(map(tuple,
+        S.ivfpq_topk(emb, queries, k=3, nprobe=2, index=loaded).collect()))
+    pq_memory = sorted(map(tuple,
+        S.ivfpq_topk(emb, queries, k=3, n_cells=8, nprobe=2, m=8, ks=8,
+                     centroids=idx["centroids"],
+                     codebooks=idx["codebooks"]).collect()))
+    assert pq_artifact == pq_memory
+
+
+def test_ann_index_staleness_invalidation(spark, sf_dir, tmp_path):
+    """A corpus-version mismatch must refuse the artifact loudly (the
+    retrain-on-republish rule), and an IVF-only artifact must refuse the
+    PQ path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = S.train_ann_index(emb, n_cells=8, sample=256, corpus_version="v1")
+    path = str(tmp_path / "_ann_index.json")
+    S.save_ann_index(idx, path)
+    with pytest.raises(ValueError, match="stale index"):
+        S.load_ann_index(path, expect_corpus_version="v2")
+    queries = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        S.ivfpq_topk(emb, queries, k=2, index=path)
+
+
+def test_ivf_prod_config_recall_floor(spark, sf_dir):
+    """The benched production IVF config (nprobe=4 of n_cells=16, pre-trained
+    index — q_similarity_ivf_topk_prod): full k rows per query, exact-cosine
+    ranked, recall floor vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = S.train_ann_index(emb, n_cells=16, m=8, ks=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    prod = S.ivf_topk(emb, queries, k=5, nprobe=4, index=idx).collect()
+    by_q = {}
+    for r in prod:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for nbrs in by_q.values():
+        assert len(nbrs) == 5
+        sims = [n.cos_sim for n in nbrs]
+        assert sims == sorted(sims, reverse=True)
+    recall = len(exact & {(r.query_id, r.neighbor_id) for r in prod}) / len(exact)
+    assert recall >= 0.5, recall  # 4/16 cells probed; floor, not a target
+
+
+def test_training_sample_size_validation(spark):
+    """Tiny corpus / small sample must fail with a named-parameter error,
+    not an opaque numpy raise (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(4)]
+    )
+    with pytest.raises(ValueError, match="n_cells=8"):
+        S.kmeans_centroids(df, n_cells=8, sample=4)
+    df64 = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 64) for i in range(4)]
+    )
+    with pytest.raises(ValueError, match="ks=16"):
+        S.pq_train(df64, m=8, ks=16, sample=4)
+
+
 def test_pq_codes_reconstruct_better_with_more_centroids(spark, sf_dir):
     """Quantization error must drop as ks grows — sanity that the codebook
     training actually trains."""
