@@ -70,20 +70,30 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def decode_image(content: bytes, fake: bool = False) -> "Any":
-    """Decode an image blob to an HxWx3 array.
+    """Decode an image blob to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` returns a deterministic pseudo-image derived
-    from the bytes' sha256 so downstream plumbing is testable.
+    ``fake=True`` returns a deterministic pseudo-image derived from the
+    bytes' sha256 so downstream plumbing is testable without media
+    libraries. The real path uses Pillow WHEN INSTALLED (optional
+    dependency — it rides to executors inside the UDF closure's import,
+    so nothing else changes); without it, a loud ``NotImplementedError``
+    points at the supported paths.
     """
-    if not fake:
+    if fake:
+        digest = hashlib.sha256(content or b"").digest()
+        rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
+        return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    try:
+        from PIL import Image  # optional dependency, absent in this env
+    except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires an image library (e.g. Pillow); "
+            "image decoding requires Pillow (pip install Pillow); "
             "re-run with fake=True for the deterministic test decoder"
-        )
-    digest = hashlib.sha256(content or b"").digest()
-    rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
-    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        ) from e
+    import io
+
+    with Image.open(io.BytesIO(content)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def image_features(df: DataFrame, fake: bool = True, feature_dim: int = 16) -> DataFrame:

@@ -275,6 +275,16 @@ def rollup_df(df: DataFrame, spec: LoadSpec, explode_dims: bool = False) -> Data
             )
 
             aggs.append(qhist_merge(col, DEFAULT_BINS).alias(m.name))
+        elif m.type == "druidHyperUnique":
+            # imported Druid-format sketch bytes (NOT DataSketches): merge
+            # register-wise into NEW Druid bytes so the rolled-up metric
+            # stays re-mergeable in Druid's own format (reference A3,
+            # NonFinalizingAggregatorFactoryAdapter.java:19-31)
+            from druid_hadoop_utils_spark.sources.druid_segment import (
+                druid_hll_merge,
+            )
+
+            aggs.append(druid_hll_merge(F.collect_list(col)).alias(m.name))
         elif m.is_complex:
             is_sketch = isinstance(df.schema[m.name].dataType, BinaryType)
             aggs.append(_hll_partial(col, is_sketch, DEFAULT_LGK).alias(m.name))

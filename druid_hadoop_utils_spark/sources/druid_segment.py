@@ -29,11 +29,13 @@ Pre-v9 (legacy v8) column encodings raise ``NotImplementedError`` with a
 clear message — standard 0.9 batch-indexer output is v9.
 
 Complex ``hyperUnique`` metrics keep their raw Druid sketch bytes in the
-imported parquet (BinaryType); ``druid_hll_estimate`` finalizes them. They
-are NOT mergeable with the engine's DataSketches HLL state — per the
-SURVEY §7.4 decision, correctness checks compare estimates against exact
-counts, not sketch bytes. Re-aggregation pipelines should rebuild sketches
-from raw values after import.
+imported parquet (BinaryType) and stay re-mergeable IN DRUID'S OWN FORMAT:
+``druid_hll_merge`` / ``druid_hll_merge_bytes`` union blobs into a new
+valid blob (rollup_df's ``druidHyperUnique`` metric type uses this), and
+``druid_hll_estimate`` / ``druid_hll_merge_estimate`` finalize. Druid
+bytes are NOT cross-mergeable with the engine's DataSketches HLL state —
+per the SURVEY §7.4 decision, correctness checks compare estimates against
+exact counts, not sketch bytes.
 """
 
 from __future__ import annotations
@@ -413,22 +415,17 @@ def _hll_payload_registers(b: bytes) -> dict[int, int]:
     return out
 
 
-def druid_hll_merge_estimate_bytes(sketches) -> float | None:
-    """Merged-cardinality estimate of several Druid HLL blobs: per-register
-    max in ACTUAL-value space, then the same correction pipeline.
-
-    A sketch with ``registerOffset`` o stores each register as value-o
-    (floored at 0), so a stored nibble n means actual value o+n and an
-    untouched register implicitly holds o (Druid's high-cardinality bias
-    convention — its getRegisterSum adds 2^-o for them). The fold
-    therefore takes, per register, the max of (offset + nibble) across
-    sketches with the overflow register patched in, and the merged floor
-    is the max offset. At offset 0 / no overflow this reduces exactly to
-    the plain nibble-max union."""
+def _hll_fold_registers(sketches) -> tuple[dict[int, int], int, bool]:
+    """Fold several Druid HLL blobs into (register index → merged ACTUAL
+    value, max registerOffset, saw-any-sketch) — the shared core of the
+    estimate-merge and the bytes-merge. Untouched registers implicitly
+    hold each sketch's own offset, so a merged actual is always ≥ the max
+    offset; only values above it are recorded."""
     regs: dict[int, int] = {}  # register index -> actual value (> 0)
     max_offset = 0
     any_sketch = False
-    for s in sketches or []:
+    # collect_list arrives as a numpy array through Arrow — no truthiness
+    for s in sketches if sketches is not None else []:
         if s is None:
             continue
         b = bytes(s)
@@ -451,6 +448,81 @@ def druid_hll_merge_estimate_bytes(sketches) -> float | None:
             idx = 2 * pos + (0 if is_upper else 1)
             if max_overflow_value > regs.get(idx, 0):
                 regs[idx] = max_overflow_value
+    return regs, max_offset, any_sketch
+
+
+def druid_hll_merge_bytes(sketches) -> bytes | None:
+    """Merge Druid HLL blobs into a NEW well-formed Druid v1 blob — bytes
+    in, bytes out, so merged state stays RE-MERGEABLE in Druid's own
+    format (the reference's non-finalizing A3 semantics,
+    NonFinalizingAggregatorFactoryAdapter.java:19-31, for data that must
+    round-trip back out as Druid sketch bytes).
+
+    Encoding: dense payload, registerOffset = max input offset, nibbles
+    clipped to 15 with the single largest above-ceiling actual value kept
+    in the overflow slot — HyperLogLogCollector's own lossy storage
+    convention, so ``druid_hll_estimate_bytes(druid_hll_merge_bytes(S))``
+    equals ``druid_hll_merge_estimate_bytes(S)`` whenever at most one
+    register overflows the nibble ceiling (as in Druid itself)."""
+    regs, offset, any_sketch = _hll_fold_registers(sketches)
+    if not any_sketch:
+        return None
+    nibbles = [0] * _HLL_NUM_BUCKETS
+    over_val, over_idx = 0, -1
+    for idx, v in regs.items():
+        nib = v - offset
+        if nib <= 0:
+            continue
+        if nib > 15:
+            if v > over_val:
+                over_val, over_idx = v, idx
+            nib = 15
+        nibbles[idx] = nib
+    num_non_zero = sum(1 for v in nibbles if v)
+    over_field = 0
+    if over_val:
+        pos, is_upper = over_idx // 2, over_idx % 2 == 0
+        over_field = (pos << 1) | (0 if is_upper else 1)
+    payload = bytes(
+        (nibbles[2 * i] << 4) | nibbles[2 * i + 1] for i in range(_HLL_DENSE_BYTES)
+    )
+    return (
+        bytes([1, offset])
+        + struct.pack(">h", num_non_zero)
+        + bytes([over_val])
+        + struct.pack(">h", over_field)
+        + payload
+    )
+
+
+def druid_hll_merge(col):
+    """Aggregate NON-FINALIZING merge for Druid-format sketch columns:
+    pair with ``F.collect_list(sketch_col)`` and the output is a valid
+    Druid HLL blob — rollup/compaction over imported segments keeps the
+    metric re-mergeable instead of collapsing it to a number (finalize
+    later with ``druid_hll_estimate``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def mrg(s: pd.Series) -> pd.Series:
+        return s.map(druid_hll_merge_bytes)
+
+    return mrg(col)
+
+
+def druid_hll_merge_estimate_bytes(sketches) -> float | None:
+    """Merged-cardinality estimate of several Druid HLL blobs: per-register
+    max in ACTUAL-value space, then the same correction pipeline.
+
+    A sketch with ``registerOffset`` o stores each register as value-o
+    (floored at 0), so a stored nibble n means actual value o+n and an
+    untouched register implicitly holds o (Druid's high-cardinality bias
+    convention — its getRegisterSum adds 2^-o for them). The fold
+    therefore takes, per register, the max of (offset + nibble) across
+    sketches with the overflow register patched in, and the merged floor
+    is the max offset. At offset 0 / no overflow this reduces exactly to
+    the plain nibble-max union."""
+    regs, max_offset, any_sketch = _hll_fold_registers(sketches)
     if not any_sketch:
         return None
     # registers at or below the merged floor collapse into the bulk term

@@ -421,3 +421,78 @@ def test_mr_fixture_decodes_identically():
     mr = read_segment("/root/reference/druid-mr/src/test/resources/test-segment")
     for name in pig:
         assert pig[name].values == mr[name].values, name
+
+
+# ------------------------------------------- Druid-format bytes-out merge
+
+
+def test_merge_bytes_estimate_equals_merge_estimate():
+    """druid_hll_merge_bytes must produce a VALID Druid v1 blob whose
+    estimate equals the direct merged estimate — for golden fixture
+    sketches, high-cardinality offset sketches, and overflow sketches."""
+    from druid_hadoop_utils_spark.sources.druid_segment import (
+        druid_hll_merge_bytes,
+    )
+
+    cols = read_segment(FIXTURE)
+    golden = [bytes(v) for v in cols["unique_hosts"].values]
+    merged = druid_hll_merge_bytes(golden)
+    assert merged[0] == 1 and len(merged) == 7 + 1024
+    assert druid_hll_estimate_bytes(merged) == pytest.approx(
+        druid_hll_merge_estimate_bytes(golden), rel=1e-12)
+
+    sa = _encode_druid_hll(_simulate_registers(100_000, seed=7))
+    sb = _encode_druid_hll(_simulate_registers(100_000, seed=8), sparse=True)
+    m2 = druid_hll_merge_bytes([sa, sb])
+    assert druid_hll_estimate_bytes(m2) == pytest.approx(
+        druid_hll_merge_estimate_bytes([sa, sb]), rel=1e-9)
+
+    # empty / None inputs
+    assert druid_hll_merge_bytes([]) is None
+    assert druid_hll_merge_bytes([None, sa]) == druid_hll_merge_bytes([sa])
+
+
+def test_merge_bytes_is_remergeable():
+    """The output of a bytes-merge is itself a mergeable input: pairwise
+    then total must equal one-shot merge (associative union)."""
+    from druid_hadoop_utils_spark.sources.druid_segment import (
+        druid_hll_merge_bytes,
+    )
+
+    sk = [_encode_druid_hll(_simulate_registers(50_000, seed=s))
+          for s in (1, 2, 3)]
+    pairwise = druid_hll_merge_bytes(
+        [druid_hll_merge_bytes(sk[:2]), sk[2]])
+    oneshot = druid_hll_merge_bytes(sk)
+    assert druid_hll_estimate_bytes(pairwise) == pytest.approx(
+        druid_hll_estimate_bytes(oneshot), rel=1e-9)
+
+
+def test_two_imported_segments_stay_mergeable(spark, tmp_path):
+    """VERDICT r3 item 5: import the reference segment TWICE (two shards
+    of one interval), roll up with the druidHyperUnique metric type, and
+    the stored metric stays a valid re-mergeable Druid blob: per-host
+    estimates reproduce the golden value and the rolled-up bytes merge
+    across hosts to the 3-host union."""
+    from druid_hadoop_utils_spark.plans.planner import rollup_df
+    from druid_hadoop_utils_spark.plans.spec import LoadSpec
+
+    root = str(tmp_path)
+    import_druid_segment(spark, FIXTURE, root, shard_num=0)
+    import_druid_segment(spark, FIXTURE, root, shard_num=1)
+    spec = {"granularity": "ALL", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"},
+                        {"name": "unique_hosts", "type": "druidHyperUnique"}]}
+    df = load(spark, root, spec, interval="1970-01-01/3000-01-01",
+              data_source="testds")
+    assert df.count() == 6  # both shards visible
+    rolled = rollup_df(df, LoadSpec.from_json(spec)).collect()
+    assert len(rolled) == 3
+    for r in rolled:
+        assert r.visited_sum in (200, 300, 400)  # 2x golden sums
+        assert bytes(r.unique_hosts)[0] == 1  # still a Druid v1 blob
+        assert druid_hll_estimate_bytes(r.unique_hosts) == pytest.approx(
+            GOLDEN_ESTIMATE)
+    union = druid_hll_merge_estimate_bytes(
+        [r.unique_hosts for r in rolled])
+    assert union == pytest.approx(3.0, rel=0.01)

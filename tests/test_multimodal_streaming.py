@@ -20,9 +20,33 @@ def media(spark):
     return spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def _pil_available():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: real path active")
+def test_real_decode_raises_without_pillow():
+    with pytest.raises(NotImplementedError, match="Pillow"):
         M.decode_image(b"bytes", fake=False)
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_decode_with_pillow():
+    """Activates the day Pillow ships: decode a generated 2x2 PNG and
+    check shape/dtype — the only piece that changes vs the fake path."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 2), (10, 20, 30)).save(buf, format="PNG")
+    arr = M.decode_image(buf.getvalue(), fake=False)
+    assert arr.shape == (2, 2, 3) and arr.dtype.name == "uint8"
+    assert (arr == [10, 20, 30]).all()
 
 
 def test_fake_decoder_deterministic():

@@ -237,6 +237,11 @@ def main() -> None:
             .select("doc_id", "lang", "n_chars")),
     }
 
+    # the plain twin of ANY production ANN entry is the same exact
+    # brute-force cosine top-k (a plain user has no index to probe), so
+    # the benched IVF prod config shares the PQ prod twin
+    BASELINE["q_similarity_ivf_topk_prod"] = BASELINE["q_similarity_pq_topk_prod"]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings = {}
