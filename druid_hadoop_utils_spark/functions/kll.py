@@ -135,15 +135,17 @@ def kll_state_grouped(
         for pdf in batches:
             vals = pdf["__v"]
             mask = vals.notna()
+            # ndarray->tolist is one C pass — never convert value-by-value
+            # in Python (the build is the only per-raw-row work KLL does)
             if gcols:
                 for key, sub in pdf[mask].groupby(gcols, dropna=False, sort=False):
                     key = key if isinstance(key, tuple) else (key,)
                     lv = states.setdefault(key, [[]])
-                    lv[0].extend(float(v) for v in sub["__v"])
+                    lv[0].extend(sub["__v"].to_numpy(dtype="float64").tolist())
                     _compact(lv, k)
             else:
                 lv = states.setdefault((), [[]])
-                lv[0].extend(float(v) for v in vals[mask])
+                lv[0].extend(vals[mask].to_numpy(dtype="float64").tolist())
                 _compact(lv, k)
         rows = [
             dict(zip(gcols, key), __kll_k=k, __kll_levels=levels)
@@ -176,13 +178,26 @@ def merge_kll_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
                 "a uniform k"
             )
         k = int(pdf["__kll_k"].iloc[0])
+        # ORDER-FREE merge: concatenate every state level-wise, sort each
+        # level, then one compaction cascade. The result is a function of
+        # the MULTISET of partial states — shuffle arrival order can't
+        # matter, so no deterministic-fold bookkeeping (and no per-state
+        # accumulator copies, which dominated with hundreds of partials
+        # per group). Memory is the same Arrow batch already holding the
+        # states, reshaped.
         acc: list[list[float]] = [[]]
-        # deterministic fold order regardless of shuffle arrival
-        for levels in sorted(
-            ([list(l) for l in lv] for lv in pdf["__kll_levels"]),
-            key=lambda lv: (len(lv), [len(l) for l in lv], lv),
-        ):
-            acc = _merge_levels(acc, levels, k)
+        for lv in pdf["__kll_levels"]:
+            for i, items in enumerate(lv):
+                if i >= len(acc):
+                    acc.append([])
+                acc[i].extend(
+                    items.tolist() if hasattr(items, "tolist") else items
+                )
+        for level in acc:
+            level.sort()
+        _compact(acc, k)
+        for level in acc:
+            level.sort()  # canonical stored layout
         row = {c: pdf[c].iloc[0] for c in gcols}
         row["__kll_k"] = k
         row["__kll_levels"] = acc

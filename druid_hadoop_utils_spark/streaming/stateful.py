@@ -104,7 +104,7 @@ def streaming_quantiles(
         for pdf in batches:
             vals = pdf[value_col].dropna()
             n += len(vals)
-            levels[0].extend(float(v) for v in vals)
+            levels[0].extend(vals.to_numpy(dtype="float64").tolist())
             _compact(levels, k)
         state.update((n, levels))
         pairs = sorted(
