@@ -2104,6 +2104,133 @@ def q_tpch_q18_large_volume_customer(spark, sf_dir):
 
 
 @register(
+    "q_tpch_q8_market_share",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              round(
+                CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                              THEN CAST(l_extendedprice * (1 - l_discount)
+                                        AS DECIMAL(18,4))
+                              ELSE 0 END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS DOUBLE), 4) AS mkt_share
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN part     ON l_partkey = p_partkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region   ON n1.n_regionkey = r_regionkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         AND o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY 1""",
+)
+def q_tpch_q8_market_share(spark, sf_dir):
+    # TPC-H Q8 (national market share): 7-way star over both fact tables.
+    # lineitem-orders is the one fact-fact shuffle; part/customer hash-join
+    # (scale with SF, AQE may broadcast at small SF); nation/region/supplier
+    # dims broadcast. The share is a conditional-over-total aggregate in
+    # ONE pass — no second scan, no self-join; decimal sums keep the ratio
+    # bit-identical to the oracle regardless of partition merge order.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)
+                  .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("__n"),
+            F.sum(vol).alias("__d"),
+        )
+        .select("o_year", F.round(
+            F.col("__n").cast("double") / F.col("__d").cast("double"), 4
+        ).alias("mkt_share"))
+    )
+
+
+@register(
+    "q_tpch_q13_customer_distribution",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def q_tpch_q13_customer_distribution(spark, sf_dir):
+    # TPC-H Q13 (customer order distribution; the o_comment NOT LIKE
+    # filter is dropped — testdata carries no comment column). Double
+    # aggregation: per-customer count (left join keeps 0-order customers,
+    # count(o_orderkey) skips the null rows), then distribution over the
+    # counts — the second groupBy shuffles only (count, 1) pairs.
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_q14_promo_revenue",
+    """SELECT round(
+                100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(18,4))
+                                 ELSE 0 END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS DOUBLE), 2) AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+)
+def q_tpch_q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 (promo revenue share): one month of lineitem (predicate
+    # pushes to the scan) hash-joined to part on partkey; conditional and
+    # total revenue in ONE aggregate pass, ratio computed from exact
+    # decimal sums.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                  .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("__promo"),
+            F.sum(vol).alias("__total"),
+        )
+        .select(F.round(
+            F.lit(100.0) * F.col("__promo").cast("double")
+            / F.col("__total").cast("double"), 2
+        ).alias("promo_revenue"))
+    )
+
+
+@register(
     "q_window_distribution",
     """SELECT event_type, event_id,
               ntile(4) OVER w AS quartile,
@@ -2452,6 +2579,8 @@ def q_kll_quantiles(spark, sf_dir):
 _DRIVER_PRIORITY = [
     # new in round 4 — no driver row yet
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
+    "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_revenue",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

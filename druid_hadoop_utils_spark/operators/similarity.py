@@ -352,6 +352,7 @@ def pq_train(
     iterations: int = 8,
     sample: int = 4096,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: split the (L2-normalized) vector
     into ``m`` contiguous subvectors and k-means each subspace to ``ks``
@@ -361,7 +362,13 @@ def pq_train(
     The codebooks are tiny (m·ks·dsub floats) and ride to executors as a
     closure; at 100 TB the corpus stores m small codes per vector instead
     of dim floats (32× compression at dim=64/m=8/float32) — the memory
-    lever that makes billion-vector ANN fit a cluster."""
+    lever that makes billion-vector ANN fit a cluster.
+
+    Pass IVF ``centroids`` to train RESIDUAL codebooks (Jégou et al.'s
+    IVFADC): each sample vector is replaced by ``v − centroid[cell(v)]``
+    before subspace k-means. Residuals have the coarse structure
+    explained away, so the same m/ks budget quantizes what's LEFT more
+    finely — the standard billion-vector recall lever."""
     rows = (
         df.select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
@@ -375,6 +382,9 @@ def pq_train(
             f"shrink ks or raise sample"
         )
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        mat = mat - centroids[assign]
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -411,8 +421,13 @@ def train_ann_index(
     sample: int = 4096,
     seed: int = 42,
     corpus_version: str | None = None,
+    residual: bool = False,
 ) -> dict:
     """Train the ANN index ONCE and return a small persistable artifact.
+
+    ``residual=True`` trains the PQ codebooks on IVF residuals
+    (``v − centroid[cell]``) — Jégou et al.'s IVFADC — and stamps the
+    artifact so ``ivfpq_topk`` encodes/scores consistently.
 
     A real pipeline builds the coarse quantizer (and, with ``m`` set, the
     PQ codebooks) when the corpus is published, stores the artifact beside
@@ -442,10 +457,13 @@ def train_ann_index(
         "codebooks": None,
         "m": None,
         "ks": None,
+        "residual": bool(residual and m is not None),
     }
     if m is not None:
         index["codebooks"] = pq_train(
-            corpus, vec_col, m=m, ks=ks, iterations=iterations, sample=sample, seed=seed
+            corpus, vec_col, m=m, ks=ks, iterations=iterations,
+            sample=sample, seed=seed,
+            centroids=centroids if residual else None,
         )
         index["m"], index["ks"] = m, ks
     return index
@@ -502,9 +520,75 @@ def _resolve_index(index: dict | str | None) -> dict | None:
     return index
 
 
-def _pq_encode_udf(codebooks: np.ndarray):
+def table_corpus_version(table_root: str, data_source: str) -> str:
+    """Corpus-version stamp for a MANAGED segment table: the md5 of the
+    sorted visible manifest identifiers. Any publish, compaction, drop,
+    or vacuum changes it, so an ANN index trained against one timeline
+    state refuses to load after the corpus changes — without scanning a
+    single data row."""
+    import hashlib
+
+    from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+    idents = sorted(m.identifier for m in list_manifests(table_root, data_source))
+    if not idents:
+        raise FileNotFoundError(
+            f"no segments for {data_source} under {table_root}"
+        )
+    return hashlib.md5("\n".join(idents).encode()).hexdigest()
+
+
+def ann_index_path(table_root: str, data_source: str) -> str:
+    """Convention: the artifact lives beside the table's ``_segments/``."""
+    import os
+
+    return os.path.join(table_root, data_source, "_ann_index.json")
+
+
+def publish_ann_index(
+    spark,
+    table_root: str,
+    data_source: str,
+    spec: dict | None = None,
+    vec_col: str = "embedding",
+    interval: str = "1970-01-01/3000-01-01",
+    **train_kwargs,
+) -> str:
+    """Train the ANN index over a managed segment table's CURRENT visible
+    rows and persist it beside ``_segments/``, stamped with the table's
+    timeline version — the publish-time half of the index lifecycle. Call
+    after (re)publishing embedding segments; queries then use
+    ``load_published_ann_index`` and get automatic staleness refusal when
+    the timeline has moved."""
+    from druid_hadoop_utils_spark.plans.planner import load
+
+    spec = spec or {"granularity": "NONE", "dimensions": [],
+                    "metrics": [{"name": vec_col, "type": "complex"}]}
+    df = load(spark, table_root, spec, interval=interval,
+              data_source=data_source)
+    index = train_ann_index(
+        df, vec_col=vec_col,
+        corpus_version=table_corpus_version(table_root, data_source),
+        **train_kwargs,
+    )
+    return save_ann_index(index, ann_index_path(table_root, data_source))
+
+
+def load_published_ann_index(table_root: str, data_source: str) -> dict:
+    """Query-time half: load the table's index artifact, refusing it if
+    the segment timeline changed since training (publish/compact/drop) —
+    the caller re-runs ``publish_ann_index`` on refusal."""
+    return load_ann_index(
+        ann_index_path(table_root, data_source),
+        expect_corpus_version=table_corpus_version(table_root, data_source),
+    )
+
+
+def _pq_encode_udf(codebooks: np.ndarray, centroids: np.ndarray | None = None):
     """vector → array<int> of m nearest-centroid codes (one numpy pass per
-    Arrow batch; vectors normalized first, matching training)."""
+    Arrow batch; vectors normalized first, matching training). With
+    ``centroids`` the RESIDUAL ``v − centroid[cell(v)]`` is encoded (cell
+    = argmax dot, identical to ``_cell_assign_udf``'s top-1)."""
     from pyspark.sql.functions import pandas_udf
 
     m, ks, dsub = codebooks.shape
@@ -513,6 +597,9 @@ def _pq_encode_udf(codebooks: np.ndarray):
     def encode(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        if centroids is not None:
+            assign = np.argmax(mat @ centroids.T, axis=1)
+            mat = mat - centroids[assign]
         codes = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             sub = mat[:, j * dsub : (j + 1) * dsub]
@@ -524,26 +611,45 @@ def _pq_encode_udf(codebooks: np.ndarray):
     return encode
 
 
-def _adc_score_udf(codebooks: np.ndarray):
-    """(query_vector, codes) → approximate cosine: decode the candidate
-    from its codes and dot with the normalized query — asymmetric distance
-    computation, all numpy, vectorized across mixed queries in a batch."""
+def _adc_score_udf(codebooks: np.ndarray, centroids: np.ndarray | None = None):
+    """(query_vector, codes[, cell]) → approximate cosine: decode the
+    candidate from its codes and dot with the normalized query —
+    asymmetric distance computation, all numpy, vectorized across mixed
+    queries in a batch. In residual mode the decoded vector is
+    ``centroid[cell] + residual``, so the score adds ``q·centroid[cell]``
+    (the candidate's OWN cell, not the probed one)."""
     from pyspark.sql.functions import pandas_udf
 
     m, ks, dsub = codebooks.shape
 
+    if centroids is None:
+
+        @pandas_udf("double")
+        def score(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+            q = np.stack(qvecs.to_numpy()).astype(np.float64)
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            cd = np.stack(codes.to_numpy()).astype(np.int64)  # n × m
+            acc = np.zeros(len(q))
+            for j in range(m):
+                qsub = q[:, j * dsub : (j + 1) * dsub]
+                acc += np.einsum("nd,nd->n", qsub, codebooks[j][cd[:, j]])
+            return pd.Series(acc)
+
+        return score
+
     @pandas_udf("double")
-    def score(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+    def score_res(qvecs: pd.Series, codes: pd.Series, cells: pd.Series) -> pd.Series:
         q = np.stack(qvecs.to_numpy()).astype(np.float64)
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        cd = np.stack(codes.to_numpy()).astype(np.int64)  # n × m
-        acc = np.zeros(len(q))
+        cd = np.stack(codes.to_numpy()).astype(np.int64)
+        cl = cells.to_numpy().astype(np.int64)
+        acc = np.einsum("nd,nd->n", q, centroids[cl])
         for j in range(m):
             qsub = q[:, j * dsub : (j + 1) * dsub]
             acc += np.einsum("nd,nd->n", qsub, codebooks[j][cd[:, j]])
         return pd.Series(acc)
 
-    return score
+    return score_res
 
 
 def ivfpq_topk(
@@ -561,6 +667,7 @@ def ivfpq_topk(
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     index: dict | str | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF cells prune the candidate set, PQ
     codes score it in the compressed domain (ADC), and an exact-cosine
@@ -586,17 +693,21 @@ def ivfpq_topk(
             )
         codebooks = np.asarray(idx["codebooks"], dtype=np.float64)
         m, ks = int(idx["m"]), int(idx["ks"])
+        residual = bool(idx.get("residual", False))
     if centroids is None:
         centroids = kmeans_centroids(corpus, vec_col, n_cells, seed=seed)
     if codebooks is None:
-        codebooks = pq_train(corpus, vec_col, m=m, ks=ks, seed=seed)
+        codebooks = pq_train(
+            corpus, vec_col, m=m, ks=ks, seed=seed,
+            centroids=centroids if residual else None,
+        )
     refine = refine if refine is not None else 4 * k
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}")
     assign1 = _cell_assign_udf(centroids, 1)
     assignp = _cell_assign_udf(centroids, nprobe)
-    encode = _pq_encode_udf(codebooks)
-    adc = _adc_score_udf(codebooks)
+    encode = _pq_encode_udf(codebooks, centroids if residual else None)
+    adc = _adc_score_udf(codebooks, centroids if residual else None)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -609,10 +720,15 @@ def ivfpq_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
     )
+    adc_col = (
+        adc(F.col("__qv"), F.col("__code"), F.col("__cell"))
+        if residual
+        else adc(F.col("__qv"), F.col("__code"))
+    )
     cands = (
         c.join(F.broadcast(q), "__cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__adc", adc(F.col("__qv"), F.col("__code")))
+        .withColumn("__adc", adc_col)
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("__adc"), F.col("neighbor_id")

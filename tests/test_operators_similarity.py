@@ -330,3 +330,122 @@ def test_pq_codes_reconstruct_better_with_more_centroids(spark, sf_dir):
         return err
 
     assert mse(32) < mse(4)
+
+
+def test_published_ann_index_table_lifecycle(spark, sf_dir, tmp_path):
+    """Index artifact lives beside the managed table's _segments/ and is
+    stamped with the segment-timeline version: train at publish time,
+    load+query later, REFUSE automatically once the timeline moves."""
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    publish_segments(emb.where(F.col("vec_id") % 2 == 0), root, "emb",
+                     version="v1", time_column="ts", bucket="DAY")
+
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    path = S.publish_ann_index(spark, root, "emb", spec=spec,
+                               n_cells=8, m=8, ks=8, sample=512)
+    assert path.endswith("emb/_ann_index.json")
+
+    idx = S.load_published_ann_index(root, "emb")
+    assert int(idx["n_cells"]) == 8
+
+    from druid_hadoop_utils_spark.plans.planner import load as eng_load
+    corpus = eng_load(spark, root, spec,
+                      interval="1970-01-01/3000-01-01", data_source="emb")
+    queries = corpus.where(F.col("vec_id") < 6)
+    out = S.ivf_topk(corpus, queries, k=3, nprobe=8, id_col="vec_id",
+                     index=idx).collect()
+    exact = S.brute_force_topk(corpus, queries, k=3,
+                               id_col="vec_id").collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == \
+           {(r.query_id, r.neighbor_id) for r in exact}  # full probe = exact
+
+    # the timeline moves (append more vectors) -> stale index refused
+    publish_segments(emb.where(F.col("vec_id") % 2 == 1), root, "emb",
+                     version="v2", time_column="ts", bucket="DAY")
+    with pytest.raises(ValueError, match="stale index"):
+        S.load_published_ann_index(root, "emb")
+    # retrain against the new timeline and it loads again
+    S.publish_ann_index(spark, root, "emb", spec=spec,
+                        n_cells=8, m=8, ks=8, sample=512)
+    assert S.load_published_ann_index(root, "emb")["corpus_version"] == \
+           S.table_corpus_version(root, "emb")
+
+
+def test_residual_pq_oracle_config_equals_brute_force(spark, sf_dir):
+    """Residual mode changes only the compressed-domain ordering; with
+    nprobe = n_cells and refine >= corpus the exact re-rank still equals
+    brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    exact = sorted((r.query_id, r.neighbor_id)
+                   for r in S.brute_force_topk(emb, queries, k=5).collect())
+    res = sorted((r.query_id, r.neighbor_id)
+                 for r in S.ivfpq_topk(emb, queries, k=5, n_cells=8, nprobe=8,
+                                       refine=10**9, residual=True).collect())
+    assert res == exact
+
+
+def test_residual_pq_quantization_error_improves_on_clustered_data(spark):
+    """Residual codebooks quantize what the coarse quantizer left over, so
+    on CLUSTERED data reconstruction error must drop vs plain PQ at the
+    same m/ks. (On unclustered corpora — like the synthetic testdata
+    embeddings, max pairwise cosine ~0.5 — residuals are LARGER than the
+    originals and residual mode does not help; that is a property of the
+    data, documented in pq_train.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.randint(0, 16, 2000)] + 0.03 * rng.standard_normal((2000, 64))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(pts)],
+        "vec_id: long, embedding: array<double>")
+
+    cents = S.kmeans_centroids(df, n_cells=16, sample=1024)
+    mat = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(mat @ cents.T, axis=1)
+
+    def recon_err(books, use_residual):
+        base = mat - cents[assign] if use_residual else mat
+        dsub = mat.shape[1] // 8
+        err = 0.0
+        for j in range(8):
+            sub = base[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).mean()
+        return err
+
+    plain = recon_err(S.pq_train(df, m=8, ks=16, sample=1024), False)
+    res = recon_err(
+        S.pq_train(df, m=8, ks=16, sample=1024, centroids=cents), True)
+    assert res < plain * 0.5, (res, plain)  # structural win, not noise
+
+
+def test_residual_pq_prod_recall_floor_and_artifact(spark, sf_dir, tmp_path):
+    """Production residual config keeps the recall floor, and the residual
+    flag round-trips through the persisted artifact (ivfpq_topk picks it
+    up without the caller passing residual=)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = S.train_ann_index(emb, n_cells=16, m=8, ks=16, residual=True)
+    assert idx["residual"] is True
+    path = str(tmp_path / "_ann_index.json")
+    S.save_ann_index(idx, path)
+    loaded = S.load_ann_index(path)
+    assert loaded["residual"] is True
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    prod = S.ivfpq_topk(emb, queries, k=5, nprobe=4, index=path).collect()
+    by_q = {}
+    for r in prod:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5 and all(len(v) == 5 for v in by_q.values())
+    recall = len(exact & {(r.query_id, r.neighbor_id) for r in prod}) / len(exact)
+    assert recall >= 0.5, recall
