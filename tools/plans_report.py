@@ -105,6 +105,36 @@ ANNOTATED = {
         "the shuffle, so the exchange moves ≤ k×partitions rows per group; "
         "the hash RNG is a codegen expression, no Python."
     ),
+    "q_segment_table_multivalue": (
+        "Multi-value dimension end-to-end: the managed-table scan keeps its "
+        "pruned ReadSchema with the array column, the IN filter compiles to "
+        "an `exists(tags, ...)` any-match evaluated post-scan (array "
+        "predicates can't push to parquet stats — expected), and the "
+        "exploded rollup is Generate followed by the standard partial+final "
+        "hash aggregate pair around one Exchange."
+    ),
+    "q_tpch_q8_market_share": (
+        "TPC-H Q8, 7-way star: at this SF every join broadcasts "
+        "(size-based — all seven are BroadcastHashJoin, zero shuffles "
+        "before the final aggregate); at scale the lineitem-orders pair "
+        "degrades to the ONE shuffle join on orderkey while the "
+        "nation/region/supplier dims keep broadcasting. The market-share "
+        "ratio is conditional+total decimal sums in ONE aggregate pass "
+        "(no second scan, no self-join), partial+final on o_year."
+    ),
+    "q_tpch_q13_customer_distribution": (
+        "TPC-H Q13 double aggregation: the left outer join feeds a "
+        "per-customer count whose Exchange is keyed on custkey, then the "
+        "distribution groupBy shuffles only (count, 1) pairs — the second "
+        "Exchange is tiny regardless of customer count."
+    ),
+    "q_similarity_ivf_topk_prod": (
+        "Production IVF with the PRE-TRAINED persisted index: no driver "
+        "collect, no k-means stage in the plan — the centroids are closure "
+        "literals inside the two ArrowEvalPython projections (corpus "
+        "assign, query probe), one Exchange on the cell id against the "
+        "broadcast query side, then the window top-k."
+    ),
 }
 
 
