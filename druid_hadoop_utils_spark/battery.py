@@ -2533,6 +2533,66 @@ def q_weighted_sample(spark, sf_dir):
 
 
 @register(
+    "q_mix_sources",
+    """WITH w(src, wt) AS (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)),
+       c AS (SELECT lang, count(*) AS n FROM documents
+             WHERE lang IN ('en', 'de', 'fr') GROUP BY 1),
+       sc AS (SELECT min(c.n / w.wt) AS s FROM c JOIN w ON c.lang = w.src),
+       keep AS (SELECT w.src,
+                       CAST(floor((SELECT s FROM sc) * w.wt) AS BIGINT) AS n_keep
+                FROM w),
+       b AS (SELECT doc_id, lang,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                          1, 15)) AS BIGINT) % 1000000 AS bk
+             FROM documents WHERE lang IN ('en', 'de', 'fr')),
+       r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang ORDER BY bk, doc_id) AS rn
+             FROM b)
+       SELECT doc_id, lang FROM r JOIN keep ON r.lang = keep.src
+       WHERE rn <= n_keep""",
+)
+def q_mix_sources(spark, sf_dir):
+    # mixture-weighted downsampling (training data-mixing): the binding
+    # source sets the scale, every source keeps floor(scale*weight) rows
+    # picked by smallest deterministic hash bucket — reproducible and
+    # recomputed end-to-end by the SQL oracle (same IEEE double math).
+    from druid_hadoop_utils_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_sources(docs, "doc_id", "lang",
+                       {"en": 0.5, "de": 0.3, "fr": 0.2})
+
+
+@register(
+    "q_pack_documents",
+    """WITH b AS (
+         SELECT doc_id, n_chars,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                      1, 15)) AS BIGINT) % 1000000 AS bk
+         FROM documents WHERE n_chars > 0),
+       c AS (
+         SELECT doc_id, n_chars,
+                sum(n_chars) OVER (ORDER BY bk % 8, bk, doc_id) AS cum
+         FROM b)
+       SELECT doc_id,
+              CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
+              CAST(cum AS BIGINT) AS pack_pos
+       FROM c""",
+)
+def q_pack_documents(spark, sf_dir):
+    # sequence packing (fixed-token-budget pack assignment): the engine
+    # runs a DISTRIBUTED prefix sum (per-bucket cumsum + broadcast bucket
+    # offsets — no single-partition global window); the oracle recomputes
+    # the identical assignment with one flat window over the same
+    # deterministic (bucket, hash, id) order.
+    from druid_hadoop_utils_spark.operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_documents(docs, "doc_id", "n_chars", budget=4096, n_buckets=8)
+    return out.select("doc_id", "pack_id", "pack_pos")
+
+
+@register(
     "q_kll_quantiles",
     """WITH pv AS (
          SELECT event_type, value AS v, count(*) AS c
@@ -2580,7 +2640,7 @@ _DRIVER_PRIORITY = [
     # new in round 4 — no driver row yet
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue",
+    "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

@@ -111,6 +111,66 @@ def weighted_hash_sample(
     return scored.orderBy(F.desc("__esk"), F.col(id_col)).limit(k).drop("__esk")
 
 
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    seed: str = "s0",
+) -> DataFrame:
+    """Mixture-weighted downsampling: keep the LARGEST subset whose source
+    composition matches the target ``weights`` — the data-mixing step of a
+    training pipeline (e.g. 50% web / 30% code / 20% books from skewed
+    raw pools).
+
+    The binding source sets the scale: ``scale = min_s(count_s /
+    weight_s)`` and each source keeps ``floor(scale × weight_s)`` rows —
+    no source is oversampled (sampling is WITHOUT replacement), and the
+    result is the provably largest weight-exact mixture. Row selection is
+    the smallest hash buckets per source (row_number over the
+    deterministic ``md5_60`` bucket), so the subset is reproducible,
+    layout-independent, and SQL-recomputable.
+
+    Plan shape: one count aggregate (collects ≤ #sources rows to the
+    driver — bounded, documented), then one shuffle on the source key
+    where WindowGroupLimit prunes each partition to its per-source keep
+    count before the exchange. Sources absent from ``weights`` drop.
+    """
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("mix_sources: need at least one source weight")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(source_col).isin(*weights))
+        .groupBy(source_col).count().collect()
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(
+            f"mix_sources: sources {missing} have no rows — drop them from "
+            "weights or fix the source column"
+        )
+    scale = min(counts[s] / w for s, w in weights.items())
+    keep = {s: int(scale * w) for s, w in weights.items()}
+    keep_expr = None
+    for s, n in keep.items():
+        cond = F.col(source_col) == F.lit(s)
+        keep_expr = F.when(cond, F.lit(n)) if keep_expr is None \
+            else keep_expr.when(cond, F.lit(n))
+    win = Window.partitionBy(source_col).orderBy(
+        sample_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.where(F.col(source_col).isin(*weights))
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= keep_expr)
+        .drop("__rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

@@ -115,3 +115,106 @@ def test_weighted_sample_global_no_window_single_partition(spark):
     # zero-and-negative weights never qualify
     df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double")
     assert [r.id for r in weighted_hash_sample(df2, "id", "w", 5).collect()] == [3]
+
+
+class TestMixSources:
+    def test_composition_matches_weights(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.sampling import mix_sources
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        weights = {"en": 0.5, "de": 0.3, "fr": 0.2}
+        out = mix_sources(docs, "doc_id", "lang", weights)
+        got = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        raw = {r.lang: r.n for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        scale = min(raw[s] / w for s, w in weights.items())
+        for s, w in weights.items():
+            assert got[s] == int(scale * w)  # exact target counts
+            assert got[s] <= raw[s]          # never oversampled
+        # the binding source is kept (nearly) whole
+        binding = min(weights, key=lambda s: raw[s] / weights[s])
+        assert got[binding] >= raw[binding] - 1
+
+    def test_layout_independent(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.sampling import mix_sources
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        w = {"en": 0.6, "zh": 0.4}
+        a = {r.doc_id for r in mix_sources(docs, "doc_id", "lang", w).collect()}
+        b = {r.doc_id for r in
+             mix_sources(docs.repartition(13), "doc_id", "lang", w).collect()}
+        assert a == b
+
+    def test_errors(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.sampling import mix_sources
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        with pytest.raises(ValueError, match="no rows"):
+            mix_sources(docs, "doc_id", "lang", {"en": 0.5, "klingon": 0.5})
+        with pytest.raises(ValueError, match="positive"):
+            mix_sources(docs, "doc_id", "lang", {"en": -1.0})
+        with pytest.raises(ValueError, match="at least one"):
+            mix_sources(docs, "doc_id", "lang", {})
+
+
+class TestPackDocuments:
+    def test_pack_invariants(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.packing import (
+            pack_documents,
+            pack_stats,
+        )
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        budget = 4096
+        out = pack_documents(docs, "doc_id", "n_chars", budget)
+        rows = out.collect()
+        assert len(rows) == docs.where(F.col("n_chars") > 0).count()
+        max_size = docs.agg(F.max("n_chars")).first()[0]
+        stats = pack_stats(out, "n_chars", budget).collect()
+        # every pack but possibly the last is filled past nothing-fits:
+        # streaming next-fit bound total < budget + max_doc
+        for r in stats:
+            assert r.total_size < budget + max_size
+        # pack ids are dense 0..P-1
+        ids = sorted(r.pack_id for r in stats)
+        assert ids == list(range(len(ids)))
+        # conservation: sum of pack totals == sum of doc sizes
+        assert sum(r.total_size for r in stats) == \
+            docs.where(F.col("n_chars") > 0).agg(F.sum("n_chars")).first()[0]
+
+    def test_layout_independent_and_deterministic(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.packing import pack_documents
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        a = sorted(map(tuple, pack_documents(
+            docs, "doc_id", "n_chars", 4096).collect()))
+        b = sorted(map(tuple, pack_documents(
+            docs.repartition(17), "doc_id", "n_chars", 4096).collect()))
+        assert a == b
+
+    def test_grouped_packing_restarts_per_group(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.packing import pack_documents
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        out = pack_documents(docs, "doc_id", "n_chars", 8192,
+                             group_cols=["lang"])
+        firsts = out.groupBy("lang").agg(F.min("pack_id").alias("p0")).collect()
+        assert all(r.p0 == 0 for r in firsts)
+
+    def test_validation(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.packing import pack_documents
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        with pytest.raises(ValueError, match="budget"):
+            pack_documents(docs, "doc_id", "n_chars", 0)
+        with pytest.raises(ValueError, match="n_buckets"):
+            pack_documents(docs, "doc_id", "n_chars", 100, n_buckets=0)

@@ -118,3 +118,65 @@ def test_streaming_heavy_hitters_equal_batch_counts(spark, sf_dir, tmp_path):
     assert batch_hitters  # threshold admits rows at this scale
     for key, cnt in batch_hitters.items():
         assert streamed.get(key) == cnt, key
+
+
+def test_streaming_sessionize_equals_batch(spark, sf_dir, tmp_path):
+    """The SAME sessionize() code on a watermarked replay stream emits, in
+    append mode, exactly the batch session set — native session_window
+    state merges sessions across micro-batches. A far-future sentinel
+    event pushes the watermark past every real session so all of them
+    close and emit."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.sessions import sessionize
+
+    src = str(tmp_path / "replay")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", (F.col("user_id") % 7).alias("uid"),
+        F.col("value").cast("double").alias("value"),
+    )
+    # chronological chunks: sessions SPAN chunk boundaries, exercising
+    # cross-micro-batch state merges
+    evl = ev.withColumn("__tsl", F.col("ts").cast("long"))
+    q1, q2, q3 = evl.approxQuantile("__tsl", [0.25, 0.5, 0.75], 0.0)
+    chunks = [
+        evl.where(F.col("__tsl") < q1).drop("__tsl"),
+        evl.where((F.col("__tsl") >= q1) & (F.col("__tsl") < q2)).drop("__tsl"),
+        evl.where((F.col("__tsl") >= q2) & (F.col("__tsl") < q3)).drop("__tsl"),
+        evl.where(F.col("__tsl") >= q3).drop("__tsl"),
+    ]
+    sentinel = spark.createDataFrame(
+        [Row(ts=datetime(2030, 1, 1), uid=-1, value=0.0)], chunks[0].schema)
+    chunks.append(sentinel)
+    for i, c in enumerate(chunks):
+        c.write.parquet(f"{src}/chunk{i}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = sessionize(stream, "ts", ["uid"], gap="30 minutes",
+                     aggs=[F.count("*").alias("n_events"),
+                           F.round(F.sum("value"), 2).alias("total")])
+    q = (
+        out.writeStream.format("memory").queryName("equiv_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in
+                spark.sql("SELECT * FROM equiv_sess").collect()
+                if r.uid != -1}
+
+    batch = {tuple(r) for r in
+             sessionize(ev, "ts", ["uid"], gap="30 minutes",
+                        aggs=[F.count("*").alias("n_events"),
+                              F.round(F.sum("value"), 2).alias("total")]
+                        ).collect()}
+    assert streamed == batch
+    assert len(batch) > 5  # sanity: data actually sessionizes
