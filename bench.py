@@ -62,6 +62,8 @@ HEADLINE = [
     "q_weighted_sample",
     "q_kll_quantiles",
     "q_similarity_pq_topk_prod",
+    "q_mix_sources",
+    "q_pack_documents",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

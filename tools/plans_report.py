@@ -135,6 +135,14 @@ ANNOTATED = {
         "assign, query probe), one Exchange on the cell id against the "
         "broadcast query side, then the window top-k."
     ),
+    "q_pack_documents": (
+        "Sequence packing as a DISTRIBUTED prefix sum: the per-ROW "
+        "cumulative Window partitions by the hash bucket (parallel across "
+        "buckets — never a single-partition pass over the data); the only "
+        "global Window is the running-offset computation over the "
+        "per-bucket TOTALS (≤ n_buckets rows), which then re-enters via a "
+        "BroadcastHashJoin."
+    ),
 }
 
 
