@@ -63,13 +63,30 @@ def main() -> None:
     final = neardeduped.join(edrop, "doc_id", "left_anti")
     n4 = final.count()
 
-    # 5. deterministic, layout-independent train/valid/test assignment
-    from druid_hadoop_utils_spark.operators.sampling import hash_split
+    # 5. mixture weighting: rebalance the clean pool to the target source
+    #    composition (binding source sets the scale — no oversampling)
+    from druid_hadoop_utils_spark.operators.sampling import hash_split, mix_sources
 
-    split = hash_split(final, "doc_id",
+    mixed = mix_sources(final, "doc_id", "lang",
+                        {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.15})
+    n5 = mixed.count()
+
+    # 6. deterministic, layout-independent train/valid/test assignment
+    split = hash_split(mixed, "doc_id",
                        {"train": 0.9, "valid": 0.05, "test": 0.05})
 
-    # 6. corpus stats per split and language
+    # 7. sequence packing: assign the train split to fixed-token-budget
+    #    packs (distributed prefix sum — no single-partition window)
+    from druid_hadoop_utils_spark.operators.packing import pack_documents, pack_stats
+
+    packed = pack_documents(split.where(F.col("split") == "train"),
+                            "doc_id", "n_tokens", budget=2048)
+    fill = pack_stats(packed, "n_tokens", 2048).agg(
+        F.count("*").alias("packs"),
+        F.round(F.avg("fill_ratio"), 3).alias("avg_fill"),
+    ).first()
+
+    # 8. corpus stats per split and language
     stats = split.groupBy("split", "pred_lang").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
@@ -78,7 +95,9 @@ def main() -> None:
     stats.orderBy("split", F.desc("docs")).show()
     print(
         f"pipeline: {n0} raw -> {n1} quality-kept -> {n2} exact-deduped "
-        f"-> {n3} cluster-deduped -> {n4} embedding-pruned"
+        f"-> {n3} cluster-deduped -> {n4} embedding-pruned -> "
+        f"{n5} mixture-weighted -> {fill.packs} train packs "
+        f"(avg fill {fill.avg_fill})"
     )
     spark.stop()
 
