@@ -184,3 +184,59 @@ def test_streaming_heavy_hitters_across_batches(spark, tmp_path):
     hot = final.get(("y", "hot"))
     assert hot is not None            # true count 12 > n/(k+1) = 5.5
     assert 12 - 22 // 4 <= hot <= 12  # undercount bounded by n/(k+1)
+
+
+def test_streaming_quantiles_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart on the SAME checkpoint: the per-key KLL state from
+    the first run folds with data that arrives after the restart — the
+    checkpointed-state guarantee the 100 TB streaming story rests on."""
+    from druid_hadoop_utils_spark.streaming.stateful import streaming_quantiles
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 0, i), g="a", v=float(x))
+        for i, x in enumerate([10, 20, 30])
+    ])
+    b1.write.parquet(src + "/f1")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = streaming_quantiles(stream, "g", "v", [0.5, 1.0], k=64)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    first_rows = run_once()
+    first = {r.key: r for r in first_rows}
+    assert first["a"].n_values == 3 and first["a"].p50 == 20.0
+
+    # new data lands AFTER the first query terminated; a fresh query on
+    # the same checkpoint must resume, not recount
+    spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 1, i), g="a", v=float(x))
+        for i, x in enumerate([40, 50, 60])
+    ]).write.parquet(src + "/f2")
+    rows = run_once()
+    final = {r.key: r for r in rows if r.n_values ==
+             max(x.n_values for x in rows if x.key == r.key)}
+    # 6 lifetime values -> exact lower-rank p50 = 30, max = 60; and the
+    # second run only processed f2 (no reprocessing of f1's rows)
+    assert final["a"].n_values == 6
+    assert final["a"].p50 == 30.0 and final["a"].p100 == 60.0
+    assert all(r.n_values > 3 for r in rows)  # f1 never re-emitted
