@@ -496,3 +496,34 @@ def test_two_imported_segments_stay_mergeable(spark, tmp_path):
     union = druid_hll_merge_estimate_bytes(
         [r.unique_hosts for r in rolled])
     assert union == pytest.approx(3.0, rel=0.01)
+
+
+def test_merge_bytes_properties_random_sketches():
+    """Property sweep over random register profiles: the bytes-merge must
+    (a) produce a parseable blob whose estimate equals the direct merged
+    estimate, (b) be commutative, and (c) dominate every input's
+    individual estimate (union can only grow)."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(25):
+        sketches = []
+        for _ in range(rng.randint(1, 4)):
+            n = rng.choice([50, 500, 5_000, 120_000])
+            sk = _encode_druid_hll(
+                _simulate_registers(n, seed=rng.randint(0, 10_000)),
+                sparse=rng.random() < 0.5,
+            )
+            sketches.append(sk)
+        from druid_hadoop_utils_spark.sources.druid_segment import (
+            druid_hll_merge_bytes,
+        )
+
+        merged = druid_hll_merge_bytes(sketches)
+        est = druid_hll_estimate_bytes(merged)
+        direct = druid_hll_merge_estimate_bytes(sketches)
+        assert est == pytest.approx(direct, rel=1e-9), trial
+        rev = druid_hll_merge_bytes(list(reversed(sketches)))
+        assert rev == merged, trial  # commutative, bit-identical
+        for sk in sketches:
+            assert est >= druid_hll_estimate_bytes(sk) * 0.999, trial
