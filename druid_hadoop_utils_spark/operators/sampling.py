@@ -171,6 +171,34 @@ def mix_sources(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    fractions: dict[str, float],
+    seed: str = "s0",
+    output: str = "split",
+    key: Column | None = None,
+) -> DataFrame:
+    """Train/valid/test split that can never leak a duplicate across
+    splits: the split is a pure function of the CONTENT key (default: the
+    token-set fingerprint of ``text_col``), so byte-identical and
+    token-identical documents always land in the same split — the
+    leakage-safety property a per-row id split (``hash_split``) lacks.
+
+    Still a map-side expression: no group-by, no join, no shuffle — group
+    cohesion comes from hashing the group KEY itself rather than electing
+    a representative. Pass ``key`` to use a stronger grouping column
+    (e.g. a near-dup cluster id from ``dedup.cluster_near_dups``) when one
+    is already materialized.
+    """
+    from druid_hadoop_utils_spark.operators.text import fingerprint
+
+    k = key if key is not None else fingerprint(text_col)
+    tagged = df.withColumn("__lsk", k)
+    out = hash_split(tagged, "__lsk", fractions, seed=seed, output=output)
+    return out.drop("__lsk")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

@@ -117,6 +117,46 @@ def test_weighted_sample_global_no_window_single_partition(spark):
     assert [r.id for r in weighted_hash_sample(df2, "id", "w", 5).collect()] == [3]
 
 
+class TestLeakageSafeSplit:
+    def test_duplicates_share_split(self, spark):
+        # byte-identical and token-permuted duplicates all land together
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["alpha beta gamma", "alpha beta gamma", "gamma beta alpha",
+             "some other doc entirely", "some other doc entirely"]
+            + [f"unique doc number {i} with words" for i in range(200)])]
+        df = spark.createDataFrame(rows)
+        out = S.leakage_safe_split(df, "text", {"train": 0.5, "valid": 0.25,
+                                                "test": 0.25})
+        got = {r.doc_id: r.split for r in out.collect()}
+        assert got[0] == got[1] == got[2]  # permuted token set too
+        assert got[3] == got[4]
+
+    def test_no_shuffle_in_plan(self, spark):
+        rows = [Row(doc_id=i, text=f"doc {i}") for i in range(50)]
+        df = spark.createDataFrame(rows)
+        out = S.leakage_safe_split(df, "text", {"train": 0.9, "test": 0.1})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure map-side assignment
+
+    def test_custom_key_column(self, spark):
+        rows = [Row(doc_id=i, text=f"t{i}", cluster=i % 7) for i in range(300)]
+        df = spark.createDataFrame(rows)
+        out = S.leakage_safe_split(df, "text", {"train": 0.6, "test": 0.4},
+                                   key=F.col("cluster"))
+        per_cluster = out.groupBy("cluster").agg(
+            F.count_distinct("split").alias("n")).collect()
+        assert all(r.n == 1 for r in per_cluster)
+
+    def test_deterministic_and_layout_independent(self, spark):
+        rows = [Row(doc_id=i, text=f"words {i} here") for i in range(400)]
+        df = spark.createDataFrame(rows)
+        a = sorted(map(tuple, S.leakage_safe_split(
+            df, "text", {"train": 0.8, "test": 0.2}).collect()))
+        b = sorted(map(tuple, S.leakage_safe_split(
+            df.repartition(11), "text", {"train": 0.8, "test": 0.2}).collect()))
+        assert a == b
+
+
 class TestMixSources:
     def test_composition_matches_weights(self, spark, sf_dir):
         from druid_hadoop_utils_spark.operators.sampling import mix_sources
