@@ -203,6 +203,52 @@ def kmeans_centroids(
     return centroids
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> np.ndarray:
+    """Distributed Lloyd's refinement over the FULL corpus: the driver
+    sample that seeds ``kmeans_centroids`` stops being representative when
+    the corpus is 100 TB and the sample is 4096 rows — a couple of
+    full-data iterations fix the centroids where the mass actually is.
+
+    Each iteration is one distributed job: map-side nearest-centroid
+    assignment (one numpy matmul per Arrow batch), then per-(cell, dim)
+    partial sums — posexplode feeds a hash aggregate whose map-side
+    combine reduces every partition to ≤ n_cells × dim rows before the
+    shuffle, so the exchange and the driver collect are O(n_cells × dim)
+    regardless of corpus size. Empty cells keep their previous centroid
+    (standard Lloyd's convention). Spherical k-means: vectors and the
+    resulting means are L2-normalized.
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = cent.shape
+    for _ in range(iterations):
+        assign = _cell_assign_udf(cent, 1)
+        stats = (
+            corpus.select(
+                F.explode(assign(F.col(vec_col))).alias("__cell"),
+                normalize(F.col(vec_col)).alias("__nv"),
+            )
+            .select("__cell", F.posexplode("__nv").alias("__pos", "__x"))
+            .groupBy("__cell", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            .collect()
+        )
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells)
+        for r in stats:
+            sums[r["__cell"], r["__pos"]] = r["__s"]
+            counts[r["__cell"]] = r["__n"]
+        new = cent.copy()
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
 def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
     """Top-``nprobe`` nearest centroid ids per vector — one numpy matmul
     per Arrow batch."""
@@ -422,8 +468,15 @@ def train_ann_index(
     seed: int = 42,
     corpus_version: str | None = None,
     residual: bool = False,
+    refine_iters: int = 0,
 ) -> dict:
     """Train the ANN index ONCE and return a small persistable artifact.
+
+    ``refine_iters > 0`` runs that many distributed full-corpus Lloyd's
+    iterations (``refine_centroids``) after the sample-seeded k-means —
+    at 100 TB the 4096-row driver sample only sketches the density, and
+    index build is exactly the place to spend full scans so query time
+    never has to.
 
     ``residual=True`` trains the PQ codebooks on IVF residuals
     (``v − centroid[cell]``) — Jégou et al.'s IVFADC — and stamps the
@@ -447,6 +500,10 @@ def train_ann_index(
     centroids = kmeans_centroids(
         corpus, vec_col, n_cells, iterations=iterations, sample=sample, seed=seed
     )
+    if refine_iters > 0:
+        centroids = refine_centroids(
+            corpus, centroids, vec_col, iterations=refine_iters
+        )
     index: dict = {
         "format": ANN_INDEX_FORMAT,
         "n_cells": n_cells,

@@ -449,3 +449,82 @@ def test_residual_pq_prod_recall_floor_and_artifact(spark, sf_dir, tmp_path):
     assert len(by_q) == 5 and all(len(v) == 5 for v in by_q.values())
     recall = len(exact & {(r.query_id, r.neighbor_id) for r in prod}) / len(exact)
     assert recall >= 0.5, recall
+
+
+def _clustered_df(spark, n=2000, n_centers=16, dim=64, noise=0.05, seed=11):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.randint(0, n_centers, n)] \
+        + noise * rng.standard_normal((n, dim))
+    return pts, spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(pts)],
+        "vec_id: long, embedding: array<double>")
+
+
+def _spherical_objective(pts, cents):
+    import numpy as np
+
+    mat = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    return (mat @ cents.T).max(axis=1).mean()
+
+
+def test_refine_centroids_improves_objective_on_full_corpus(spark):
+    """A tiny driver sample mis-places centroids; full-corpus Lloyd's
+    iterations must raise the spherical k-means objective (mean cosine to
+    the assigned centroid) on the WHOLE dataset."""
+    pts, df = _clustered_df(spark)
+    seeded = S.kmeans_centroids(df, n_cells=16, sample=64, iterations=2)
+    refined = S.refine_centroids(df, seeded, iterations=3)
+    before = _spherical_objective(pts, seeded)
+    after = _spherical_objective(pts, refined)
+    assert after > before + 1e-4, (before, after)
+    # refined centroids stay unit-norm
+    import numpy as np
+    assert np.allclose(np.linalg.norm(refined, axis=1), 1.0)
+
+
+def test_refine_centroids_layout_independent(spark):
+    import numpy as np
+
+    pts, df = _clustered_df(spark, n=800)
+    seeded = S.kmeans_centroids(df, n_cells=8, sample=256)
+    a = S.refine_centroids(df, seeded, iterations=2)
+    b = S.refine_centroids(df.repartition(13), seeded, iterations=2)
+    assert np.allclose(a, b, atol=1e-9)
+
+
+def test_refine_centroids_empty_cells_keep_previous(spark):
+    """A centroid no vector maps to must survive unchanged (standard
+    Lloyd's convention) rather than collapsing to zero."""
+    import numpy as np
+
+    pts, df = _clustered_df(spark, n=300, n_centers=2, dim=8)
+    # plant one far-away centroid that will own no points
+    seeded = S.kmeans_centroids(df, n_cells=2, sample=128)
+    orphan = -seeded[0] * 0.0
+    orphan[0] = 1e-6  # direction that matches nothing strongly
+    cents = np.vstack([seeded, orphan / np.linalg.norm(orphan)])
+    refined = S.refine_centroids(df, cents, iterations=1)
+    # every refined row is finite and unit-norm; orphan either kept or
+    # unchanged — never NaN/zero
+    assert np.all(np.isfinite(refined))
+    assert np.allclose(np.linalg.norm(refined, axis=1), 1.0)
+
+
+def test_train_ann_index_refine_iters_wired(spark):
+    import numpy as np
+
+    pts, df = _clustered_df(spark, n=600)
+    base = S.train_ann_index(df, n_cells=8, sample=64)
+    ref = S.train_ann_index(df, n_cells=8, sample=64, refine_iters=2)
+    assert not np.allclose(base["centroids"], ref["centroids"])
+    # exhaustive probe stays exact regardless of centroid quality
+    q = df.limit(3)
+    exact = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(
+        df, q, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(
+        df, q, k=3, nprobe=8, index=ref).collect()}
+    assert got == exact
