@@ -135,6 +135,33 @@ ANNOTATED = {
         "assign, query probe), one Exchange on the cell id against the "
         "broadcast query side, then the window top-k."
     ),
+    "q_tpch_q21_suppliers_kept_waiting": (
+        "TPC-H Q21 with the EXISTS/NOT EXISTS pair decorrelated into two "
+        "per-order distinct-supplier counts: both counts are two-phase "
+        "hash aggregates partitioned on orderkey (Spark's standard "
+        "two-Exchange count-distinct expansion), the lateness predicate "
+        "rides as a join residual on the orderkey equi-join, o_orderstatus "
+        "and n_regionkey push to the parquet scans, and every scan reads "
+        "only 2-3 columns. At this SF the count-distinct branches "
+        "broadcast back; at 100 TB they become sort-merge joins reusing "
+        "the same orderkey partitioning as the probe side — no correlated "
+        "per-row subquery at any scale."
+    ),
+    "q_tpch_q15_top_supplier": (
+        "TPC-H Q15: the quarter's per-supplier revenue is ONE two-phase "
+        "hash aggregate over the pushed-down shipdate slice; the scalar "
+        "max is a 1-row BroadcastExchange joined back on exact-DECIMAL "
+        "equality (argmax ties keep every winner), and the 100-row "
+        "supplier side broadcasts. No global sort of the revenue table, "
+        "no second lineitem scan."
+    ),
+    "q_leakage_safe_split": (
+        "Leakage-safe split: the whole assignment — tokenize, fingerprint, "
+        "md5 bucket, CASE — is one WholeStageCodegen Project over the "
+        "scan. No Exchange anywhere: group cohesion comes from hashing "
+        "the content key itself, not from electing a representative, so "
+        "the operator costs a map pass regardless of corpus size."
+    ),
     "q_pack_documents": (
         "Sequence packing as a DISTRIBUTED prefix sum: the per-ROW "
         "cumulative Window partitions by the hash bucket (parallel across "
