@@ -957,6 +957,34 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_text_lm_score",
+    """WITH toks AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+         FROM documents),
+       bg AS (
+         SELECT doc_id, u.bg[1] AS prev, u.bg[2] AS cur
+         FROM toks, unnest(list_zip(list_slice(arr, 1, len(arr) - 1),
+                                    list_slice(arr, 2, len(arr)))) AS u(bg)
+         WHERE len(arr) >= 2),
+       cbg AS (SELECT prev, cur, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       cctx AS (SELECT prev, sum(cbg) AS cctx FROM cbg GROUP BY 1),
+       v AS (SELECT count(*) AS v FROM cctx)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(ln((cbg + 0.5) / (cctx + 0.5 * v.v))), 4) AS avg_logp
+       FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev), v
+       GROUP BY doc_id""",
+)
+def q_text_lm_score(spark, sf_dir):
+    # corpus-as-its-own-LM quality score: additive-smoothing bigram model
+    # trained and applied in one pipeline, every stage reproduced by the
+    # SQL oracle (counts, vocabulary, per-doc mean log-probability)
+    docs = _t(spark, sf_dir, "documents")
+    return TX.lm_score(docs)
+
+
+@register(
     "q_text_tfidf_topk",
     """WITH toks AS (
          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
@@ -3011,7 +3039,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q12_priority_lines", "q_tpch_q15_top_supplier",
     "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
-    "q_leakage_safe_split",
+    "q_leakage_safe_split", "q_text_lm_score",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

@@ -368,3 +368,68 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
         feats["avg_token_len"].alias("avg_token_len"),
         feats["nonalpha_ratio"].alias("nonalpha_ratio"),
     )
+
+
+def bigrams(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Per-document token bigrams as (id, prev, cur) rows. The pairing is
+    a single codegen expression — transform over the sliced token array,
+    no window, no per-doc shuffle — then one explode. Documents with
+    fewer than two tokens contribute nothing."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    pairs = F.expr(
+        "transform(slice(__toks, 1, size(__toks) - 1), "
+        "(x, i) -> struct(x AS prev, __toks[i + 1] AS cur))"
+    )
+    return (
+        t.where(F.size("__toks") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(F.col(id_col), F.col("__bg.prev").alias("prev"),
+                F.col("__bg.cur").alias("cur"))
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic "perplexity filter" of training-data pipelines (docs whose
+    token transitions are improbable under the corpus' own statistics are
+    boilerplate, gibberish, or the wrong language), without any external
+    LM: the corpus is its own model.
+
+    Model: additive-smoothing bigram LM trained on the full input.
+    score(doc) = mean over its bigrams of
+    ``ln((c(prev,cur) + alpha) / (c(prev) + alpha·V))`` where V is the
+    context vocabulary size. Higher (less negative) = more typical text.
+
+    Plan shape at scale: bigram counts are ONE two-phase hash aggregate on
+    (prev, cur); context counts aggregate FROM the bigram counts (never a
+    second pass over the data); the count tables join each other on prev
+    (both ≈ vocabulary-sized), and the doc bigram stream meets the merged
+    counts in ONE shuffle join on (prev, cur). The vocabulary scalar is a
+    1-row broadcast. Returns (id, n_bigrams, avg_logp).
+    """
+    if alpha <= 0:
+        raise ValueError(f"lm_score: alpha must be positive: {alpha}")
+    bg = bigrams(df, id_col, text_col)
+    cbg = bg.groupBy("prev", "cur").agg(F.count("*").alias("__cbg"))
+    cctx = cbg.groupBy("prev").agg(F.sum("__cbg").alias("__cctx"))
+    vocab = cctx.agg(F.count("*").alias("__v"))
+    counts = cbg.join(cctx, "prev")
+    logp = F.log(
+        (F.col("__cbg") + F.lit(alpha))
+        / (F.col("__cctx") + F.lit(alpha) * F.col("__v"))
+    )
+    return (
+        bg.join(counts, ["prev", "cur"])
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+    )

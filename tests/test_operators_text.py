@@ -227,3 +227,42 @@ def test_redact_text_and_counts(spark):
     assert (out[2].u, out[2].e, out[2].n) == (0, 0, 0)
     # no scheme match, no TLD match: untouched
     assert out[3].red == "ftp://not-matched and user@localhost (no tld)"
+
+
+class TestLmScore:
+    def test_bigrams_pairs_and_short_docs(self, spark):
+        from druid_hadoop_utils_spark.operators.text import bigrams
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="solo"),
+            Row(doc_id=3, text=""),
+        ])
+        got = {(r.doc_id, r.prev, r.cur) for r in bigrams(df).collect()}
+        assert got == {(1, "a", "b"), (1, "b", "c")}
+
+    def test_typical_text_scores_above_gibberish(self, spark):
+        from druid_hadoop_utils_spark.operators.text import lm_score
+
+        rows = [Row(doc_id=i, text="the cat sat on the mat " * 3)
+                for i in range(20)]
+        rows.append(Row(doc_id=99, text="zqx vvk jjw qqp zzt xxo"))
+        df = spark.createDataFrame(rows)
+        scores = {r.doc_id: r.avg_logp for r in lm_score(df).collect()}
+        typical = scores[0]
+        gib = scores[99]
+        assert typical > gib + 1.0, (typical, gib)
+
+    def test_n_bigrams_counted(self, spark):
+        from druid_hadoop_utils_spark.operators.text import lm_score
+
+        df = spark.createDataFrame([Row(doc_id=1, text="w x y z")])
+        row = lm_score(df).collect()[0]
+        assert row.n_bigrams == 3
+
+    def test_alpha_validation(self, spark):
+        from druid_hadoop_utils_spark.operators.text import lm_score
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+        with pytest.raises(ValueError, match="alpha"):
+            lm_score(df, alpha=0.0)
