@@ -957,6 +957,37 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_incremental_dedup",
+    """WITH fp AS (
+         SELECT doc_id, source,
+                md5(array_to_string(list_sort(list_distinct(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+                  AS f
+         FROM documents),
+       seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 300),
+       batch AS (SELECT doc_id, source, f FROM fp WHERE doc_id >= 300)
+       SELECT doc_id, source FROM batch
+       WHERE f NOT IN (SELECT f FROM seen)
+       QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1""",
+)
+def q_incremental_dedup(spark, sf_dir):
+    # cross-snapshot dedup: the "seen" corpus persists only a fingerprint
+    # manifest; the new batch anti-joins it, then first-wins within the
+    # batch on the same key — the every-crawl-increment pipeline shape
+    from druid_hadoop_utils_spark.operators.dedup import (
+        fingerprint_manifest,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 300)
+    batch = docs.where(F.col("doc_id") >= 300)
+    manifest = fingerprint_manifest(seen)
+    return incremental_dedup(batch, manifest, "doc_id").select(
+        "doc_id", "source")
+
+
+@register(
     "q_text_lm_score",
     """WITH toks AS (
          SELECT doc_id,
@@ -3039,7 +3070,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q12_priority_lines", "q_tpch_q15_top_supplier",
     "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
-    "q_leakage_safe_split", "q_text_lm_score",
+    "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

@@ -511,3 +511,62 @@ def simhash_candidate_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# -------------------------------------------------- incremental (snapshots)
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Cross-snapshot dedup: from a NEW batch, keep only documents whose
+    content was neither seen in the existing corpus nor duplicated
+    earlier in the batch itself (first-wins by ``id_col``) — the
+    every-crawl-increment shape of a training-data pipeline, where
+    re-deduplicating the full corpus per ingest would be quadratic in
+    snapshots.
+
+    ``seen_df`` is the existing corpus — or, the scale path, a persisted
+    FINGERPRINT MANIFEST (``fingerprint_manifest`` of previous batches):
+    the anti-join then streams a one-column table instead of re-reading
+    full documents. The content key defaults to the token-set fingerprint
+    (``text.fingerprint``); pass ``key`` for a custom one.
+
+    Plan shape: both sides reduce to their content key map-side; one
+    LeftAnti hash join on the key (AQE broadcasts a small manifest), then
+    the in-batch first-wins window on the same key — which reuses the
+    anti-join's partitioning, so the whole operator is ONE exchange of
+    the new batch at scale.
+    """
+    from druid_hadoop_utils_spark.operators.text import fingerprint
+
+    k = key if key is not None else fingerprint(text_col)
+    seen_keys = (
+        seen_df.select(F.col("fp").alias("__fp"))
+        if "fp" in seen_df.columns and text_col not in seen_df.columns
+        else seen_df.select(
+            (key if key is not None else fingerprint(text_col)).alias("__fp"))
+    )
+    tagged = new_df.withColumn("__fp", k)
+    fresh = tagged.join(seen_keys, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def fingerprint_manifest(
+    df: DataFrame, text_col: str = "text", key: Column | None = None
+) -> DataFrame:
+    """The distinct content keys of a corpus as a one-column ``fp`` table
+    — persist this beside the segments after each ingest and feed it to
+    ``incremental_dedup`` so later batches never re-scan earlier text."""
+    from druid_hadoop_utils_spark.operators.text import fingerprint
+
+    k = key if key is not None else fingerprint(text_col)
+    return df.select(k.alias("fp")).distinct()

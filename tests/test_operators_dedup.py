@@ -193,3 +193,60 @@ def test_simhash_deterministic(docs):
     a = docs.select(D.simhash(D.tokens("text")).alias("s")).collect()
     b = docs.select(D.simhash(D.tokens("text")).alias("s")).collect()
     assert [r.s for r in a] == [r.s for r in b]
+
+
+class TestIncrementalDedup:
+    def _dfs(self, spark):
+        seen = spark.createDataFrame([
+            Row(doc_id=1, text="old news here"),
+            Row(doc_id=2, text="evergreen content"),
+        ])
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="old news here"),       # dup of corpus
+            Row(doc_id=11, text="brand new thing"),
+            Row(doc_id=12, text="brand new thing"),     # in-batch dup
+            Row(doc_id=13, text="another fresh doc"),
+            Row(doc_id=14, text="news old here"),       # token-set dup of 10
+        ])
+        return seen, batch
+
+    def test_cross_and_in_batch_dups_removed(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import incremental_dedup
+
+        seen, batch = self._dfs(spark)
+        kept = sorted(r.doc_id for r in
+                      incremental_dedup(batch, seen, "doc_id").collect())
+        # 10 and 14 collide with the corpus fingerprint; 12 loses to 11
+        assert kept == [11, 13]
+
+    def test_manifest_equals_full_corpus_path(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import (
+            fingerprint_manifest,
+            incremental_dedup,
+        )
+
+        seen, batch = self._dfs(spark)
+        a = sorted(r.doc_id for r in
+                   incremental_dedup(batch, seen, "doc_id").collect())
+        b = sorted(r.doc_id for r in incremental_dedup(
+            batch, fingerprint_manifest(seen), "doc_id").collect())
+        assert a == b
+
+    def test_output_keeps_input_columns(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import incremental_dedup
+
+        seen, batch = self._dfs(spark)
+        out = incremental_dedup(batch, seen, "doc_id")
+        assert set(out.columns) == {"doc_id", "text"}
+
+    def test_custom_key(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import incremental_dedup
+
+        seen = spark.createDataFrame([Row(doc_id=1, text="x", url="a.com/p")])
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="y", url="a.com/p"),
+            Row(doc_id=11, text="z", url="b.com/q"),
+        ])
+        kept = sorted(r.doc_id for r in incremental_dedup(
+            batch, seen, "doc_id", key=F.col("url")).collect())
+        assert kept == [11]
