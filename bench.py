@@ -64,6 +64,10 @@ HEADLINE = [
     "q_similarity_pq_topk_prod",
     "q_mix_sources",
     "q_pack_documents",
+    "q_tpch_q21_suppliers_kept_waiting",
+    "q_text_lm_score",
+    "q_incremental_dedup",
+    "q_leakage_safe_split",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -2,13 +2,15 @@
 (SURVEY.md §7.3 M8) on the real documents/embeddings corpus:
 
     raw documents
+      → incremental dedup against the previous snapshot's
+        fingerprint manifest (only genuinely new content proceeds)
       → text analysis (tokens / language / quality features)
-      → quality gate
+      → quality gate + corpus-trained bigram LM score filter
       → exact dedup (hash groupBy)
       → MinHash-LSH near-dup CLUSTER removal (connected components,
         keep one doc per cluster)
       → embedding near-dup pruning (cosine threshold)
-      → deterministic train/valid/test hash split
+      → leakage-safe (content-keyed) train/valid/test split
       → clean corpus + summary stats
 
 Every stage is a DataFrame transform built for 100 TB: no driver-side
@@ -37,13 +39,24 @@ def main() -> None:
     spark = get_spark("training-pipeline-example")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = load_table(spark, sf_dir, "documents")
+    all_docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+
+    # 0. incremental ingest: docs < 300 stand in for the PREVIOUS
+    #    snapshot — its persisted fingerprint manifest is all the new
+    #    batch ever reads of it (never the old text)
+    manifest = D.fingerprint_manifest(all_docs.where(F.col("doc_id") < 300))
+    docs = D.incremental_dedup(
+        all_docs.where(F.col("doc_id") >= 300), manifest, "doc_id")
     n0 = docs.count()
 
-    # 1. analyze + quality gate
+    # 1. analyze + quality gate + LM-score filter (corpus as its own
+    #    language model: drop the least-typical tail)
     analyzed = T.with_text_analysis(docs)
-    kept = analyzed.where(F.col("quality_keep") == 1)
+    lm = T.lm_score(docs)
+    cut = lm.approxQuantile("avg_logp", [0.05], 0.001)[0]
+    kept = (analyzed.join(lm.select("doc_id", "avg_logp"), "doc_id")
+            .where((F.col("quality_keep") == 1) & (F.col("avg_logp") >= cut)))
     n1 = kept.count()
 
     # 2. exact dedup on normalized text
@@ -71,9 +84,12 @@ def main() -> None:
                         {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.15})
     n5 = mixed.count()
 
-    # 6. deterministic, layout-independent train/valid/test assignment
-    split = hash_split(mixed, "doc_id",
-                       {"train": 0.9, "valid": 0.05, "test": 0.05})
+    # 6. leakage-safe split: assignment keyed on the CONTENT fingerprint,
+    #    so any surviving duplicate pair can never straddle train/test
+    from druid_hadoop_utils_spark.operators.sampling import leakage_safe_split
+
+    split = leakage_safe_split(mixed, "text",
+                               {"train": 0.9, "valid": 0.05, "test": 0.05})
 
     # 7. sequence packing: assign the train split to fixed-token-budget
     #    packs (distributed prefix sum — no single-partition window)
@@ -94,7 +110,8 @@ def main() -> None:
     )
     stats.orderBy("split", F.desc("docs")).show()
     print(
-        f"pipeline: {n0} raw -> {n1} quality-kept -> {n2} exact-deduped "
+        f"pipeline: {n0} new-after-incremental -> {n1} quality+LM-kept "
+        f"-> {n2} exact-deduped "
         f"-> {n3} cluster-deduped -> {n4} embedding-pruned -> "
         f"{n5} mixture-weighted -> {fill.packs} train packs "
         f"(avg fill {fill.avg_fill})"
