@@ -957,6 +957,28 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_cap_per_group",
+    """WITH b AS (
+         SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                      1, 15)) AS BIGINT) % 1000000 AS bk
+         FROM documents)
+       SELECT doc_id, lang FROM b
+       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bk, doc_id)
+               <= 30""",
+)
+def q_cap_per_group(spark, sf_dir):
+    # per-group quota (crawl balancing: at most N docs per language) —
+    # WindowGroupLimit prunes per-partition before the one group shuffle;
+    # selection is the deterministic hash order the oracle recomputes
+    from druid_hadoop_utils_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "doc_id", ["lang"], 30).select(
+        "doc_id", "lang")
+
+
+@register(
     "q_incremental_dedup",
     """WITH fp AS (
          SELECT doc_id, source,
@@ -3071,6 +3093,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
     "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
+    "q_cap_per_group",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

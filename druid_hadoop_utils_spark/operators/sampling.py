@@ -222,3 +222,33 @@ def stratified_hash_sample(
         else F.lit(int(default_fraction * _BUCKETS))
     )
     return df.where(bucket < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    n: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-group quota: keep at most ``n`` rows per group, chosen by the
+    deterministic hash order (layout-independent, rerun-stable, nested —
+    a larger ``n`` keeps a superset). The crawl-balancing step that stops
+    one domain/source from dominating a corpus.
+
+    One shuffle on the group key; Spark's WindowGroupLimit prunes each
+    partition to its top-n BEFORE the exchange, so the shuffle moves at
+    most n × partitions rows per group no matter how skewed the group is.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"cap_per_group: n must be positive: {n}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        sample_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

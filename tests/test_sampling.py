@@ -258,3 +258,37 @@ class TestPackDocuments:
             pack_documents(docs, "doc_id", "n_chars", 0)
         with pytest.raises(ValueError, match="n_buckets"):
             pack_documents(docs, "doc_id", "n_chars", 100, n_buckets=0)
+
+
+class TestCapPerGroup:
+    def test_cap_and_nesting(self, spark):
+        rows = [Row(doc_id=i, grp="a" if i % 3 else "b") for i in range(300)]
+        df = spark.createDataFrame(rows)
+        small = S.cap_per_group(df, "doc_id", ["grp"], 10)
+        big = S.cap_per_group(df, "doc_id", ["grp"], 25)
+        counts = {r.grp: r.n for r in small.groupBy("grp").agg(
+            F.count("*").alias("n")).collect()}
+        assert all(v == 10 for v in counts.values())
+        # nested: larger cap keeps a superset
+        s_ids = {r.doc_id for r in small.collect()}
+        b_ids = {r.doc_id for r in big.collect()}
+        assert s_ids <= b_ids
+
+    def test_layout_independent(self, spark):
+        rows = [Row(doc_id=i, grp=str(i % 5)) for i in range(200)]
+        df = spark.createDataFrame(rows)
+        a = sorted(r.doc_id for r in S.cap_per_group(
+            df, "doc_id", ["grp"], 7).collect())
+        b = sorted(r.doc_id for r in S.cap_per_group(
+            df.repartition(17), "doc_id", ["grp"], 7).collect())
+        assert a == b
+
+    def test_groups_below_cap_untouched(self, spark):
+        rows = [Row(doc_id=i, grp="x") for i in range(5)]
+        df = spark.createDataFrame(rows)
+        assert S.cap_per_group(df, "doc_id", ["grp"], 100).count() == 5
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, grp="x")])
+        with pytest.raises(ValueError, match="n must be positive"):
+            S.cap_per_group(df, "doc_id", ["grp"], 0)
