@@ -805,3 +805,49 @@ def ivfpq_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map vectors to ``out_dim``
+    dimensions through a fixed Gaussian matrix scaled by 1/sqrt(out_dim),
+    preserving pairwise distances within the JL distortion bound. The
+    dimensionality lever for billion-vector pipelines: shrink embeddings
+    BEFORE shuffling/storing them (LSH signatures, cluster assignment,
+    near-dup scans all work on the projected vectors at a fraction of the
+    I/O).
+
+    The matrix is a deterministic function of (seed, dim, out_dim) — tiny,
+    rides as a closure, identical on every executor and every rerun — so
+    projected corpora from different jobs remain comparable (values agree
+    to the last ulp of the batched BLAS matmul; Arrow batch boundaries can
+    flip that final bit, which no downstream approximate op can observe).
+    Projection is one numpy matmul per Arrow batch (no per-row Python).
+    ``dim`` is inferred from one row when not given (a bounded driver
+    lookup; pass it explicitly in pipelines that must not touch the data
+    early).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if out_dim <= 0:
+        raise ValueError(f"random_projection: out_dim must be positive: {out_dim}")
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if row is None:
+            raise ValueError("random_projection: empty input and no dim given")
+        dim = int(row["n"])
+    rng = np.random.RandomState(seed)
+    proj = rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
+
+    @pandas_udf("array<double>")
+    def project(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(mat @ proj))
+
+    return df.withColumn(out_col or vec_col, project(F.col(vec_col)))

@@ -528,3 +528,63 @@ def test_train_ann_index_refine_iters_wired(spark):
     got = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(
         df, q, k=3, nprobe=8, index=ref).collect()}
     assert got == exact
+
+
+class TestRandomProjection:
+    def test_deterministic_and_layout_independent(self, spark):
+        import numpy as np
+
+        _, df = _clustered_df(spark, n=300, dim=64)
+        a = {r.vec_id: np.array(r.embedding) for r in
+             S.random_projection(df, out_dim=16).collect()}
+        b = {r.vec_id: np.array(r.embedding) for r in
+             S.random_projection(df.repartition(7), out_dim=16).collect()}
+        # same projection matrix on every layout; values equal up to the
+        # last-ulp associativity of the batched BLAS matmul
+        assert all(np.allclose(a[k], b[k], atol=1e-12) for k in a)
+        assert all(len(v) == 16 for v in a.values())
+
+    def test_jl_preserves_pairwise_distances(self, spark):
+        """JL bound: projecting 128 → 48 dims keeps pairwise distances
+        within a loose relative distortion for a small point set."""
+        import numpy as np
+
+        pts, df = _clustered_df(spark, n=40, n_centers=8, dim=128, noise=0.2)
+        out = {r.vec_id: np.array(r.embedding) for r in
+               S.random_projection(df, out_dim=48).collect()}
+        ratios = []
+        for i in range(0, 40, 3):
+            for j in range(i + 1, 40, 5):
+                d0 = np.linalg.norm(pts[i] - pts[j])
+                d1 = np.linalg.norm(out[i] - out[j])
+                if d0 > 1e-9:
+                    ratios.append(d1 / d0)
+        ratios = np.array(ratios)
+        assert 0.5 < ratios.min() and ratios.max() < 1.7, (
+            ratios.min(), ratios.max())
+
+    def test_out_col_and_validation(self, spark):
+        _, df = _clustered_df(spark, n=20, dim=16)
+        out = S.random_projection(df, out_dim=4, out_col="proj")
+        assert set(out.columns) == {"vec_id", "embedding", "proj"}
+        with pytest.raises(ValueError, match="out_dim"):
+            S.random_projection(df, out_dim=0)
+
+    def test_topk_on_projection_preserves_cluster_structure(self, spark):
+        """Neighbor STRUCTURE survives projection: within a cluster the
+        exact top-k ordering is near-tied (noise-rank sensitive), so the
+        stable property is that projected top-k neighbors still come from
+        the query's own cluster."""
+        import numpy as np
+
+        pts, df = _clustered_df(spark, n=300, n_centers=6, dim=64, noise=0.05)
+        mat = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        # recover each point's cluster from the data itself
+        cents = S.kmeans_centroids(df, n_cells=6, sample=300)
+        cluster = np.argmax(mat @ cents.T, axis=1)
+        q = df.limit(5)
+        proj = S.random_projection(df, out_dim=32)
+        qp = S.random_projection(q, out_dim=32)
+        approx = S.brute_force_topk(proj, qp, k=10).collect()
+        same = [cluster[r.query_id] == cluster[r.neighbor_id] for r in approx]
+        assert sum(same) / len(same) >= 0.8, sum(same) / len(same)
