@@ -54,6 +54,7 @@ def publish_segments(
     files_per_bucket: int = 1,
     sort_by: list[str] | None = None,
     shards_per_bucket: int = 1,
+    zorder: list[str] | None = None,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -70,11 +71,18 @@ def publish_segments(
     flips atomically — readers never see a partially-announced version
     (``register_manifest_group``). ``files_per_bucket`` then bounds files
     per SHARD.
+
+    ``zorder`` clusters rows within each file on the Morton curve of the
+    given columns (``sources/layout.zorder_key``) so parquet row-group
+    stats prune on EVERY keyed dimension, not just the leading column of
+    a lexicographic ``sort_by`` — mutually exclusive with ``sort_by``.
     """
     if bucket not in {"HOUR", "DAY", "MONTH"}:
         raise ValueError(f"unsupported ingest bucket: {bucket!r} (HOUR/DAY/MONTH)")
     if shards_per_bucket < 1:
         raise ValueError(f"shards_per_bucket must be >= 1: {shards_per_bucket}")
+    if zorder and sort_by:
+        raise ValueError("publish_segments: pass sort_by OR zorder, not both")
 
     if time_column != "__time":
         df = df.withColumnRenamed(time_column, "__time")
@@ -107,6 +115,14 @@ def publish_segments(
         # writer's own required ordering is already satisfied and it won't
         # re-sort.
         bucketed = bucketed.sortWithinPartitions(*part_cols, *sort_by)
+    if zorder:
+        from druid_hadoop_utils_spark.sources.layout import zorder_key
+
+        bucketed = (
+            bucketed.withColumn("__zorder", zorder_key(df, zorder))
+            .sortWithinPartitions(*part_cols, "__zorder")
+            .drop("__zorder")
+        )
 
     staging = os.path.join(table_root, data_source, f"_staging_{version}")
     bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
