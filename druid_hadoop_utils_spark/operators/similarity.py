@@ -224,6 +224,11 @@ def refine_centroids(
     resulting means are L2-normalized.
     """
     cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim != 2:
+        raise ValueError(
+            f"refine_centroids: centroids must be 2-D (n_cells × dim), "
+            f"got shape {cent.shape}"
+        )
     n_cells, dim = cent.shape
     for _ in range(iterations):
         assign = _cell_assign_udf(cent, 1)

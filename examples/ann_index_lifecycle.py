@@ -40,9 +40,12 @@ def main() -> None:
     publish_segments(emb, root, "emb", version="v1", time_column="ts",
                      bucket="DAY")
 
-    # 2. train once, persist beside _segments/ (timeline-stamped)
+    # 2. train once, persist beside _segments/ (timeline-stamped);
+    #    refine_iters runs distributed full-corpus Lloyd's passes after
+    #    the sample-seeded k-means — publish time is where full scans
+    #    belong, so query time never pays them
     path = S.publish_ann_index(spark, root, "emb", spec=SPEC,
-                               n_cells=16, m=8, ks=16)
+                               n_cells=16, m=8, ks=16, refine_iters=1)
     print(f"index artifact: {path}")
 
     # 3. query time: load the artifact, run distributed-only ANN
@@ -54,8 +57,8 @@ def main() -> None:
                index=idx).show()
 
     # 4. the corpus changes -> the old artifact refuses to load
-    publish_segments(emb.limit(10), root, "emb", version="v2",
-                     time_column="ts", bucket="DAY")
+    publish_segments(emb.where(F.col("vec_id") % 2 == 0), root, "emb",
+                     version="v2", time_column="ts", bucket="DAY")
     try:
         S.load_published_ann_index(root, "emb")
         raise AssertionError("stale index should have been refused")
