@@ -250,3 +250,58 @@ def streaming_dedup(
         first_only, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return deduped.drop("__key")
+
+
+def streaming_cap_per_group(
+    events: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Cross-micro-batch per-key quota: emit at most ``n`` rows EVER per
+    key — the streaming twin of ``operators.sampling.cap_per_group`` for
+    ingest-side crawl balancing (stop admitting a domain/source once its
+    lifetime budget is spent, without re-scanning history).
+
+    State per key is one counter (O(distinct keys), checkpointed,
+    restart-safe). Selection is arrival order (within a batch, ascending
+    ``order_col`` when given) — a stream can't use the batch operator's
+    corpus-wide hash order, which is the documented semantic difference.
+    Output mode: ``append``.
+    """
+    from pyspark.sql import functions as F
+
+    if n <= 0:
+        raise ValueError(f"streaming_cap_per_group: n must be positive: {n}")
+    key_hash = F.md5(F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]
+    ))
+    tagged = events.withColumn("__key", key_hash)
+    out_schema = tagged.schema
+    state_schema = StructType([StructField("taken", LongType())])
+
+    def take_up_to(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        taken = state.get[0] if state.exists else 0
+        if taken >= n:
+            for _ in batches:
+                pass
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col)
+            room = n - taken
+            if room <= 0:
+                continue
+            out = pdf.iloc[:room]
+            taken += len(out)
+            yield out
+        state.update((taken,))
+
+    capped = tagged.groupBy("__key").applyInPandasWithState(
+        take_up_to, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return capped.drop("__key")

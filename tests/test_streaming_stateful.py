@@ -240,3 +240,58 @@ def test_streaming_quantiles_state_survives_restart(spark, tmp_path):
     assert final["a"].n_values == 6
     assert final["a"].p50 == 30.0 and final["a"].p100 == 60.0
     assert all(r.n_values > 3 for r in rows)  # f1 never re-emitted
+
+
+def test_streaming_cap_per_group_across_batches(spark, tmp_path):
+    """Per-key lifetime quota: admits rows until n is spent, across
+    micro-batch boundaries, never again after."""
+    from druid_hadoop_utils_spark.streaming.stateful import (
+        streaming_cap_per_group,
+    )
+
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 0, i), src_id="a", doc=i) for i in range(3)
+    ] + [Row(ts=datetime(2024, 1, 1, 0, 9), src_id="b", doc=100)])
+    b2 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 1, i), src_id="a", doc=10 + i)
+        for i in range(3)
+    ] + [Row(ts=datetime(2024, 1, 1, 1, 9), src_id="b", doc=101)])
+    b1.write.parquet(src + "/f1")
+    b2.write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_cap_per_group(stream, ["src_id"], n=4, order_col="doc")
+    q = (
+        out.writeStream.format("memory").queryName("cap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM cap_out").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.src_id, []).append(r.doc)
+    # 'a' had 6 candidates over two batches; exactly 4 admitted, in
+    # arrival/order_col order (all of batch 1, first of batch 2)
+    assert sorted(by_key["a"]) == [0, 1, 2, 10]
+    # 'b' never hit its cap
+    assert sorted(by_key["b"]) == [100, 101]
+
+
+def test_streaming_cap_validation(spark):
+    import pytest
+
+    from druid_hadoop_utils_spark.streaming.stateful import (
+        streaming_cap_per_group,
+    )
+
+    df = spark.createDataFrame([Row(k="a", v=1)])
+    with pytest.raises(ValueError, match="positive"):
+        streaming_cap_per_group(df, ["k"], 0)
