@@ -295,3 +295,55 @@ def test_streaming_cap_validation(spark):
     df = spark.createDataFrame([Row(k="a", v=1)])
     with pytest.raises(ValueError, match="positive"):
         streaming_cap_per_group(df, ["k"], 0)
+
+
+def test_streaming_dedup_warm_start_from_batch_manifest(spark, tmp_path):
+    """Bridge batch → stream: a corpus already deduped in batch hands its
+    fingerprint manifest to the stream, which anti-joins each micro-batch
+    against it BEFORE the stateful dedup — so history is never replayed
+    into state, and cross-batch dups within the stream still dedup."""
+    from druid_hadoop_utils_spark.operators.dedup import fingerprint_manifest
+    from druid_hadoop_utils_spark.operators.text import fingerprint
+    from druid_hadoop_utils_spark.streaming.stateful import streaming_dedup
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="seen before"),
+        Row(doc_id=2, text="also known"),
+    ])
+    manifest = fingerprint_manifest(corpus)
+
+    src = str(tmp_path / "in")
+    b1 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 0, 0), doc_id=10, text="seen before"),
+        Row(ts=datetime(2024, 1, 1, 0, 1), doc_id=11, text="fresh one"),
+    ])
+    b2 = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 1, 0), doc_id=12, text="fresh one"),
+        Row(ts=datetime(2024, 1, 1, 1, 1), doc_id=13, text="another fresh"),
+    ])
+    b1.write.parquet(src + "/f1")
+    b2.write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    from pyspark.sql import functions as F
+    fresh = (
+        stream.withColumn("__fp", fingerprint("text"))
+        .join(manifest.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
+        .drop("__fp")
+    )
+    out = streaming_dedup(fresh, ["text"], order_col="doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("warm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    kept = sorted(r.doc_id for r in spark.sql(
+        "SELECT * FROM warm_dedup").collect())
+    # 10 collides with the batch corpus; 12 is a cross-batch stream dup
+    assert kept == [11, 13]
