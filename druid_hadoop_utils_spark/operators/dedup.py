@@ -521,6 +521,7 @@ def incremental_dedup(
     id_col: str,
     text_col: str = "text",
     key: Column | None = None,
+    seen_is_manifest: bool | None = None,
 ) -> DataFrame:
     """Cross-snapshot dedup: from a NEW batch, keep only documents whose
     content was neither seen in the existing corpus nor duplicated
@@ -533,7 +534,11 @@ def incremental_dedup(
     FINGERPRINT MANIFEST (``fingerprint_manifest`` of previous batches):
     the anti-join then streams a one-column table instead of re-reading
     full documents. The content key defaults to the token-set fingerprint
-    (``text.fingerprint``); pass ``key`` for a custom one.
+    (``text.fingerprint``); pass ``key`` for a custom one (build the
+    manifest with the SAME key). A manifest is auto-detected as "has an
+    ``fp`` column and no ``text_col``"; pass ``seen_is_manifest`` to
+    override the heuristic when ``seen_df`` happens to carry a
+    conflicting ``fp`` column.
 
     Plan shape: both sides reduce to their content key map-side; one
     LeftAnti hash join on the key (AQE broadcasts a small manifest), then
@@ -544,11 +549,14 @@ def incremental_dedup(
     from druid_hadoop_utils_spark.operators.text import fingerprint
 
     k = key if key is not None else fingerprint(text_col)
+    if seen_is_manifest is None:
+        seen_is_manifest = (
+            "fp" in seen_df.columns and text_col not in seen_df.columns
+        )
     seen_keys = (
         seen_df.select(F.col("fp").alias("__fp"))
-        if "fp" in seen_df.columns and text_col not in seen_df.columns
-        else seen_df.select(
-            (key if key is not None else fingerprint(text_col)).alias("__fp"))
+        if seen_is_manifest
+        else seen_df.select(k.alias("__fp"))
     )
     tagged = new_df.withColumn("__fp", k)
     fresh = tagged.join(seen_keys, "__fp", "left_anti")

@@ -843,10 +843,16 @@ def random_projection(
     if out_dim <= 0:
         raise ValueError(f"random_projection: out_dim must be positive: {out_dim}")
     if dim is None:
-        row = df.select(F.size(F.col(vec_col)).alias("n")).first()
-        if row is None:
-            raise ValueError("random_projection: empty input and no dim given")
+        row = df.where(F.col(vec_col).isNotNull()).select(
+            F.size(F.col(vec_col)).alias("n")).first()
+        if row is None or row["n"] is None:
+            raise ValueError(
+                "random_projection: no non-null vectors to infer dim from "
+                "— pass dim explicitly"
+            )
         dim = int(row["n"])
+    if dim <= 0:
+        raise ValueError(f"random_projection: dim must be positive: {dim}")
     rng = np.random.RandomState(seed)
     proj = rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
 

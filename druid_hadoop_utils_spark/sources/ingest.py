@@ -118,8 +118,10 @@ def publish_segments(
     if zorder:
         from druid_hadoop_utils_spark.sources.layout import zorder_key
 
+        # the time column was renamed to __time above — follow it
+        zcols = ["__time" if c == time_column else c for c in zorder]
         bucketed = (
-            bucketed.withColumn("__zorder", zorder_key(df, zorder))
+            bucketed.withColumn("__zorder", zorder_key(df, zcols))
             .sortWithinPartitions(*part_cols, "__zorder")
             .drop("__zorder")
         )

@@ -23,28 +23,47 @@ from pyspark.sql import functions as F
 MAX_ZORDER_COLS = 4
 
 
-def _column_code(df: DataFrame, col: str, bits: int) -> Column:
-    """Map a column to a ``bits``-bit code preserving order for numerics
-    and timestamps (width_bucket over the observed min/max — one bounded
-    driver aggregate) and grouping equal values for strings (hash)."""
+def _ranged_expr(df: DataFrame, col: str) -> Column | None:
+    """The orderable (numeric) expression for a column, or None when the
+    column codes by hash (strings/binary group equal values instead)."""
     dtype = dict(df.dtypes)[col]
-    n = 1 << bits
-    c = F.col(col)
     if dtype.startswith("timestamp"):
-        c = c.cast("long")
-        dtype = "bigint"
+        return F.col(col).cast("long")
     if dtype in ("string", "binary"):
-        return F.pmod(F.xxhash64(c), F.lit(n)).cast("long")
-    row = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi")
-    ).first()
-    lo, hi = row["lo"], row["hi"]
-    if lo is None or hi is None or lo == hi:
-        return F.lit(0).cast("long")
-    # width_bucket returns 1..n+1 over [lo, hi); clamp into 0..n-1
-    b = F.width_bucket(c.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n))
-    code = F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1))
-    return F.coalesce(code, F.lit(0)).cast("long")
+        return None
+    return F.col(col)
+
+
+def _column_codes(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """``bits``-bit codes per column: order-preserving width_bucket over
+    the observed min/max for numerics/timestamps, hash for strings. ALL
+    numeric bounds come from ONE aggregate job (a single bounded driver
+    collect regardless of how many columns are keyed)."""
+    n = 1 << bits
+    ranged = {c: e for c in cols if (e := _ranged_expr(df, c)) is not None}
+    bounds: dict[str, tuple] = {}
+    if ranged:
+        aggs = []
+        for c, e in ranged.items():
+            aggs += [F.min(e).alias(f"__lo_{c}"), F.max(e).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).first()
+        bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in ranged}
+    codes = []
+    for c in cols:
+        if c not in ranged:
+            codes.append(F.pmod(F.xxhash64(F.col(c)), F.lit(n)).cast("long"))
+            continue
+        lo, hi = bounds[c]
+        if lo is None or hi is None or lo == hi:
+            codes.append(F.lit(0).cast("long"))
+            continue
+        # width_bucket returns 1..n+1 over [lo, hi); clamp into 0..n-1
+        b = F.width_bucket(
+            ranged[c].cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n)
+        )
+        code = F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1))
+        codes.append(F.coalesce(code, F.lit(0)).cast("long"))
+    return codes
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
@@ -60,7 +79,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
         raise ValueError(
             f"zorder_key: bits={bits} × {k} cols exceeds the 60-bit budget"
         )
-    codes = [_column_code(df, c, bits) for c in cols]
+    missing = [c for c in cols if c not in dict(df.dtypes)]
+    if missing:
+        raise ValueError(f"zorder_key: columns not in DataFrame: {missing}")
+    codes = _column_codes(df, cols, bits)
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, code in enumerate(codes):

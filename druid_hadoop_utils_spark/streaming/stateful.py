@@ -197,6 +197,20 @@ def streaming_heavy_hitters(
     )
 
 
+def _null_sentinel_key(key_cols: list[str]):
+    """Injective md5 group key over ``key_cols`` — the same null-sentinel
+    scheme as the batch operators (operators/dedup.duplicate_groups):
+    \\x01 separates values, \\x00 stands in for NULL, so (null, 'x') and
+    ('x', null) stay distinct. Shared by every stateful operator so their
+    state-key schemes can never diverge."""
+    from pyspark.sql import functions as F
+
+    return F.md5(F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols],
+    ))
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str],
@@ -215,12 +229,7 @@ def streaming_dedup(
     injective hashing as the batch operator — so key columns of any type
     work and the shuffled key is one 32-char string, not the row.
     """
-    from pyspark.sql import functions as F
-
-    key_hash = F.md5(F.concat_ws(
-        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]
-    ))
-    tagged = events.withColumn("__key", key_hash)
+    tagged = events.withColumn("__key", _null_sentinel_key(key_cols))
     out_schema = tagged.schema
     state_schema = StructType([StructField("seen", LongType())])
 
@@ -265,18 +274,14 @@ def streaming_cap_per_group(
 
     State per key is one counter (O(distinct keys), checkpointed,
     restart-safe). Selection is arrival order (within a batch, ascending
-    ``order_col`` when given) — a stream can't use the batch operator's
+    ``order_col`` when given — selected across ALL of the group's Arrow
+    chunks, not per chunk) — a stream can't use the batch operator's
     corpus-wide hash order, which is the documented semantic difference.
     Output mode: ``append``.
     """
-    from pyspark.sql import functions as F
-
     if n <= 0:
         raise ValueError(f"streaming_cap_per_group: n must be positive: {n}")
-    key_hash = F.md5(F.concat_ws(
-        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]
-    ))
-    tagged = events.withColumn("__key", key_hash)
+    tagged = events.withColumn("__key", _null_sentinel_key(key_cols))
     out_schema = tagged.schema
     state_schema = StructType([StructField("taken", LongType())])
 
@@ -288,17 +293,27 @@ def streaming_cap_per_group(
             for _ in batches:
                 pass
             return
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if order_col is not None:
-                pdf = pdf.sort_values(order_col)
-            room = n - taken
-            if room <= 0:
-                continue
-            out = pdf.iloc[:room]
-            taken += len(out)
-            yield out
+        if order_col is None:
+            # arrival order: admit greedily, chunk by chunk
+            for pdf in batches:
+                room = n - taken
+                if room <= 0 or len(pdf) == 0:
+                    continue
+                out = pdf.iloc[:room]
+                taken += len(out)
+                yield out
+        else:
+            # order_col selection must span the whole micro-batch: a
+            # group's rows can arrive as several chunks, and sorting each
+            # chunk independently would spend the lifetime budget on
+            # whichever chunk came first
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if chunks:
+                batch = pd.concat(chunks).sort_values(order_col)
+                out = batch.iloc[: n - taken]
+                taken += len(out)
+                if len(out):
+                    yield out
         state.update((taken,))
 
     capped = tagged.groupBy("__key").applyInPandasWithState(

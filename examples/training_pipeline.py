@@ -51,12 +51,17 @@ def main() -> None:
     n0 = docs.count()
 
     # 1. analyze + quality gate + LM-score filter (corpus as its own
-    #    language model: drop the least-typical tail)
+    #    language model: drop the least-typical tail). LEFT join: a doc
+    #    too short to have bigrams has no LM evidence against it and
+    #    passes to the quality gate untouched.
     analyzed = T.with_text_analysis(docs)
     lm = T.lm_score(docs)
-    cut = lm.approxQuantile("avg_logp", [0.05], 0.001)[0]
-    kept = (analyzed.join(lm.select("doc_id", "avg_logp"), "doc_id")
-            .where((F.col("quality_keep") == 1) & (F.col("avg_logp") >= cut)))
+    qs = lm.approxQuantile("avg_logp", [0.05], 0.001)
+    cut = qs[0] if qs else float("-inf")
+    kept = (analyzed.join(lm.select("doc_id", "avg_logp"), "doc_id", "left")
+            .where((F.col("quality_keep") == 1)
+                   & (F.col("avg_logp").isNull()
+                      | (F.col("avg_logp") >= cut))))
     n1 = kept.count()
 
     # 2. exact dedup on normalized text

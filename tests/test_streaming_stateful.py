@@ -257,8 +257,11 @@ def test_streaming_cap_per_group_across_batches(spark, tmp_path):
         Row(ts=datetime(2024, 1, 1, 1, i), src_id="a", doc=10 + i)
         for i in range(3)
     ] + [Row(ts=datetime(2024, 1, 1, 1, 9), src_id="b", doc=101)])
-    b1.write.parquet(src + "/f1")
-    b2.write.parquet(src + "/f2")
+    # one part-file per batch dir: multi-file writes would make each
+    # part-file its own micro-batch in mtime order, an arbitrary
+    # interleaving of b1/b2 rows
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
 
     stream = (
         spark.readStream.schema(b1.schema)
@@ -321,8 +324,10 @@ def test_streaming_dedup_warm_start_from_batch_manifest(spark, tmp_path):
         Row(ts=datetime(2024, 1, 1, 1, 0), doc_id=12, text="fresh one"),
         Row(ts=datetime(2024, 1, 1, 1, 1), doc_id=13, text="another fresh"),
     ])
-    b1.write.parquet(src + "/f1")
-    b2.write.parquet(src + "/f2")
+    # one part-file per batch dir — multi-file writes would interleave
+    # micro-batches in mtime order and make the cross-batch winner flaky
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
 
     stream = (
         spark.readStream.schema(b1.schema)
@@ -347,3 +352,36 @@ def test_streaming_dedup_warm_start_from_batch_manifest(spark, tmp_path):
         "SELECT * FROM warm_dedup").collect())
     # 10 collides with the batch corpus; 12 is a cross-batch stream dup
     assert kept == [11, 13]
+
+
+def test_streaming_cap_order_spans_arrow_chunks(spark, tmp_path):
+    """order_col selection must consider the WHOLE micro-batch even when
+    the group's rows arrive as several Arrow chunks (regression: chunk-
+    local sorting spent the budget on whichever chunk came first)."""
+    from druid_hadoop_utils_spark.streaming.stateful import (
+        streaming_cap_per_group,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        src = str(tmp_path / "in")
+        # 50 rows, one key, written in DESCENDING doc order so the lowest
+        # docs sit in the LAST chunks
+        rows = [Row(ts=datetime(2024, 1, 1, 0, 0), src_id="a", doc=49 - i)
+                for i in range(50)]
+        spark.createDataFrame(rows).coalesce(1).write.parquet(src + "/f1")
+        stream = spark.readStream.schema(
+            spark.read.parquet(src + "/f1").schema).parquet(src + "/*")
+        out = streaming_cap_per_group(stream, ["src_id"], n=5,
+                                      order_col="doc")
+        q = (out.writeStream.format("memory").queryName("cap_chunks")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = sorted(r.doc for r in spark.sql(
+            "SELECT * FROM cap_chunks").collect())
+        assert got == [0, 1, 2, 3, 4], got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
