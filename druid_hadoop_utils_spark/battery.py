@@ -957,6 +957,57 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_theta_set_ops",
+    """SELECT
+         CAST((SELECT count(DISTINCT user_id) FROM events
+               WHERE event_type = 'click' AND user_id IN
+                 (SELECT user_id FROM events WHERE event_type = 'purchase'))
+              AS DOUBLE) AS both_users,
+         CAST((SELECT count(DISTINCT user_id) FROM events
+               WHERE event_type = 'click' AND user_id NOT IN
+                 (SELECT user_id FROM events WHERE event_type = 'purchase'))
+              AS DOUBLE) AS click_only,
+         CAST((SELECT count(DISTINCT user_id) FROM events
+               WHERE event_type IN ('click', 'purchase'))
+              AS DOUBLE) AS either_users""",
+)
+def q_theta_set_ops(spark, sf_dir):
+    # Druid thetaSketchSetOp parity: two filtered theta sketches built in
+    # ONE aggregation pass, then INTERSECT/NOT/UNION estimated as
+    # post-aggs (under-full states → theta=1 → exact set algebra, which
+    # is what makes the oracle hash-match; at scale the same expressions
+    # degrade gracefully to sampled estimates below theta)
+    ev = _t(spark, sf_dir, "events")
+    sketch = lambda name, etype: {  # noqa: E731
+        "type": "filtered",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": etype},
+        "aggregator": {"type": "thetaSketch", "name": name,
+                       "fieldName": "user_id", "size": 65536},
+    }
+    setop = lambda func: {  # noqa: E731
+        "type": "thetaSketchEstimate",
+        "field": {
+            "type": "thetaSketchSetOp", "func": func, "size": 65536,
+            "fields": [{"type": "fieldAccess", "fieldName": "s_click"},
+                       {"type": "fieldAccess", "fieldName": "s_purchase"}],
+        },
+    }
+    out = group_aggregate(
+        ev, [],
+        [sketch("s_click", "click"), sketch("s_purchase", "purchase")],
+        post_aggregations=[
+            dict(setop("INTERSECT"), name="both_users"),
+            dict(setop("NOT"), name="click_only"),
+            dict(setop("UNION"), name="either_users"),
+        ],
+        finalize=False,
+        time_column=None,
+    )
+    return out.select("both_users", "click_only", "either_users")
+
+
+@register(
     "q_cap_per_group",
     """WITH b AS (
          SELECT doc_id, lang,
@@ -3093,7 +3144,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
     "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
-    "q_cap_per_group",
+    "q_cap_per_group", "q_theta_set_ops",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

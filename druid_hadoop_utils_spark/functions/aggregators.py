@@ -248,12 +248,45 @@ def _post_expr(spec: dict) -> Column:
         return F.hll_sketch_estimate(F.col(spec["fieldName"])).cast("double")
     if ptype == "thetaSketchEstimate":
         # finalize a non-finalized KMV theta state column → double estimate
-        # (Druid DataSketches extension post-agg shape)
-        from druid_hadoop_utils_spark.functions.theta import DEFAULT_K, kmv_estimate
+        # (Druid DataSketches extension post-agg shape). A nested
+        # thetaSketchSetOp field yields a set-op struct, which finalizes
+        # through the unified size/theta estimator instead.
+        from druid_hadoop_utils_spark.functions.theta import (
+            DEFAULT_K,
+            kmv_estimate,
+            kmv_setop_estimate,
+        )
 
         inner = spec.get("field")
+        if inner and inner.get("type") == "thetaSketchSetOp":
+            return kmv_setop_estimate(_post_expr(inner))
         target = _post_expr(inner) if inner else F.col(spec["fieldName"])
         return kmv_estimate(target, int(spec.get("size", DEFAULT_K)))
+    if ptype == "thetaSketchSetOp":
+        # Druid DataSketches thetaSketchSetOp: {"func": "UNION|INTERSECT|
+        # NOT", "fields": [postAggs...]} → a composable set-op sketch
+        # struct. Raw array-state fields are lifted; nested setOp fields
+        # compose directly; ops fold left across >2 fields (Druid
+        # semantics).
+        from druid_hadoop_utils_spark.functions.theta import (
+            DEFAULT_K,
+            kmv_setop,
+            to_setop_sketch,
+        )
+
+        k = int(spec.get("size", DEFAULT_K))
+        fields = spec.get("fields", [])
+        if len(fields) < 2:
+            raise ValueError(f"thetaSketchSetOp needs >=2 fields: {spec!r}")
+
+        def lifted(f: dict) -> Column:
+            e = _post_expr(f)
+            return e if f.get("type") == "thetaSketchSetOp" else to_setop_sketch(e, k)
+
+        out = lifted(fields[0])
+        for f in fields[1:]:
+            out = kmv_setop(spec["func"], out, lifted(f), k)
+        return out
     if ptype == "arithmetic":
         fn = spec["fn"]
         parts = [_post_expr(f).cast("double") for f in spec["fields"]]

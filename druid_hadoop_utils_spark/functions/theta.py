@@ -108,3 +108,73 @@ def kmv_distinct(
         .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
     )
     return state.withColumn("estimate", kmv_estimate(F.col("kmv"), k))
+
+
+# ------------------------------------------------------------ set operations
+
+def _norm(h: Column) -> Column:
+    """Signed-long hash → uniform (0, 1): h/2^64 + 1/2."""
+    return h.cast("double") / F.lit(_TWO_64) + F.lit(0.5)
+
+
+def kmv_theta(state: Column, k: int = DEFAULT_K) -> Column:
+    """The state's theta: 1.0 while under-full (exact mode), else the
+    normalized k-th minimum — the sampling threshold all retained hashes
+    lie strictly below."""
+    return F.when(F.size(state) < k, F.lit(1.0)).otherwise(
+        _norm(F.element_at(state, k))
+    )
+
+
+def to_setop_sketch(state: Column, k: int = DEFAULT_K) -> Column:
+    """Lift an ``array<long>`` KMV state into the composable set-op form
+    ``struct<theta double, hashes array<long>>`` with hashes strictly
+    below theta. The unified estimator is then ``size(hashes) / theta``
+    for EVERY sketch — base or set-op result (for a full KMV state the
+    k-1 values below the k-th minimum give exactly the classic
+    (k-1)/theta)."""
+    theta = kmv_theta(state, k)
+    hashes = F.filter(state, lambda h: _norm(h) < theta)
+    return F.struct(theta.alias("theta"), hashes.alias("hashes"))
+
+
+def kmv_setop(func: str, a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """Druid's ``thetaSketchSetOp`` over two set-op sketches (lift raw
+    ``array<long>`` KMV states with ``to_setop_sketch`` first): returns a
+    set-op struct, so ops COMPOSE exactly like the DataSketches ones.
+    theta' = min(theta_a, theta_b); both hash sets are re-filtered below
+    theta' and combined:
+
+    - UNION:     distinct(a ∪ b) below theta'
+    - INTERSECT: a ∩ b below theta'
+    - NOT:       a \\ b below theta' (every a-hash below theta' that IS in
+                 b must appear in b's retained set, since theta' ≤
+                 theta_b — so array_except is exact, not approximate)
+
+    All expressions; estimate with ``kmv_setop_estimate``. Correctness of
+    each op follows from theta sketches being uniform samples below
+    theta: the result is precisely the sample of the set-expression
+    below theta'.
+    """
+    ops = {
+        "UNION": lambda x, y: F.array_distinct(F.concat(x, y)),
+        "INTERSECT": F.array_intersect,
+        "NOT": F.array_except,
+    }
+    if func not in ops:
+        raise ValueError(
+            f"kmv_setop: func must be one of {sorted(ops)}: {func!r}"
+        )
+    theta = F.least(a["theta"], b["theta"])
+    ha = F.filter(a["hashes"], lambda h: _norm(h) < theta)
+    hb = F.filter(b["hashes"], lambda h: _norm(h) < theta)
+    hashes = F.array_sort(ops[func](ha, hb))
+    return F.struct(theta.alias("theta"), hashes.alias("hashes"))
+
+
+def kmv_setop_estimate(sketch: Column) -> Column:
+    """Distinct estimate of a set-op sketch: ``size(hashes) / theta``
+    (exact when theta == 1.0 — which the oracle exploits: with k at or
+    above every branch's cardinality, INTERSECT/NOT/UNION are exact set
+    algebra over the full hash sets)."""
+    return F.size(sketch["hashes"]).cast("double") / sketch["theta"]

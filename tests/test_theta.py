@@ -150,3 +150,71 @@ def test_underfull_exactness_property(spark, values):
         T.kmv_estimate(T.kmv_state(F.col("u"), k=128), k=128).alias("d")
     ).first().d
     assert est == float(len(set(values)))
+
+
+class TestSetOps:
+    def _states(self, spark, na=300, nb=300, overlap=100, k=16384):
+        from druid_hadoop_utils_spark.functions import theta as T
+
+        a = spark.range(na).select(T.kmv_state(F.col("id"), k).alias("s"))
+        b = spark.range(na - overlap, na - overlap + nb).select(
+            T.kmv_state(F.col("id"), k).alias("s"))
+        return a.first()["s"], b.first()["s"]
+
+    def test_exact_regime_matches_set_algebra(self, spark):
+        from druid_hadoop_utils_spark.functions import theta as T
+
+        sa, sb = self._states(spark)
+        df = spark.createDataFrame([(sa, sb)], "a array<long>, b array<long>")
+        la, lb = T.to_setop_sketch(F.col("a")), T.to_setop_sketch(F.col("b"))
+        row = df.select(
+            T.kmv_setop_estimate(T.kmv_setop("INTERSECT", la, lb)).alias("i"),
+            T.kmv_setop_estimate(T.kmv_setop("NOT", la, lb)).alias("n"),
+            T.kmv_setop_estimate(T.kmv_setop("UNION", la, lb)).alias("u"),
+        ).first()
+        assert row.i == 100.0   # overlap
+        assert row.n == 200.0   # a-only
+        assert row.u == 500.0   # 300 + 300 - 100
+
+    def test_approximate_regime_within_bounds(self, spark):
+        from druid_hadoop_utils_spark.functions import theta as T
+
+        k = 256
+        sa, sb = self._states(spark, na=20000, nb=20000, overlap=10000, k=k)
+        df = spark.createDataFrame([(sa, sb)], "a array<long>, b array<long>")
+        la = T.to_setop_sketch(F.col("a"), k)
+        lb = T.to_setop_sketch(F.col("b"), k)
+        row = df.select(
+            T.kmv_setop_estimate(T.kmv_setop("INTERSECT", la, lb, k)).alias("i"),
+            T.kmv_setop_estimate(T.kmv_setop("UNION", la, lb, k)).alias("u"),
+        ).first()
+        # theta sketches: relative error ~1/sqrt(k) for union; the
+        # intersection's effective sample is smaller — allow a loose 35%
+        assert abs(row.i - 10000) / 10000 < 0.35, row.i
+        assert abs(row.u - 30000) / 30000 < 0.2, row.u
+
+    def test_setops_compose(self, spark):
+        from druid_hadoop_utils_spark.functions import theta as T
+
+        # (A ∪ B) ∩ C with exact sketches
+        rows = [(list(range(0, 100)), list(range(50, 150)),
+                 list(range(75, 300)))]
+        df = spark.createDataFrame(rows, "a array<long>, b array<long>, c array<long>")
+        hashed = df.select(*[
+            F.array_sort(F.transform(
+                F.col(c), lambda x: F.xxhash64(x, F.lit(9001)))).alias(c)
+            for c in ("a", "b", "c")])
+        la, lb, lc = [T.to_setop_sketch(F.col(c)) for c in ("a", "b", "c")]
+        got = hashed.select(T.kmv_setop_estimate(
+            T.kmv_setop("INTERSECT", T.kmv_setop("UNION", la, lb), lc)
+        ).alias("e")).first()["e"]
+        # |（[0,150) ∩ [75,300)| = 75
+        assert got == 75.0
+
+    def test_bad_func_rejected(self, spark):
+        import pytest
+
+        from druid_hadoop_utils_spark.functions import theta as T
+
+        with pytest.raises(ValueError, match="func"):
+            T.kmv_setop("XOR", F.col("a"), F.col("b"))
