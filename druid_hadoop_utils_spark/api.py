@@ -114,8 +114,16 @@ def timeseries(
         spec = LoadSpec.from_json(spec, data_source=data_source, interval=interval)
     df, _ = _base(spark, source, spec, interval, data_source, time_column)
     # post-aggs evaluate AFTER the empty-bucket fill (Druid computes them
-    # over the filled aggregate row)
-    out = group_aggregate(df, [], aggregations, None)
+    # over the filled aggregate row); aggregators the post-aggs consume as
+    # sketches must stay non-finalized through the fill
+    from druid_hadoop_utils_spark.functions.aggregators import (
+        sketch_post_agg_refs,
+    )
+
+    out = group_aggregate(
+        df, [], aggregations, None,
+        no_finalize=sketch_post_agg_refs(post_aggregations),
+    )
     gran = spec.granularity
     # dict granularities (duration/period) always have bucket structure;
     # only the named NONE/ALL shapes skip the fill (and a dict must not hit

@@ -236,6 +236,43 @@ def post_agg_expr(spec: dict) -> Column:
     return col.alias(name) if name else col
 
 
+def sketch_post_agg_refs(post_aggregations: list[dict] | None) -> set[str]:
+    """Aggregator names that post-aggregators consume AS SKETCHES —
+    Druid's rule: those aggregators must not finalize before post-agg
+    evaluation (hyperUniqueCardinality / thetaSketchEstimate /
+    thetaSketchSetOp / quantile(s) all read the raw state)."""
+    refs: set[str] = set()
+
+    def walk(p: dict) -> None:
+        t = p.get("type")
+        if t in {"hyperUniqueCardinality", "quantile", "quantiles"}:
+            if p.get("fieldName"):
+                refs.add(p["fieldName"])
+        elif t == "thetaSketchEstimate":
+            if p.get("fieldName"):
+                refs.add(p["fieldName"])
+            inner = p.get("field")
+            if inner:
+                walk_sketch_operand(inner)
+        elif t == "thetaSketchSetOp":
+            for f in p.get("fields", []) or []:
+                walk_sketch_operand(f)
+        elif t == "arithmetic":
+            for f in p.get("fields", []) or []:
+                walk(f)
+
+    def walk_sketch_operand(p: dict) -> None:
+        # a field in sketch position: fieldAccess names a sketch column
+        if p.get("type") == "fieldAccess":
+            refs.add(p["fieldName"])
+        else:
+            walk(p)
+
+    for p in post_aggregations or []:
+        walk(p)
+    return refs
+
+
 def _post_expr(spec: dict) -> Column:
     ptype = spec.get("type")
     if ptype == "fieldAccess":
@@ -344,6 +381,7 @@ def group_aggregate(
     finalize: bool = True,
     time_column: str | None = "__time",
     lgk: int = DEFAULT_LGK,
+    no_finalize: set[str] | None = None,
 ) -> DataFrame:
     """The engine's groupBy query: the Spark equivalent of the reference's
     Pig ``GROUP BY (druid_timestamp, host)`` + adapter-UDF workflow
@@ -364,9 +402,19 @@ def group_aggregate(
     through one reducer anyway.
     """
     keys = ([time_column] if time_column else []) + list(dimensions)
+    skip_final = (no_finalize or set()) | sketch_post_agg_refs(post_aggregations)
+
+    def _fin(a: dict) -> bool:
+        # Druid semantics: an aggregator a post-aggregator consumes as a
+        # SKETCH (hyperUniqueCardinality / thetaSketchEstimate /
+        # thetaSketchSetOp / quantile) must stay non-finalized; its column
+        # rides as state in the output (select the post-agg names to drop
+        # it). Filtered wrappers carry the name on the inner aggregator.
+        name = a.get("name") or (a.get("aggregator") or {}).get("name")
+        return finalize and name not in skip_final
 
     def _bounded_theta(a: dict) -> bool:
-        if not (finalize and keys) or a.get("type") != "thetaSketch":
+        if not (_fin(a) and keys) or a.get("type") != "thetaSketch":
             return False
         from druid_hadoop_utils_spark.functions.theta import is_kmv_state
 
@@ -379,7 +427,7 @@ def group_aggregate(
     bounded = [a for a in aggregations if _bounded_theta(a)]
     rest = [a for a in aggregations if not _bounded_theta(a)]
 
-    aggs = [agg_expr(a, df.schema, finalize=finalize, lgk=lgk) for a in rest]
+    aggs = [agg_expr(a, df.schema, finalize=_fin(a), lgk=lgk) for a in rest]
     if bounded and not rest:
         # base frame still defines the group universe (incl. groups whose
         # theta field is entirely null)

@@ -377,3 +377,42 @@ def test_native_query_over_managed_segment_table(spark, tmp_path, golden_events)
     row = druid_query(spark, str(tmp_path), q).first()
     assert row.visits == 4500  # v2 overshadows v1
     assert row.hosts == 3.0
+
+
+def test_theta_setop_post_agg_through_native_query(spark, events):
+    """thetaSketchSetOp composes through the full native-query JSON path:
+    two filtered theta sketches, INTERSECT estimated as a post-agg,
+    checked against the exact distinct intersection."""
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2025-01-01"],
+        "granularity": "ALL",
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "thetaSketch", "name": "s_click",
+                            "fieldName": "user_id", "size": 65536}},
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "purchase"},
+             "aggregator": {"type": "thetaSketch", "name": "s_purchase",
+                            "fieldName": "user_id", "size": 65536}},
+        ],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "both",
+             "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                       "size": 65536,
+                       "fields": [
+                           {"type": "fieldAccess", "fieldName": "s_click"},
+                           {"type": "fieldAccess", "fieldName": "s_purchase"},
+                       ]}},
+        ],
+    }
+    got = druid_query(spark, events, q, time_column="ts").first()["both"]
+    click = {r.user_id for r in events.where(
+        F.col("event_type") == "click").select("user_id").collect()}
+    purchase = {r.user_id for r in events.where(
+        F.col("event_type") == "purchase").select("user_id").collect()}
+    assert got == float(len(click & purchase))
