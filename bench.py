@@ -64,6 +64,7 @@ HEADLINE = [
     "q_similarity_pq_topk_prod",
     "q_mix_sources",
     "q_pack_documents",
+    "q_theta_set_ops",
     "q_tpch_q21_suppliers_kept_waiting",
     "q_text_lm_score",
     "q_incremental_dedup",

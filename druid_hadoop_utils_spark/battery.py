@@ -957,6 +957,31 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_forward_fill",
+    """SELECT event_id,
+              last_value(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS purchase_value_ffill
+       FROM events
+       WHERE user_id < 200""",
+)
+def q_forward_fill(spark, sf_dir):
+    # per-key forward fill (gap-filling sparse metrics onto the full
+    # event stream): one shuffle on the key, running last-non-null state
+    from druid_hadoop_utils_spark.operators.sessions import forward_fill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    sparse = ev.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")))
+    return forward_fill(
+        sparse, ["user_id"], ["ts", "event_id"], ["purchase_value"]
+    ).select("event_id", "purchase_value_ffill")
+
+
+@register(
     "q_theta_set_ops",
     """SELECT
          CAST((SELECT count(DISTINCT user_id) FROM events
@@ -3144,7 +3169,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
     "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
-    "q_cap_per_group", "q_theta_set_ops",
+    "q_cap_per_group", "q_theta_set_ops", "q_forward_fill",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

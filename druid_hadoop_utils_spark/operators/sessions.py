@@ -39,3 +39,42 @@ def sessionize(
         *keys,
         *agg_names,
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str | list[str],
+    cols: list[str],
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Per-key forward fill: each null in ``cols`` takes the latest
+    non-null value at or before its timestamp — the standard gap-filling
+    step for sparse metric streams (sensor readings, sparse events onto a
+    dense grid).
+
+    One window per key ordered by time with ``last(..., ignorenulls)``
+    over the unbounded-preceding frame — a single shuffle on the keys,
+    running-state evaluation within each partition (no per-row rescan of
+    the frame). Rows before a key's first observation stay null.
+
+    ``time_col`` may be a list to break timestamp ties deterministically
+    (e.g. ``["ts", "event_id"]``) — with ties unbroken, which duplicate
+    "wins" the fill is partition-layout-dependent.
+    """
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("forward_fill: need at least one column to fill")
+    order = [time_col] if isinstance(time_col, str) else list(time_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

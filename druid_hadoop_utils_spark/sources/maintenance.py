@@ -185,3 +185,64 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
             if m.path:  # tombstones own no data directory
                 shutil.rmtree(m.path, ignore_errors=True)
     return removed
+
+
+def compaction_candidates(
+    table_root: str,
+    data_source: str,
+    max_files_per_segment: int = 4,
+    min_file_bytes: int = 16 * 1024 * 1024,
+    interval: str | Interval = "1970-01-01/3000-01-01",
+) -> list[dict]:
+    """The auto-compaction advisor: scan the VISIBLE timeline's segment
+    directories (driver-side metadata + directory stats only — no data
+    read) and report segments whose file layout hurts readers: too many
+    files, or files below ``min_file_bytes`` (small files dominate task
+    scheduling and row-group stat overhead at scale — the same heuristic
+    Druid's auto-compaction applies).
+
+    Returns one dict per flagged segment: interval, version, shard,
+    n_files, total_bytes, reasons. Feed each flagged interval to
+    ``compact_segments`` (which rewrites and atomically flips it).
+    """
+    import glob as _glob
+
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        resolve_visible_windows,
+    )
+
+    iv = Interval.parse(interval)
+    visible = resolve_visible_windows(list_manifests(table_root, data_source), iv)
+    seen_paths = set()
+    out = []
+    for w in visible:
+        seg = w.manifest
+        if seg.tombstone or seg.path in seen_paths:
+            continue
+        seen_paths.add(seg.path)
+        files = [
+            f for f in _glob.glob(os.path.join(seg.path, "*.parquet"))
+            if os.path.isfile(f)
+        ]
+        if not files:
+            continue
+        sizes = [os.path.getsize(f) for f in files]
+        reasons = []
+        if len(files) > max_files_per_segment:
+            reasons.append(f"{len(files)} files > {max_files_per_segment}")
+        small = sum(1 for s in sizes if s < min_file_bytes)
+        if small and len(files) > 1:
+            reasons.append(
+                f"{small}/{len(files)} files under {min_file_bytes} bytes"
+            )
+        if reasons:
+            out.append({
+                "interval": str(seg.interval),
+                "version": seg.version,
+                "shard_num": seg.shard_num,
+                "n_files": len(files),
+                "total_bytes": sum(sizes),
+                "reasons": reasons,
+            })
+    return out

@@ -256,3 +256,61 @@ def test_apply_retention_drops_backfill_above_tombstone(spark, tmp_path,
                 data_source="ds").count() == 0
     # and now it really is idempotent
     assert apply_retention(root, "ds", "2014-10-23") == []
+
+
+from pyspark.sql import Row
+
+
+class TestCompactionCandidates:
+    def test_flags_many_small_files_and_clears_after_compaction(
+            self, spark, tmp_path):
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            compact_segments,
+            compaction_candidates,
+        )
+
+        import glob
+        import shutil
+
+        rows = [Row(__time=datetime(2024, 1, 1, i % 24), v=float(i))
+                for i in range(500)]
+        df = spark.createDataFrame(rows)
+        root = str(tmp_path / "tbl")
+        publish_segments(df, root, "ev", "v1", bucket="DAY")
+        # fragment the segment the way months of small appends would (AQE
+        # coalesces the salted write at toy scale, so fabricate directly)
+        seg_file = glob.glob(f"{root}/ev/2024*/v=v1/shard=0/*.parquet")[0]
+        for i in range(6):
+            shutil.copy(seg_file, seg_file.replace("part-", f"extra{i}-part-"))
+        cands = compaction_candidates(root, "ev", max_files_per_segment=4,
+                                      min_file_bytes=1024 * 1024)
+        assert len(cands) == 1
+        c = cands[0]
+        assert c["n_files"] > 4
+        assert any("files >" in r for r in c["reasons"])
+        assert any("under" in r for r in c["reasons"])
+
+        # compacting the flagged interval clears the report
+        compact_segments(spark, root, "ev", c["interval"], bucket="DAY",
+                         files_per_bucket=1)
+        after = compaction_candidates(root, "ev", max_files_per_segment=4,
+                                      min_file_bytes=0)
+        assert after == []
+
+    def test_healthy_layout_not_flagged(self, spark, tmp_path):
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            compaction_candidates,
+        )
+
+        rows = [Row(__time=datetime(2024, 1, 1, i % 24), v=float(i))
+                for i in range(100)]
+        df = spark.createDataFrame(rows)
+        root = str(tmp_path / "tbl")
+        publish_segments(df, root, "ev", "v1", bucket="DAY")
+        assert compaction_candidates(root, "ev", min_file_bytes=0) == []

@@ -52,3 +52,39 @@ def test_sessionize_streaming_compatible(spark, tmp_path):
     got = spark.sql("SELECT * FROM sess_out").collect()
     # both sessions' windows close relative to the final watermark
     assert {(r.session_start.minute, r.n_events) for r in got} <= {(0, 2), (50, 1)}
+
+
+class TestForwardFill:
+    def test_fills_and_leading_nulls_stay(self, spark):
+        from druid_hadoop_utils_spark.operators.sessions import forward_fill
+
+        rows = [
+            Row(k="a", t=1, v=None), Row(k="a", t=2, v=5.0),
+            Row(k="a", t=3, v=None), Row(k="a", t=4, v=7.0),
+            Row(k="a", t=5, v=None), Row(k="b", t=1, v=None),
+        ]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        got = {(r.k, r.t): r.v_ffill for r in
+               forward_fill(df, ["k"], "t", ["v"]).collect()}
+        assert got == {("a", 1): None, ("a", 2): 5.0, ("a", 3): 5.0,
+                       ("a", 4): 7.0, ("a", 5): 7.0, ("b", 1): None}
+
+    def test_multiple_columns_and_tiebreak(self, spark):
+        from druid_hadoop_utils_spark.operators.sessions import forward_fill
+
+        rows = [Row(k="a", t=1, i=1, x=None, y=1.0),
+                Row(k="a", t=1, i=2, x=2.0, y=None),
+                Row(k="a", t=2, i=3, x=None, y=None)]
+        df = spark.createDataFrame(rows, "k string, t int, i int, x double, y double")
+        out = forward_fill(df, ["k"], ["t", "i"], ["x", "y"])
+        r3 = {r.i: r for r in out.collect()}[3]
+        assert r3.x_ffill == 2.0 and r3.y_ffill == 1.0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from druid_hadoop_utils_spark.operators.sessions import forward_fill
+
+        df = spark.createDataFrame([Row(k="a", t=1, v=1.0)])
+        with pytest.raises(ValueError, match="at least one column"):
+            forward_fill(df, ["k"], "t", [])
