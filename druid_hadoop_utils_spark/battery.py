@@ -957,6 +957,73 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_build_vocab",
+    """WITH toks AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS token
+         FROM documents),
+       c AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS count
+         FROM toks WHERE token != ''
+         GROUP BY 1 HAVING count(*) >= 2)
+       SELECT token, count,
+              CAST(row_number() OVER (ORDER BY count DESC, token) - 1
+                   AS INT) AS token_id
+       FROM c QUALIFY token_id < 50""",
+)
+def q_build_vocab(spark, sf_dir):
+    # corpus vocabulary with dense frequency-ranked ids — the id window
+    # runs over the aggregated distinct-token table, not the token stream
+    docs = _t(spark, sf_dir, "documents")
+    return TX.build_vocab(docs, max_size=50, min_count=2).select(
+        "token", "count", F.col("token_id").cast("int").alias("token_id"))
+
+
+@register(
+    "q_encode_docs",
+    """WITH toks0 AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+         FROM documents WHERE doc_id < 30),
+       toks AS (
+         SELECT doc_id, u.s['tok'] AS token, u.s['pos'] AS pos
+         FROM toks0,
+              unnest(list_transform(arr, (x, i) ->
+                     struct_pack(tok := x, pos := i))) AS u(s)
+         WHERE u.s['tok'] != ''),
+       allc AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS token
+         FROM documents),
+       v AS (
+         SELECT token,
+                CAST(row_number() OVER (ORDER BY count(*) DESC, token) - 1
+                     AS INT) AS token_id
+         FROM allc WHERE token != ''
+         GROUP BY token HAVING count(*) >= 2
+         QUALIFY token_id < 100)
+       SELECT doc_id,
+              array_to_string(list(CAST(coalesce(v.token_id, -1) AS INT)
+                                   ORDER BY pos), ' ') AS input_ids,
+              CAST(count(*) AS INT) AS n_tokens
+       FROM toks LEFT JOIN v USING (token)
+       GROUP BY doc_id""",
+)
+def q_encode_docs(spark, sf_dir):
+    # tokenize-and-encode: order-preserving token-id sequences through a
+    # vocabulary join (posexplode → join → positional re-assembly), OOV
+    # as -1 — every id recomputed by the oracle (the array rides as a
+    # space-joined string because the driver comparator hashes scalar
+    # cells)
+    docs = _t(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(docs, max_size=100, min_count=2)
+    out = TX.encode_documents(docs.where(F.col("doc_id") < 30), vocab)
+    return out.select(
+        "doc_id", F.array_join("input_ids", " ").alias("input_ids"),
+        "n_tokens")
+
+
+@register(
     "q_forward_fill",
     """SELECT event_id,
               last_value(CASE WHEN event_type = 'purchase' THEN value END
@@ -3170,6 +3237,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
     "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
     "q_cap_per_group", "q_theta_set_ops", "q_forward_fill",
+    "q_build_vocab", "q_encode_docs",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

@@ -433,3 +433,78 @@ def lm_score(
             F.round(F.avg(logp), 4).alias("avg_logp"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token vocabulary: (token, count, token_id) with ids dense
+    from 0 in (count DESC, token ASC) order — frequent tokens get small
+    ids, ties broken lexically so the vocabulary is deterministic and
+    layout-independent.
+
+    One explode + one hash aggregate (map-side combined); the id
+    assignment is a window over the AGGREGATED vocabulary — rows =
+    distinct tokens, not corpus tokens, so the single-partition rank pass
+    handles real vocabularies (≤ a few million rows) comfortably; corpora
+    whose distinct-token table itself outgrows one task should cut with
+    ``min_count`` first. ``max_size`` keeps the top-N; ``min_count``
+    drops the long tail (the standard OOV cut).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("count"), F.col("token"))
+    out = counts.withColumn("token_id", F.row_number().over(w) - 1)
+    if max_size is not None:
+        out = out.where(F.col("token_id") < max_size)
+    return out
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document as its token-id sequence (order preserved):
+    (id, input_ids array<int>, n_tokens) — the tokenize-and-encode step
+    before packing/batching.
+
+    Positional explode → broadcast-or-hash join on the token (Catalyst
+    picks broadcast while the vocabulary fits, the common case) →
+    re-assemble sorted by position. Out-of-vocabulary tokens encode as
+    ``oov_id``. Two shuffles at scale: the token join and the per-doc
+    re-assembly; the token stream never routes through Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("__pos", "token"),
+    ).where(F.col("token") != "")
+    joined = toks.join(
+        vocab.select("token", "token_id"), "token", "left"
+    ).withColumn(
+        "__id", F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__id")))
+                ),
+                lambda s: s["__id"],
+            ).alias("input_ids")
+        )
+        .withColumn("n_tokens", F.size("input_ids"))
+    )

@@ -266,3 +266,57 @@ class TestLmScore:
         df = spark.createDataFrame([Row(doc_id=1, text="a b")])
         with pytest.raises(ValueError, match="alpha"):
             lm_score(df, alpha=0.0)
+
+
+class TestVocabEncode:
+    def test_vocab_ranks_by_frequency_then_token(self, spark):
+        from druid_hadoop_utils_spark.operators.text import build_vocab
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="b b b a a c"),
+            Row(doc_id=2, text="a b z"),
+        ])
+        v = {r.token: (r["count"], r.token_id) for r in build_vocab(df).collect()}
+        assert v["b"] == (4, 0)
+        assert v["a"] == (3, 1)
+        assert v["c"] == (1, 2)  # count tie with z → lexical order
+        assert v["z"] == (1, 3)
+
+    def test_vocab_cuts(self, spark):
+        from druid_hadoop_utils_spark.operators.text import build_vocab
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a a b c")])
+        assert {r.token for r in
+                build_vocab(df, min_count=2).collect()} == {"a"}
+        assert build_vocab(df, max_size=2).count() == 2
+
+    def test_encode_preserves_order_and_oov(self, spark):
+        from druid_hadoop_utils_spark.operators.text import (
+            build_vocab,
+            encode_documents,
+        )
+
+        corpus = spark.createDataFrame(
+            [Row(doc_id=1, text="the cat sat"), Row(doc_id=2, text="the the")])
+        vocab = build_vocab(corpus)  # the=0, cat/sat by lex
+        new = spark.createDataFrame([Row(doc_id=9, text="sat the unknown cat")])
+        row = encode_documents(new, vocab).first()
+        v = {r.token: r.token_id for r in vocab.collect()}
+        assert row.input_ids == [v["sat"], v["the"], -1, v["cat"]]
+        assert row.n_tokens == 4
+
+    def test_encode_layout_independent(self, spark):
+        from druid_hadoop_utils_spark.operators.text import (
+            build_vocab,
+            encode_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"w{i % 5} w{(i * 3) % 7} common")
+             for i in range(100)])
+        vocab = build_vocab(docs)
+        a = sorted((r.doc_id, tuple(r.input_ids)) for r in
+                   encode_documents(docs, vocab).collect())
+        b = sorted((r.doc_id, tuple(r.input_ids)) for r in
+                   encode_documents(docs.repartition(13), vocab).collect())
+        assert a == b
