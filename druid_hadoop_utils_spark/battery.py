@@ -957,6 +957,38 @@ def q_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "q_quantize_embeddings",
+    """WITH q AS (
+         SELECT vec_id,
+                list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS qscale,
+                embedding
+         FROM embeddings WHERE vec_id < 20)
+       SELECT vec_id, qscale, u.s['pos'] AS pos,
+              CAST(CASE WHEN qscale = 0 THEN 0
+                   ELSE floor(CAST(u.s['x'] AS DOUBLE) / qscale * 127 + 0.5)
+                   END AS INT) AS code
+       FROM q, unnest(list_transform(embedding, (x, i) ->
+                      struct_pack(x := x, pos := i))) AS u(s)""",
+)
+def q_quantize_embeddings(spark, sf_dir):
+    # int8 scalar quantization (4x storage cut): expression-only codes
+    # with floor(x+0.5) rounding so every code is bit-reproducible by the
+    # oracle; exploded per element for the scalar-cell comparator
+    from druid_hadoop_utils_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "qscale",
+        F.posexplode("qvec").alias("pos0", "code"),
+    ).select("vec_id", "qscale",
+             (F.col("pos0") + 1).cast("long").alias("pos"), "code")
+
+
+@register(
     "q_build_vocab",
     """WITH toks AS (
          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
@@ -3237,7 +3269,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
     "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
     "q_cap_per_group", "q_theta_set_ops", "q_forward_fill",
-    "q_build_vocab", "q_encode_docs",
+    "q_build_vocab", "q_encode_docs", "q_quantize_embeddings",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",

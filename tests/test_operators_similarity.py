@@ -588,3 +588,39 @@ class TestRandomProjection:
         approx = S.brute_force_topk(proj, qp, k=10).collect()
         same = [cluster[r.query_id] == cluster[r.neighbor_id] for r in approx]
         assert sum(same) / len(same) >= 0.8, sum(same) / len(same)
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self, spark):
+        import numpy as np
+
+        pts, df = _clustered_df(spark, n=100, dim=64)
+        q = S.quantize_embeddings(df)
+        back = S.dequantize_embeddings(q, out_col="deq")
+        rows = back.select("vec_id", "embedding", "deq", "qscale").collect()
+        for r in rows:
+            orig = np.array(r.embedding)
+            deq = np.array(r.deq)
+            step = r.qscale / 127
+            assert np.all(np.abs(orig - deq) <= step / 2 + 1e-9)
+
+    def test_cosine_distortion_small(self, spark):
+        import numpy as np
+
+        pts, df = _clustered_df(spark, n=50, dim=64)
+        back = S.dequantize_embeddings(S.quantize_embeddings(df), out_col="deq")
+        for r in back.collect():
+            a, b = np.array(r.embedding), np.array(r.deq)
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos > 0.995, cos
+
+    def test_codes_in_int8_range_and_zero_vector(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.0, 0.0]),
+             Row(vec_id=2, embedding=[1.0, -1.0, 0.5])])
+        rows = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+        assert rows[1].qvec == [0, 0] and rows[1].qscale == 0.0
+        assert rows[2].qvec == [127, -127, 64]
+        assert all(-127 <= c <= 127 for r in rows.values() for c in r.qvec)
