@@ -3257,10 +3257,12 @@ def q_kll_quantiles(spark, sf_dir):
 # The driver's correctness gate snapshots the FIRST ~50 registered queries
 # (observed cap in CORRECTNESS_r01-r03). Rotate so no query goes two
 # consecutive rounds without a driver-green row (VERDICT r3 item 3): this
-# round fronts everything ABSENT from CORRECTNESS_r03 — the two queries
-# new in round 4 first, then the 42 whose last driver row is r02;
-# tools/check_oracle.py keeps all queries verified locally regardless of
-# order.
+# round fronts everything ABSENT from CORRECTNESS_r03 — the 24 queries
+# new in round 4 first (never driver-checked), then the r02 batch. With
+# the battery at 116 and the cap at ~50, the LAST ~16 of the r02 batch
+# (q_dedup_simhash onward) ride on the local replica this round — round 5
+# MUST front them; tools/check_oracle.py keeps all queries verified
+# locally regardless of order.
 _DRIVER_PRIORITY = [
     # new in round 4 — no driver row yet
     "q_tpch_q4_order_priority", "q_tpch_q7_volume_shipping",
