@@ -162,6 +162,27 @@ ANNOTATED = {
         "the content key itself, not from electing a representative, so "
         "the operator costs a map pass regardless of corpus size."
     ),
+    "q_theta_set_ops": (
+        "Theta set operations: both filtered sketches build in ONE "
+        "aggregation pass over one scan (two filtered collect_set "
+        "branches in the same HashAggregate), and INTERSECT/NOT/UNION + "
+        "estimates are a pure Project over the 1-row aggregate — no "
+        "second scan, no join, no Python."
+    ),
+    "q_forward_fill": (
+        "Forward fill: ONE Exchange on the key, then a running "
+        "last-non-null window over the unbounded-preceding frame "
+        "(RunningWindowFunction — per-row state, not a per-row frame "
+        "rescan). The user_id predicate pushes to the parquet scan."
+    ),
+    "q_encode_docs": (
+        "Document encoding: posexplode feeds a BroadcastHashJoin on the "
+        "token (the vocabulary broadcasts — the common case; it degrades "
+        "to a hash join only past broadcast size), and the positional "
+        "re-assembly is one hash aggregate on doc_id with the sort/"
+        "transform evaluated post-aggregation. The token stream never "
+        "enters Python."
+    ),
     "q_pack_documents": (
         "Sequence packing as a DISTRIBUTED prefix sum: the per-ROW "
         "cumulative Window partitions by the hash bucket (parallel across "
