@@ -117,13 +117,14 @@ def timeseries(
     # over the filled aggregate row); aggregators the post-aggs consume as
     # sketches must stay non-finalized through the fill
     from druid_hadoop_utils_spark.functions.aggregators import (
+        agg_inner,
+        agg_out_name,
+        finalize_sketch_columns,
         sketch_post_agg_refs,
     )
 
-    out = group_aggregate(
-        df, [], aggregations, None,
-        no_finalize=sketch_post_agg_refs(post_aggregations),
-    )
+    refs = sketch_post_agg_refs(post_aggregations)
+    out = group_aggregate(df, [], aggregations, None, no_finalize=refs)
     gran = spec.granularity
     # dict granularities (duration/period) always have bucket structure;
     # only the named NONE/ALL shapes skip the fill (and a dict must not hit
@@ -135,17 +136,28 @@ def timeseries(
         ivs = spec.intervals if interval is None else interval
         buckets = _bucket_frame(spark, gran, ivs)
         out = buckets.join(out, "__time", "left")
-        fills = [
-            F.coalesce(F.col(a["name"]), F.lit(0)).alias(a["name"])
-            if a.get("type") in _ZERO_FILL_TYPES
-            else F.col(a["name"])
-            for a in aggregations
-        ]
+        fills = []
+        for a in aggregations:
+            name = agg_out_name(a)
+            if agg_inner(a).get("type") in _ZERO_FILL_TYPES:
+                fills.append(F.coalesce(F.col(name), F.lit(0)).alias(name))
+            else:
+                fills.append(F.col(name))
         out = out.select("__time", *fills)
     if post_aggregations:
         from druid_hadoop_utils_spark.functions.aggregators import post_agg_expr
 
-        out = out.select("*", *[post_agg_expr(p) for p in post_aggregations])
+        # sketch-finalizing post-aggs over a filled (null-state) bucket
+        # read 0.0 — Druid's empty-sketch estimate
+        posts = []
+        for p in post_aggregations:
+            e = post_agg_expr(p)
+            if p.get("type") in {"thetaSketchEstimate", "hyperUniqueCardinality"}:
+                e = F.coalesce(e, F.lit(0.0)).alias(p.get("name") or p["type"])
+            posts.append(e)
+        out = out.select("*", *posts)
+    # the broker step: referenced sketch columns re-finalize in the output
+    out = finalize_sketch_columns(out, aggregations, refs)
     return out.orderBy("__time")
 
 

@@ -236,6 +236,56 @@ def post_agg_expr(spec: dict) -> Column:
     return col.alias(name) if name else col
 
 
+def agg_inner(a: dict) -> dict:
+    """The aggregator carrying type/fieldName/size — unwraps a
+    ``filtered`` wrapper."""
+    return a.get("aggregator") or a
+
+
+def agg_out_name(a: dict) -> str:
+    """The output column name an aggregator spec aliases to — mirrors
+    ``agg_expr``'s rule (name, else fieldName, else type; filtered
+    wrappers prefer the inner name)."""
+    inner = agg_inner(a)
+    return (
+        inner.get("name") or a.get("name")
+        or inner.get("fieldName") or inner.get("type")
+    )
+
+
+def finalize_sketch_columns(
+    df: DataFrame,
+    aggregations: list[dict],
+    names: set[str],
+) -> DataFrame:
+    """Druid's broker step: after post-aggregators have read the raw
+    sketch state, the response finalizes the aggregator columns. Replaces
+    each named hyperUnique/cardinality/thetaSketch state column with its
+    double estimate (empty/null state — an empty filled bucket — reads
+    0.0, Druid's empty-sketch estimate)."""
+    from druid_hadoop_utils_spark.functions.theta import DEFAULT_K, kmv_estimate
+
+    for a in aggregations:
+        name = agg_out_name(a)
+        if name not in names:
+            continue
+        t = agg_inner(a).get("type")
+        if t in ("hyperUnique", "cardinality"):
+            df = df.withColumn(
+                name,
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(name)).cast("double"),
+                    F.lit(0.0),
+                ),
+            )
+        elif t == "thetaSketch":
+            k = int(agg_inner(a).get("size", DEFAULT_K))
+            df = df.withColumn(
+                name, F.coalesce(kmv_estimate(F.col(name), k), F.lit(0.0))
+            )
+    return df
+
+
 def sketch_post_agg_refs(post_aggregations: list[dict] | None) -> set[str]:
     """Aggregator names that post-aggregators consume AS SKETCHES —
     Druid's rule: those aggregators must not finalize before post-agg
@@ -407,14 +457,17 @@ def group_aggregate(
     def _fin(a: dict) -> bool:
         # Druid semantics: an aggregator a post-aggregator consumes as a
         # SKETCH (hyperUniqueCardinality / thetaSketchEstimate /
-        # thetaSketchSetOp / quantile) must stay non-finalized; its column
-        # rides as state in the output (select the post-agg names to drop
-        # it). Filtered wrappers carry the name on the inner aggregator.
-        name = a.get("name") or (a.get("aggregator") or {}).get("name")
-        return finalize and name not in skip_final
+        # thetaSketchSetOp / quantile) must stay non-finalized while the
+        # post-aggs evaluate; the OUTPUT column re-finalizes afterwards
+        # (the broker step — finalize_sketch_columns below), so ordering/
+        # having/limit over the aggregator name still see a double.
+        return finalize and agg_out_name(a) not in skip_final
 
     def _bounded_theta(a: dict) -> bool:
-        if not (_fin(a) and keys) or a.get("type") != "thetaSketch":
+        # the memory-bounded kmv_distinct route applies to keyed
+        # thetaSketch over RAW columns whether or not the column finalizes
+        # (it produces both the bounded state and the estimate)
+        if not (finalize and keys) or a.get("type") != "thetaSketch":
             return False
         from druid_hadoop_utils_spark.functions.theta import is_kmv_state
 
@@ -438,21 +491,29 @@ def group_aggregate(
 
         for a in bounded:
             k = int(a.get("size", DEFAULT_K))
+            pick = "estimate" if _fin(a) else "kmv"
             th = kmv_distinct(df, keys, a["fieldName"], k).select(
-                *keys, F.col("estimate").alias(a["name"])
+                *keys, F.col(pick).alias(agg_out_name(a))
             )
             out = out.join(th, keys, "left")
         # an absent group in the theta frame means zero non-null values —
-        # the expression path estimates 0.0 there too
+        # estimate 0.0 / empty state, matching the expression path
         fills = [
-            F.coalesce(F.col(a["name"]), F.lit(0.0)).cast("double").alias(a["name"])
+            F.coalesce(F.col(agg_out_name(a)), F.lit(0.0)).cast("double")
+            .alias(agg_out_name(a))
+            if _fin(a)
+            else F.coalesce(
+                F.col(agg_out_name(a)), F.array().cast("array<long>")
+            ).alias(agg_out_name(a))
             for a in bounded
         ]
         out = out.select(
             *keys,
-            *[F.col(a["name"]) for a in rest],
+            *[F.col(agg_out_name(a)) for a in rest],
             *fills,
-        ).select(*keys, *[a["name"] for a in aggregations])
+        ).select(*keys, *[agg_out_name(a) for a in aggregations])
     if post_aggregations:
         out = out.select("*", *[post_agg_expr(p) for p in post_aggregations])
+        if finalize:
+            out = finalize_sketch_columns(out, aggregations, skip_final)
     return out

@@ -207,11 +207,6 @@ def compaction_candidates(
     """
     import glob as _glob
 
-    from druid_hadoop_utils_spark.sources.segments import (
-        list_manifests,
-        resolve_visible_windows,
-    )
-
     iv = Interval.parse(interval)
     visible = resolve_visible_windows(list_manifests(table_root, data_source), iv)
     seen_paths = set()

@@ -416,3 +416,108 @@ def test_theta_setop_post_agg_through_native_query(spark, events):
     purchase = {r.user_id for r in events.where(
         F.col("event_type") == "purchase").select("user_id").collect()}
     assert got == float(len(click & purchase))
+
+
+def test_topn_ranks_by_estimate_when_metric_feeds_post_agg(spark):
+    """Auto non-finalization must not leak raw sketch state into topN
+    ordering: the metric column re-finalizes (broker semantics) before
+    the leaderboard sorts."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = [Row(ts=datetime(2024, 1, 1), g="big", u=f"u{i}") for i in range(40)]
+    rows += [Row(ts=datetime(2024, 1, 1), g="small", u="u0")] * 5
+    df = spark.createDataFrame(rows)
+    q = {
+        "queryType": "topN", "dataSource": "x",
+        "intervals": ["2023-01-01/2025-01-01"], "granularity": "ALL",
+        "dimension": "g", "metric": "users", "threshold": 1,
+        "aggregations": [
+            {"type": "thetaSketch", "name": "users", "fieldName": "u"}],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "est",
+             "field": {"type": "fieldAccess", "fieldName": "users"}}],
+    }
+    got = druid_query(spark, df, q, time_column="ts").collect()
+    assert len(got) == 1 and got[0].g == "big"
+    assert got[0].users == 40.0  # re-finalized double, not state
+    assert got[0].est == 40.0
+
+
+def test_timeseries_filtered_sketch_aggs_with_fill(spark):
+    """Filtered sketch aggregators + DAY granularity: the empty-bucket
+    fill must resolve the filtered wrapper's inner name, and sketch
+    estimates over filled buckets read 0.0 (Druid's empty sketch)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = [Row(ts=datetime(2024, 1, 1, 5), et="click", u=f"u{i}")
+            for i in range(7)]
+    df = spark.createDataFrame(rows)
+    q = {
+        "queryType": "timeseries", "dataSource": "x",
+        "intervals": ["2024-01-01/2024-01-03"], "granularity": "DAY",
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "selector", "dimension": "et",
+                        "value": "click"},
+             "aggregator": {"type": "thetaSketch", "name": "s",
+                            "fieldName": "u"}}],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "est",
+             "field": {"type": "fieldAccess", "fieldName": "s"}}],
+    }
+    got = {str(r["__time"]): (r.est, r.s) for r in
+           druid_query(spark, df, q, time_column="ts").collect()}
+    assert got["2024-01-01 00:00:00"] == (7.0, 7.0)
+    assert got["2024-01-02 00:00:00"] == (0.0, 0.0)  # filled bucket
+
+
+def test_groupby_having_over_sketch_referenced_aggregator(spark):
+    """having/limitSpec over an aggregator name that a post-agg consumes
+    as a sketch: the name re-finalizes to a double first."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = [Row(ts=datetime(2024, 1, 1), g=f"g{i % 3}", u=f"u{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows)
+    q = {
+        "queryType": "groupBy", "dataSource": "x",
+        "intervals": ["2023-01-01/2025-01-01"], "granularity": "ALL",
+        "dimensions": ["g"],
+        "aggregations": [
+            {"type": "thetaSketch", "name": "users", "fieldName": "u"}],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "est",
+             "field": {"type": "fieldAccess", "fieldName": "users"}}],
+        "having": {"type": "greaterThan", "aggregation": "users",
+                   "value": 5},
+    }
+    got = druid_query(spark, df, q, time_column="ts").collect()
+    assert len(got) == 3  # each group has 10 distinct users > 5
+    assert all(r.users == 10.0 and r.est == 10.0 for r in got)
+
+
+def test_unnamed_sketch_agg_field_alias_stays_state_for_post_agg(spark):
+    """An aggregator without 'name' aliases to its fieldName; a post-agg
+    referencing that alias must still see non-finalized state."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = [Row(ts=datetime(2024, 1, 1), u=f"u{i}") for i in range(12)]
+    df = spark.createDataFrame(rows)
+    q = {
+        "queryType": "timeseries", "dataSource": "x",
+        "intervals": ["2023-01-01/2025-01-01"], "granularity": "ALL",
+        "aggregations": [{"type": "thetaSketch", "fieldName": "u"}],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "est",
+             "field": {"type": "fieldAccess", "fieldName": "u"}}],
+    }
+    got = druid_query(spark, df, q, time_column="ts").first()
+    assert got.est == 12.0
