@@ -182,6 +182,11 @@ def kmeans_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "kmeans_centroids: no vectors to sample — empty corpus or "
+            "all-null vector column"
+        )
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     if len(mat) < n_cells:
         raise ValueError(
@@ -426,6 +431,11 @@ def pq_train(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_train: no vectors to sample — empty corpus or all-null "
+            "vector column"
+        )
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     if len(mat) < ks:
         raise ValueError(
