@@ -188,3 +188,36 @@ def test_natural_bound_filter_stays_codegen(spark, sf_dir):
     plan = plan_str(df)
     assert "EvalPython" not in plan
     assert "* Filter" in plan
+
+
+# the ONLY queries whose plans legitimately carry a CartesianProduct /
+# BroadcastNestedLoopJoin (verified by sweeping the full battery):
+_CARTESIAN_ALLOWED = {
+    # exact all-pairs comparisons, documented as oracle-only configs —
+    # the scale paths are the LSH/IVF variants
+    "q_similarity_topk", "q_embedding_neardup", "q_dedup_ngram_jaccard",
+    # a 1-row scalar broadcast (corpus doc count / total row count /
+    # mean acctbal / vocabulary size) cross-joined onto the stream
+    "q_text_tfidf_topk", "q_heavy_hitters",
+    "q_tpch_q22_sales_opportunity", "q_text_lm_score",
+}
+
+
+def test_battery_has_no_unexpected_cartesian_products(spark, sf_dir):
+    """Sweep EVERY battery query's physical plan: a CartesianProduct or
+    BroadcastNestedLoopJoin outside the documented allowlist means an
+    equi-join degraded silently — the classic 100 TB query killer."""
+    from druid_hadoop_utils_spark.battery import QUERIES
+
+    offenders = {}
+    for name, (fn, _) in QUERIES.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as e:  # pragma: no cover - surface as failure
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
+                and name not in _CARTESIAN_ALLOWED:
+            offenders[name] = "cartesian/nested-loop join in plan"
+    assert not offenders, offenders
