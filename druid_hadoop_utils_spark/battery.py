@@ -2688,21 +2688,20 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
 def q_tpch_q17_small_quantity(spark, sf_dir):
     # TPC-H Q17 (small-quantity-order revenue), adapted: brand+size stands
     # in for brand+container, threshold 0.5*avg (0.2*avg selects ~nothing
-    # on this uniform-quantity data). The correlated avg decorrelates to
-    # ONE per-part aggregate over the filtered parts' lineitems, broadcast
-    # back — lineitem is scanned once for the threshold and once for the
-    # probe, never per-row. avg over whole-number quantities is exact in
-    # doubles, so the threshold compare is engine-stable.
+    # on this uniform-quantity data). The correlated avg decorrelates to a
+    # WINDOW average per partkey over the filtered stream — lineitem is
+    # scanned ONCE and shuffled once on partkey (the aggregate-then-join
+    # formulation would scan it twice); avg over whole-number quantities
+    # is exact in doubles, so the threshold compare is engine-stable.
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
     ).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
     li_p = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    thr = li_p.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("__thr"))
+    w = Window.partitionBy("l_partkey")
     return (
-        li_p.join(F.broadcast(thr), li_p.l_partkey == F.col("__pk"))
+        li_p.withColumn("__thr", F.lit(0.5) * F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < F.col("__thr"))
         .agg(F.round(
             F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
