@@ -2654,11 +2654,13 @@ def q_tpch_q12_priority_lines(spark, sf_dir):
        ORDER BY s_suppkey""",
 )
 def q_tpch_q15_top_supplier(spark, sf_dir):
-    # TPC-H Q15 (top supplier). The quarter's per-supplier revenue is one
-    # aggregation; the scalar max is a 1-row broadcast joined back on
-    # revenue equality (exact DECIMAL compare — ties keep every argmax
-    # supplier, matching the spec). No view, no second lineitem scan:
-    # Spark reuses the aggregated exchange for both branches under AQE.
+    # TPC-H Q15 (top supplier). The quarter's per-supplier revenue is ONE
+    # aggregation over ONE lineitem scan; the argmax is a rank() window
+    # over the aggregated frame — which is SUPPLIER-dimension-sized, so
+    # the unpartitioned window is a non-issue at any corpus scale (the
+    # max-broadcast-join alternative scans lineitem twice pre-AQE). rank
+    # (not row_number) keeps every revenue tie, matching the spec's
+    # max-equality semantics on exact DECIMAL sums.
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
@@ -2666,9 +2668,10 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(vol).alias("total_revenue"))
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    w = Window.orderBy(F.desc("total_revenue"))
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        rev.withColumn("__r", F.rank().over(w))
+        .where(F.col("__r") == 1)
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name",
                 F.round("total_revenue", 2).cast("double").alias("total_revenue"))
