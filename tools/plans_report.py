@@ -149,11 +149,12 @@ ANNOTATED = {
     ),
     "q_tpch_q15_top_supplier": (
         "TPC-H Q15: the quarter's per-supplier revenue is ONE two-phase "
-        "hash aggregate over the pushed-down shipdate slice; the scalar "
-        "max is a 1-row BroadcastExchange joined back on exact-DECIMAL "
-        "equality (argmax ties keep every winner), and the 100-row "
-        "supplier side broadcasts. No global sort of the revenue table, "
-        "no second lineitem scan."
+        "hash aggregate over the pushed-down shipdate slice of ONE "
+        "lineitem scan; the argmax is a rank() window over the "
+        "aggregated frame — supplier-dimension-sized, so the "
+        "unpartitioned window is bounded at any corpus scale — with "
+        "rank (not row_number) keeping every exact-DECIMAL revenue tie. "
+        "The supplier name join broadcasts."
     ),
     "q_leakage_safe_split": (
         "Leakage-safe split: the whole assignment — tokenize, fingerprint, "
