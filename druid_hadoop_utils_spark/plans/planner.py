@@ -78,18 +78,26 @@ def _scan_segments(spark: SparkSession, table_root: str, data_source: str, iv: I
             "(interval fully dropped)"
         )
 
+    # mergeSchema: Druid dimensions evolve — a column added in a newer
+    # segment version must read as NULL in older segments, not pick
+    # whichever file's footer Spark sampled first. The merge is a
+    # driver-side footer union (metadata only); pushdown and pruning are
+    # unaffected.
+    def read(paths: list[str]) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
     parts: list[DataFrame] = []
     if full_paths:
-        parts.append(spark.read.parquet(*full_paths))
+        parts.append(read(full_paths))
     for windows, paths in windowed.items():
-        df = spark.read.parquet(*paths)
+        df = read(paths)
         pred = _interval_pred(windows[0], F.col(TIME_COL))
         for win in windows[1:]:
             pred = pred | _interval_pred(win, F.col(TIME_COL))
         parts.append(df.where(pred))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

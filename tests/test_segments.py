@@ -128,3 +128,36 @@ def test_republish_same_version_idempotent(tmp_path):
     assert list_manifests(str(tmp_path), "ds") == [a]
     # and identical manifests dedupe in the timeline too
     assert len(resolve_visible_windows([a, a], QUERY)) == 1
+
+
+def test_schema_evolution_new_dimension_reads_null_in_old_segments(
+        spark, tmp_path):
+    """Druid dimensions evolve: a column first published in a NEWER
+    segment version must read as NULL for older segments' rows (not fail,
+    not silently vanish depending on footer sampling order)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.plans.planner import load
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame(
+        [Row(__time=datetime(2024, 1, 1), host="a", v=1.0)])
+    new = spark.createDataFrame(
+        [Row(__time=datetime(2024, 1, 2), host="b", v=2.0, region="eu")])
+    publish_segments(old, root, "ev", "v1", bucket="DAY")
+    publish_segments(new, root, "ev", "v2", bucket="DAY")
+    spec = {"granularity": "NONE", "dimensions": ["host", "region"],
+            "metrics": [{"name": "v", "type": "double"}]}
+    rows = {r.host: r.region for r in load(
+        spark, root, spec, interval="2020-01-01/2030-01-01",
+        data_source="ev").collect()}
+    assert rows == {"a": None, "b": "eu"}
+
+    # filtering on the evolved dimension only matches where it exists
+    out = load(spark, root, dict(spec, filter={
+        "type": "selector", "dimension": "region", "value": "eu"}),
+        interval="2020-01-01/2030-01-01", data_source="ev")
+    assert [r.host for r in out.collect()] == ["b"]
