@@ -82,7 +82,10 @@ def _scan_segments(spark: SparkSession, table_root: str, data_source: str, iv: I
     # segment version must read as NULL in older segments, not pick
     # whichever file's footer Spark sampled first. The merge is a
     # driver-side footer union (metadata only); pushdown and pruning are
-    # unaffected.
+    # unaffected. A column whose TYPE changes across versions fails the
+    # merge loudly (Spark CANNOT_MERGE_SCHEMAS) — the Druid analogue of
+    # a metric type change, which requires reindexing (compact the old
+    # intervals with the new type to migrate).
     def read(paths: list[str]) -> DataFrame:
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
