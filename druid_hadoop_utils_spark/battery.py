@@ -2108,6 +2108,60 @@ def _segment_table(spark, sf_dir: str) -> str:
     return root
 
 
+_ZORDER_TABLE_CACHE: dict[str, str] = {}
+
+
+def _zorder_segment_table(spark, sf_dir: str) -> str:
+    """Events published with Z-order clustering on (event_type, value) —
+    proves the Morton layout through the full publish→load→query gate."""
+    root = _ZORDER_TABLE_CACHE.get(sf_dir)
+    if root:
+        return root
+    import tempfile
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = tempfile.mkdtemp(prefix="zorder_battery_")
+    ev = _t(spark, sf_dir, "events")
+    publish_segments(
+        ev.select("ts", "event_type", "value", "user_id"),
+        root, "events", version="v1", time_column="ts", bucket="DAY",
+        zorder=["event_type", "value"],
+    )
+    _ZORDER_TABLE_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "q_segment_table_zorder",
+    """SELECT event_type,
+              round(sum(value), 2) AS value, count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND ts < TIMESTAMP '2024-01-10 00:00:00'
+         AND value BETWEEN 20 AND 60
+       GROUP BY 1""",
+)
+def q_segment_table_zorder(spark, sf_dir):
+    # the Z-order publish path through the correctness gate: Morton
+    # clustering reorders rows WITHIN files only, so every query answer
+    # is identical — while the value-range predicate that motivates the
+    # layout now prunes on tightened row-group stats
+    root = _zorder_segment_table(spark, sf_dir)
+    spec = {"granularity": "NONE",
+            "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}],
+            "filter": {"type": "bound", "dimension": "value",
+                       "lower": "20", "upper": "60", "ordering": "numeric"}}
+    df = load(spark, root, spec, interval="2024-01-03/2024-01-10",
+              data_source="events")
+    return (
+        df.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("value"),
+             F.count("*").alias("n"))
+    )
+
+
 @register(
     "q_segment_table_load",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time, event_type,
@@ -3274,6 +3328,7 @@ _DRIVER_PRIORITY = [
     "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
     "q_cap_per_group", "q_theta_set_ops", "q_forward_fill",
     "q_build_vocab", "q_encode_docs", "q_quantize_embeddings",
+    "q_segment_table_zorder",
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
