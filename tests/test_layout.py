@@ -113,3 +113,23 @@ def test_publish_segments_zorder_roundtrip(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="not both"):
         publish_segments(df, root, "ev", "v2", sort_by=["a"], zorder=["b"])
+
+
+def test_publish_zorder_with_shards(spark, tmp_path):
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.plans.planner import load
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    rows = [Row(__time=datetime(2024, 1, 1, i % 24), a=float(i % 50),
+                v=float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    root = str(tmp_path / "tbl")
+    publish_segments(df, root, "ev", "v1", zorder=["a", "v"],
+                     shards_per_bucket=2)
+    spec = {"granularity": "NONE", "dimensions": ["a"],
+            "metrics": [{"name": "v", "type": "double"}]}
+    back = load(spark, root, spec, interval="2020-01-01/2030-01-01",
+                data_source="ev")
+    assert back.count() == 1000
+    assert sorted(r.v for r in back.collect()) == [float(i) for i in range(1000)]
