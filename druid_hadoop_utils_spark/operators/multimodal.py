@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, with Arrow-batched processing plumbing.
 
-The decode/resize/feature kernels are STUBBED (the image/audio libraries are
-not in this environment): ``decode_image`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder produces
-reproducible outputs so the Spark-side plumbing — schema, batching,
-``mapInPandas`` signatures, partitioning — is fully real and testable.
+Decode posture (no media libraries ship in this environment, so every
+real path is dependency-free or optional): PNG images decode natively
+(stdlib zlib — ``_decode_png``), WAV/PCM audio decodes natively (stdlib
+``wave`` — ``decode_audio``), Pillow takes over for other image formats
+WHEN installed, and everything else raises a loud ``NotImplementedError``.
+``fake=True`` keeps the deterministic pseudo-decoders so the Spark-side
+plumbing — schema, batching, ``mapInPandas`` signatures, partitioning —
+is testable with no media at all.
 
 Design for 100 TB of media:
 
@@ -247,3 +250,100 @@ def media_byte_stats(df: DataFrame) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.avg(F.length("content")).alias("avg_bytes"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossing_rate", FloatType()),
+        StructField("spectral_centroid_hz", FloatType()),
+    ]
+)
+
+
+def decode_audio(content: bytes, fake: bool = False):
+    """Decode an audio blob to (mono float32 waveform in [-1, 1],
+    sample_rate). WAV/PCM decodes with ZERO dependencies (stdlib ``wave``
+    + numpy): 8/16/32-bit integer PCM, any channel count (averaged to
+    mono). Other containers raise a loud ``NotImplementedError`` — the
+    same optional-dependency posture as image decode.
+
+    ``fake=True`` returns a deterministic pseudo-waveform from the bytes'
+    sha256, keeping the distributed plumbing testable with no media."""
+    if fake:
+        digest = hashlib.sha256(content or b"").digest()
+        rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
+        return rng.uniform(-1, 1, size=800).astype(np.float32), 8000
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "only WAV/PCM decodes natively (stdlib wave); install an "
+            "audio library for other containers, or use fake=True"
+        ) from e
+    if width == 1:
+        # 8-bit WAV is unsigned
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-clip audio features via Arrow-batched mapInPandas: duration,
+    RMS level, zero-crossing rate, and spectral centroid (numpy rFFT) —
+    the standard cheap quality/speech-vs-noise signals, computed without
+    any audio library for WAV inputs."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                x, rate = decode_audio(blob, fake=fake)
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+                )
+                if n > 1:
+                    spec = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    denom = spec.sum()
+                    centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+                else:
+                    centroid = 0.0
+                out.append({
+                    "media_id": media_id,
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                    "n_bytes": len(blob),
+                    "sample_rate": int(rate),
+                    "duration_s": float(n) / rate if rate else 0.0,
+                    "rms": rms,
+                    "zero_crossing_rate": zcr,
+                    "spectral_centroid_hz": centroid,
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select("media_id", "content").mapInPandas(
+        compute, AUDIO_FEATURES_SCHEMA)

@@ -116,3 +116,70 @@ def test_image_features_real_decode_over_png_media(spark):
     for r in out.values():
         assert len(r.features) == 16
         assert all(0.0 <= f <= 1.0 for f in r.features)
+
+
+class TestAudioDecode:
+    def _wav(self, x, rate=8000, width=2, nch=1):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 2:
+                pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+            elif width == 1:
+                pcm = ((np.clip(x, -1, 1) * 127) + 128).astype(np.uint8)
+            else:
+                pcm = (np.clip(x, -1, 1) * 2147483647).astype("<i4")
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def test_wav_roundtrip_and_features(self):
+        from druid_hadoop_utils_spark.operators.multimodal import decode_audio
+
+        t = np.arange(8000) / 8000.0
+        sine = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        x, rate = decode_audio(self._wav(sine))
+        assert rate == 8000 and len(x) == 8000
+        assert np.max(np.abs(x - sine)) < 1e-3  # 16-bit quantization
+        # 8-bit and 32-bit widths, stereo averaging
+        x8, _ = decode_audio(self._wav(sine, width=1))
+        assert np.max(np.abs(x8 - sine)) < 2e-2
+        stereo = np.repeat(sine, 2)
+        xs, _ = decode_audio(self._wav(stereo, nch=2))
+        assert np.max(np.abs(xs - sine)) < 1e-3
+
+    def test_non_wav_fails_loudly(self):
+        import pytest as _pytest
+
+        from druid_hadoop_utils_spark.operators.multimodal import decode_audio
+
+        with _pytest.raises(NotImplementedError, match="WAV"):
+            decode_audio(b"ID3 not a wav file")
+
+    def test_audio_features_end_to_end(self, spark):
+        from pyspark.sql import Row
+
+        from druid_hadoop_utils_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        t = np.arange(8000) / 8000.0
+        rows = [
+            Row(media_id=0, content=bytearray(self._wav(
+                np.sin(2 * np.pi * 440 * t)))),          # pure tone
+            Row(media_id=1, content=bytearray(self._wav(
+                np.zeros(4000)))),                        # silence
+        ]
+        df = spark.createDataFrame(rows)
+        got = {r.media_id: r for r in audio_features(df).collect()}
+        tone, silence = got[0], got[1]
+        assert tone.sample_rate == 8000
+        assert tone.duration_s == pytest.approx(1.0)
+        assert tone.rms == pytest.approx(0.707, abs=0.01)  # sine RMS
+        assert abs(tone.spectral_centroid_hz - 440) < 30
+        assert silence.rms == 0.0
+        assert silence.duration_s == pytest.approx(0.5)
