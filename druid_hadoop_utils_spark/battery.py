@@ -3307,6 +3307,195 @@ def q_kll_quantiles(spark, sf_dir):
 
 
 # =====================================================================
+# retrieval, substring dedup, time-series post-processing, event funnels
+# (round-4 third wave)
+# =====================================================================
+
+
+@register(
+    "q_bm25_search",
+    """WITH d AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       stats AS (
+         SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM d),
+       post AS (
+         SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+         FROM d, LATERAL (SELECT unnest(toks) AS term) t
+         WHERE t.term IN ('join', 'spark', 'table')
+         GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1)
+       SELECT doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+       FROM post JOIN dfreq USING (term), stats
+       GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def q_bm25_search(spark, sf_dir):
+    # BM25 relevance top-k over the corpus (Lucene idf variant): the
+    # query-term filter sits UNDER the explode so only matching postings
+    # shuffle; df/N/avgdl stats are broadcast; final top-k is a
+    # TakeOrderedAndProject. k1=1.2, b=0.75 (the standard defaults).
+    from druid_hadoop_utils_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["join", "spark", "table"], k=10)
+
+
+@register(
+    "q_strip_dup_ngrams",
+    """WITH d AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id, s.start,
+                md5(array_to_string(toks[s.start : s.start + 5], ' ')) AS h
+         FROM d, LATERAL (
+             SELECT unnest(generate_series(1, len(toks) - 5)) AS start) s
+         WHERE len(toks) >= 6),
+       occ AS (
+         SELECT doc_id, start,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+                count(*) OVER (PARTITION BY h) AS cnt
+         FROM g),
+       cov AS (
+         SELECT DISTINCT doc_id, p.pos
+         FROM occ, LATERAL (
+             SELECT unnest(generate_series(start - 1, start + 4)) AS pos) p
+         WHERE cnt >= 2 AND rn > 1),
+       tok AS (
+         SELECT doc_id, unnest(toks) AS token,
+                generate_subscripts(toks, 1) - 1 AS pos
+         FROM d),
+       reb AS (
+         SELECT tok.doc_id,
+                string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                count(*) AS kept
+         FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov
+                           WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+         GROUP BY 1)
+       SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+              len(d.toks)::BIGINT AS n_tokens,
+              (len(d.toks) - coalesce(reb.kept, 0))::BIGINT AS n_removed
+       FROM d LEFT JOIN reb USING (doc_id)""",
+)
+def q_strip_dup_ngrams(spark, sf_dir):
+    # fixed-length approximation of suffix-array substring dedup (Lee et
+    # al. 2022): corpus-wide duplicated 6-gram spans removed, canonical
+    # first occurrence kept. Shuffles are hash-of-ngram and (doc, pos)
+    # keyed — never pair-shaped.
+    docs = _t(spark, sf_dir, "documents")
+    return DD.strip_duplicate_ngrams(docs, n=6, min_count=2)
+
+
+@register(
+    "q_timeseries_smooth",
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS h, event_type,
+                round(sum(value), 4) AS v
+         FROM events GROUP BY 1, 2)
+       SELECT h, event_type, v,
+              round(avg(v) OVER w_trail, 6) AS moving_avg,
+              round(v - lag(v) OVER w_series, 6) AS delta,
+              round(CASE WHEN stddev_pop(v) OVER w_all > 0 THEN
+                    (v - avg(v) OVER w_all) / (stddev_pop(v) OVER w_all)
+                    END, 6) AS zscore,
+              coalesce(abs(CASE WHEN stddev_pop(v) OVER w_all > 0 THEN
+                    round((v - avg(v) OVER w_all) / (stddev_pop(v) OVER w_all), 6)
+                    END) > 3.0, FALSE) AS is_outlier
+       FROM hourly
+       WINDOW w_trail AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+              w_series AS (PARTITION BY event_type ORDER BY h),
+              w_all AS (PARTITION BY event_type)""",
+)
+def q_timeseries_smooth(spark, sf_dir):
+    # Druid-timeseries post-processing: hourly rollup → trailing moving
+    # average + point-over-point delta + per-series z-score outlier flag.
+    # The windows run over the ROLLED-UP series (bucket cardinality), and
+    # all three share one exchange on event_type.
+    from druid_hadoop_utils_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    out = TS.smooth(hourly, ["event_type"], "h", "v", preceding=3)
+    out = TS.delta(out, ["event_type"], "h", "v")
+    return TS.zscore_outliers(out, ["event_type"], "v", threshold=3.0)
+
+
+@register(
+    "q_funnel",
+    """WITH ev AS (
+         SELECT user_id, ts, event_type FROM events
+         WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+       s1 AS (
+         SELECT user_id, min(ts) AS t1 FROM ev
+         WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (
+         SELECT s1.user_id, t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+         FROM s1 LEFT JOIN ev e
+           ON e.user_id = s1.user_id AND e.event_type = 'click'
+         GROUP BY 1, 2),
+       s3 AS (
+         SELECT s2.user_id, t1, t2, min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+         FROM s2 LEFT JOIN ev e
+           ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         GROUP BY 1, 2, 3),
+       c AS (SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3 FROM s3)
+       SELECT step_idx, step, users,
+              round(users::DOUBLE / first, 6) AS conversion
+       FROM (SELECT 1::BIGINT AS step_idx, 'view' AS step,
+                    c1::BIGINT AS users, c1 AS first FROM c
+             UNION ALL SELECT 2, 'click', c2::BIGINT, c1 FROM c
+             UNION ALL SELECT 3, 'purchase', c3::BIGINT, c1 FROM c)
+       ORDER BY step_idx""",
+)
+def q_funnel(spark, sf_dir):
+    # ordered funnel (view → click → purchase) over one day of events:
+    # greedy earliest-valid-time chain, every shuffle on the user key
+    # (exchange reuse across the chained step joins), counts via one
+    # final single-row aggregate.
+    from druid_hadoop_utils_spark.operators.events import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    out = funnel_counts(ev, ["view", "click", "purchase"])
+    return out.withColumn("step_idx", F.col("step_idx").cast("long"))
+
+
+@register(
+    "q_cohort_retention",
+    """WITH a AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+         FROM events WHERE value >= 100),
+       f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1)
+       SELECT cohort::TIMESTAMP AS cohort,
+              (date_diff('day', cohort, p) / 7)::BIGINT AS "offset",
+              count(DISTINCT user_id)::BIGINT AS users
+       FROM a JOIN f USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_cohort_retention(spark, sf_dir):
+    # weekly cohort retention over high-value activity (value >= 100
+    # sparsifies the synthetic stream into a real retention triangle):
+    # two hash aggregates + one user-keyed join — no windows over raw
+    # events. Week deltas are exact (both sides truncate to Monday, so
+    # the day difference is always a multiple of 7).
+    from druid_hadoop_utils_spark.operators.events import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") >= 100)
+    out = cohort_retention(ev, period="week")
+    # timestamp instead of date: engines agree on the timestamp type name
+    return out.withColumn("cohort", F.col("cohort").cast("timestamp"))
+
+
+# =====================================================================
 # driver-snapshot ordering
 # =====================================================================
 
@@ -3332,6 +3521,8 @@ _DRIVER_PRIORITY = [
     "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
+    "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
+    "q_funnel", "q_cohort_retention",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

@@ -578,3 +578,119 @@ def fingerprint_manifest(
 
     k = key if key is not None else fingerprint(text_col)
     return df.select(k.alias("fp")).distinct()
+
+
+# ------------------------------------------- global duplicate substrings
+
+def duplicate_ngram_starts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Non-canonical occurrences of corpus-wide duplicated token
+    ``n``-grams — (id, start, gram_hash), ``start`` 1-based in token
+    positions. The canonical (kept) occurrence of each duplicated n-gram
+    is the one with the smallest (id, start).
+
+    This is the fixed-length approximation of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any duplicated substring of >= n tokens is covered
+    by its duplicated n-gram windows.
+
+    Plan: one generator producing md5 hashes of every n-token slice
+    (each slice hashed once — no quadratic re-evaluation), one hash
+    aggregate on the gram hash for (count, canonical), and an equi-join
+    back. Shuffle volume is O(total tokens), never document-pair-shaped.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING range in Spark — guard
+    # short documents to an empty gram list instead
+    starts = F.when(
+        n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.explode(starts).alias("start"),
+    ).select(
+        "id", "start",
+        F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("start"), n))).alias(
+            "gram_hash"
+        ),
+    )
+    stats = grams.groupBy("gram_hash").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct("id", "start")).alias("__canon"),
+    ).where(F.col("__cnt") >= min_count)
+    return (
+        grams.join(stats, "gram_hash")
+        .where(
+            (F.col("id") != F.col("__canon.id"))
+            | (F.col("start") != F.col("__canon.start"))
+        )
+        .select("id", "start", "gram_hash")
+    )
+
+
+def strip_duplicate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove corpus-wide duplicated token spans from every document,
+    keeping only each duplicated n-gram's canonical (first) occurrence —
+    (id, clean_text, n_tokens, n_removed).
+
+    A token is dropped iff it is covered by some non-canonical duplicated
+    n-gram occurrence. Documents made entirely of duplicated text come
+    back with clean_text = '' (they are boilerplate).
+
+    Scale: covered positions are an explode of at most n rows per
+    duplicate occurrence (n is small and fixed), distinct-ed on
+    (id, pos) before the anti-join; reconstruction is one hash aggregate
+    per document with an in-memory ``sort_array`` over that document's
+    kept tokens only — no global sort, no windows over raw tokens."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        toks.alias("__toks"),
+    )
+    tokpos = base.select("id", F.posexplode("__toks").alias("pos", "token"))
+    dup = duplicate_ngram_starts(df, id_col, text_col, n=n, min_count=min_count)
+    covered = (
+        dup.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start") - 1, F.col("start") + (n - 2))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

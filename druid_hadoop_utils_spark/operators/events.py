@@ -1,0 +1,141 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Druid's classic interactive-analytics workloads (the reference feeds a
+Druid cluster whose dashboards ask exactly these questions of the event
+stream) expressed as Spark plans over the raw events table.
+
+Scale notes:
+- every shuffle in this module is on the user key; the funnel's chained
+  step joins therefore all hash-partition on the SAME key, and AQE/
+  exchange-reuse keeps it to one physical repartitioning of each side;
+- per-step frames shrink monotonically (step k+1 only joins users that
+  reached step k), so the join inputs decay as the funnel narrows;
+- cohort retention is two hash aggregates (first-seen, distinct active
+  periods) joined on user — no windows over raw events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered funnel completion: one row per user who completed
+    step 1, with ``t1..tk`` = the earliest time of each step that occurs
+    STRICTLY AFTER the previous step's chosen time (NULL once the chain
+    breaks). This is the standard greedy funnel semantics: taking the
+    earliest valid time at each step maximizes the number of users who
+    can complete the suffix."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ev = df.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+    cur = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col(type_col) == step).withColumnRenamed(ts_col, "__ts")
+        prev_t = F.col(f"t{i - 1}")
+        # the "strictly after the previous step" constraint lives INSIDE
+        # the aggregate (not a row filter) so a user whose chain breaks
+        # keeps their row with t_i = NULL instead of disappearing;
+        # `__ts > NULL` is NULL, so a broken chain stays broken.
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(*cur.columns)
+            .agg(F.min(F.when(F.col("__ts") > prev_t, F.col("__ts"))).alias(f"t{i}"))
+        )
+    return cur
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Funnel summary — (step_idx, step, users, conversion) — where
+    ``users`` counts users whose ordered chain reached the step and
+    ``conversion`` is users / users(step 1)."""
+    times = funnel_times(df, steps, user_col, ts_col, type_col)
+    reached = times.select(
+        [
+            F.count(F.col(f"t{i}")).cast("long").alias(f"t{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    # one row -> k rows via a literal step map; stack keeps it one pass
+    pairs = ", ".join(
+        f"{i}, '{s}', t{i}" for i, s in enumerate(steps, start=1)
+    )
+    out = reached.selectExpr(
+        f"stack({len(steps)}, {pairs}) as (step_idx, step, users)"
+    )
+    first = out.where(F.col("step_idx") == 1).select(
+        F.col("users").alias("__first")
+    )
+    return (
+        out.crossJoin(F.broadcast(first))
+        .select(
+            "step_idx",
+            "step",
+            "users",
+            F.round(
+                F.when(F.col("__first") > 0, F.col("users") / F.col("__first")),
+                round_to,
+            ).alias("conversion"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle — (cohort, offset, users) — users whose
+    FIRST event falls in ``cohort`` (date_trunc period) and who are active
+    ``offset`` periods later. offset 0 is the cohort size itself.
+
+    ``period`` is any date_trunc unit (week/day/month). Offsets are
+    computed on truncated dates, so months use calendar-month arithmetic
+    and week/day use exact day deltas."""
+    bucket = F.date_trunc(period, F.col(ts_col))
+    active = df.select(F.col(user_col), bucket.alias("__p")).distinct()
+    first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
+    joined = active.join(first, user_col)
+    if period == "month":
+        offset = (
+            (F.year("__p") - F.year("__cohort")) * 12
+            + (F.month("__p") - F.month("__cohort"))
+        ).cast("long")
+    else:
+        days = F.datediff(F.col("__p"), F.col("__cohort"))
+        offset = (days / (7 if period == "week" else 1)).cast("long")
+    out = (
+        joined.select(
+            F.col("__cohort").cast("date").alias("cohort"),
+            offset.alias("offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(F.col(user_col)).cast("long").alias("users"))
+    )
+    if max_offset is not None:
+        out = out.where(F.col("offset") <= max_offset)
+    return out.orderBy("cohort", "offset")

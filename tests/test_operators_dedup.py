@@ -250,3 +250,83 @@ class TestIncrementalDedup:
         kept = sorted(r.doc_id for r in incremental_dedup(
             batch, seen, "doc_id", key=F.col("url")).collect())
         assert kept == [11]
+
+
+class TestStripDuplicateNgrams:
+    def _docs(self, spark):
+        shared = "one two three four five six"
+        rows = [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma"),
+            Row(doc_id=2, text=f"delta {shared} epsilon"),
+            Row(doc_id=3, text="totally unique words nothing repeats here"),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_canonical_first_occurrence_kept(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+
+        out = {r.doc_id: r for r in
+               strip_duplicate_ngrams(self._docs(spark), n=6).collect()}
+        # doc 1 holds the canonical occurrence: untouched
+        assert out[1].clean_text == "alpha beta one two three four five six gamma"
+        assert out[1].n_removed == 0
+        # doc 2's copy of the shared 6-gram is stripped
+        assert out[2].clean_text == "delta epsilon"
+        assert out[2].n_removed == 6
+        assert out[3].n_removed == 0
+        assert out[3].n_tokens == 6
+
+    def test_longer_duplicate_span_fully_covered(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+
+        # a 4-token duplicated span with n=3: overlapping 3-grams cover
+        # the whole span in the non-canonical doc
+        rows = [
+            Row(doc_id=1, text="a b c d x"),
+            Row(doc_id=2, text="y a b c d"),
+        ]
+        out = {r.doc_id: r.clean_text for r in
+               strip_duplicate_ngrams(spark.createDataFrame(rows), n=3).collect()}
+        assert out[1] == "a b c d x"
+        assert out[2] == "y"
+
+    def test_within_document_repeat_stripped(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+
+        rows = [Row(doc_id=1, text="p q r p q r")]
+        out = strip_duplicate_ngrams(spark.createDataFrame(rows), n=3).collect()[0]
+        assert out.clean_text == "p q r"
+        assert out.n_removed == 3
+
+    def test_doc_shorter_than_n_untouched(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+
+        rows = [Row(doc_id=1, text="tiny doc"), Row(doc_id=2, text="tiny doc")]
+        out = {r.doc_id: r for r in
+               strip_duplicate_ngrams(spark.createDataFrame(rows), n=6).collect()}
+        # both shorter than n: no n-grams, nothing stripped (exact dedup
+        # is a different operator)
+        assert out[1].clean_text == "tiny doc" and out[2].clean_text == "tiny doc"
+
+    def test_fully_boilerplate_doc_emptied(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+
+        rows = [
+            Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c d e f"),
+        ]
+        out = {r.doc_id: r for r in
+               strip_duplicate_ngrams(spark.createDataFrame(rows), n=6).collect()}
+        assert out[1].clean_text == "a b c d e f"
+        assert out[2].clean_text == "" and out[2].n_removed == 6
+
+    def test_min_count_threshold(self, spark):
+        from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+
+        rows = [
+            Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c d e f"),
+        ]
+        out = strip_duplicate_ngrams(
+            spark.createDataFrame(rows), n=6, min_count=3)
+        assert all(r.n_removed == 0 for r in out.collect())

@@ -1,0 +1,127 @@
+"""Funnel and cohort-retention semantics on hand-built event streams."""
+
+from datetime import datetime
+
+import pytest
+
+from druid_hadoop_utils_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
+    funnel_times,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+T = datetime
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    rows = [
+        # u1 completes view -> click -> buy in order
+        (1, T(2024, 1, 1, 0), "view"),
+        (1, T(2024, 1, 1, 1), "click"),
+        (1, T(2024, 1, 1, 2), "buy"),
+        # u2 clicks BEFORE viewing: chain breaks at click
+        (2, T(2024, 1, 1, 1), "click"),
+        (2, T(2024, 1, 1, 2), "view"),
+        (2, T(2024, 1, 1, 3), "buy"),
+        # u3 views only
+        (3, T(2024, 1, 1, 0), "view"),
+        # u4 never views (not in funnel at all)
+        (4, T(2024, 1, 1, 0), "click"),
+        (4, T(2024, 1, 1, 1), "buy"),
+    ]
+    return _ev(spark, rows)
+
+
+def test_funnel_times_ordered_chain(stream):
+    out = {r["user_id"]: r for r in
+           funnel_times(stream, ["view", "click", "buy"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["t1"] == T(2024, 1, 1, 0)
+    assert out[1]["t2"] == T(2024, 1, 1, 1)
+    assert out[1]["t3"] == T(2024, 1, 1, 2)
+    # u2: view at 2, no click after 2 -> chain breaks, t3 NULL even
+    # though a buy exists after the view
+    assert out[2]["t1"] == T(2024, 1, 1, 2)
+    assert out[2]["t2"] is None
+    assert out[2]["t3"] is None
+    assert out[3]["t2"] is None and out[3]["t3"] is None
+
+
+def test_funnel_broken_chain_keeps_row(stream):
+    # regression: a user with t1 but no valid later step must keep a row
+    # with NULLs, not vanish from the frame
+    assert funnel_times(stream, ["view", "click", "buy"]).count() == 3
+
+
+def test_funnel_counts_and_conversion(stream):
+    rows = funnel_counts(stream, ["view", "click", "buy"]).collect()
+    got = {r["step"]: (r["users"], r["conversion"]) for r in rows}
+    assert got["view"] == (3, 1.0)
+    assert got["click"] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got["buy"] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert [r["step_idx"] for r in rows] == [1, 2, 3]
+
+
+def test_funnel_greedy_earliest(spark):
+    # two views: the EARLIEST is chosen, which admits the later click
+    rows = [
+        (1, T(2024, 1, 1, 0), "view"),
+        (1, T(2024, 1, 1, 5), "view"),
+        (1, T(2024, 1, 1, 3), "click"),
+    ]
+    out = funnel_times(_ev(spark, rows), ["view", "click"]).collect()[0]
+    assert out["t1"] == T(2024, 1, 1, 0)
+    assert out["t2"] == T(2024, 1, 1, 3)
+
+
+def test_funnel_requires_two_steps(stream):
+    with pytest.raises(ValueError):
+        funnel_times(stream, ["view"])
+
+
+def test_cohort_retention_weekly(spark):
+    rows = [
+        # u1 first seen week of Jan 1 (Mon), active weeks 0 and 2
+        (1, T(2024, 1, 2), "a"),
+        (1, T(2024, 1, 16), "a"),
+        # u2 same cohort, active week 0 only (two events, one period)
+        (2, T(2024, 1, 3), "a"),
+        (2, T(2024, 1, 4), "a"),
+        # u3 cohort of Jan 8, active weeks 0 and 1
+        (3, T(2024, 1, 9), "a"),
+        (3, T(2024, 1, 15), "a"),
+    ]
+    out = {(str(r["cohort"]), r["offset"]): r["users"]
+           for r in cohort_retention(_ev(spark, rows)).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_cohort_retention_monthly_offsets(spark):
+    rows = [
+        (1, T(2024, 1, 20), "a"),
+        (1, T(2024, 3, 2), "a"),
+    ]
+    out = {(str(r["cohort"]), r["offset"]): r["users"]
+           for r in cohort_retention(_ev(spark, rows), period="month").collect()}
+    # calendar-month arithmetic: Jan -> Mar is offset 2 regardless of days
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
+
+
+def test_cohort_max_offset_clips(spark):
+    rows = [
+        (1, T(2024, 1, 1), "a"),
+        (1, T(2024, 2, 19), "a"),
+    ]
+    out = cohort_retention(_ev(spark, rows), max_offset=3).collect()
+    assert {r["offset"] for r in out} == {0}

@@ -1,0 +1,72 @@
+"""BM25 retrieval operator semantics on a hand-computable corpus."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.operators.search import bm25_topk, corpus_term_stats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+        (4, "apple"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_corpus_term_stats(corpus):
+    stats = {r["term"]: (r["df"], r["total_tf"]) for r in corpus_term_stats(corpus).collect()}
+    assert stats["apple"] == (2, 3)
+    assert stats["banana"] == (2, 2)
+    assert stats["cherry"] == (2, 4)
+    assert stats["durian"] == (1, 1)
+
+
+def test_bm25_matches_hand_formula(corpus):
+    k1, b = 1.2, 0.75
+    n, avgdl = 4, (3 + 2 + 4 + 1) / 4.0
+
+    def score(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_topk(corpus, ["apple"], k=10, round_to=None).collect()}
+    assert set(out) == {1, 4}
+    assert out[1] == pytest.approx(score(2, 2, 3))
+    assert out[4] == pytest.approx(score(1, 2, 1))
+
+
+def test_bm25_multi_term_sums_and_ranks(corpus):
+    out = bm25_topk(corpus, ["apple", "cherry"], k=2).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 3 (cherry x3) and doc 1 (apple x2) are the strongest matches
+    assert len(ids) == 2 and set(ids) <= {1, 3, 4}
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_case_insensitive_query(corpus):
+    a = bm25_topk(corpus, ["APPLE"], k=10).collect()
+    b = bm25_topk(corpus, ["apple"], k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bm25_empty_query_rejected(corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, [])
+
+
+def test_bm25_no_matches_is_empty(corpus):
+    assert bm25_topk(corpus, ["zzz"], k=5).count() == 0
+
+
+def test_bm25_plan_broadcasts_stats(corpus):
+    plan = bm25_topk(corpus, ["apple"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
