@@ -69,6 +69,11 @@ HEADLINE = [
     "q_text_lm_score",
     "q_incremental_dedup",
     "q_leakage_safe_split",
+    "q_bm25_search",
+    "q_strip_dup_ngrams",
+    "q_timeseries_smooth",
+    "q_funnel",
+    "q_cohort_retention",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -604,6 +604,7 @@ def duplicate_ngram_starts(
     aggregate on the gram hash for (count, canonical), and an equi-join
     back. Shuffle volume is O(total tokens), never document-pair-shaped.
     """
+    df = spread(df)  # per-position hashing needs full CPU width
     toks = tokens(text_col)
     n_tok = F.size(toks)
     # sequence(1, 0) would generate a DESCENDING range in Spark — guard
@@ -650,47 +651,58 @@ def strip_duplicate_ngrams(
     n-gram occurrence. Documents made entirely of duplicated text come
     back with clean_text = '' (they are boilerplate).
 
-    Scale: covered positions are an explode of at most n rows per
-    duplicate occurrence (n is small and fixed), distinct-ed on
-    (id, pos) before the anti-join; reconstruction is one hash aggregate
-    per document with an in-memory ``sort_array`` over that document's
-    kept tokens only — no global sort, no windows over raw tokens."""
+    Scale: only the DUPLICATE start positions ever shuffle beyond the
+    n-gram counting pass — one aggregate collapses them to a per-doc
+    start array, which joins back to the documents on the id key (AQE
+    broadcasts it when the duplicate set is small). Reconstruction is
+    pure map-side expressions: the covered positions expand to a per-doc
+    hash map (``map_from_arrays`` — O(1) membership per token, no
+    quadratic array_contains scans) and a single filter-transform pass
+    rebuilds the text. No token-level shuffle, no collect_list of whole
+    documents, no windows."""
+    df = spread(df)  # reconstruction is per-row CPU work: use full width
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text"),
         toks.alias("__toks"),
     )
-    tokpos = base.select("id", F.posexplode("__toks").alias("pos", "token"))
     dup = duplicate_ngram_starts(df, id_col, text_col, n=n, min_count=min_count)
-    covered = (
-        dup.select(
-            "id",
-            F.explode(
-                F.sequence(F.col("start") - 1, F.col("start") + (n - 2))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
+    dup_by_doc = dup.groupBy("id").agg(F.collect_set("start").alias("__starts"))
+    # covered token positions (0-based) as an O(1)-lookup map per doc
+    covered = F.array_distinct(
+        F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("__kept"),
+                F.col("__starts"),
+                lambda s: F.sequence(s - 1, s + (n - 2)),
+            )
+        )
+    )
+    cov_map = F.map_from_arrays(covered, F.transform(covered, lambda _: F.lit(True)))
+    indexed = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: F.try_element_at(F.col("__cov"), s["i"]).isNull(),
     )
     return (
-        base.join(rebuilt, "id", "left")
+        base.join(dup_by_doc, "id", "left")
+        .withColumn(
+            "__cov",
+            F.coalesce(
+                cov_map,
+                F.map_from_arrays(
+                    F.array().cast("array<int>"), F.array().cast("array<boolean>")
+                ),
+            ),
+        )
+        .withColumn("__kept", indexed)
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["t"]), " "
+            ).alias("clean_text"),
             F.size("__toks").cast("long").alias("n_tokens"),
-            (F.size("__toks") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
         )
     )

@@ -320,3 +320,78 @@ def streaming_cap_per_group(
         take_up_to, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return capped.drop("__key")
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered funnel progress over a stream — the streaming twin
+    of ``operators.events.funnel_times``.
+
+    State per user is (steps_completed, completion times as epoch-micros)
+    — O(len(steps)), checkpointed, restart-safe. Each micro-batch's
+    events for the user are sorted by time and folded through the step
+    machine: an event advances the funnel iff it is the next step AND
+    strictly after the previous step's time.
+
+    A one-pass fold in time order computes EXACTLY the batch operator's
+    greedy earliest-valid-time chain, provided micro-batches arrive in
+    time order across batches (within a batch, arrival order doesn't
+    matter — we sort). An event older than an already-completed step
+    can't retract state; feed a time-ordered replay (or accept
+    upper-bound semantics) when sources interleave.
+
+    Emit mode 'update': one row per user per micro-batch in which their
+    funnel state advanced (or first appeared).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    out_schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("steps_completed", LongType()),
+            StructField("step_times_us", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("idx", LongType()),
+            StructField("times", ArrayType(LongType())),
+        ]
+    )
+    step_list = list(steps)
+
+    def update(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idx, times = state.get
+            times = list(times)
+        else:
+            idx, times = 0, []
+        chunks = [pdf[[ts_col, type_col]] for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values(ts_col)
+        # pandas datetime64[ns] -> micros (integer division is exact for
+        # the us-resolution testdata)
+        ts_us = batch[ts_col].astype("int64") // 1000
+        for t, typ in zip(ts_us.tolist(), batch[type_col].tolist()):
+            if idx < len(step_list) and typ == step_list[idx] and (
+                idx == 0 or t > times[idx - 1]
+            ):
+                times.append(int(t))
+                idx += 1
+        state.update((idx, times))
+        yield pd.DataFrame(
+            [{"user": str(key[0]), "steps_completed": idx,
+              "step_times_us": times}]
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -118,3 +118,26 @@ def test_similarity_empty_guards(spark):
     with pytest.raises(ValueError, match="no vectors"):
         S.kmeans_centroids(empty, n_cells=4)
     assert S.quantize_embeddings(empty).count() == 0
+
+
+def test_search_timeseries_events_empty(spark, empty_docs, empty_events):
+    from druid_hadoop_utils_spark.operators import timeseries as TS
+    from druid_hadoop_utils_spark.operators.dedup import strip_duplicate_ngrams
+    from druid_hadoop_utils_spark.operators.events import (
+        cohort_retention, funnel_counts,
+    )
+    from druid_hadoop_utils_spark.operators.search import (
+        bm25_topk, corpus_term_stats,
+    )
+
+    assert corpus_term_stats(empty_docs).count() == 0
+    assert bm25_topk(empty_docs, ["anything"]).count() == 0
+    assert strip_duplicate_ngrams(empty_docs).count() == 0
+    # funnel on no events: zero users at every step, NULL conversion
+    rows = funnel_counts(empty_events, ["view", "click"]).collect()
+    assert [r["users"] for r in rows] == [0, 0]
+    assert all(r["conversion"] is None for r in rows)
+    assert cohort_retention(empty_events).count() == 0
+    assert TS.smooth(empty_events, ["event_type"], "ts", "value").count() == 0
+    assert TS.delta(empty_events, ["event_type"], "ts", "value").count() == 0
+    assert TS.zscore_outliers(empty_events, ["event_type"], "value").count() == 0

@@ -180,3 +180,62 @@ def test_streaming_sessionize_equals_batch(spark, sf_dir, tmp_path):
                         ).collect()}
     assert streamed == batch
     assert len(batch) > 5  # sanity: data actually sessionizes
+
+
+def test_streaming_funnel_equal_batch_funnel(spark, sf_dir, tmp_path):
+    """Final streaming funnel state == batch funnel_times on a
+    TIME-ORDERED replay (the operator's documented requirement: batches
+    arrive in time order; within a batch, order is irrelevant)."""
+    from druid_hadoop_utils_spark.operators.events import funnel_times
+    from druid_hadoop_utils_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("user_id").cast("string").alias("user_id"),
+    )
+    # time-range chunks, written oldest-first (micro-batch order follows
+    # file mtime), one file per logical batch
+    src = str(tmp_path / "funnel_replay")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime
+
+    span = (hi - lo) / 4
+    for i in range(4):
+        a = lo + span * i
+        b = hi + datetime.timedelta(seconds=1) if i == 3 else lo + span * (i + 1)
+        ev.where((F.col("ts") >= a) & (F.col("ts") < b)) \
+          .coalesce(1).write.parquet(f"{src}/chunk{i}")
+
+    out = streaming_funnel(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+        steps,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("equiv_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM equiv_funnel").collect()
+    final = {}
+    for r in rows:  # last emit per user wins (monotone steps_completed)
+        prev = final.get(r.user)
+        if prev is None or r.steps_completed >= prev.steps_completed:
+            final[r.user] = r
+
+    batch = {str(r["user_id"]): r for r in funnel_times(ev, steps).collect()}
+    # streaming covers every user who completed step 1
+    assert set(batch) == {u for u, r in final.items() if r.steps_completed >= 1}
+    for user, b in batch.items():
+        s = final[user]
+        times = [b["t1"], b["t2"], b["t3"]]
+        n_batch = sum(1 for t in times if t is not None)
+        assert s.steps_completed == n_batch, user
+        got = [
+            __import__("datetime").datetime.utcfromtimestamp(us / 1e6)
+            for us in s.step_times_us
+        ]
+        want = [t for t in times if t is not None]
+        assert got == want, user
