@@ -192,6 +192,41 @@ ANNOTATED = {
         "per-bucket TOTALS (≤ n_buckets rows), which then re-enters via a "
         "BroadcastHashJoin."
     ),
+    "q_bm25_search": (
+        "BM25 retrieval: the query-term IN filter evaluates UNDER the "
+        "explode (inside the generator's WholeStageCodegen span), so only "
+        "matching postings reach the (doc, term) HashAggregate exchange; "
+        "the per-term document frequencies and the 1-row N/avgdl stats "
+        "re-enter as broadcasts, and the top-k is a "
+        "TakeOrderedAndProject — no global sort of scores."
+    ),
+    "q_strip_dup_ngrams": (
+        "Duplicate-substring stripping: the n-gram counting pass is one "
+        "hash-keyed HashAggregate over the exploded positions; only the "
+        "DUPLICATE starts shuffle again (per-doc collect_set), and the "
+        "rebuild is a pure map-side filter/transform with an O(1) "
+        "map-lookup mask — no token-level exchange, no collect_list of "
+        "whole documents, no windows."
+    ),
+    "q_timeseries_smooth": (
+        "Time-series post-processing: ONE Exchange on event_type feeds "
+        "all three window families (trailing ROWS average, lag delta, "
+        "unbounded mean/stddev for z-scores) over the ROLLED-UP hourly "
+        "series — the raw-event scan collapses in the partial+final "
+        "HashAggregate before any window runs."
+    ),
+    "q_funnel": (
+        "Ordered funnel: every chained step join and aggregate exchanges "
+        "on the user key (hash-partition reuse down the chain), step "
+        "frames shrink monotonically as the funnel narrows, and the "
+        "conversion ratio re-enters as a 1-row broadcast."
+    ),
+    "q_cohort_retention": (
+        "Cohort retention: two hash aggregates (distinct activity "
+        "periods, first-seen cohort) and one user-keyed join — the "
+        "raw-event stream collapses to (user, period) cardinality at the "
+        "first aggregate; no windows over raw events."
+    ),
 }
 
 
