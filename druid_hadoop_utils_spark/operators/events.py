@@ -28,13 +28,19 @@ def funnel_times(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Per-user ordered funnel completion: one row per user who completed
     step 1, with ``t1..tk`` = the earliest time of each step that occurs
     STRICTLY AFTER the previous step's chosen time (NULL once the chain
     breaks). This is the standard greedy funnel semantics: taking the
     earliest valid time at each step maximizes the number of users who
-    can complete the suffix."""
+    can complete the suffix.
+
+    ``within_seconds`` adds the usual conversion horizon: later steps
+    must fall within that many seconds of the user's step-1 time.
+    Greedy-earliest stays optimal under the horizon (an earlier valid
+    choice never tightens a later step's window)."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     ev = df.select(F.col(user_col), F.col(ts_col), F.col(type_col))
@@ -50,10 +56,16 @@ def funnel_times(
         # the aggregate (not a row filter) so a user whose chain breaks
         # keeps their row with t_i = NULL instead of disappearing;
         # `__ts > NULL` is NULL, so a broken chain stays broken.
+        valid = F.col("__ts") > prev_t
+        if within_seconds is not None:
+            deadline = F.col("t1") + F.make_interval(
+                secs=F.lit(float(within_seconds))
+            )
+            valid = valid & (F.col("__ts") <= deadline)
         cur = (
             cur.join(nxt, user_col, "left")
             .groupBy(*cur.columns)
-            .agg(F.min(F.when(F.col("__ts") > prev_t, F.col("__ts"))).alias(f"t{i}"))
+            .agg(F.min(F.when(valid, F.col("__ts"))).alias(f"t{i}"))
         )
     return cur
 
@@ -65,11 +77,13 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     round_to: int = 6,
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Funnel summary — (step_idx, step, users, conversion) — where
     ``users`` counts users whose ordered chain reached the step and
     ``conversion`` is users / users(step 1)."""
-    times = funnel_times(df, steps, user_col, ts_col, type_col)
+    times = funnel_times(df, steps, user_col, ts_col, type_col,
+                         within_seconds=within_seconds)
     reached = times.select(
         [
             F.count(F.col(f"t{i}")).cast("long").alias(f"t{i}")

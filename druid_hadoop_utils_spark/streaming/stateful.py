@@ -328,9 +328,11 @@ def streaming_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Per-user ordered funnel progress over a stream — the streaming twin
-    of ``operators.events.funnel_times``.
+    of ``operators.events.funnel_times`` (including its optional
+    ``within_seconds`` conversion horizon from the step-1 time).
 
     State per user is (steps_completed, completion times as epoch-micros)
     — O(len(steps)), checkpointed, restart-safe. Each micro-batch's
@@ -380,9 +382,12 @@ def streaming_funnel(
         # pandas datetime64[ns] -> micros (integer division is exact for
         # the us-resolution testdata)
         ts_us = batch[ts_col].astype("int64") // 1000
+        horizon_us = None if within_seconds is None else int(within_seconds * 1e6)
         for t, typ in zip(ts_us.tolist(), batch[type_col].tolist()):
             if idx < len(step_list) and typ == step_list[idx] and (
                 idx == 0 or t > times[idx - 1]
+            ) and (
+                idx == 0 or horizon_us is None or t <= times[0] + horizon_us
             ):
                 times.append(int(t))
                 idx += 1

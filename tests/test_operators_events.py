@@ -125,3 +125,71 @@ def test_cohort_max_offset_clips(spark):
     ]
     out = cohort_retention(_ev(spark, rows), max_offset=3).collect()
     assert {r["offset"] for r in out} == {0}
+
+
+def test_funnel_within_horizon(spark):
+    rows = [
+        (1, T(2024, 1, 1, 0), "view"),
+        (1, T(2024, 1, 1, 5), "click"),     # 5h after step 1
+        (2, T(2024, 1, 1, 0), "view"),
+        (2, T(2024, 1, 1, 1), "click"),     # 1h after step 1
+    ]
+    out = {r["user_id"]: r["t2"] for r in funnel_times(
+        _ev(spark, rows), ["view", "click"], within_seconds=2 * 3600).collect()}
+    assert out[1] is None          # outside the 2h horizon
+    assert out[2] == T(2024, 1, 1, 1)
+
+
+def _py_funnel(events, steps, within=None):
+    """Brute-force reference: per user, chained earliest-valid mins."""
+    users = {}
+    for u, t, ty in events:
+        users.setdefault(u, {}).setdefault(ty, []).append(t)
+    out = {}
+    for u, by_step in users.items():
+        t1_cands = by_step.get(steps[0], [])
+        if not t1_cands:
+            continue
+        times = [min(t1_cands)]
+        deadline = None if within is None else times[0] + within
+        for s in steps[1:]:
+            prev = times[-1]
+            if prev is None:
+                times.append(None)
+                continue
+            cands = [
+                t for t in by_step.get(s, [])
+                if t > prev and (deadline is None or t <= deadline)
+            ]
+            times.append(min(cands) if cands else None)
+        out[u] = times
+    return out
+
+
+@pytest.mark.parametrize("seed,within", [(0, None), (1, None), (2, 3600),
+                                         (3, 7200), (4, 60)])
+def test_funnel_matches_bruteforce_random(spark, seed, within):
+    import datetime
+    import random
+
+    rng = random.Random(seed)
+    base = T(2024, 1, 1)
+    types = ["a", "b", "c", "noise"]
+    # distinct timestamps (second granularity, no collisions) keep the
+    # comparison tie-free on both sides
+    ticks = rng.sample(range(200000), 300)
+    rows = [
+        (rng.randrange(20), base + datetime.timedelta(seconds=s),
+         rng.choice(types))
+        for s in ticks
+    ]
+    steps = ["a", "b", "c"]
+    want = _py_funnel(rows, steps,
+                      None if within is None
+                      else datetime.timedelta(seconds=within))
+    got = {
+        r["user_id"]: [r["t1"], r["t2"], r["t3"]]
+        for r in funnel_times(_ev(spark, rows), steps,
+                              within_seconds=within).collect()
+    }
+    assert got == want

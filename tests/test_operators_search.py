@@ -70,3 +70,46 @@ def test_bm25_plan_broadcasts_stats(corpus):
     plan = bm25_topk(corpus, ["apple"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def _py_bm25(corpus, query, k1=1.2, b=0.75):
+    """Pure-Python reference implementation."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    qterms = sorted({t.lower() for t in query})
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in qterms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            out[d] = s
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bm25_matches_bruteforce_random(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(3, 40))))
+        for i in range(60)
+    ]
+    query = rng.sample(vocab, 4)
+    want = _py_bm25(corpus, query)
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_topk(df, query, k=100, round_to=None).collect()}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-9), d
