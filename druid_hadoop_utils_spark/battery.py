@@ -3429,6 +3429,43 @@ def q_timeseries_smooth(spark, sf_dir):
 
 
 @register(
+    "q_timeseries_mad",
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS h, event_type,
+                round(sum(value), 4) AS v
+         FROM events GROUP BY 1, 2),
+       med AS (
+         SELECT h, event_type, v,
+                quantile_cont(v, 0.5) OVER (PARTITION BY event_type) AS m
+         FROM hourly),
+       dev AS (
+         SELECT h, event_type, v, m,
+                quantile_cont(abs(v - m), 0.5)
+                    OVER (PARTITION BY event_type) AS mad
+         FROM med)
+       SELECT h, event_type, v,
+              round(CASE WHEN mad > 0
+                    THEN 0.6745 * (v - m) / mad END, 6) AS mad_z,
+              coalesce(abs(round(CASE WHEN mad > 0
+                    THEN 0.6745 * (v - m) / mad END, 6)) > 3.5, FALSE)
+                  AS is_outlier
+       FROM dev""",
+)
+def q_timeseries_mad(spark, sf_dir):
+    # robust outlier detection on the hourly series: exact median + MAD
+    # (Iglewicz-Hoaglin modified z-score) — both medians computed by
+    # window passes sharing ONE exchange on the series key; statistics
+    # are not dragged by the outliers they flag.
+    from druid_hadoop_utils_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    return TS.mad_outliers(hourly, ["event_type"], "v", threshold=3.5)
+
+
+@register(
     "q_funnel",
     """WITH ev AS (
          SELECT user_id, ts, event_type FROM events
@@ -3522,7 +3559,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
     "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
-    "q_funnel", "q_cohort_retention",
+    "q_funnel", "q_cohort_retention", "q_timeseries_mad",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

@@ -83,3 +83,39 @@ def zscore_outliers(
     return df.withColumn("zscore", z).withColumn(
         "is_outlier", F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    threshold: float = 3.5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Robust per-key outlier flags via the median absolute deviation
+    (Iglewicz-Hoaglin modified z-score: 0.6745·(x − median)/MAD, flag at
+    |z| > 3.5). Unlike ``zscore_outliers``, the statistics themselves are
+    not dragged by the outliers they're meant to find.
+
+    Two window passes over the SAME key partitioning (exact median, then
+    median of absolute deviations) — the second Window reuses the first's
+    exchange, so the plan still shuffles once. Zero-MAD keys (constant
+    series) get z = NULL, outlier = false."""
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    med = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    step1 = df.withColumn("__med", med)
+    mad = F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).over(w)
+    step2 = step1.withColumn("__mad", mad)
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+    )
+    if round_to is not None:
+        z = F.round(z, round_to)
+    return (
+        step2.withColumn("mad_z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(F.abs(F.col("mad_z")) > threshold, F.lit(False))
+        )
+        .drop("__med", "__mad")
+    )

@@ -73,3 +73,38 @@ def test_composed_plan_single_exchange(series):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # all three window families partition on the series key: one exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_outliers_robust_to_the_outlier(spark):
+    # series: nine 10s and one 1000 — the classic case where mean/std
+    # z-scores move with the outlier but median/MAD do not
+    rows = [("a", T(2024, 1, 1, h), 10.0 + h * 0.1) for h in range(9)]
+    rows.append(("a", T(2024, 1, 1, 23), 1000.0))
+    df = _series(spark, rows)
+    out = {r["h"]: r for r in
+           TS.mad_outliers(df, ["k"], "v").collect()}
+    assert out[T(2024, 1, 1, 23)]["is_outlier"] is True
+    assert all(not out[T(2024, 1, 1, h)]["is_outlier"] for h in range(9))
+
+
+def test_mad_zero_variance_null(spark):
+    rows = [("a", T(2024, 1, 1, h), 5.0) for h in range(4)]
+    out = TS.mad_outliers(_series(spark, rows), ["k"], "v").collect()
+    assert all(r["mad_z"] is None and r["is_outlier"] is False for r in out)
+
+
+def test_mad_matches_hand_computation(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    rows = [("a", T(2024, 1, 1, i), v) for i, v in enumerate(vals)]
+    out = {r["v"]: r["mad_z"] for r in
+           TS.mad_outliers(_series(spark, rows), ["k"], "v").collect()}
+    # median 3, deviations [2,1,0,1,97] -> MAD 1
+    assert out[100.0] == pytest.approx(0.6745 * 97, abs=1e-6)
+    assert out[3.0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mad_single_exchange(spark):
+    rows = [("a", T(2024, 1, 1, h), float(h)) for h in range(5)]
+    plan = TS.mad_outliers(_series(spark, rows), ["k"], "v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
