@@ -338,6 +338,39 @@ def druid_query(
         # intervals filter the INNER result's bucket timestamps — an
         # ALL-granularity inner buckets to the epoch, so give the outer an
         # interval that covers it (or use a bucketing inner granularity).
+        if ds.get("type") == "union":
+            # Druid union dataSource ({"type": "union", "dataSources":
+            # ["a", "b", ...]}, broker-side concatenation in 0.9): union
+            # the member tables' raw segment scans (allowMissingColumns —
+            # same evolving-dimension semantics as multi-version segment
+            # reads) and run the query once over the concatenation. Each
+            # member scan stays partition/interval-pruned; the union is
+            # lazy, so Catalyst pushes the query's filters into EVERY
+            # member scan.
+            names = ds.get("dataSources") or []
+            if not names:
+                raise ValueError("union dataSource needs dataSources: [...]")
+            if not isinstance(source, str):
+                raise ValueError(
+                    "union dataSource requires a managed table root path"
+                )
+            from druid_hadoop_utils_spark.intervals import (
+                Interval as _Iv,
+                parse_intervals as _pi,
+            )
+            from druid_hadoop_utils_spark.plans.planner import _scan_segments
+
+            u_ivs = _pi(q.get("intervals") or q.get("interval")
+                        or ["0001-01-01T00:00:00/9999-12-31T00:00:00"])
+            span = _Iv(u_ivs[0].start, u_ivs[-1].end)
+            parts = [_scan_segments(spark, source, n, span) for n in names]
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p, allowMissingColumns=True)
+            return druid_query(
+                spark, merged, dict(q, dataSource="union"),
+                data_source=None, time_column="__time",
+            )
         if ds.get("type") != "query":
             raise ValueError(f"unknown dataSource spec: {ds!r}")
         inner = druid_query(spark, source, ds["query"],

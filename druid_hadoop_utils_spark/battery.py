@@ -3428,6 +3428,62 @@ def q_timeseries_smooth(spark, sf_dir):
     return TS.zscore_outliers(out, ["event_type"], "v", threshold=3.0)
 
 
+_UNION_TABLE_CACHE: dict[str, str] = {}
+
+
+def _union_segment_table(spark, sf_dir: str) -> str:
+    """Events published as TWO datasources under one managed root (split
+    by user-id parity) — the fixture for Druid union-dataSource queries."""
+    root = _UNION_TABLE_CACHE.get(sf_dir)
+    if root:
+        return root
+    import tempfile
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = tempfile.mkdtemp(prefix="union_battery_")
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value", "user_id")
+    for name, pred in [("events_even", F.col("user_id") % 2 == 0),
+                       ("events_odd", F.col("user_id") % 2 == 1)]:
+        publish_segments(
+            ev.where(pred), root, name, version="v1", time_column="ts",
+            bucket="DAY", sort_by=["event_type"],
+        )
+    _UNION_TABLE_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "q_union_datasource",
+    """SELECT event_type, round(sum(value), 2) AS total, count(*) AS n
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+       GROUP BY 1""",
+)
+def q_union_datasource(spark, sf_dir):
+    # Druid union dataSource (broker-side concatenation of tables in 0.9):
+    # one groupBy over the lazy union of two managed datasources' segment
+    # scans — filters/pruning push into EVERY member scan, and the
+    # aggregate runs once over the concatenation (never per-member).
+    from druid_hadoop_utils_spark import api
+
+    root = _union_segment_table(spark, sf_dir)
+    out = api.druid_query(spark, root, {
+        "queryType": "groupBy",
+        "dataSource": {"type": "union",
+                       "dataSources": ["events_even", "events_odd"]},
+        "granularity": "ALL",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "count", "name": "n"},
+        ],
+        "intervals": ["2024-01-01/2024-02-01"],
+    })
+    # ALL-granularity bucket timestamp is constant — dropped for the oracle
+    return out.drop("__time").withColumn("total", F.round("total", 2))
+
+
 @register(
     "q_timeseries_mad",
     """WITH hourly AS (
@@ -3560,6 +3616,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
     "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
     "q_funnel", "q_cohort_retention", "q_timeseries_mad",
+    "q_union_datasource",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

@@ -521,3 +521,78 @@ def test_unnamed_sketch_agg_field_alias_stays_state_for_post_agg(spark):
     }
     got = druid_query(spark, df, q, time_column="ts").first()
     assert got.est == 12.0
+
+
+class TestUnionDataSource:
+    def _root(self, spark, tmp_path):
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+        root = str(tmp_path / "union_root")
+        rows_a = [(datetime(2024, 1, 1, h), "click", float(h)) for h in range(3)]
+        rows_b = [(datetime(2024, 1, 1, h), "view", 10.0 + h) for h in range(2)]
+        for name, rows in [("a", rows_a), ("b", rows_b)]:
+            df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+            publish_segments(df, root, name, version="v1",
+                             time_column="ts", bucket="DAY")
+        return root
+
+    def test_union_groupby_concatenates_members(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        out = druid_query(spark, root, {
+            "queryType": "groupBy",
+            "dataSource": {"type": "union", "dataSources": ["a", "b"]},
+            "granularity": "ALL",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+                {"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01/2024-01-02"],
+        }).collect()
+        got = {r["event_type"]: (r["total"], r["n"]) for r in out}
+        assert got == {"click": (3.0, 3), "view": (21.0, 2)}
+
+    def test_union_member_missing_dimension_reads_null(self, spark, tmp_path):
+        # evolving-dimension semantics across MEMBERS: a dim present in
+        # one member only reads as NULL rows for the other
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+        root = str(tmp_path / "union_evolve")
+        a = spark.createDataFrame(
+            [(datetime(2024, 1, 1), "click", 1.0, "mobile")],
+            ["ts", "event_type", "value", "device"])
+        b = spark.createDataFrame(
+            [(datetime(2024, 1, 1), "view", 2.0)],
+            ["ts", "event_type", "value"])
+        publish_segments(a, root, "a", version="v1", time_column="ts", bucket="DAY")
+        publish_segments(b, root, "b", version="v1", time_column="ts", bucket="DAY")
+        out = druid_query(spark, root, {
+            "queryType": "groupBy",
+            "dataSource": {"type": "union", "dataSources": ["a", "b"]},
+            "granularity": "ALL",
+            "dimensions": ["device"],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01/2024-01-02"],
+        }).collect()
+        got = {r["device"]: r["n"] for r in out}
+        assert got == {"mobile": 1, None: 1}
+
+    def test_union_rejects_empty_and_dataframe_source(self, spark, tmp_path, events):
+        root = self._root(spark, tmp_path)
+        with pytest.raises(ValueError, match="dataSources"):
+            druid_query(spark, root, {
+                "queryType": "groupBy",
+                "dataSource": {"type": "union", "dataSources": []},
+                "granularity": "ALL", "dimensions": ["event_type"],
+                "aggregations": [{"type": "count", "name": "n"}],
+                "intervals": ["2024-01-01/2024-01-02"]})
+        with pytest.raises(ValueError, match="managed table root"):
+            druid_query(spark, events, {
+                "queryType": "groupBy",
+                "dataSource": {"type": "union", "dataSources": ["a"]},
+                "granularity": "ALL", "dimensions": ["event_type"],
+                "aggregations": [{"type": "count", "name": "n"}],
+                "intervals": ["2024-01-01/2024-01-02"]})
