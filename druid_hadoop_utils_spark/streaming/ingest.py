@@ -33,14 +33,23 @@ def streaming_rollup(
     window: str = "1 hour",
     dims: list[str] | None = None,
     aggs: list | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked windowed rollup of a streaming DataFrame: the streaming
-    twin of the engine's granularity+rollup read path."""
+    twin of the engine's granularity+rollup read path.
+
+    ``slide`` turns the tumbling bucket into a SLIDING window (e.g.
+    window='1 hour', slide='15 minutes' — each event lands in 4
+    overlapping buckets): the streaming analogue of the trailing
+    moving-average post-processing in ``operators.timeseries.smooth``.
+    State stays bounded by the watermark exactly as in the tumbling case."""
     dims = dims or []
     aggs = aggs or [F.count("*").alias("n")]
+    win = (F.window(F.col(time_column), window, slide) if slide
+           else F.window(F.col(time_column), window))
     out = (
         events.withWatermark(time_column, watermark)
-        .groupBy(F.window(F.col(time_column), window).alias("__w"), *dims)
+        .groupBy(win.alias("__w"), *dims)
         .agg(*aggs)
     )
     agg_names = [c for c in out.columns if c != "__w" and c not in dims]

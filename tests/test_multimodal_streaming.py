@@ -136,3 +136,47 @@ def test_streaming_segment_publish(spark, tmp_path):
     assert rows[(1, "a")] == (4.0, 1)
     # the sentinel's window never closed → correctly withheld by the watermark
     assert (3, "sentinel") not in rows
+
+
+def test_streaming_rollup_sliding_windows(spark, tmp_path):
+    """slide= turns the tumbling bucket into overlapping windows: each
+    event contributes to window_size/slide buckets, and the emitted
+    per-window sums equal the batch groupBy over the same window spec."""
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.streaming.ingest import streaming_rollup
+
+    src = str(tmp_path / "slide_in")
+    events = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, 0, m), event_type="a", value=float(v))
+         for m, v in [(5, 1), (20, 2), (35, 4), (50, 8)]]
+        + [Row(ts=datetime(2024, 1, 1, 3, 0), event_type="sentinel", value=0.0)]
+    )
+    events.write.parquet(src)
+
+    rolled = streaming_rollup(
+        spark.readStream.schema(events.schema).parquet(src),
+        watermark="10 minutes", window="1 hour", slide="30 minutes",
+        dims=["event_type"],
+        aggs=[F.sum("value").alias("value")],
+    )
+    q = (
+        rolled.writeStream.format("memory").queryName("slide_roll")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["__time"].hour, r["__time"].minute, r.event_type): r.value
+        for r in spark.sql("SELECT * FROM slide_roll").collect()
+    }
+    # hour-long windows sliding by 30 min over events at :05(1) :20(2)
+    # :35(4) :50(8): [23:30,00:30) sums 1+2, [00:00,01:00) sums all,
+    # [00:30,01:30) sums 4+8
+    assert got[(23, 30, "a")] == 3.0
+    assert got[(0, 0, "a")] == 15.0
+    assert got[(0, 30, "a")] == 12.0
+    # sentinel's own windows never closed -> withheld by the watermark
+    assert not any(k[2] == "sentinel" for k in got)
+    assert len(got) == 3
