@@ -3428,6 +3428,57 @@ def q_timeseries_smooth(spark, sf_dir):
     return TS.zscore_outliers(out, ["event_type"], "v", threshold=3.0)
 
 
+@register(
+    "q_hybrid_search",
+    """WITH d AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       stats AS (
+         SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM d),
+       post AS (
+         SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+         FROM d, LATERAL (SELECT unnest(toks) AS term) t
+         WHERE t.term IN ('join', 'spark', 'table')
+         GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       bm AS (
+         SELECT doc_id,
+                round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * 2.2)
+                          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+         FROM post JOIN dfreq USING (term), stats
+         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+       bmr AS (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         FROM bm),
+       cos AS (
+         SELECT e.vec_id AS doc_id,
+                round(list_cosine_similarity(q.embedding, e.embedding), 6) AS c
+         FROM embeddings e, embeddings q
+         WHERE q.vec_id = 0 AND e.vec_id != 0
+         ORDER BY c DESC, doc_id LIMIT 50),
+       cosr AS (
+         SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+         FROM cos),
+       u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM cosr)
+       SELECT doc_id, round(sum(1.0 / (60 + r)), 10) AS rrf_score
+       FROM u GROUP BY doc_id
+       ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+)
+def q_hybrid_search(spark, sf_dir):
+    # hybrid lexical+semantic retrieval: BM25 top-50 fused with
+    # embedding-cosine top-50 by reciprocal-rank fusion (the two-tower
+    # RAG retrieval shape). Both retrievers' expensive work is the
+    # distributed part; the fusion windows run over bounded top-N lists.
+    from druid_hadoop_utils_spark.operators.search import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0)
+    return hybrid_search(docs, emb, ["join", "spark", "table"], qv, k=10)
+
+
 _UNION_TABLE_CACHE: dict[str, str] = {}
 
 
@@ -3616,7 +3667,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
     "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
     "q_funnel", "q_cohort_retention", "q_timeseries_mad",
-    "q_union_datasource",
+    "q_union_datasource", "q_hybrid_search",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

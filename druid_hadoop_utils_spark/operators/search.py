@@ -110,3 +110,75 @@ def bm25_topk(
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_k: int | None = 10,
+    round_to: int | None = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of several
+    ranked lists — (id, rrf_score) with rrf = Σ 1/(k + rank_i), ranks
+    1-based within each list, absent ids simply contribute nothing.
+
+    ``rankings`` is [(df, score_col), ...]; each df is ranked by
+    (score desc, id) — give the score columns a deterministic rounding
+    upstream so rank assignment is engine-portable.
+
+    Scale note: the inputs are already TOP-N lists (bounded — the
+    expensive global work happened inside each retriever), so the
+    single-partition rank windows here run over a few hundred rows; the
+    fusion itself is one union + one hash aggregate."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    parts = []
+    for df, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("__r"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    score = F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r")))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out = u.groupBy(id_col).agg(score.alias("rrf_score"))
+    out = out.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return out.limit(top_k) if top_k is not None else out
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vectors: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``depth`` fused with
+    embedding-cosine top-``depth`` by reciprocal-rank fusion — the
+    standard two-tower RAG retrieval shape, entirely as Spark plans.
+
+    ``query_vectors`` is a 1-row frame with the query embedding (same
+    schema as ``embeddings``); vector ids are assumed to share the
+    document id space."""
+    from druid_hadoop_utils_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_topk(docs, query_terms, k=depth, id_col=id_col,
+                   text_col=text_col, round_to=6)
+    cos = brute_force_topk(embeddings, query_vectors, k=depth)
+    cos = cos.select(
+        F.col("neighbor_id").alias(id_col),
+        F.round("cos_sim", 6).alias("__cos"),
+    )
+    return rrf_fuse([(bm, "score"), (cos, "__cos")], id_col=id_col,
+                    k=rrf_k, top_k=k)

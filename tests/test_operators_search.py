@@ -113,3 +113,50 @@ def test_bm25_matches_bruteforce_random(spark, seed):
     assert set(got) == set(want)
     for d, s in want.items():
         assert got[d] == pytest.approx(s, rel=1e-9), d
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from druid_hadoop_utils_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "s"])
+    b = spark.createDataFrame([(2, 0.9), (4, 0.8)], ["doc_id", "s"])
+    out = {r["doc_id"]: r["rrf_score"] for r in
+           rrf_fuse([(a, "s"), (b, "s")], k=60, top_k=10).collect()}
+    assert out[1] == pytest.approx(1 / 61, abs=1e-10)
+    # doc 2: rank 2 in a, rank 1 in b
+    assert out[2] == pytest.approx(1 / 62 + 1 / 61, abs=1e-10)
+    assert out[3] == pytest.approx(1 / 63, abs=1e-10)
+    assert out[4] == pytest.approx(1 / 62, abs=1e-10)
+    # fused winner is the doc present near the top of BOTH lists
+    assert max(out, key=out.get) == 2
+
+
+def test_rrf_fuse_ties_break_on_id(spark):
+    from druid_hadoop_utils_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(7, 1.0), (3, 1.0)], ["doc_id", "s"])
+    out = rrf_fuse([(a, "s")], top_k=2).collect()
+    # equal scores: id ascending decides rank 1
+    assert [r["doc_id"] for r in out] == [3, 7]
+
+
+def test_rrf_fuse_empty_rejected(spark):
+    from druid_hadoop_utils_spark.operators.search import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_search_end_to_end(spark, sf_dir):
+    from druid_hadoop_utils_spark.operators.search import hybrid_search
+    from druid_hadoop_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0)
+    out = hybrid_search(docs, emb, ["join", "spark"], qv, k=5).collect()
+    assert len(out) == 5
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # fused score is bounded by 2 lists of rank >= 1
+    assert all(0 < s <= 2 / 61 for s in scores)
