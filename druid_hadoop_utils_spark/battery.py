@@ -3429,6 +3429,49 @@ def q_timeseries_smooth(spark, sf_dir):
 
 
 @register(
+    "q_event_transitions",
+    """WITH p AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_type) AS prev
+         FROM events)
+       SELECT prev AS from_type, event_type AS to_type, count(*) AS n,
+              count(DISTINCT user_id) AS n_users
+       FROM p WHERE prev IS NOT NULL GROUP BY 1, 2""",
+)
+def q_event_transitions(spark, sf_dir):
+    # Markov transition matrix over consecutive user events (Sankey/path
+    # analysis input): one user-keyed lag window + one hash aggregate.
+    from druid_hadoop_utils_spark.operators.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+@register(
+    "q_stickiness",
+    """WITH d AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS week,
+                date_trunc('day', ts) AS day
+         FROM events),
+       dau AS (SELECT week, day, count(DISTINCT user_id) AS dau
+               FROM d GROUP BY 1, 2),
+       da AS (SELECT week, avg(dau) AS dau_avg FROM dau GROUP BY 1),
+       wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM d GROUP BY 1)
+       SELECT week::TIMESTAMP AS week, round(dau_avg, 6) AS dau_avg,
+              wau::BIGINT AS wau, round(dau_avg / wau, 6) AS stickiness
+       FROM da JOIN wau USING (week) ORDER BY 1""",
+)
+def q_stickiness(spark, sf_dir):
+    # DAU/WAU engagement ratio per week: raw events collapse to distinct
+    # (user, day) pairs at the first aggregate; no windows.
+    from druid_hadoop_utils_spark.operators.events import stickiness
+
+    ev = _t(spark, sf_dir, "events")
+    return stickiness(ev)
+
+
+@register(
     "q_hybrid_search",
     """WITH d AS (
          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -3667,7 +3710,8 @@ _DRIVER_PRIORITY = [
     "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
     "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
     "q_funnel", "q_cohort_retention", "q_timeseries_mad",
-    "q_union_datasource", "q_hybrid_search",
+    "q_union_datasource", "q_hybrid_search", "q_event_transitions",
+    "q_stickiness",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

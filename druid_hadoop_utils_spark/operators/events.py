@@ -153,3 +153,69 @@ def cohort_retention(
     if max_offset is not None:
         out = out.where(F.col("offset") <= max_offset)
     return out.orderBy("cohort", "offset")
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Markov-style transition counts between consecutive events per user
+    — (from_type, to_type, n, n_users) — the input to path/Sankey
+    analyses and next-event prediction baselines.
+
+    One exchange on the user key for the lag window (ordered by time,
+    event-type tiebreak so simultaneous events have a deterministic
+    order), then one hash aggregate over the transition pairs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    pairs = (
+        df.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .where(F.col("__prev").isNotNull())
+    )
+    return (
+        pairs.groupBy(
+            F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col(user_col)).alias("n_users"),
+        )
+    )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Weekly engagement depth — (week, dau_avg, wau, stickiness) — the
+    DAU/WAU ratio: average daily active users over the week divided by
+    the week's active users. Two hash aggregates over (user, day)
+    distinct pairs; no windows over raw events."""
+    daily = df.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).alias("week"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).distinct()
+    dau = daily.groupBy("week", "day").agg(
+        F.count_distinct(F.col(user_col)).alias("__dau")
+    )
+    dau_avg = dau.groupBy("week").agg(F.avg("__dau").alias("dau_avg"))
+    wau = daily.groupBy("week").agg(
+        F.count_distinct(F.col(user_col)).alias("wau")
+    )
+    return (
+        dau_avg.join(wau, "week")
+        .select(
+            "week",
+            F.round("dau_avg", round_to).alias("dau_avg"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau_avg") / F.col("wau"), round_to).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

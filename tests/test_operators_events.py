@@ -193,3 +193,43 @@ def test_funnel_matches_bruteforce_random(spark, seed, within):
                               within_seconds=within).collect()
     }
     assert got == want
+
+
+def test_event_transitions_counts(spark):
+    from druid_hadoop_utils_spark.operators.events import event_transitions
+
+    rows = [
+        (1, T(2024, 1, 1, 0), "a"),
+        (1, T(2024, 1, 1, 1), "b"),
+        (1, T(2024, 1, 1, 2), "a"),
+        (2, T(2024, 1, 1, 0), "a"),
+        (2, T(2024, 1, 1, 1), "b"),
+        (3, T(2024, 1, 1, 5), "c"),   # single event: no transition
+    ]
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["n_users"])
+           for r in event_transitions(_ev(spark, rows)).collect()}
+    assert out == {("a", "b"): (2, 2), ("b", "a"): (1, 1)}
+
+
+def test_event_transitions_no_cross_user_pairs(spark):
+    from druid_hadoop_utils_spark.operators.events import event_transitions
+
+    rows = [(1, T(2024, 1, 1, 0), "a"), (2, T(2024, 1, 1, 1), "b")]
+    assert event_transitions(_ev(spark, rows)).count() == 0
+
+
+def test_stickiness_hand_computed(spark):
+    from druid_hadoop_utils_spark.operators.events import stickiness
+
+    # week of Jan 1: u1 active Mon+Tue, u2 active Mon -> DAU [2, 1],
+    # avg 1.5; WAU 2 -> stickiness 0.75
+    rows = [
+        (1, T(2024, 1, 1, 9), "a"),
+        (1, T(2024, 1, 2, 9), "a"),
+        (1, T(2024, 1, 2, 15), "a"),   # same day twice: still one DAU unit
+        (2, T(2024, 1, 1, 20), "a"),
+    ]
+    out = stickiness(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["dau_avg"] == 1.5 and r["wau"] == 2 and r["stickiness"] == 0.75
