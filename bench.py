@@ -74,6 +74,9 @@ HEADLINE = [
     "q_timeseries_smooth",
     "q_funnel",
     "q_cohort_retention",
+    "q_timeseries_mad",
+    "q_event_transitions",
+    "q_hybrid_search",
 ]
 
 # run each query twice and report the min: run-to-run variance on a busy

@@ -227,6 +227,32 @@ ANNOTATED = {
         "raw-event stream collapses to (user, period) cardinality at the "
         "first aggregate; no windows over raw events."
     ),
+    "q_timeseries_mad": (
+        "Robust MAD outliers: BOTH window passes (exact median, then "
+        "median of absolute deviations) partition on the series key — "
+        "one Exchange feeds the pair, after the hourly rollup's "
+        "partial+final aggregate has collapsed the raw events."
+    ),
+    "q_union_datasource": (
+        "Druid union dataSource: the two member tables' segment scans "
+        "union LAZILY (no materialization) and the groupBy runs once "
+        "over the concatenation — the interval/filter predicates appear "
+        "in EVERY member scan's PushedFilters, and the aggregate is "
+        "still one partial+final pair around a single Exchange."
+    ),
+    "q_event_transitions": (
+        "Transition matrix: one Exchange on the user key for the lag "
+        "window (time + type tiebreak ordering), then a hash aggregate "
+        "over the (from, to) pairs with a distinct-user count — no "
+        "self-join of the event stream against itself."
+    ),
+    "q_hybrid_search": (
+        "RRF hybrid retrieval: each retriever's expensive work is "
+        "distributed (BM25's filtered-postings aggregate; the cosine "
+        "scorer's broadcast query side), both end in TakeOrdered top-N, "
+        "and the single-partition rank windows + fusion aggregate touch "
+        "only those bounded lists."
+    ),
 }
 
 
