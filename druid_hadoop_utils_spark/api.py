@@ -539,9 +539,13 @@ def druid_query(
         )
     if qtype == "timeseries":
         skip = bool((q.get("context") or {}).get("skipEmptyBuckets", False))
-        return timeseries(spark, source, spec, aggs, posts,
-                          interval=interval, data_source=ds,
-                          time_column=time_column, skip_empty_buckets=skip)
+        out = timeseries(spark, source, spec, aggs, posts,
+                         interval=interval, data_source=ds,
+                         time_column=time_column, skip_empty_buckets=skip)
+        # Druid 0.9 timeseries "descending": true — newest bucket first
+        if q.get("descending"):
+            out = out.orderBy(F.desc("__time"))
+        return out
     if qtype == "topN":
         return topn(spark, source, spec, dimension=q["dimension"],
                     metric=q["metric"], threshold=int(q["threshold"]),

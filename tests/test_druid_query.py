@@ -596,3 +596,18 @@ class TestUnionDataSource:
                 "granularity": "ALL", "dimensions": ["event_type"],
                 "aggregations": [{"type": "count", "name": "n"}],
                 "intervals": ["2024-01-01/2024-01-02"]})
+
+
+def test_timeseries_descending_flag(spark, events):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2024-01-04"],
+        "granularity": "DAY",
+        "descending": True,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    out = druid_query(spark, events, q, time_column="ts").collect()
+    times = [r["__time"] for r in out]
+    assert times == sorted(times, reverse=True)
+    assert len(times) == 3
