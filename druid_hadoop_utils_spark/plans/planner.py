@@ -45,6 +45,11 @@ from druid_hadoop_utils_spark.sources.segments import (
 TIME_COL = "__time"
 
 
+class AllSegmentsPruned(FileNotFoundError):
+    """Every visible data segment was excluded by manifest column stats —
+    the query result is provably empty (distinct from 'no segments')."""
+
+
 def _interval_pred(iv: Interval, col, ntz: bool = False):
     lo = F.lit(iv.start.replace(tzinfo=None))
     hi = F.lit(iv.end.replace(tzinfo=None))
@@ -53,26 +58,51 @@ def _interval_pred(iv: Interval, col, ntz: bool = False):
     return (col >= lo) & (col < hi)
 
 
-def _scan_segments(spark: SparkSession, table_root: str, data_source: str, iv: Interval) -> DataFrame:
-    """Manifest → overshadow resolution → minimal parquet scan(s)."""
+def _scan_segments(spark: SparkSession, table_root: str, data_source: str,
+                   iv: Interval, dim_filter: dict | None = None) -> DataFrame:
+    """Manifest → overshadow resolution → minimal parquet scan(s).
+
+    ``dim_filter`` (the spec's DimFilter JSON) additionally drops visible
+    segments whose manifest column stats provably exclude the filter
+    (plans/pruning.py) — Druid-style segment skipping on dimensions, on
+    top of the timeline's interval pruning."""
+    from druid_hadoop_utils_spark.plans.pruning import (
+        filter_constraints,
+        segment_excluded,
+    )
+
     manifests = list_manifests(table_root, data_source)
     visible = resolve_visible_windows(manifests, iv)
     if not visible:
         raise FileNotFoundError(
             f"no visible segments for {data_source} in {iv.iso()}"
         )
+    constraints = filter_constraints(dim_filter)
     full_paths: list[str] = []
     windowed: dict[tuple[Interval, ...], list[str]] = defaultdict(list)
+    had_data = False
     for w in visible:
         if w.manifest.tombstone:
             # holds the timeline slot (hiding older versions) but has no
             # data to scan — Druid drop/kill semantics
+            continue
+        had_data = True
+        if segment_excluded(w.manifest.stats, constraints):
             continue
         if w.is_fully_visible(iv):
             full_paths.append(w.manifest.path)
         else:
             windowed[w.windows].append(w.manifest.path)
     if not full_paths and not windowed:
+        if had_data:
+            # every data segment was stats-pruned: the query provably
+            # matches nothing — load() returns the correctly-shaped empty
+            # frame (an EMPTY RESULT, not a missing-segments error, so it
+            # bypasses ignore_when_no_segments)
+            raise AllSegmentsPruned(
+                f"all visible segments of {data_source} in {iv.iso()} "
+                "pruned by manifest column stats"
+            )
         raise FileNotFoundError(
             f"no visible segments for {data_source} in {iv.iso()} "
             "(interval fully dropped)"
@@ -143,7 +173,11 @@ def load(
                 # the span's visible set by the per-interval predicates
                 # below equals resolving each interval separately
                 span = Interval(ivs[0].start, ivs[-1].end)
-                df = _scan_segments(spark, source, ds, span)
+                df = _scan_segments(spark, source, ds, span,
+                                    dim_filter=spec.filter)
+            except AllSegmentsPruned:
+                # a provably-empty result, not missing data
+                return _empty_result(spark, spec)
             except FileNotFoundError:
                 if not ignore_when_no_segments:
                     raise

@@ -55,6 +55,7 @@ def publish_segments(
     sort_by: list[str] | None = None,
     shards_per_bucket: int = 1,
     zorder: list[str] | None = None,
+    stats_columns: list[str] | None = None,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -76,6 +77,13 @@ def publish_segments(
     given columns (``sources/layout.zorder_key``) so parquet row-group
     stats prune on EVERY keyed dimension, not just the leading column of
     a lexicographic ``sort_by`` — mutually exclusive with ``sort_by``.
+
+    ``stats_columns`` records per-SEGMENT min/max for those columns in the
+    manifests (ONE extra aggregate job over the whole publish, grouped by
+    bucket/shard) so the planner skips segments a DimFilter provably
+    excludes (plans/pruning.py). Defaults to the clustering columns
+    (``sort_by``/``zorder`` minus the time column) — exactly the columns
+    whose per-segment ranges clustering makes tight.
     """
     if bucket not in {"HOUR", "DAY", "MONTH"}:
         raise ValueError(f"unsupported ingest bucket: {bucket!r} (HOUR/DAY/MONTH)")
@@ -126,6 +134,34 @@ def publish_segments(
             .drop("__zorder")
         )
 
+    if stats_columns is None:
+        clustering = (sort_by or []) + (zorder or [])
+        stats_columns = [c for c in clustering
+                         if c not in (time_column, "__time")]
+    stats_by_key: dict[tuple, dict] = {}
+    if stats_columns:
+        ok_prefixes = ("string", "int", "bigint", "smallint", "tinyint",
+                       "double", "float", "decimal")
+        dtypes = dict(df.dtypes)
+        scols = [c for c in stats_columns
+                 if dtypes.get(c, "").startswith(ok_prefixes)]
+        if scols:
+            aggs = []
+            for c in scols:
+                aggs += [F.min(c).alias(f"__lo_{c}"),
+                         F.max(c).alias(f"__hi_{c}")]
+            # one grouped aggregate over the publish; result is
+            # (#buckets × #shards) rows — bounded driver state
+            for r in bucketed.groupBy(*part_cols).agg(*aggs).collect():
+                st = {}
+                for c in scols:
+                    lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
+                    if lo is not None and hi is not None:
+                        st[c] = {"min": lo, "max": hi}
+                if st:
+                    key = (r["__bucket"], r["__shard"] if sharded else 0)
+                    stats_by_key[key] = st
+
     staging = os.path.join(table_root, data_source, f"_staging_{version}")
     bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
 
@@ -151,15 +187,21 @@ def publish_segments(
                 os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
                 os.replace(os.path.join(bdir, sname), seg_dir)
                 bucket_manifests.append(
-                    SegmentManifest(data_source, iv, str(version), shard_num,
-                                    seg_dir)
+                    SegmentManifest(
+                        data_source, iv, str(version), shard_num, seg_dir,
+                        stats=stats_by_key.get(
+                            (start.replace(tzinfo=None), shard_num)),
+                    )
                 )
             register_manifest_group(table_root, bucket_manifests)
         else:
             seg_dir = segment_dir(table_root, data_source, iv, version)
             os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
             os.replace(os.path.join(staging, name), seg_dir)
-            manifest = SegmentManifest(data_source, iv, str(version), 0, seg_dir)
+            manifest = SegmentManifest(
+                data_source, iv, str(version), 0, seg_dir,
+                stats=stats_by_key.get((start.replace(tzinfo=None), 0)),
+            )
             register_manifest(table_root, manifest)
             bucket_manifests.append(manifest)
         manifests.extend(bucket_manifests)

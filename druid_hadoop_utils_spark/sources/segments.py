@@ -51,6 +51,12 @@ class SegmentManifest:
     # versions of its interval — Druid's kill/drop semantics) but carries
     # no data: scans skip it, vacuum then reclaims what it hides
     tombstone: bool = False
+    # optional per-column {col: {"min": v, "max": v}} recorded at publish
+    # (the Spark-era analogue of Druid's per-segment dimension indexes):
+    # lets the planner drop whole segments whose stats provably exclude
+    # the query's DimFilter — see plans/pruning.py. Advisory metadata;
+    # excluded from identity.
+    stats: dict | None = field(default=None, compare=False)
 
     @property
     def identifier(self) -> str:
@@ -70,6 +76,8 @@ class SegmentManifest:
         }
         if self.tombstone:
             out["tombstone"] = True
+        if self.stats:
+            out["stats"] = self.stats
         return out
 
     @classmethod
@@ -81,6 +89,7 @@ class SegmentManifest:
             shard_num=int(obj.get("shardNum", 0)),
             path=obj["path"],
             tombstone=bool(obj.get("tombstone", False)),
+            stats=obj.get("stats"),
         )
 
 
@@ -105,6 +114,36 @@ def _safe(s: str) -> str:
     return s.replace(":", "-").replace("/", "_").replace("+", "")
 
 
+def column_stats(df: DataFrame, columns: list[str]) -> dict | None:
+    """One aggregate job → {col: {"min": v, "max": v}} for the string /
+    numeric columns of ``columns`` present in ``df`` (other types are
+    skipped — the pruner only reasons about those two families). Returns
+    None when nothing qualifies."""
+    from pyspark.sql import functions as F
+
+    ok_prefixes = ("string", "int", "bigint", "smallint", "tinyint",
+                   "double", "float", "decimal")
+    dtypes = dict(df.dtypes)
+    cols = [c for c in columns
+            if dtypes.get(c, "").startswith(ok_prefixes)]
+    if not cols:
+        return None
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None or hi is None:
+            continue
+        if isinstance(lo, float) or isinstance(lo, int) or isinstance(lo, str):
+            out[c] = {"min": lo, "max": hi}
+        else:  # Decimal etc. → float for JSON
+            out[c] = {"min": float(lo), "max": float(hi)}
+    return out or None
+
+
 def write_segment(
     df: DataFrame,
     table_root: str,
@@ -114,6 +153,7 @@ def write_segment(
     shard_num: int = 0,
     partition_by_day: bool = False,
     enforce_interval: bool = True,
+    stats_columns: list[str] | None = None,
 ) -> SegmentManifest:
     """Publish ``df`` as one immutable segment of ``data_source``.
 
@@ -125,6 +165,10 @@ def write_segment(
     timeline's visibility math assumes segment data lies inside its
     declared interval (Druid enforces this at ingestion); rows outside it
     would leak into fully-visible reads.
+
+    ``stats_columns`` records per-column min/max in the manifest (one
+    extra aggregate job) so the planner can skip this segment entirely
+    when a query's DimFilter provably excludes it (plans/pruning.py).
     """
     iv = Interval.parse(interval)
     if enforce_interval and "__time" in df.columns:
@@ -140,7 +184,9 @@ def write_segment(
         writer = writer.partitionBy("__time_day")
     writer.parquet(seg_dir)
 
-    manifest = SegmentManifest(data_source, iv, str(version), shard_num, seg_dir)
+    stats = column_stats(df, stats_columns) if stats_columns else None
+    manifest = SegmentManifest(data_source, iv, str(version), shard_num,
+                               seg_dir, stats=stats)
     register_manifest(table_root, manifest)
     return manifest
 
@@ -200,7 +246,8 @@ def register_manifest_group(
         "interval": m0.interval.iso(),
         "version": m0.version,
         "shards": [
-            {"shardNum": m.shard_num, "path": m.path}
+            {"shardNum": m.shard_num, "path": m.path,
+             **({"stats": m.stats} if m.stats else {})}
             for m in sorted(manifests, key=lambda m: m.shard_num)
         ],
     }
@@ -224,6 +271,7 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
                 shard_num=int(s["shardNum"]),
                 path=s["path"],
                 manifest_file=mpath,
+                stats=s.get("stats"),
             )
             for s in obj["shards"]
         ]
@@ -231,7 +279,7 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
     return [
         SegmentManifest(
             m.data_source, m.interval, m.version, m.shard_num, m.path,
-            manifest_file=mpath, tombstone=m.tombstone,
+            manifest_file=mpath, tombstone=m.tombstone, stats=m.stats,
         )
     ]
 

@@ -1,0 +1,216 @@
+"""Manifest column-stats segment pruning (plans/pruning.py): the
+DimFilter→constraints reduction, the conservative exclusion proof, and
+the end-to-end publish→filtered-load file-skipping path."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.plans.pruning import (
+    filter_constraints,
+    segment_excluded,
+)
+
+
+class TestConstraints:
+    def test_and_tree_collects_leaves(self):
+        f = {"type": "and", "fields": [
+            {"type": "selector", "dimension": "a", "value": "x"},
+            {"type": "bound", "dimension": "b", "lower": "1", "upper": "9",
+             "ordering": "numeric"},
+            {"type": "in", "dimension": "a", "values": ["x", "y"]},
+        ]}
+        c = filter_constraints(f)
+        assert len(c["a"]) == 2 and len(c["b"]) == 1
+
+    def test_or_and_not_are_opaque(self):
+        f = {"type": "or", "fields": [
+            {"type": "selector", "dimension": "a", "value": "x"}]}
+        assert filter_constraints(f) == {}
+        f = {"type": "not", "field":
+             {"type": "selector", "dimension": "a", "value": "x"}}
+        assert filter_constraints(f) == {}
+
+    def test_extraction_fn_leaves_are_opaque(self):
+        f = {"type": "selector", "dimension": "a", "value": "x",
+             "extractionFn": {"type": "substring", "index": 0, "length": 1}}
+        assert filter_constraints(f) == {}
+
+    def test_nested_or_under_and_only_drops_that_branch(self):
+        f = {"type": "and", "fields": [
+            {"type": "selector", "dimension": "a", "value": "x"},
+            {"type": "or", "fields": [
+                {"type": "selector", "dimension": "b", "value": "y"}]},
+        ]}
+        c = filter_constraints(f)
+        assert set(c) == {"a"}
+
+
+class TestExclusion:
+    def test_selector_outside_range_excludes(self):
+        st = {"d": {"min": "click", "max": "view"}}
+        c = filter_constraints({"type": "selector", "dimension": "d", "value": "zzz"})
+        assert segment_excluded(st, c) is True
+        c = filter_constraints({"type": "selector", "dimension": "d", "value": "error"})
+        assert segment_excluded(st, c) is False
+
+    def test_in_excludes_only_when_all_values_outside(self):
+        st = {"d": {"min": "b", "max": "c"}}
+        out = filter_constraints({"type": "in", "dimension": "d", "values": ["a", "z"]})
+        assert segment_excluded(st, out) is True
+        mixed = filter_constraints({"type": "in", "dimension": "d", "values": ["a", "b"]})
+        assert segment_excluded(st, mixed) is False
+
+    def test_null_selector_never_prunes(self):
+        st = {"d": {"min": "b", "max": "c"}}
+        c = filter_constraints({"type": "selector", "dimension": "d", "value": None})
+        assert segment_excluded(st, c) is False
+
+    def test_numeric_bound_on_numeric_stats(self):
+        st = {"u": {"min": 10, "max": 20}}
+        gone = filter_constraints({"type": "bound", "dimension": "u",
+                                   "lower": "21", "ordering": "numeric"})
+        assert segment_excluded(st, gone) is True
+        edge = filter_constraints({"type": "bound", "dimension": "u",
+                                   "lower": "20", "ordering": "numeric"})
+        assert segment_excluded(st, edge) is False
+        strict = filter_constraints({"type": "bound", "dimension": "u",
+                                     "lower": "20", "lowerStrict": True,
+                                     "ordering": "numeric"})
+        assert segment_excluded(st, strict) is True
+        upper = filter_constraints({"type": "bound", "dimension": "u",
+                                    "upper": "9", "ordering": "numeric"})
+        assert segment_excluded(st, upper) is True
+
+    def test_ordering_type_mismatch_never_prunes(self):
+        # lexicographic bound over NUMERIC stats: "5" > "20" lexically —
+        # pruning on it would be wrong, so it must not prune
+        st = {"u": {"min": 10, "max": 20}}
+        c = filter_constraints({"type": "bound", "dimension": "u", "lower": "5"})
+        assert segment_excluded(st, c) is False
+        # numeric bound over STRING stats: equally opaque
+        st2 = {"d": {"min": "a", "max": "c"}}
+        c2 = filter_constraints({"type": "bound", "dimension": "d",
+                                 "lower": "5", "ordering": "numeric"})
+        assert segment_excluded(st2, c2) is False
+
+    def test_selector_coerces_to_numeric_stats(self):
+        st = {"u": {"min": 10, "max": 20}}
+        c = filter_constraints({"type": "selector", "dimension": "u", "value": "15"})
+        assert segment_excluded(st, c) is False
+        c = filter_constraints({"type": "selector", "dimension": "u", "value": "99"})
+        assert segment_excluded(st, c) is True
+        c = filter_constraints({"type": "selector", "dimension": "u", "value": "abc"})
+        assert segment_excluded(st, c) is False  # uncoercible: keep
+
+    def test_missing_stats_column_never_prunes(self):
+        assert segment_excluded({"x": {"min": 1, "max": 2}},
+                                filter_constraints(
+                                    {"type": "selector", "dimension": "d",
+                                     "value": "zzz"})) is False
+        assert segment_excluded(None, {"d": [("in", ["z"])]}) is False
+
+
+class TestEndToEnd:
+    SPEC = {
+        "granularity": "NONE",
+        "dimensions": ["event_type"],
+        "metrics": [{"name": "user_id", "type": "long"}],
+    }
+
+    def _root(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+        root = str(tmp_path / "pruned_table")
+        rows = (
+            [Row(ts=datetime(2024, 1, 1, h), event_type="click",
+                 user_id=h) for h in range(4)]
+            + [Row(ts=datetime(2024, 1, 2, h), event_type="view",
+                   user_id=100 + h) for h in range(4)]
+        )
+        publish_segments(
+            spark.createDataFrame(rows), root, "events", version="v1",
+            time_column="ts", bucket="DAY",
+            stats_columns=["event_type", "user_id"],
+        )
+        return root
+
+    def _load(self, spark, root, flt, **kw):
+        from druid_hadoop_utils_spark import load
+
+        spec = dict(self.SPEC, filter=flt)
+        return load(spark, root, spec, interval="2024-01-01/2024-01-05",
+                    data_source="events", **kw)
+
+    def test_stats_round_trip_manifest(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+        root = self._root(spark, tmp_path)
+        by_day = {m.interval.start.day: m.stats
+                  for m in list_manifests(root, "events")}
+        assert by_day[1]["event_type"] == {"min": "click", "max": "click"}
+        assert by_day[1]["user_id"] == {"min": 0, "max": 3}
+        assert by_day[2]["user_id"] == {"min": 100, "max": 103}
+
+    def test_filter_skips_segment_files(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        df = self._load(spark, root, {"type": "selector",
+                                      "dimension": "event_type",
+                                      "value": "view"})
+        files = df.inputFiles()
+        assert files and all("2024-01-02" in f for f in files)
+        assert df.count() == 4
+
+    def test_numeric_bound_skips_segment(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        df = self._load(spark, root, {"type": "bound", "dimension": "user_id",
+                                      "lower": "50", "ordering": "numeric"})
+        assert all("2024-01-02" in f for f in df.inputFiles())
+        assert df.count() == 4
+
+    def test_opaque_filter_scans_everything(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        df = self._load(spark, root, {"type": "regex",
+                                      "dimension": "event_type",
+                                      "pattern": "^v"})
+        files = df.inputFiles()
+        assert any("2024-01-01" in f for f in files)
+        assert any("2024-01-02" in f for f in files)  # no pruning
+        # ...but the row-level filter still applies
+        assert df.count() == 4
+
+    def test_all_pruned_returns_empty_not_error(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        df = self._load(spark, root, {"type": "selector",
+                                      "dimension": "event_type",
+                                      "value": "zzz"})
+        assert df.count() == 0
+        assert df.columns == ["__time", "event_type", "user_id"]
+        # and even with ignore_when_no_segments=False: provably-empty is
+        # a RESULT, not a missing-segments error
+        df2 = self._load(spark, root, {"type": "selector",
+                                       "dimension": "event_type",
+                                       "value": "zzz"},
+                         ignore_when_no_segments=False)
+        assert df2.count() == 0
+
+    def test_results_equal_unpruned_path(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.segments import write_segment
+
+        root = self._root(spark, tmp_path)
+        # same data published WITHOUT stats: identical query results
+        root2 = str(tmp_path / "unpruned_table")
+        for day, et in [(1, "click"), (2, "view")]:
+            rows = [Row(__time=datetime(2024, 1, day, h), event_type=et,
+                        user_id=(0 if et == "click" else 100) + h)
+                    for h in range(4)]
+            write_segment(spark.createDataFrame(rows), root2, "events",
+                          f"2024-01-0{day}/2024-01-0{day + 1}", "v1")
+        flt = {"type": "bound", "dimension": "user_id",
+               "lower": "2", "upper": "101", "ordering": "numeric"}
+        a = sorted(map(tuple, self._load(spark, root, flt).collect()))
+        b = sorted(map(tuple, self._load(spark, root2, flt).collect()))
+        # click users 2,3 + view users 100,101 pass the bound
+        assert a == b and len(a) == 4
