@@ -214,3 +214,32 @@ class TestEndToEnd:
         b = sorted(map(tuple, self._load(spark, root2, flt).collect()))
         # click users 2,3 + view users 100,101 pass the bound
         assert a == b and len(a) == 4
+
+
+def test_compaction_preserves_stats(spark, tmp_path):
+    """Compacting a table whose manifests carry stats recomputes them on
+    the compacted segments without the caller restating the columns."""
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.maintenance import compact_segments
+    from druid_hadoop_utils_spark.sources.segments import list_manifests
+    from druid_hadoop_utils_spark.sources.segments import (
+        resolve_visible_windows,
+    )
+    from druid_hadoop_utils_spark.intervals import Interval
+
+    root = str(tmp_path / "compact_stats")
+    rows = [Row(ts=datetime(2024, 1, 1, h), event_type=t, user_id=u)
+            for h, t, u in [(0, "a", 1), (6, "b", 2), (12, "c", 3)]]
+    publish_segments(spark.createDataFrame(rows), root, "events",
+                     version="v1", time_column="ts", bucket="HOUR",
+                     stats_columns=["event_type", "user_id"])
+    compact_segments(spark, root, "events",
+                     "2024-01-01/2024-01-02", bucket="DAY")
+    iv = Interval.parse("2024-01-01/2024-01-02")
+    vis = resolve_visible_windows(list_manifests(root, "events"), iv)
+    live = [w.manifest for w in vis if not w.manifest.tombstone]
+    assert len(live) == 1
+    assert live[0].stats == {
+        "event_type": {"min": "a", "max": "c"},
+        "user_id": {"min": 1, "max": 3},
+    }
