@@ -529,13 +529,17 @@ def druid_query(
             for iv in interval
             for w in resolve_visible_windows(manifests, iv)
         }
+        import json as _j
+
         rows = [
-            (m.identifier, m.interval.iso(), m.version, m.shard_num, m.path, m in visible)
+            (m.identifier, m.interval.iso(), m.version, m.shard_num, m.path,
+             m in visible, _j.dumps(m.stats, sort_keys=True) if m.stats else None)
             for m in manifests
         ]
         return spark.createDataFrame(
             rows, "identifier string, interval string, version string, "
-                  "shard_num int, path string, visible boolean"
+                  "shard_num int, path string, visible boolean, "
+                  "column_stats string"
         )
     if qtype == "timeseries":
         skip = bool((q.get("context") or {}).get("skipEmptyBuckets", False))

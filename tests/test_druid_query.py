@@ -352,6 +352,22 @@ def test_segment_metadata_query(spark, tmp_path, golden_events):
          "intervals": ["2014-10-01/2014-11-01"]}
     rows = {r.version: r for r in druid_query(spark, str(tmp_path), q).collect()}
     assert rows["v2"].visible and not rows["v1"].visible
+    assert rows["v1"].column_stats is None  # no stats recorded here
+
+
+def test_segment_metadata_reports_column_stats(spark, tmp_path, golden_events):
+    import json as _j
+
+    from druid_hadoop_utils_spark import write_segment
+
+    base = golden_events.drop("user_host")
+    write_segment(base, str(tmp_path), "dstat", "2014-10-22/2014-10-23",
+                  "v1", stats_columns=["visited_sum"])
+    q = {"queryType": "segmentMetadata", "dataSource": "dstat",
+         "intervals": ["2014-10-01/2014-11-01"]}
+    row = druid_query(spark, str(tmp_path), q).first()
+    assert _j.loads(row.column_stats) == {
+        "visited_sum": {"min": 100, "max": 200}}
 
 
 def test_native_query_over_managed_segment_table(spark, tmp_path, golden_events):
