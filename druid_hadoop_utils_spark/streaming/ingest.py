@@ -62,10 +62,14 @@ def segment_publishing_writer(
     data_source: str,
     bucket: str = "1 hour",
     checkpoint_dir: str | None = None,
+    stats_columns: list[str] | None = None,
 ) -> DataStreamWriter:
     """foreachBatch writer: publish each micro-batch's day buckets as new
     segment versions (version = zero-padded batch id → lexicographically
-    increasing, so newer batches overshadow older ones)."""
+    increasing, so newer batches overshadow older ones).
+
+    ``stats_columns`` records per-segment manifest column stats exactly as
+    in the batch publish path, so streamed segments prune the same way."""
     if bucket != "1 hour":
         raise ValueError("only '1 hour' publish buckets are implemented")
 
@@ -81,7 +85,8 @@ def segment_publishing_writer(
             part = batch_df.where(
                 F.date_trunc("hour", F.col("__time")) == F.lit(b)
             )
-            write_segment(part, table_root, data_source, iv, version)
+            write_segment(part, table_root, data_source, iv, version,
+                          stats_columns=stats_columns)
 
     writer = rolled.writeStream.outputMode("append").foreachBatch(publish)
     if checkpoint_dir:

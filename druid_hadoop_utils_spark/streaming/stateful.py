@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -398,5 +399,72 @@ def streaming_funnel(
         )
 
     return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_zscore_outliers(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    min_count: int = 5,
+) -> DataFrame:
+    """Online per-key anomaly detection — the streaming twin of
+    ``operators.timeseries.zscore_outliers``: each key keeps Welford
+    running moments (n, mean, M2) in O(1) state; every micro-batch emits
+    the batch's rows flagged against the statistics as of the END of the
+    batch (so a re-run of the same data is deterministic regardless of
+    how rows were split across micro-batches).
+
+    No flags emit until the key has seen ``min_count`` values (the
+    cold-start guard). State is 3 numbers per key — bounded forever.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("value", DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_outlier", BooleanType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+        ]
+    )
+
+    def update(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        vals: list[float] = []
+        for pdf in batches:
+            vals.extend(float(v) for v in pdf[value_col].dropna())
+        for v in vals:
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if not vals:
+            return
+        sd = math.sqrt(m2 / n) if n > 0 else 0.0
+        rows = []
+        for v in vals:
+            z = (v - mean) / sd if sd > 0 and n >= min_count else None
+            rows.append({
+                "key": str(key[0]), "value": v, "zscore": z,
+                "is_outlier": bool(z is not None and abs(z) > threshold),
+                "n_seen": n,
+            })
+        yield pd.DataFrame(rows)
+
+    return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

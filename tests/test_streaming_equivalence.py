@@ -239,3 +239,70 @@ def test_streaming_funnel_equal_batch_funnel(spark, sf_dir, tmp_path):
         ]
         want = [t for t in times if t is not None]
         assert got == want, user
+
+
+def test_streaming_zscore_single_batch_equals_batch_operator(spark, sf_dir, tmp_path):
+    """With all data in ONE micro-batch, every row's flag uses the full
+    statistics — exactly the batch zscore_outliers result."""
+    from druid_hadoop_utils_spark.operators.timeseries import zscore_outliers
+    from druid_hadoop_utils_spark.streaming.stateful import (
+        streaming_zscore_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value"))
+    src = str(tmp_path / "z_replay")
+    ev.coalesce(1).write.parquet(src + "/all")
+
+    out = streaming_zscore_outliers(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"),
+        "event_type", "value", threshold=2.0)
+    q = (
+        out.writeStream.format("memory").queryName("equiv_z")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM equiv_z")
+
+    batch = zscore_outliers(ev, ["event_type"], "value",
+                            threshold=2.0, round_to=None)
+    s_flags = {(r.key, round(r.value, 9), r.is_outlier)
+               for r in streamed.collect()}
+    b_flags = {(r.event_type, round(r.value, 9), r.is_outlier)
+               for r in batch.collect()}
+    assert s_flags == b_flags
+    # per-key totals match
+    n_stream = {r.key: r.n_seen for r in
+                streamed.groupBy("key").agg(
+                    F.max("n_seen").alias("n_seen")).collect()}
+    n_batch = {r.event_type: r.n for r in
+               ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert n_stream == n_batch
+
+
+def test_streaming_zscore_cold_start_guard(spark, tmp_path):
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.streaming.stateful import (
+        streaming_zscore_outliers,
+    )
+
+    rows = [("a", float(v)) for v in [1, 2, 3]]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    src = str(tmp_path / "cold_replay")
+    df.coalesce(1).write.parquet(src + "/b0")
+    out = streaming_zscore_outliers(
+        spark.readStream.schema(df.schema).parquet(src + "/*"),
+        "event_type", "value", min_count=5)
+    q = (
+        out.writeStream.format("memory").queryName("cold_z")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cold_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cold_z").collect()
+    assert len(rows) == 3
+    assert all(r.zscore is None and r.is_outlier is False for r in rows)
