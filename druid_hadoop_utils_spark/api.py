@@ -363,7 +363,20 @@ def druid_query(
             u_ivs = _pi(q.get("intervals") or q.get("interval")
                         or ["0001-01-01T00:00:00/9999-12-31T00:00:00"])
             span = _Iv(u_ivs[0].start, u_ivs[-1].end)
-            parts = [_scan_segments(spark, source, n, span) for n in names]
+            parts = []
+            for n in names:
+                try:
+                    parts.append(_scan_segments(spark, source, n, span))
+                except FileNotFoundError:
+                    # Druid union semantics: a member with no visible
+                    # segments in the interval contributes nothing — it
+                    # does not fail the query
+                    continue
+            if not parts:
+                raise FileNotFoundError(
+                    f"no visible segments in any union member {names} "
+                    f"for {span.iso()}"
+                )
             merged = parts[0]
             for p in parts[1:]:
                 merged = merged.unionByName(p, allowMissingColumns=True)

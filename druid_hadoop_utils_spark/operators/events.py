@@ -90,13 +90,17 @@ def funnel_counts(
             for i in range(1, len(steps) + 1)
         ]
     )
-    # one row -> k rows via a literal step map; stack keeps it one pass
-    pairs = ", ".join(
-        f"{i}, '{s}', t{i}" for i, s in enumerate(steps, start=1)
-    )
-    out = reached.selectExpr(
-        f"stack({len(steps)}, {pairs}) as (step_idx, step, users)"
-    )
+    # one row -> k rows via typed struct literals (no SQL string assembly
+    # — a quote in a step name must not break the query)
+    structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"t{i}").alias("users"),
+        )
+        for i, s in enumerate(steps, start=1)
+    ])
+    out = reached.select(F.explode(structs).alias("__s")).select("__s.*")
     first = out.where(F.col("step_idx") == 1).select(
         F.col("users").alias("__first")
     )

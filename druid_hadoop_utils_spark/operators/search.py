@@ -175,7 +175,8 @@ def hybrid_search(
 
     bm = bm25_topk(docs, query_terms, k=depth, id_col=id_col,
                    text_col=text_col, round_to=6)
-    cos = brute_force_topk(embeddings, query_vectors, k=depth)
+    cos = brute_force_topk(embeddings, query_vectors, k=depth,
+                           id_col=vec_id_col)
     cos = cos.select(
         F.col("neighbor_id").alias(id_col),
         F.round("cos_sim", 6).alias("__cos"),

@@ -58,19 +58,34 @@ def filter_constraints(f: dict | None) -> dict[str, list[tuple]]:
     return dict(out)
 
 
+# beyond 2^53 a double can't represent every int64, and Spark's row-level
+# comparisons promote to double — pruning must stay within the range where
+# exact and double semantics agree
+_EXACT_DOUBLE = 2**53
+
+
 def _coerce(value, like) -> object | None:
-    """Coerce a filter literal to the stats value's type; None = can't."""
+    """Coerce a filter literal to the stats value's type; None = can't
+    (and 'can't' always means 'don't prune').
+
+    - numeric stats: parse as float, but refuse magnitudes ≥ 2^53 where
+      double arithmetic (what the row filter uses) diverges from exact
+      integer comparison;
+    - string stats: only a STRING literal compares lexicographically the
+      way the row filter does — a numeric literal makes Spark cast the
+      column to double instead, which pruning can't model."""
     if value is None:
         return None
     if isinstance(like, bool):
         return None
     if isinstance(like, (int, float)):
         try:
-            return float(value)
+            f = float(value)
         except (TypeError, ValueError):
             return None
+        return f if abs(f) < _EXACT_DOUBLE else None
     if isinstance(like, str):
-        return str(value)
+        return value if isinstance(value, str) else None
     return None
 
 
@@ -86,15 +101,27 @@ def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) ->
         lo, hi = st["min"], st["max"]
         if lo is None or hi is None:
             continue
+        if isinstance(lo, (int, float)) and not isinstance(lo, bool) and (
+            abs(lo) >= _EXACT_DOUBLE or abs(hi) >= _EXACT_DOUBLE
+        ):
+            continue  # stats outside the double-exact range: don't reason
         for c in cons:
             if c[0] == "in":
+                # "" matches NULL-or-empty in the Druid filter semantics
+                # (functions/filters._null_or_empty) and min/max stats
+                # ignore NULLs — an empty-string value can never prove
+                # exclusion
+                if not c[1] or any(v == "" for v in c[1]):
+                    continue
                 vals = [_coerce(v, lo) for v in c[1]]
-                if not c[1] or any(v is None for v in vals):
+                if any(v is None for v in vals):
                     continue  # null/uncoercible value: can't prove
                 if all(v < lo or v > hi for v in vals):
                     return True
             else:
                 _, lower, lstrict, upper, ustrict, ordering = c
+                if lower == "" or upper == "":
+                    continue  # empty-string bound edges: Druid-null-ish
                 numeric_stats = isinstance(lo, (int, float)) and not isinstance(lo, bool)
                 if numeric_stats and ordering != "numeric":
                     continue

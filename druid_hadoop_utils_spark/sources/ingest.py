@@ -138,32 +138,49 @@ def publish_segments(
         clustering = (sort_by or []) + (zorder or [])
         stats_columns = [c for c in clustering
                          if c not in (time_column, "__time")]
+
+    staging = os.path.join(table_root, data_source, f"_staging_{version}")
+    bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+
+    # Manifest column stats come from a RE-READ of the just-written
+    # staging parquet, not a second execution of the input pipeline: the
+    # read prunes to exactly the stats columns (partition columns are
+    # free), runs no shuffle beyond the grouped min/max partials, and the
+    # whole upstream scan/repartition/sort is never recomputed. Keys are
+    # the partition-VALUE STRINGS (rendered by Spark in the pinned-UTC
+    # session), matching the directory names parsed below — never
+    # driver-local-timezone datetimes.
     stats_by_key: dict[tuple, dict] = {}
     if stats_columns:
         ok_prefixes = ("string", "int", "bigint", "smallint", "tinyint",
                        "double", "float", "decimal")
-        dtypes = dict(df.dtypes)
+        staged = df.sparkSession.read.parquet(staging)
+        dtypes = dict(staged.dtypes)
         scols = [c for c in stats_columns
                  if dtypes.get(c, "").startswith(ok_prefixes)]
         if scols:
+            from decimal import Decimal
+
             aggs = []
             for c in scols:
                 aggs += [F.min(c).alias(f"__lo_{c}"),
                          F.max(c).alias(f"__hi_{c}")]
-            # one grouped aggregate over the publish; result is
+            keyed = staged.groupBy(
+                *[F.col(c).cast("string").alias(c) for c in part_cols]
+            ).agg(*aggs)
             # (#buckets × #shards) rows — bounded driver state
-            for r in bucketed.groupBy(*part_cols).agg(*aggs).collect():
+            for r in keyed.collect():
                 st = {}
                 for c in scols:
                     lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
-                    if lo is not None and hi is not None:
-                        st[c] = {"min": lo, "max": hi}
+                    if lo is None or hi is None:
+                        continue
+                    if isinstance(lo, Decimal):
+                        lo, hi = float(lo), float(hi)
+                    st[c] = {"min": lo, "max": hi}
                 if st:
-                    key = (r["__bucket"], r["__shard"] if sharded else 0)
+                    key = (r["__bucket"], int(r["__shard"]) if sharded else 0)
                     stats_by_key[key] = st
-
-    staging = os.path.join(table_root, data_source, f"_staging_{version}")
-    bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
 
     # promote each staged bucket dir to its segment location (a rename, no
     # second write) and announce it; manifests land last (crash-safe), one
@@ -189,8 +206,7 @@ def publish_segments(
                 bucket_manifests.append(
                     SegmentManifest(
                         data_source, iv, str(version), shard_num, seg_dir,
-                        stats=stats_by_key.get(
-                            (start.replace(tzinfo=None), shard_num)),
+                        stats=stats_by_key.get((raw, shard_num)),
                     )
                 )
             register_manifest_group(table_root, bucket_manifests)
@@ -200,7 +216,7 @@ def publish_segments(
             os.replace(os.path.join(staging, name), seg_dir)
             manifest = SegmentManifest(
                 data_source, iv, str(version), 0, seg_dir,
-                stats=stats_by_key.get((start.replace(tzinfo=None), 0)),
+                stats=stats_by_key.get((raw, 0)),
             )
             register_manifest(table_root, manifest)
             bucket_manifests.append(manifest)

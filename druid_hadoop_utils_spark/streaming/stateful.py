@@ -376,6 +376,7 @@ def streaming_funnel(
             times = list(times)
         else:
             idx, times = 0, []
+        prev_idx = idx
         chunks = [pdf[[ts_col, type_col]] for pdf in batches if len(pdf)]
         if not chunks:
             return
@@ -392,7 +393,11 @@ def streaming_funnel(
             ):
                 times.append(int(t))
                 idx += 1
+        advanced = (not state.exists) or idx > prev_idx
         state.update((idx, times))
+        if not advanced:
+            # unchanged state: stay silent, as the emit contract promises
+            return
         yield pd.DataFrame(
             [{"user": str(key[0]), "steps_completed": idx,
               "step_times_us": times}]

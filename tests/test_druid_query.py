@@ -627,3 +627,27 @@ def test_timeseries_descending_flag(spark, events):
     times = [r["__time"] for r in out]
     assert times == sorted(times, reverse=True)
     assert len(times) == 3
+
+
+def test_union_member_without_segments_contributes_nothing(spark, tmp_path):
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "union_partial")
+    a = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "click", 1.0)], ["ts", "event_type", "value"])
+    publish_segments(a, root, "a", version="v1", time_column="ts", bucket="DAY")
+    # member "b" only has data OUTSIDE the query interval
+    b = spark.createDataFrame(
+        [(datetime(2024, 6, 1), "view", 2.0)], ["ts", "event_type", "value"])
+    publish_segments(b, root, "b", version="v1", time_column="ts", bucket="DAY")
+    out = druid_query(spark, root, {
+        "queryType": "groupBy",
+        "dataSource": {"type": "union", "dataSources": ["a", "b"]},
+        "granularity": "ALL",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": ["2024-01-01/2024-01-05"],
+    }).collect()
+    assert {r["event_type"]: r["n"] for r in out} == {"click": 1}

@@ -233,3 +233,13 @@ def test_stickiness_hand_computed(spark):
     assert len(out) == 1
     r = out[0]
     assert r["dau_avg"] == 1.5 and r["wau"] == 2 and r["stickiness"] == 0.75
+
+
+def test_funnel_counts_step_name_with_quote(spark):
+    rows = [
+        (1, T(2024, 1, 1, 0), "add'l info"),
+        (1, T(2024, 1, 1, 1), "buy"),
+    ]
+    out = {r["step"]: r["users"] for r in
+           funnel_counts(_ev(spark, rows), ["add'l info", "buy"]).collect()}
+    assert out == {"add'l info": 1, "buy": 1}

@@ -243,3 +243,54 @@ def test_compaction_preserves_stats(spark, tmp_path):
         "event_type": {"min": "a", "max": "c"},
         "user_id": {"min": 1, "max": 3},
     }
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-4 session code review."""
+
+    def test_empty_string_selector_never_prunes(self):
+        # "" matches NULL-or-empty rows (filters._null_or_empty) and
+        # min/max stats ignore NULLs — pruning on "" would drop them
+        st = {"d": {"min": "b", "max": "c"}}
+        c = filter_constraints({"type": "selector", "dimension": "d", "value": ""})
+        assert segment_excluded(st, c) is False
+        c = filter_constraints({"type": "in", "dimension": "d",
+                                "values": ["", "zzz"]})
+        assert segment_excluded(st, c) is False
+
+    def test_empty_string_bound_edge_never_prunes(self):
+        st = {"d": {"min": "b", "max": "c"}}
+        c = filter_constraints({"type": "bound", "dimension": "d", "upper": ""})
+        assert segment_excluded(st, c) is False
+
+    def test_numeric_literal_vs_string_stats_never_prunes(self):
+        # the row filter would CAST the string column to double — string
+        # lexicographic pruning can't model that
+        st = {"d": {"min": "5.00", "max": "5.00"}}
+        c = filter_constraints({"type": "selector", "dimension": "d", "value": 5.0})
+        assert segment_excluded(st, c) is False
+
+    def test_beyond_double_exact_range_never_prunes(self):
+        big = 2**53 + 1
+        st = {"u": {"min": big, "max": big}}
+        c = filter_constraints({"type": "selector", "dimension": "u",
+                                "value": str(2**53)})
+        assert segment_excluded(st, c) is False
+        # and stats inside the range with a huge literal: equally opaque
+        st2 = {"u": {"min": 10, "max": 20}}
+        c2 = filter_constraints({"type": "selector", "dimension": "u",
+                                 "value": str(big)})
+        assert segment_excluded(st2, c2) is False
+
+    def test_decimal_stats_column_serializes(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+        from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+        root = str(tmp_path / "decimal_stats")
+        df = spark.createDataFrame(
+            [Row(ts=datetime(2024, 1, 1), v=1.25), Row(ts=datetime(2024, 1, 1), v=2.5)]
+        ).withColumn("v", F.col("v").cast("decimal(10,2)"))
+        publish_segments(df, root, "d", version="v1", time_column="ts",
+                         bucket="DAY", stats_columns=["v"])
+        m = list_manifests(root, "d")[0]
+        assert m.stats == {"v": {"min": 1.25, "max": 2.5}}
