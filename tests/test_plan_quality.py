@@ -201,8 +201,9 @@ _CARTESIAN_ALLOWED = {
     "q_text_tfidf_topk", "q_heavy_hitters",
     "q_tpch_q22_sales_opportunity", "q_text_lm_score",
     # 1-row broadcasts again: corpus N/avgdl stats (bm25) and the
-    # step-1 funnel count for conversion rates
-    "q_bm25_search", "q_funnel",
+    # step-1 funnel count for conversion rates; hybrid search composes
+    # the bm25 retriever and inherits its stats broadcast
+    "q_bm25_search", "q_funnel", "q_hybrid_search",
 }
 
 
