@@ -96,7 +96,16 @@ def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) ->
         return False
     for col, cons in constraints.items():
         st = stats.get(col)
-        if not isinstance(st, dict) or "min" not in st or "max" not in st:
+        if not isinstance(st, dict):
+            continue
+        # membership proof first: a Bloom 'definitely absent' on every
+        # equality value excludes regardless of min/max overlap
+        bloom = st.get("bloom")
+        if bloom:
+            for c in cons:
+                if c[0] == "in" and bloom_excludes(bloom, c[1]):
+                    return True
+        if "min" not in st or "max" not in st:
             continue
         lo, hi = st["min"], st["max"]
         if lo is None or hi is None:
@@ -138,3 +147,105 @@ def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) ->
                 if l is not None and (l > hi or (lstrict and l >= hi)):
                     return True
     return False
+
+
+# ------------------------------------------------------------------ bloom
+# Per-segment Bloom filters complement min/max stats for EQUALITY pruning
+# on high-cardinality dimensions whose per-segment ranges overlap (ids,
+# URLs): min/max can rarely exclude, membership can. The hash is the
+# engine-portable md5-prefix integer (same family as dedup.md5_60), so
+# the positions Spark computes at publish time are reproduced bit-for-bit
+# here on the driver at plan time. A Bloom 'no' is definitive — pruning
+# on it is sound; a 'yes' (or any doubt) scans.
+
+BLOOM_M = 8192   # bits per filter (1 KiB packed)
+BLOOM_K = 3      # hash functions
+
+
+def bloom_position_expr(col, seed: int, m: int = BLOOM_M):
+    """Spark Column: this value's bit position for hash ``seed``."""
+    from pyspark.sql import functions as F
+
+    payload = F.concat(F.lit(f"{seed}:"), col.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long"),
+        F.lit(m),
+    )
+
+
+def bloom_position(value: str, seed: int, m: int = BLOOM_M) -> int:
+    """Driver-side twin of ``bloom_position_expr`` (identical md5 math)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{value}".encode()).hexdigest()
+    return int(h[:15], 16) % m
+
+
+def pack_bloom(positions: set[int], dtype: str,
+               m: int = BLOOM_M, k: int = BLOOM_K) -> dict:
+    """Bit positions → manifest-JSON bloom entry (base64-packed bits).
+    ``dtype`` is the column's type family ("str" or "int") — the query
+    side needs it to canonicalize filter literals the same way
+    ``CAST(col AS STRING)`` rendered the data at publish time."""
+    import base64
+
+    if dtype not in {"str", "int"}:
+        raise ValueError(f"bloom dtype must be 'str' or 'int': {dtype!r}")
+    bits = bytearray((m + 7) // 8)
+    for p in positions:
+        bits[p // 8] |= 1 << (p % 8)
+    return {"m": m, "k": k, "t": dtype,
+            "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _canonical_bloom_value(value, dtype: str) -> str | None:
+    """The string the publish-side expression hashed (``CAST(col AS
+    STRING)``), or None when the filter literal can't be proven to render
+    identically.
+
+    - "str" columns: only string literals, verbatim ("" is Druid
+      null-or-empty — opaque);
+    - "int" columns: CAST renders "42", so integer-valued literals
+      normalize ("042" → "42", 42.0 → "42"); fractional literals are
+      opaque (the row filter compares numerically — 42.5 matches no int
+      row, but proving that is min/max's job, not the bloom's)."""
+    if value is None or isinstance(value, bool):
+        return None
+    if dtype == "str":
+        return value if isinstance(value, str) and value != "" else None
+    if dtype == "int":
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, float):
+            return str(int(value)) if value.is_integer() else None
+        if isinstance(value, str):
+            try:
+                return str(int(value))
+            except ValueError:
+                return None
+    return None
+
+
+def bloom_excludes(bloom: dict, values: list) -> bool:
+    """True iff EVERY value is provably absent from the segment's bloom."""
+    import base64
+
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        dtype = bloom["t"]
+        bits = base64.b64decode(bloom["bits"])
+    except (KeyError, TypeError, ValueError):
+        return False
+    if not values:
+        return False
+    for v in values:
+        canon = _canonical_bloom_value(v, dtype)
+        if canon is None:
+            return False
+        present = all(
+            bits[p // 8] >> (p % 8) & 1
+            for p in (bloom_position(canon, seed, m) for seed in range(k))
+        )
+        if present:
+            return False
+    return True

@@ -56,6 +56,7 @@ def publish_segments(
     shards_per_bucket: int = 1,
     zorder: list[str] | None = None,
     stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -79,11 +80,16 @@ def publish_segments(
     a lexicographic ``sort_by`` — mutually exclusive with ``sort_by``.
 
     ``stats_columns`` records per-SEGMENT min/max for those columns in the
-    manifests (ONE extra aggregate job over the whole publish, grouped by
-    bucket/shard) so the planner skips segments a DimFilter provably
-    excludes (plans/pruning.py). Defaults to the clustering columns
-    (``sort_by``/``zorder`` minus the time column) — exactly the columns
-    whose per-segment ranges clustering makes tight.
+    manifests (ONE extra aggregate job over a column-pruned re-read of the
+    staged parquet, grouped by bucket/shard) so the planner skips segments
+    a DimFilter provably excludes (plans/pruning.py). Defaults to the
+    clustering columns (``sort_by``/``zorder`` minus the time column) —
+    exactly the columns whose per-segment ranges clustering makes tight.
+
+    ``bloom_columns`` (string/integer columns; opt-in) additionally
+    records a 1 KiB per-segment Bloom filter for EQUALITY pruning on
+    high-cardinality dimensions whose ranges overlap across segments —
+    the Druid dimension-index analogue where min/max can't discriminate.
     """
     if bucket not in {"HOUR", "DAY", "MONTH"}:
         raise ValueError(f"unsupported ingest bucket: {bucket!r} (HOUR/DAY/MONTH)")
@@ -151,24 +157,48 @@ def publish_segments(
     # session), matching the directory names parsed below — never
     # driver-local-timezone datetimes.
     stats_by_key: dict[tuple, dict] = {}
-    if stats_columns:
+    if stats_columns or bloom_columns:
+        from druid_hadoop_utils_spark.plans.pruning import (
+            BLOOM_K,
+            bloom_position_expr,
+            pack_bloom,
+        )
+
         ok_prefixes = ("string", "int", "bigint", "smallint", "tinyint",
                        "double", "float", "decimal")
+        int_prefixes = ("int", "bigint", "smallint", "tinyint")
         staged = df.sparkSession.read.parquet(staging)
         dtypes = dict(staged.dtypes)
-        scols = [c for c in stats_columns
+        scols = [c for c in (stats_columns or [])
                  if dtypes.get(c, "").startswith(ok_prefixes)]
-        if scols:
+        # blooms canonicalize via CAST(col AS STRING): only string and
+        # integer families render reproducibly for filter literals
+        bcols = {}
+        for c in (bloom_columns or []):
+            dt = dtypes.get(c, "")
+            if dt == "string":
+                bcols[c] = "str"
+            elif dt.startswith(int_prefixes):
+                bcols[c] = "int"
+        if scols or bcols:
             from decimal import Decimal
 
             aggs = []
             for c in scols:
                 aggs += [F.min(c).alias(f"__lo_{c}"),
                          F.max(c).alias(f"__hi_{c}")]
+            for c in bcols:
+                aggs += [
+                    F.collect_set(
+                        bloom_position_expr(F.col(c), seed)
+                    ).alias(f"__bl_{c}_{seed}")
+                    for seed in range(BLOOM_K)
+                ]
             keyed = staged.groupBy(
                 *[F.col(c).cast("string").alias(c) for c in part_cols]
             ).agg(*aggs)
-            # (#buckets × #shards) rows — bounded driver state
+            # (#buckets × #shards) rows — bounded driver state (each
+            # bloom column adds ≤ BLOOM_M ints per segment row)
             for r in keyed.collect():
                 st = {}
                 for c in scols:
@@ -178,6 +208,13 @@ def publish_segments(
                     if isinstance(lo, Decimal):
                         lo, hi = float(lo), float(hi)
                     st[c] = {"min": lo, "max": hi}
+                for c, fam in bcols.items():
+                    positions = set()
+                    for seed in range(BLOOM_K):
+                        positions.update(r[f"__bl_{c}_{seed}"] or [])
+                    if positions:
+                        st.setdefault(c, {})["bloom"] = pack_bloom(
+                            positions, fam)
                 if st:
                     key = (r["__bucket"], int(r["__shard"]) if sharded else 0)
                     stats_by_key[key] = st

@@ -56,24 +56,32 @@ def compact_segments(
     sort_by: list[str] | None = None,
     shards_per_bucket: int = 1,
     stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> list[SegmentManifest]:
     """Rewrite the visible rows of ``interval`` as fresh segments bucketed
     at ``bucket`` granularity under a new version (atomic flip).
 
-    ``stats_columns`` defaults to the UNION of the input segments' stats
-    columns, so manifest column stats survive compaction (recomputed on
-    the compacted buckets) without the caller re-stating them."""
+    ``stats_columns``/``bloom_columns`` default to the UNION of the input
+    segments' recorded stats/bloom columns, so manifest pruning metadata
+    survives compaction (recomputed on the compacted buckets) without the
+    caller re-stating it."""
     from druid_hadoop_utils_spark.plans.planner import _interval_pred, _scan_segments
     from druid_hadoop_utils_spark.sources.segments import list_manifests
 
     iv = Interval.parse(interval)
-    if stats_columns is None:
-        seen: list[str] = []
+    if stats_columns is None or bloom_columns is None:
+        seen_stats: list[str] = []
+        seen_bloom: list[str] = []
         for m in list_manifests(table_root, data_source):
-            for c in (m.stats or {}):
-                if c not in seen:
-                    seen.append(c)
-        stats_columns = seen
+            for c, entry in (m.stats or {}).items():
+                if "min" in entry and c not in seen_stats:
+                    seen_stats.append(c)
+                if "bloom" in entry and c not in seen_bloom:
+                    seen_bloom.append(c)
+        if stats_columns is None:
+            stats_columns = seen_stats
+        if bloom_columns is None:
+            bloom_columns = seen_bloom
     df = _scan_segments(spark, table_root, data_source, iv)
     # Clip to the compaction interval: a segment that is fully visible
     # WITHIN the interval may still hold rows outside it, and republishing
@@ -85,6 +93,7 @@ def compact_segments(
         df, table_root, data_source, version=version,
         bucket=bucket, files_per_bucket=files_per_bucket, sort_by=sort_by,
         shards_per_bucket=shards_per_bucket, stats_columns=stats_columns,
+        bloom_columns=bloom_columns,
     )
 
 

@@ -294,3 +294,120 @@ class TestReviewRegressions:
                          bucket="DAY", stats_columns=["v"])
         m = list_manifests(root, "d")[0]
         assert m.stats == {"v": {"min": 1.25, "max": 2.5}}
+
+
+class TestBloom:
+    def _bloom_of(self, values, dtype="str"):
+        from druid_hadoop_utils_spark.plans.pruning import (
+            BLOOM_K,
+            bloom_position,
+            pack_bloom,
+        )
+
+        pos = {bloom_position(v, s) for v in values for s in range(BLOOM_K)}
+        return pack_bloom(pos, dtype)
+
+    def test_absent_value_excludes_present_keeps(self):
+        from druid_hadoop_utils_spark.plans.pruning import bloom_excludes
+
+        bl = self._bloom_of(["alpha", "beta"])
+        assert bloom_excludes(bl, ["gamma"]) is True
+        assert bloom_excludes(bl, ["alpha"]) is False
+        # mixed: one present value keeps the segment
+        assert bloom_excludes(bl, ["gamma", "beta"]) is False
+
+    def test_int_canonicalization(self):
+        from druid_hadoop_utils_spark.plans.pruning import bloom_excludes
+
+        bl = self._bloom_of(["42"], dtype="int")   # CAST(42L AS STRING)
+        assert bloom_excludes(bl, ["42"]) is False     # present
+        assert bloom_excludes(bl, ["042"]) is False    # normalizes to 42
+        assert bloom_excludes(bl, [42.0]) is False     # integral float
+        assert bloom_excludes(bl, ["99"]) is True
+        assert bloom_excludes(bl, ["42.5"]) is False   # fractional: opaque
+
+    def test_string_literals_not_normalized(self):
+        from druid_hadoop_utils_spark.plans.pruning import bloom_excludes
+
+        # a STRING column holding "042": literal "042" must hit, and the
+        # distinct string "42" may prune
+        bl = self._bloom_of(["042"], dtype="str")
+        assert bloom_excludes(bl, ["042"]) is False
+        assert bloom_excludes(bl, ["42"]) is True
+
+    def test_empty_and_null_values_never_exclude(self):
+        from druid_hadoop_utils_spark.plans.pruning import bloom_excludes
+
+        bl = self._bloom_of(["alpha"])
+        assert bloom_excludes(bl, [""]) is False
+        assert bloom_excludes(bl, [None]) is False
+        assert bloom_excludes(bl, []) is False
+        assert bloom_excludes({"m": 8192, "k": 3}, ["x"]) is False  # malformed
+
+    def test_spark_positions_match_python(self, spark):
+        from druid_hadoop_utils_spark.plans.pruning import (
+            bloom_position,
+            bloom_position_expr,
+        )
+
+        df = spark.createDataFrame(
+            [("alpha",), ("beta",), ("42",)], "v string")
+        got = df.select(
+            "v", *[bloom_position_expr(F.col("v"), s).alias(f"p{s}")
+                   for s in range(3)]
+        ).collect()
+        for r in got:
+            for s in range(3):
+                assert r[f"p{s}"] == bloom_position(r["v"], s), (r["v"], s)
+
+    def test_publish_bloom_prunes_overlapping_ranges(self, spark, tmp_path):
+        """user ids INTERLEAVE across days (min/max can't discriminate);
+        the bloom still skips the day that lacks the queried id."""
+        from druid_hadoop_utils_spark import load
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+        root = str(tmp_path / "bloom_table")
+        rows = (
+            [Row(ts=datetime(2024, 1, 1, h), user_id=u)
+             for h, u in enumerate([1, 5, 9, 13])]
+            + [Row(ts=datetime(2024, 1, 2, h), user_id=u)
+               for h, u in enumerate([2, 6, 10, 14])]
+        )
+        publish_segments(spark.createDataFrame(rows), root, "events",
+                         version="v1", time_column="ts", bucket="DAY",
+                         stats_columns=["user_id"],
+                         bloom_columns=["user_id"])
+        spec = {"granularity": "NONE", "dimensions": [],
+                "metrics": [{"name": "user_id", "type": "long"}],
+                "filter": {"type": "selector", "dimension": "user_id",
+                           "value": "6"}}
+        df = load(spark, root, spec, interval="2024-01-01/2024-01-05",
+                  data_source="events")
+        # min/max overlap ([1,13] vs [2,14]) — only the bloom can prove
+        # day 1 lacks user 6
+        assert all("2024-01-02" in f for f in df.inputFiles())
+        assert df.count() == 1
+
+    def test_compaction_preserves_bloom(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            compact_segments,
+        )
+        from druid_hadoop_utils_spark.sources.segments import (
+            list_manifests,
+            resolve_visible_windows,
+        )
+        from druid_hadoop_utils_spark.intervals import Interval
+
+        root = str(tmp_path / "bloom_compact")
+        rows = [Row(ts=datetime(2024, 1, 1, h), user_id=h) for h in range(3)]
+        publish_segments(spark.createDataFrame(rows), root, "events",
+                         version="v1", time_column="ts", bucket="HOUR",
+                         bloom_columns=["user_id"])
+        compact_segments(spark, root, "events", "2024-01-01/2024-01-02",
+                         bucket="DAY")
+        iv = Interval.parse("2024-01-01/2024-01-02")
+        vis = resolve_visible_windows(list_manifests(root, "events"), iv)
+        live = [w.manifest for w in vis if not w.manifest.tombstone]
+        assert len(live) == 1
+        assert "bloom" in (live[0].stats or {}).get("user_id", {})
