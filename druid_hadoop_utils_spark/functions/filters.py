@@ -44,9 +44,34 @@ def _any_value(col: Column, pred) -> Column:
     return F.coalesce(F.exists(col, pred), F.lit(False))
 
 
-def _null_or_empty(col: Column, is_array: bool) -> Column:
+def _is_numeric(schema: StructType | None, name: str) -> bool:
+    if schema is None:
+        return False
+    try:
+        return isinstance(schema[name].dataType, NumericType)
+    except KeyError:
+        return False
+
+
+def _parse_number(value: str):
+    """Druid-style literal coercion for numeric-column equality: int if
+    it parses, else float, else None (matches nothing)."""
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+
+
+def _null_or_empty(col: Column, is_array: bool, is_numeric: bool = False) -> Column:
     if is_array:
         return col.isNull() | (F.size(col) == 0)
+    if is_numeric:
+        # '' has no numeric rendering: only NULL rows match (comparing a
+        # numeric column to '' would throw CAST_INVALID_INPUT under ANSI)
+        return col.isNull()
     return col.isNull() | (col == F.lit(""))
 
 
@@ -307,19 +332,30 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
         raise ValueError(f"filter missing 'dimension': {spec!r}")
     col = F.col(dim)
     arr = _is_array(schema, dim)
+    num = _is_numeric(schema, dim)
 
     if ftype == "selector":
         value = spec.get("value")
         if value is None or value == "":
-            return _null_or_empty(col, arr)
+            return _null_or_empty(col, arr, num)
         if arr:
             return F.coalesce(F.array_contains(col, F.lit(value)), F.lit(False))
+        if num and isinstance(value, str):
+            # parse the literal at PLAN time: Druid coerces the value to
+            # the column type, and an unparseable value matches nothing —
+            # comparing the raw string would CAST_INVALID_INPUT under ANSI
+            parsed = _parse_number(value)
+            return F.lit(False) if parsed is None else col == F.lit(parsed)
         return col == F.lit(value)
 
     if ftype == "in":
         values = [v for v in spec.get("values", [])]
         non_null = [v for v in values if v not in (None, "")]
         has_null = len(non_null) != len(values)
+        if num:
+            non_null = [p for v in non_null
+                        if (p := _parse_number(v) if isinstance(v, str) else v)
+                        is not None]
         if arr:
             pred = F.coalesce(
                 F.arrays_overlap(col, F.array(*[F.lit(v) for v in non_null])), F.lit(False)
@@ -328,7 +364,7 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
             pred = col.isin(non_null) if non_null else F.lit(False)
             pred = F.coalesce(pred, F.lit(False))
         if has_null:
-            pred = pred | _null_or_empty(col, arr)
+            pred = pred | _null_or_empty(col, arr, num)
         return pred
 
     if ftype == "bound":

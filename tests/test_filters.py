@@ -143,3 +143,47 @@ def test_javascript_rejected(df):
 def test_unknown_type_rejected(df):
     with pytest.raises(ValueError):
         filter_to_column({"type": "mystery", "dimension": "host"}, df.schema)
+
+
+class TestNumericColumnLiteralEdges:
+    """ANSI-mode edges surfaced by the pruning soundness property sweep:
+    selector/in literals that don't parse as the column's numeric type
+    must match NOTHING (Druid coercion), never CAST_INVALID_INPUT."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, 10), (2, 50), (3, None)], "id long, uid long")
+
+    def test_selector_empty_string_on_numeric_matches_null_rows(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = self._df(spark)
+        out = df.where(filter_to_column(
+            {"type": "selector", "dimension": "uid", "value": ""}, df.schema))
+        assert [r.id for r in out.collect()] == [3]
+
+    def test_selector_unparseable_on_numeric_matches_nothing(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = self._df(spark)
+        out = df.where(filter_to_column(
+            {"type": "selector", "dimension": "uid", "value": "abc"}, df.schema))
+        assert out.count() == 0
+
+    def test_selector_zero_padded_numeric_coerces(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = self._df(spark)
+        out = df.where(filter_to_column(
+            {"type": "selector", "dimension": "uid", "value": "050"}, df.schema))
+        assert [r.id for r in out.collect()] == [2]
+
+    def test_in_mixed_parseable_and_garbage_on_numeric(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = self._df(spark)
+        out = df.where(filter_to_column(
+            {"type": "in", "dimension": "uid",
+             "values": ["10", "zzz", ""]}, df.schema))
+        # 10 matches, zzz matches nothing, "" matches the NULL row
+        assert sorted(r.id for r in out.collect()) == [1, 3]

@@ -411,3 +411,82 @@ class TestBloom:
         live = [w.manifest for w in vis if not w.manifest.tombstone]
         assert len(live) == 1
         assert "bloom" in (live[0].stats or {}).get("user_id", {})
+
+
+class TestPruningSoundnessProperty:
+    """Randomized end-to-end soundness: for ARBITRARY conjunctive filters,
+    a stats+bloom table must return exactly the rows of an identical
+    table published without any pruning metadata."""
+
+    @pytest.fixture(scope="class")
+    def tables(self, spark, tmp_path_factory):
+        import random
+
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+        rng = random.Random(20240814)
+        base = tmp_path_factory.mktemp("prune_prop")
+        rows = [
+            Row(ts=datetime(2024, 1, 1 + rng.randrange(6), rng.randrange(24)),
+                et=rng.choice(["a", "b", "c", "zz", ""]) or None,
+                uid=rng.randrange(50))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows)
+        roots = {}
+        for tag, kw in [("pruned", dict(stats_columns=["et", "uid"],
+                                        bloom_columns=["et", "uid"])),
+                        ("plain", dict(stats_columns=[]))]:
+            root = str(base / tag)
+            publish_segments(df, root, "ev", version="v1", time_column="ts",
+                             bucket="DAY", **kw)
+            roots[tag] = root
+        return roots
+
+    def _filters(self):
+        import random
+
+        rng = random.Random(7)
+        leaves = []
+        for _ in range(40):
+            kind = rng.choice(["selector", "in", "bound", "regex"])
+            dim = rng.choice(["et", "uid"])
+            if kind == "selector":
+                v = rng.choice(["a", "zz", "", "nope", "7", "49", "050"])
+                leaves.append({"type": "selector", "dimension": dim, "value": v})
+            elif kind == "in":
+                vs = rng.sample(["a", "b", "zz", "", "3", "7", "99"],
+                                rng.randrange(1, 4))
+                leaves.append({"type": "in", "dimension": dim, "values": vs})
+            elif kind == "bound":
+                lo, hi = sorted([str(rng.randrange(60)), str(rng.randrange(60))])
+                leaves.append({"type": "bound", "dimension": dim,
+                               "lower": lo, "upper": hi,
+                               "ordering": rng.choice(["numeric",
+                                                       "lexicographic"]),
+                               "lowerStrict": rng.random() < 0.5})
+            else:
+                leaves.append({"type": "regex", "dimension": dim,
+                               "pattern": rng.choice(["^a", "z+"])})
+        rng.shuffle(leaves)
+        singles = leaves[:20]
+        ands = [{"type": "and", "fields": [leaves[i], leaves[i + 20]]}
+                for i in range(10)]
+        return singles + ands
+
+    def test_random_filters_match_unpruned(self, spark, tables):
+        from druid_hadoop_utils_spark import load
+
+        for flt in self._filters():
+            spec = {"granularity": "NONE", "dimensions": ["et"],
+                    "metrics": [{"name": "uid", "type": "long"}],
+                    "filter": flt}
+            got = sorted(map(tuple, load(
+                spark, tables["pruned"], spec,
+                interval="2024-01-01/2024-02-01",
+                data_source="ev").collect()))
+            want = sorted(map(tuple, load(
+                spark, tables["plain"], spec,
+                interval="2024-01-01/2024-02-01",
+                data_source="ev").collect()))
+            assert got == want, flt
