@@ -92,8 +92,16 @@ def _coerce(value, like) -> object | None:
 def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) -> bool:
     """True iff the segment's stats PROVE no row can satisfy the
     (conjunctive) constraints. Any doubt → False (scan it)."""
+    return exclusion_reason(stats, constraints) is not None
+
+
+def exclusion_reason(stats: dict | None,
+                     constraints: dict[str, list[tuple]]) -> str | None:
+    """The proof that excludes this segment ("bloom on <col>" / "min/max
+    on <col>"), or None when it must be scanned — the explainable core of
+    ``segment_excluded``."""
     if not stats or not constraints:
-        return False
+        return None
     for col, cons in constraints.items():
         st = stats.get(col)
         if not isinstance(st, dict):
@@ -104,7 +112,7 @@ def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) ->
         if bloom:
             for c in cons:
                 if c[0] == "in" and bloom_excludes(bloom, c[1]):
-                    return True
+                    return f"bloom on {col}"
         if "min" not in st or "max" not in st:
             continue
         lo, hi = st["min"], st["max"]
@@ -126,7 +134,7 @@ def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) ->
                 if any(v is None for v in vals):
                     continue  # null/uncoercible value: can't prove
                 if all(v < lo or v > hi for v in vals):
-                    return True
+                    return f"min/max on {col}"
             else:
                 _, lower, lstrict, upper, ustrict, ordering = c
                 if lower == "" or upper == "":
@@ -143,10 +151,10 @@ def segment_excluded(stats: dict | None, constraints: dict[str, list[tuple]]) ->
                 if upper is not None and u is None:
                     continue
                 if u is not None and (u < lo or (ustrict and u <= lo)):
-                    return True
+                    return f"min/max on {col}"
                 if l is not None and (l > hi or (lstrict and l >= hi)):
-                    return True
-    return False
+                    return f"min/max on {col}"
+    return None
 
 
 # ------------------------------------------------------------------ bloom
@@ -249,3 +257,35 @@ def bloom_excludes(bloom: dict, values: list) -> bool:
         if present:
             return False
     return True
+
+
+def explain_pruning(table_root: str, data_source: str, interval,
+                    dim_filter: dict | None) -> list[dict]:
+    """Ops-facing dry run of the segment pruner: one dict per VISIBLE
+    data segment of ``interval`` — identifier, whether the given DimFilter
+    prunes it, and the proof ("bloom on col" / "min/max on col" /
+    "interval"). Driver-side metadata only; no Spark job."""
+    from druid_hadoop_utils_spark.intervals import Interval, parse_intervals
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        resolve_visible_windows,
+    )
+
+    ivs = parse_intervals(interval)
+    span = Interval(ivs[0].start, ivs[-1].end)
+    constraints = filter_constraints(dim_filter)
+    out = []
+    for w in resolve_visible_windows(list_manifests(table_root, data_source),
+                                     span):
+        m = w.manifest
+        if m.tombstone:
+            continue
+        reason = exclusion_reason(m.stats, constraints)
+        out.append({
+            "identifier": m.identifier,
+            "interval": m.interval.iso(),
+            "pruned": reason is not None,
+            "reason": reason,
+            "stats_columns": sorted(m.stats or {}),
+        })
+    return out

@@ -490,3 +490,33 @@ class TestPruningSoundnessProperty:
                 interval="2024-01-01/2024-02-01",
                 data_source="ev").collect()))
             assert got == want, flt
+
+
+def test_explain_pruning_reports_reasons(spark, tmp_path):
+    from druid_hadoop_utils_spark.plans.pruning import explain_pruning
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "explain_table")
+    rows = (
+        [Row(ts=datetime(2024, 1, 1, h), et="click", uid=h) for h in range(3)]
+        + [Row(ts=datetime(2024, 1, 2, h), et="view", uid=100 + h)
+           for h in range(3)]
+    )
+    publish_segments(spark.createDataFrame(rows), root, "ev", version="v1",
+                     time_column="ts", bucket="DAY",
+                     stats_columns=["et"], bloom_columns=["uid"])
+    rep = {r["interval"][:10]: r for r in explain_pruning(
+        root, "ev", "2024-01-01/2024-01-05",
+        {"type": "and", "fields": [
+            {"type": "selector", "dimension": "et", "value": "view"},
+            {"type": "selector", "dimension": "uid", "value": "101"}]})}
+    assert rep["2024-01-01"]["pruned"] is True
+    assert rep["2024-01-01"]["reason"] in {"min/max on et", "bloom on uid"}
+    assert rep["2024-01-02"]["pruned"] is False
+    assert rep["2024-01-02"]["reason"] is None
+    # bloom-only proof: a uid present nowhere on day 2 but no et conflict
+    rep2 = {r["interval"][:10]: r for r in explain_pruning(
+        root, "ev", "2024-01-01/2024-01-05",
+        {"type": "selector", "dimension": "uid", "value": "1"})}
+    assert rep2["2024-01-02"]["reason"] == "bloom on uid"
+    assert rep2["2024-01-01"]["pruned"] is False
