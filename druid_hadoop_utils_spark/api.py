@@ -536,6 +536,57 @@ def druid_query(
 
         if not isinstance(source, str):
             raise ValueError("segmentMetadata needs a table root path")
+        analysis = q.get("analysisTypes") or []
+        if analysis:
+            # Druid's column-analysis mode: one row per column over the
+            # VISIBLE data of the interval — cardinality (exact
+            # count_distinct) and/or min/max, computed by ONE aggregate
+            # over the pruned scan (metadata-only inventory is the
+            # default no-analysisTypes shape below)
+            unknown = set(analysis) - {"cardinality", "minmax"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported analysisTypes: {sorted(unknown)} "
+                    "(supported: cardinality, minmax)"
+                )
+            from druid_hadoop_utils_spark.intervals import Interval
+            from druid_hadoop_utils_spark.plans.planner import (
+                _interval_pred,
+                _scan_segments,
+            )
+
+            span = Interval(interval[0].start, interval[-1].end)
+            df = _scan_segments(spark, source, ds, span)
+            pred = _interval_pred(interval[0], F.col("__time"))
+            for iv2 in interval[1:]:
+                pred = pred | _interval_pred(iv2, F.col("__time"))
+            df = df.where(pred)
+            cols = [c for c in df.columns if c != "__time"]
+            aggs = []
+            for c in cols:
+                if "cardinality" in analysis:
+                    aggs.append(F.count_distinct(F.col(c)).alias(f"__card_{c}"))
+                if "minmax" in analysis:
+                    aggs += [
+                        F.min(c).cast("string").alias(f"__min_{c}"),
+                        F.max(c).cast("string").alias(f"__max_{c}"),
+                    ]
+            row = df.agg(*aggs).collect()[0]
+            dtypes = dict(df.dtypes)
+            out_rows = [
+                (
+                    c, dtypes[c],
+                    row[f"__card_{c}"] if "cardinality" in analysis else None,
+                    row[f"__min_{c}"] if "minmax" in analysis else None,
+                    row[f"__max_{c}"] if "minmax" in analysis else None,
+                )
+                for c in cols
+            ]
+            return spark.createDataFrame(
+                out_rows,
+                "column string, type string, cardinality long, "
+                "min_value string, max_value string",
+            )
         manifests = list_manifests(source, ds)
         visible = {
             w.manifest

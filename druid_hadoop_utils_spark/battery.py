@@ -3429,6 +3429,37 @@ def q_timeseries_smooth(spark, sf_dir):
 
 
 @register(
+    "q_segment_metadata_analysis",
+    """SELECT * FROM (
+         SELECT 'event_type' AS "column", 'string' AS type,
+                count(DISTINCT event_type)::BIGINT AS cardinality,
+                min(event_type) AS min_value, max(event_type) AS max_value
+         FROM events
+         UNION ALL
+         SELECT 'value', 'double', count(DISTINCT value)::BIGINT,
+                CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+         FROM events
+         UNION ALL
+         SELECT 'user_id', 'bigint', count(DISTINCT user_id)::BIGINT,
+                CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+         FROM events)""",
+)
+def q_segment_metadata_analysis(spark, sf_dir):
+    # Druid segmentMetadata with analysisTypes: real per-column
+    # cardinality + min/max over the visible segment data (one aggregate
+    # over the pruned scan), against the managed events table
+    from druid_hadoop_utils_spark import api
+
+    root = _segment_table(spark, sf_dir)
+    return api.druid_query(spark, root, {
+        "queryType": "segmentMetadata",
+        "dataSource": "events",
+        "intervals": ["2024-01-01/2025-01-01"],
+        "analysisTypes": ["cardinality", "minmax"],
+    })
+
+
+@register(
     "q_event_transitions",
     """WITH p AS (
          SELECT user_id, event_type,
@@ -3711,7 +3742,7 @@ _DRIVER_PRIORITY = [
     "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
     "q_funnel", "q_cohort_retention", "q_timeseries_mad",
     "q_union_datasource", "q_hybrid_search", "q_event_transitions",
-    "q_stickiness",
+    "q_stickiness", "q_segment_metadata_analysis",
     # last driver-green in r02 (absent from the r03 snapshot)
     "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
     "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",

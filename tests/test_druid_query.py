@@ -651,3 +651,26 @@ def test_union_member_without_segments_contributes_nothing(spark, tmp_path):
         "intervals": ["2024-01-01/2024-01-05"],
     }).collect()
     assert {r["event_type"]: r["n"] for r in out} == {"click": 1}
+
+
+def test_segment_metadata_column_analysis(spark, tmp_path, golden_events):
+    from druid_hadoop_utils_spark import write_segment
+
+    base = golden_events.drop("user_host")
+    write_segment(base, str(tmp_path), "anl", "2014-10-22/2014-10-23", "v1")
+    q = {"queryType": "segmentMetadata", "dataSource": "anl",
+         "intervals": ["2014-10-01/2014-11-01"],
+         "analysisTypes": ["cardinality", "minmax"]}
+    rows = {r.column: r for r in druid_query(spark, str(tmp_path), q).collect()}
+    assert rows["visited_sum"].cardinality == 3
+    assert rows["visited_sum"].min_value == "100"
+    assert rows["visited_sum"].max_value == "200"
+    assert rows["host"].cardinality == 3
+    # cardinality-only shape leaves min/max null
+    q2 = dict(q, analysisTypes=["cardinality"])
+    r2 = {r.column: r for r in druid_query(spark, str(tmp_path), q2).collect()}
+    assert r2["visited_sum"].cardinality == 3
+    assert r2["visited_sum"].min_value is None
+    with pytest.raises(ValueError, match="analysisTypes"):
+        druid_query(spark, str(tmp_path),
+                    dict(q, analysisTypes=["sketches"]))
