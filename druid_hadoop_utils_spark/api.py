@@ -363,19 +363,34 @@ def druid_query(
             u_ivs = _pi(q.get("intervals") or q.get("interval")
                         or ["0001-01-01T00:00:00/9999-12-31T00:00:00"])
             span = _Iv(u_ivs[0].start, u_ivs[-1].end)
+            import os as _os
+
+            from druid_hadoop_utils_spark.sources.segments import MANIFEST_DIR
+
+            missing = [n for n in names if not _os.path.isdir(
+                _os.path.join(source, n, MANIFEST_DIR))]
+            if missing:
+                # a member that was never created is a query error (a
+                # typo'd name must not silently contribute nothing)
+                raise FileNotFoundError(
+                    f"union dataSource member(s) do not exist: {missing}")
             parts = []
             for n in names:
                 try:
                     parts.append(_scan_segments(spark, source, n, span))
                 except FileNotFoundError:
-                    # Druid union semantics: a member with no visible
-                    # segments in the interval contributes nothing — it
-                    # does not fail the query
+                    # Druid union semantics: an EXISTING member with no
+                    # visible segments in the interval contributes
+                    # nothing — it does not fail the query
                     continue
             if not parts:
-                raise FileNotFoundError(
-                    f"no visible segments in any union member {names} "
-                    f"for {span.iso()}"
+                # every member is empty in the interval: defer to the
+                # single-datasource machinery, which produces the same
+                # correctly-shaped empty (or zero-filled) result a plain
+                # datasource query would
+                return druid_query(
+                    spark, source, dict(q, dataSource=names[0]),
+                    data_source=None, time_column=time_column,
                 )
             merged = parts[0]
             for p in parts[1:]:
@@ -557,11 +572,29 @@ def druid_query(
 
             span = Interval(interval[0].start, interval[-1].end)
             df = _scan_segments(spark, source, ds, span)
+            # normalize the stored time column exactly as load() does
+            # before comparing against timestamp literals (epoch-nanos
+            # bigint from imported segments, or TIMESTAMP_NTZ)
+            ttype = dict(df.dtypes).get("__time")
+            if ttype == "bigint":
+                df = df.withColumn(
+                    "__time", F.timestamp_micros(F.expr("`__time` DIV 1000"))
+                )
+            elif ttype == "timestamp_ntz":
+                df = df.withColumn("__time", F.col("__time").cast("timestamp"))
             pred = _interval_pred(interval[0], F.col("__time"))
             for iv2 in interval[1:]:
                 pred = pred | _interval_pred(iv2, F.col("__time"))
             df = df.where(pred)
-            cols = [c for c in df.columns if c != "__time"]
+            # MapType has no ordering/equality in Spark: skip those
+            # columns rather than failing the whole analysis
+            dtypes = dict(df.dtypes)
+            cols = [c for c in df.columns
+                    if c != "__time" and not dtypes[c].startswith("map<")]
+            schema_str = ("column string, type string, cardinality long, "
+                          "min_value string, max_value string")
+            if not cols:
+                return spark.createDataFrame([], schema_str)
             aggs = []
             for c in cols:
                 if "cardinality" in analysis:
@@ -572,7 +605,6 @@ def druid_query(
                         F.max(c).cast("string").alias(f"__max_{c}"),
                     ]
             row = df.agg(*aggs).collect()[0]
-            dtypes = dict(df.dtypes)
             out_rows = [
                 (
                     c, dtypes[c],
@@ -582,11 +614,7 @@ def druid_query(
                 )
                 for c in cols
             ]
-            return spark.createDataFrame(
-                out_rows,
-                "column string, type string, cardinality long, "
-                "min_value string, max_value string",
-            )
+            return spark.createDataFrame(out_rows, schema_str)
         manifests = list_manifests(source, ds)
         visible = {
             w.manifest

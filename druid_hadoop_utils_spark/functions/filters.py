@@ -333,19 +333,28 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
     col = F.col(dim)
     arr = _is_array(schema, dim)
     num = _is_numeric(schema, dim)
+    if arr and schema is not None:
+        # numeric ELEMENT type: literals need the same plan-time coercion
+        # as scalar numeric columns (array_contains with an unparseable
+        # string would CAST_INVALID_INPUT under ANSI)
+        try:
+            num = isinstance(schema[dim].dataType.elementType, NumericType)
+        except KeyError:
+            pass
 
     if ftype == "selector":
         value = spec.get("value")
         if value is None or value == "":
             return _null_or_empty(col, arr, num)
-        if arr:
-            return F.coalesce(F.array_contains(col, F.lit(value)), F.lit(False))
         if num and isinstance(value, str):
             # parse the literal at PLAN time: Druid coerces the value to
             # the column type, and an unparseable value matches nothing —
             # comparing the raw string would CAST_INVALID_INPUT under ANSI
-            parsed = _parse_number(value)
-            return F.lit(False) if parsed is None else col == F.lit(parsed)
+            value = _parse_number(value)
+            if value is None:
+                return F.lit(False)
+        if arr:
+            return F.coalesce(F.array_contains(col, F.lit(value)), F.lit(False))
         return col == F.lit(value)
 
     if ftype == "in":
@@ -394,7 +403,16 @@ def filter_to_column(spec: dict | None, schema: StructType | DataFrame | None = 
             # strings; Druid's numeric bound simply doesn't match such rows.
             # The isNotNull base also keeps a boundless bound filter from
             # matching missing/uncastable values.
-            target = v.try_cast("double") if numeric else v
+            if numeric:
+                target = v.try_cast("double")
+            elif col_numeric and not natural:
+                # Druid's DEFAULT bound ordering is lexicographic over the
+                # dimension's STRING values even for numeric columns —
+                # compare renderings (also ANSI-safe for bounds like
+                # "abc" that a numeric-literal comparison would throw on)
+                target = v.cast("string")
+            else:
+                target = v
             pred = target.isNotNull()
             if spec.get("lower") is not None:
                 if natural:

@@ -225,7 +225,12 @@ def _canonical_bloom_value(value, dtype: str) -> str | None:
         if isinstance(value, int):
             return str(value)
         if isinstance(value, float):
-            return str(int(value)) if value.is_integer() else None
+            # a FLOAT literal makes the row filter compare under double
+            # promotion; beyond 2^53 a double equals more than one int64,
+            # so exact-string bloom membership can't model the match
+            if value.is_integer() and abs(value) < _EXACT_DOUBLE:
+                return str(int(value))
+            return None
         if isinstance(value, str):
             try:
                 return str(int(value))
@@ -263,8 +268,9 @@ def explain_pruning(table_root: str, data_source: str, interval,
                     dim_filter: dict | None) -> list[dict]:
     """Ops-facing dry run of the segment pruner: one dict per VISIBLE
     data segment of ``interval`` — identifier, whether the given DimFilter
-    prunes it, and the proof ("bloom on col" / "min/max on col" /
-    "interval"). Driver-side metadata only; no Spark job."""
+    prunes it, and the proof ("bloom on <col>" / "min/max on <col>").
+    Segments outside the interval never appear (the timeline already
+    removed them). Driver-side metadata only; no Spark job."""
     from druid_hadoop_utils_spark.intervals import Interval, parse_intervals
     from druid_hadoop_utils_spark.sources.segments import (
         list_manifests,

@@ -674,3 +674,61 @@ def test_segment_metadata_column_analysis(spark, tmp_path, golden_events):
     with pytest.raises(ValueError, match="analysisTypes"):
         druid_query(spark, str(tmp_path),
                     dict(q, analysisTypes=["sketches"]))
+
+
+def test_union_typod_member_fails_loudly(spark, tmp_path):
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "union_typo")
+    a = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "click", 1.0)], ["ts", "event_type", "value"])
+    publish_segments(a, root, "events", version="v1", time_column="ts",
+                     bucket="DAY")
+    with pytest.raises(FileNotFoundError, match="do not exist"):
+        druid_query(spark, root, {
+            "queryType": "groupBy",
+            "dataSource": {"type": "union", "dataSources": ["events", "evnts"]},
+            "granularity": "ALL", "dimensions": ["event_type"],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01/2024-01-05"]})
+
+
+def test_union_all_members_empty_interval_returns_empty(spark, tmp_path):
+    from datetime import datetime
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "union_empty")
+    for name in ("a", "b"):
+        df = spark.createDataFrame(
+            [(datetime(2024, 6, 1), "click", 1.0)], ["ts", "event_type", "value"])
+        publish_segments(df, root, name, version="v1", time_column="ts",
+                         bucket="DAY")
+    out = druid_query(spark, root, {
+        "queryType": "groupBy",
+        "dataSource": {"type": "union", "dataSources": ["a", "b"]},
+        "granularity": "ALL", "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": ["2024-01-01/2024-01-05"]})
+    assert out.count() == 0
+
+
+def test_segment_metadata_analysis_on_nanos_time_table(spark, tmp_path):
+    """analysisTypes must normalize a bigint epoch-nanos __time column the
+    way load() does before interval-filtering."""
+    from druid_hadoop_utils_spark import write_segment
+
+    ns = 10**9
+    base = spark.createDataFrame(
+        [(1413936000 * ns, "a", 100), (1413939600 * ns, "b", 200)],
+        "__time long, host string, visited_sum long")
+    write_segment(base, str(tmp_path), "nanos", "2014-10-22/2014-10-23", "v1",
+                  enforce_interval=False)
+    q = {"queryType": "segmentMetadata", "dataSource": "nanos",
+         "intervals": ["2014-10-01/2014-11-01"],
+         "analysisTypes": ["cardinality", "minmax"]}
+    rows = {r.column: r for r in druid_query(spark, str(tmp_path), q).collect()}
+    assert rows["host"].cardinality == 2
+    assert rows["visited_sum"].min_value == "100"

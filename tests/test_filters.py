@@ -187,3 +187,48 @@ class TestNumericColumnLiteralEdges:
              "values": ["10", "zzz", ""]}, df.schema))
         # 10 matches, zzz matches nothing, "" matches the NULL row
         assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+class TestBoundAndArrayAnsiEdges:
+    """Second review sweep: bound + array paths get the same ANSI-safe
+    Druid literal semantics as scalar selector/in."""
+
+    def test_lexicographic_bound_on_numeric_column(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 50), (3, 9)], "id long, uid long")
+        # Druid default ordering is lexicographic over STRING renderings:
+        # "100" < "50" < "9"
+        out = df.where(filter_to_column(
+            {"type": "bound", "dimension": "uid", "lower": "50"}, df.schema))
+        assert sorted(r.id for r in out.collect()) == [2, 3]
+        # an unparseable bound must not crash: digits sort below letters,
+        # so lower="abc" matches nothing
+        out2 = df.where(filter_to_column(
+            {"type": "bound", "dimension": "uid", "lower": "abc"}, df.schema))
+        assert out2.count() == 0
+
+    def test_selector_garbage_on_numeric_array(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = spark.createDataFrame([(1, [10, 20]), (2, [30])],
+                                   "id long, ids array<bigint>")
+        out = df.where(filter_to_column(
+            {"type": "selector", "dimension": "ids", "value": "abc"},
+            df.schema))
+        assert out.count() == 0
+        ok = df.where(filter_to_column(
+            {"type": "selector", "dimension": "ids", "value": "30"},
+            df.schema))
+        assert [r.id for r in ok.collect()] == [2]
+
+    def test_in_garbage_on_numeric_array(self, spark):
+        from druid_hadoop_utils_spark.functions.filters import filter_to_column
+
+        df = spark.createDataFrame([(1, [10, 20]), (2, [30])],
+                                   "id long, ids array<bigint>")
+        out = df.where(filter_to_column(
+            {"type": "in", "dimension": "ids", "values": ["zzz", "20"]},
+            df.schema))
+        assert [r.id for r in out.collect()] == [1]

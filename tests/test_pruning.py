@@ -520,3 +520,22 @@ def test_explain_pruning_reports_reasons(spark, tmp_path):
         {"type": "selector", "dimension": "uid", "value": "1"})}
     assert rep2["2024-01-02"]["reason"] == "bloom on uid"
     assert rep2["2024-01-01"]["pruned"] is False
+
+
+def test_bloom_integral_float_beyond_double_exact_never_excludes():
+    from druid_hadoop_utils_spark.plans.pruning import (
+        BLOOM_K,
+        bloom_excludes,
+        bloom_position,
+        pack_bloom,
+    )
+
+    big = 2**53 + 1
+    pos = {bloom_position(str(big), s) for s in range(BLOOM_K)}
+    bl = pack_bloom(pos, "int")
+    # float literal 2^53 double-equals 2^53+1 in the row filter; the
+    # bloom (which only knows the exact string) must not prune
+    assert bloom_excludes(bl, [float(2**53)]) is False
+    # exact int literals stay exact at any magnitude: absent big+2 prunes
+    assert bloom_excludes(bl, [big + 2]) is True
+    assert bloom_excludes(bl, [big]) is False
