@@ -377,7 +377,14 @@ def druid_query(
             parts = []
             for n in names:
                 try:
-                    parts.append(_scan_segments(spark, source, n, span))
+                    # dim_filter gives each member the same manifest
+                    # stats/bloom segment pruning the single-datasource
+                    # path gets; AllSegmentsPruned subclasses
+                    # FileNotFoundError, so a fully-pruned member falls
+                    # through to the contributes-nothing branch below
+                    parts.append(_scan_segments(
+                        spark, source, n, span,
+                        dim_filter=q.get("filter")))
                 except FileNotFoundError:
                     # Druid union semantics: an EXISTING member with no
                     # visible segments in the interval contributes

@@ -249,6 +249,10 @@ def bloom_excludes(bloom: dict, values: list) -> bool:
         bits = base64.b64decode(bloom["bits"])
     except (KeyError, TypeError, ValueError):
         return False
+    if len(bits) * 8 < m:
+        # truncated/corrupt payload: bits[p // 8] would IndexError at plan
+        # time and fail the whole query — conservatively scan instead
+        return False
     if not values:
         return False
     for v in values:

@@ -164,21 +164,25 @@ def publish_segments(
             pack_bloom,
         )
 
-        ok_prefixes = ("string", "int", "bigint", "smallint", "tinyint",
-                       "double", "float", "decimal")
-        int_prefixes = ("int", "bigint", "smallint", "tinyint")
+        from druid_hadoop_utils_spark.sources.segments import (
+            INT_DTYPES,
+            _stats_dtype_ok,
+        )
+
         staged = df.sparkSession.read.parquet(staging)
         dtypes = dict(staged.dtypes)
         scols = [c for c in (stats_columns or [])
-                 if dtypes.get(c, "").startswith(ok_prefixes)]
+                 if _stats_dtype_ok(dtypes.get(c, ""))]
         # blooms canonicalize via CAST(col AS STRING): only string and
-        # integer families render reproducibly for filter literals
+        # integer families render reproducibly for filter literals.
+        # Exact dtype names — an "int" PREFIX would also match Spark's
+        # "interval day to second" and bloom a non-canonical rendering.
         bcols = {}
         for c in (bloom_columns or []):
             dt = dtypes.get(c, "")
             if dt == "string":
                 bcols[c] = "str"
-            elif dt.startswith(int_prefixes):
+            elif dt in INT_DTYPES:
                 bcols[c] = "int"
         if scols or bcols:
             from decimal import Decimal

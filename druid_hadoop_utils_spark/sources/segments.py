@@ -114,6 +114,20 @@ def _safe(s: str) -> str:
     return s.replace(":", "-").replace("/", "_").replace("+", "")
 
 
+#: Exact dtype names the stats/bloom pruner reasons about. Exact matches
+#: (not startswith) because Spark's "interval day to second" dtype would
+#: otherwise match an "int" prefix and record a timedelta min/max that
+#: json.dumps can't serialize.
+STATS_DTYPES = frozenset(
+    {"string", "int", "bigint", "smallint", "tinyint", "double", "float"}
+)
+INT_DTYPES = frozenset({"int", "bigint", "smallint", "tinyint"})
+
+
+def _stats_dtype_ok(dtype: str) -> bool:
+    return dtype in STATS_DTYPES or dtype.startswith("decimal(")
+
+
 def column_stats(df: DataFrame, columns: list[str]) -> dict | None:
     """One aggregate job → {col: {"min": v, "max": v}} for the string /
     numeric columns of ``columns`` present in ``df`` (other types are
@@ -121,11 +135,8 @@ def column_stats(df: DataFrame, columns: list[str]) -> dict | None:
     None when nothing qualifies."""
     from pyspark.sql import functions as F
 
-    ok_prefixes = ("string", "int", "bigint", "smallint", "tinyint",
-                   "double", "float", "decimal")
     dtypes = dict(df.dtypes)
-    cols = [c for c in columns
-            if dtypes.get(c, "").startswith(ok_prefixes)]
+    cols = [c for c in columns if _stats_dtype_ok(dtypes.get(c, ""))]
     if not cols:
         return None
     aggs = []
@@ -184,7 +195,17 @@ def write_segment(
         writer = writer.partitionBy("__time_day")
     writer.parquet(seg_dir)
 
-    stats = column_stats(df, stats_columns) if stats_columns else None
+    # Stats come from a re-read of the parquet just written — NOT from a
+    # second execution of `df`. A non-deterministic pipeline (sampling,
+    # rand(), a changing source) re-executed here could record min/max
+    # that disagree with the persisted rows, and the planner would then
+    # soundly-looking-but-wrongly prune segments that contain matching
+    # data. publish_segments re-reads its staging dir for the same reason.
+    # The re-read prunes to exactly the stats columns.
+    stats = (
+        column_stats(df.sparkSession.read.parquet(seg_dir), stats_columns)
+        if stats_columns else None
+    )
     manifest = SegmentManifest(data_source, iv, str(version), shard_num,
                                seg_dir, stats=stats)
     register_manifest(table_root, manifest)

@@ -380,7 +380,13 @@ def streaming_funnel(
         chunks = [pdf[[ts_col, type_col]] for pdf in batches if len(pdf)]
         if not chunks:
             return
-        batch = pd.concat(chunks).sort_values(ts_col)
+        # a NaT timestamp would astype to a huge negative sentinel and
+        # silently pin the chain start / distort the horizon — drop it,
+        # matching the batch operator (NULL times never satisfy a step)
+        batch = (pd.concat(chunks).dropna(subset=[ts_col])
+                 .sort_values(ts_col))
+        if not len(batch):
+            return
         # pandas datetime64[ns] -> micros (integer division is exact for
         # the us-resolution testdata)
         ts_us = batch[ts_col].astype("int64") // 1000
