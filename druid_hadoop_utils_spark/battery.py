@@ -3718,37 +3718,19 @@ def q_cohort_retention(spark, sf_dir):
 # =====================================================================
 
 # The driver's correctness gate snapshots the FIRST ~50 registered queries
-# (observed cap in CORRECTNESS_r01-r03). Rotate so no query goes two
-# consecutive rounds without a driver-green row (VERDICT r3 item 3): this
-# round fronts everything ABSENT from CORRECTNESS_r03 — the 24 queries
-# new in round 4 first (never driver-checked), then the r02 batch. With
-# the battery at 116 and the cap at ~50, the LAST ~16 of the r02 batch
-# (q_dedup_simhash onward) ride on the local replica this round — round 5
-# MUST front them; tools/check_oracle.py keeps all queries verified
-# locally regardless of order.
+# (observed cap in CORRECTNESS_r01-r04). Rotate so no query goes two
+# consecutive rounds without a driver-green row. Round-5 arithmetic
+# (computed from the CORRECTNESS_r01-r04 files): 49 queries are r04-green,
+# 48 r03-green, 28 last green in r02, and the 3 `_prod` ANN entries are
+# rows-only by design. This round fronts: anything NEW this round (never
+# driver-checked), then the 28-query r02 batch (3 rounds stale after r05
+# otherwise), then the `_prod` trio (so their rows-only evidence
+# refreshes), then the oldest r03 queries to fill the ~50 cap. Everything
+# r04-green cycles to the back; tools/check_oracle.py keeps all queries
+# verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # new in round 4 — no driver row yet
-    "q_tpch_q4_order_priority", "q_tpch_q7_volume_shipping",
-    "q_tpch_q12_priority_lines", "q_tpch_q15_top_supplier",
-    "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
-    "q_tpch_q21_suppliers_kept_waiting", "q_tpch_q22_sales_opportunity",
-    "q_leakage_safe_split", "q_text_lm_score", "q_incremental_dedup",
-    "q_cap_per_group", "q_theta_set_ops", "q_forward_fill",
-    "q_build_vocab", "q_encode_docs", "q_quantize_embeddings",
-    "q_segment_table_zorder",
-    "q_segment_table_multivalue", "q_similarity_ivf_topk_prod",
-    "q_tpch_q8_market_share", "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue", "q_mix_sources", "q_pack_documents",
-    "q_bm25_search", "q_strip_dup_ngrams", "q_timeseries_smooth",
-    "q_funnel", "q_cohort_retention", "q_timeseries_mad",
-    "q_union_datasource", "q_hybrid_search", "q_event_transitions",
-    "q_stickiness", "q_segment_metadata_analysis",
-    # last driver-green in r02 (absent from the r03 snapshot)
-    "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
-    "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",
-    "q_agg_min_max", "q_agg_hyperunique", "q_agg_cardinality",
-    "q_agg_filtered", "q_post_agg_arithmetic", "q_two_phase_hll",
-    "q_tpch_q1_pricing_summary", "q_join_broadcast_dim", "q_join_5way_star",
+    # last driver-green in r02 — three rounds stale, MUST refresh (the
+    # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",
     "q_window_running_lag", "q_orderby_limit_topk", "q_set_ops",
     "q_rollup_grouping_sets", "q_distinct", "q_dedup_exact",
@@ -3759,9 +3741,20 @@ _DRIVER_PRIORITY = [
     "q_similarity_lsh_topk", "q_multivalue_explode_groupby",
     "q_json_props_extract", "q_topn_druid_style", "q_scalar_functions",
     "q_correlated_subquery", "q_percentile",
-    # r03-green padding up to the ~50 cap (freshest evidence keeps cycling)
-    "q_segment_table_load", "q_scan_interval_project", "q_multi_interval",
-    "q_filter_and_or_not", "q_asof_join", "q_heavy_hitters",
+    # rows-only-by-design ANN prod entries: refresh their rows evidence
+    "q_similarity_lsh_topk_prod", "q_similarity_pq_topk_prod",
+    "q_similarity_ivf_topk_prod",
+    # oldest r03 evidence fills the remaining ~20 slots (r06 takes the
+    # rest of the r03 batch)
+    "q_filter_selector", "q_filter_in", "q_filter_bound_numeric",
+    "q_filter_regex", "q_filter_search", "q_filter_registered_lookup",
+    "q_filter_extraction_time_format", "q_groupby_extraction_partial",
+    "q_extraction_cascade_format", "q_dedup_minhash_lsh_prod",
+    "q_heavy_hitters", "q_text_winnowing", "q_text_redact",
+    "q_contamination_check", "q_multimodal_features",
+    "q_similarity_pq_topk", "q_api_timeseries",
+    "q_api_topn_lexicographic", "q_nested_groupby", "q_kll_quantiles",
+    "q_quantile_sketch",
 ]
 
 
