@@ -3292,17 +3292,20 @@ def q_pack_documents(spark, sf_dir):
 )
 def q_kll_quantiles(spark, sf_dir):
     # Mergeable KLL-style rank sketch: map-side partial states
-    # (mapInPandas, no raw-row shuffle), per-group state merge, pure
-    # Catalyst quantile evaluation. k=8192 ≥ any sf0.01 group, so the
-    # sketch is EXACT here and hash-matches the rank-rule oracle; at
-    # larger scales the same query runs compacted/approximate.
+    # (mapInPandas, no raw-row shuffle), then the JVM array-fold
+    # evaluation DIRECTLY on the partial-state union — a quantile query
+    # never needs the merged/compacted state (compaction only bounds
+    # stored size), so the merge shuffle + second Python stage drop out.
+    # k=8192 ≥ any sf0.01 group, so the sketch is EXACT here and
+    # hash-matches the rank-rule oracle; at larger scales the same query
+    # runs compacted/approximate.
     from druid_hadoop_utils_spark.functions.kll import (
+        kll_partials,
         kll_quantiles,
-        kll_state_grouped,
     )
 
     ev = _t(spark, sf_dir, "events")
-    states = kll_state_grouped(ev, "value", ["event_type"], k=8192)
+    states = kll_partials(ev, "value", ["event_type"], k=8192)
     return kll_quantiles(states, ["event_type"], [0.25, 0.5, 0.95])
 
 

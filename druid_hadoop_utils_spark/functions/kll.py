@@ -24,9 +24,21 @@ Layout:
   k ≥ group size the sketch is EXACT (all values at level 0) and any
   merge order yields identical quantiles — which is what lets the DuckDB
   oracle hash-match it at test scale while production uses small k.
-- query: pure Catalyst — posexplode levels → explode items with weight
-  2^level → cumulative-weight window → the same ceil(q·W) lower-rank
-  pick as ``rank_quantiles`` (coincides with it exactly when k ≥ n).
+- query: pure Catalyst — flatten each state's levels into (item, 2^level)
+  pairs, one ``collect_list`` shuffle gathers all pairs per group into a
+  single sorted array, then an ``aggregate`` fold walks cumulative weight
+  to the ceil(q·W) lower-rank pick (same rule as ``rank_quantiles``;
+  coincides with it exactly when k ≥ n). No window over exploded rows —
+  the per-group pair array is bounded by the state sizes, so the fold is
+  row-local work on a handful of rows.
+
+A quantile QUERY doesn't need the merged/compacted state at all:
+evaluating over the union of partial states is semantically identical
+(compaction only bounds STORED state size, never improves accuracy), so
+``kll_quantiles(kll_partials(df, ...))`` skips the merge shuffle + second
+Python stage entirely. ``kll_state_grouped`` (build + merge) remains the
+path that materializes one bounded state per group for storage /
+segment-level re-aggregation.
 """
 
 from __future__ import annotations
@@ -105,20 +117,20 @@ def _merge_levels(a: list[list[float]], b: list[list[float]], k: int) -> list[li
 # ------------------------------------------------------------- build / merge
 
 
-def kll_state_grouped(
+def kll_partials(
     df: DataFrame,
     value_col: str,
     group_cols: list[str],
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """One mergeable KLL state per group.
-
-    Stage 1 (``mapInPandas``, no shuffle): every partition folds its arrow
-    batches into one partial state per group it contains — memory is
-    O(groups-per-partition × k·log), never the raw values.
-    Stage 2 (the only shuffle): partial states group-merge via
-    ``applyInPandas``; at most #partitions small states per group move.
-    """
+    """Per-partition partial KLL states, NO shuffle (``mapInPandas``):
+    every partition folds its arrow batches into one partial state per
+    group it contains — memory is O(groups-per-partition × k·log), never
+    the raw values. Multiple rows per group (one per partition holding
+    it); feed to ``merge_kll_states`` for one stored state per group, or
+    straight to ``kll_quantiles`` for a query (evaluation over the
+    partial-state union is exact w.r.t. the merged state — compaction
+    only bounds stored size)."""
     if k < 8:
         raise ValueError(f"k must be ≥ 8: {k}")
     import pandas as pd
@@ -155,8 +167,21 @@ def kll_state_grouped(
             rows, columns=gcols + ["__kll_k", "__kll_levels"]
         ) if rows else pd.DataFrame(columns=gcols + ["__kll_k", "__kll_levels"])
 
-    partials = src.mapInPandas(build, schema=partial_schema)
-    return merge_kll_states(partials, gcols)
+    return src.mapInPandas(build, schema=partial_schema)
+
+
+def kll_state_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One mergeable KLL state per group: partial build (no shuffle) +
+    the single state-merge shuffle (``applyInPandas``; at most
+    #partitions small states per group move)."""
+    return merge_kll_states(
+        kll_partials(df, value_col, group_cols, k), list(group_cols)
+    )
 
 
 def merge_kll_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -220,43 +245,58 @@ def kll_quantiles(
     group_cols: list[str],
     quantiles: list[float],
 ) -> DataFrame:
-    """Evaluate quantiles from states in PURE Catalyst: explode the
-    (item, 2^level weight) pairs, cumulative-weight window per group,
-    lower-rank pick at ceil(q·W) — identical semantics to
-    ``rank_quantiles`` (and identical RESULTS when the sketch is exact)."""
-    from pyspark.sql import Window
-
+    """Evaluate quantiles from states in PURE Catalyst, no window and no
+    exploded-row shuffle: flatten each state into (item, 2^level weight)
+    pairs, ``collect_list`` gathers every state's pairs per group (the
+    only shuffle — pair volume is bounded by state sizes, not raw rows),
+    sort the array once, then one ``aggregate`` fold per quantile walks
+    cumulative weight to the lower-rank pick at ceil(q·W) — identical
+    semantics to ``rank_quantiles`` (and identical RESULTS when the
+    sketch is exact). Works on ``kll_partials`` output or merged states;
+    both evaluate to the same quantiles by construction."""
     if not quantiles:
         raise ValueError("kll_quantiles: need at least one quantile")
     gcols = list(group_cols)
-    pairs = (
-        states.select(
-            *gcols,
-            F.posexplode("__kll_levels").alias("__lvl", "__items"),
+    pairs = F.flatten(
+        F.transform(
+            "__kll_levels",
+            lambda items, lvl: F.transform(
+                items,
+                lambda v: F.struct(
+                    v.alias("v"), F.pow(F.lit(2.0), lvl).alias("w")
+                ),
+            ),
         )
-        .select(
-            *gcols,
-            F.pow(F.lit(2.0), F.col("__lvl")).alias("__w"),
-            F.explode("__items").alias("__v"),
+    )
+    st = states.select(*gcols, pairs.alias("__pairs"))
+    merged_pairs = F.array_sort(F.flatten(F.collect_list("__pairs")))
+    agged = (
+        st.groupBy(*gcols).agg(merged_pairs.alias("__pairs"))
+        if gcols
+        else st.agg(merged_pairs.alias("__pairs"))
+    )
+    agged = agged.withColumn(
+        "__n", F.aggregate("__pairs", F.lit(0.0), lambda a, x: a + x["w"])
+    )
+
+    def qcol(q: float):
+        target = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)
+        ).cast("double")
+        acc0 = F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(None).cast("double").alias("res"),
         )
-    )
-    w = Window.partitionBy(*gcols).orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(*gcols)
-    cum = pairs.withColumn("__cum", F.sum("__w").over(w)).withColumn(
-        "__n", F.sum("__w").over(wall)
-    )
-    cols = [
-        F.min(
-            F.when(
-                F.col("__cum")
-                >= F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)),
-                F.col("__v"),
-            )
-        ).alias(f"p{int(round(q * 100))}")
-        for q in quantiles
-    ]
-    if gcols:
-        return cum.groupBy(*gcols).agg(*cols)
-    return cum.agg(*cols)
+
+        def step(acc, x):
+            new_cum = acc["cum"] + x["w"]
+            res = F.when(
+                acc["res"].isNull() & (new_cum >= target), x["v"]
+            ).otherwise(acc["res"])
+            return F.struct(new_cum.alias("cum"), res.alias("res"))
+
+        return F.aggregate("__pairs", acc0, step)["res"].alias(
+            f"p{int(round(q * 100))}"
+        )
+
+    return agged.select(*gcols, *[qcol(q) for q in quantiles])
