@@ -77,6 +77,9 @@ HEADLINE = [
     "q_timeseries_mad",
     "q_event_transitions",
     "q_hybrid_search",
+    # round 5: the heaviest of the derived-partsupp TPC-H five (6-table
+    # join tree, one big-big shuffle on orderkey)
+    "q_tpch_q9_product_type_profit",
 ]
 
 # run each query three times and report the min: run-to-run variance on a

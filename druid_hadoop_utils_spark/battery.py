@@ -2911,6 +2911,305 @@ def q_tpch_q22_sales_opportunity(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# TPC-H Q2/Q9/Q11/Q16/Q20 — the five queries that need partsupp, which
+# the testdata doesn't ship. partsupp is DERIVED deterministically from
+# part × {0,1,2,3} (VERDICT r4 item 4): supplier assignment follows the
+# dbgen idea (4 suppliers per part, stride S/4 — guaranteed distinct
+# because the stride divides the supplier count), availqty and
+# supplycost are hash-like integer expressions. The SAME arithmetic runs
+# in the DuckDB oracle, so every query stays hash-checkable. supplycost
+# is built in integer cents then scaled by the exact decimal literal
+# 0.01, keeping all downstream aggregation exact-decimal.
+# ---------------------------------------------------------------------
+
+_PARTSUPP_SQL = """WITH scnt AS (SELECT count(*) AS s FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey + i.i * greatest(1, s // 4)) % s AS BIGINT)
+             AS ps_suppkey,
+         CAST((p_partkey * 7 + i.i * 131) % 9999 + 1 AS BIGINT)
+             AS ps_availqty,
+         CAST((p_partkey * 31 + i.i * 7) % 20000 + 100 AS DECIMAL(14,2))
+             * 0.01 AS ps_supplycost
+  FROM part, scnt, (SELECT unnest([0,1,2,3]) AS i) i)"""
+
+
+def _partsupp(spark, sf_dir):
+    """The Spark twin of ``_PARTSUPP_SQL`` (identical arithmetic). Size is
+    4×|part| — broadcastable at any realistic part-dimension scale, and
+    regenerating it per query is a narrow projection of the part scan."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("__s"))
+    p, i, s = F.col("p_partkey"), F.col("__i"), F.col("__s")
+    return (
+        part.join(F.broadcast(s_cnt))
+        .select(
+            "p_partkey", "__s",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__i"),
+        )
+        .select(
+            p.alias("ps_partkey"),
+            ((p + i * F.greatest(F.lit(1), F.expr("__s div 4"))) % s)
+            .cast("bigint").alias("ps_suppkey"),
+            ((p * 7 + i * 131) % 9999 + 1).cast("bigint")
+            .alias("ps_availqty"),
+            F.expr(
+                "CAST((p_partkey * 31 + __i * 7) % 20000 + 100"
+                " AS DECIMAL(14,2)) * 0.01"
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q2_min_cost_supplier",
+    _PARTSUPP_SQL + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size < 20 AND p_type = 'ECONOMY'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE part.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
+)
+def q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 (minimum-cost supplier), adapted: p_type equality stands in
+    # for the '%BRASS' suffix match (reduced type domain), p_brand for the
+    # absent p_mfgr, and address/phone/comment columns are dropped. The
+    # correlated min decorrelates to a per-partkey window min over the
+    # Europe-restricted partsupp — partsupp shuffles ONCE on partkey; the
+    # supplier→nation→region dimension chain broadcasts into it. The
+    # (acctbal DESC, n_name, s_name, p_partkey) sort is total — (s_name,
+    # p_partkey) is unique per row — so LIMIT 100 is deterministic.
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") < 20) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    euro_s = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    euro_ps = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(euro_s), ps.ps_suppkey == euro_s.s_suppkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        euro_ps.withColumn("__min", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("__min"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q9_product_type_profit",
+    _PARTSUPP_SQL + """
+SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (SELECT n_name AS nation,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+               - ps_supplycost * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC""",
+)
+def q_tpch_q9_product_type_profit(spark, sf_dir):
+    # TPC-H Q9 (product-type profit), adapted: p_name '%red%' stands in
+    # for '%green%' on this name domain. lineitem is the only large
+    # input: part-filter semi, derived partsupp, and supplier+nation all
+    # BROADCAST into its scan; the single big-big join is orders on
+    # orderkey (one shuffle). Profit arithmetic is exact decimal
+    # throughout (supplycost is exact 2-dp by construction), so the
+    # grouped sums hash-match.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(ps), (li.l_partkey == ps.ps_partkey)
+              & (li.l_suppkey == ps.ps_suppkey))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q_tpch_q11_important_stock",
+    _PARTSUPP_SQL + """
+SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+FROM (SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7'
+      GROUP BY ps_partkey) a
+WHERE value > (SELECT sum(ps_supplycost * ps_availqty) * 0.001
+               FROM partsupp, supplier, nation
+               WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                 AND n_name = 'NATION_7')
+ORDER BY value DESC, ps_partkey""",
+)
+def q_tpch_q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 (important stock), NATION_7 standing in for GERMANY. The
+    # scalar threshold reuses the grouped aggregate (total = sum of the
+    # per-part sums, exact decimal — no second partsupp scan, unlike the
+    # spec text) and broadcasts as a 1-row frame; the 0.001 multiplier is
+    # an exact decimal literal on both engines, so the > compare is
+    # engine-stable.
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7").select("n_nationkey")
+    nat_s = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey")
+    grouped = (
+        ps.join(F.broadcast(nat_s), ps.ps_suppkey == nat_s.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+             .alias("value"))
+    )
+    thr = grouped.agg(
+        F.expr("sum(value) * 0.001").alias("__thr"))
+    return (
+        grouped.join(F.broadcast(thr))
+        .where(F.col("value") > F.col("__thr"))
+        .select("ps_partkey",
+                F.round("value", 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q_tpch_q16_parts_supplier",
+    _PARTSUPP_SQL + """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'MED%' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+def q_tpch_q16_parts_supplier(spark, sf_dir):
+    # TPC-H Q16 (parts/supplier relationship), adapted: the
+    # complaint-comment supplier exclusion becomes negative account
+    # balance (no s_comment column). NOT IN → broadcast anti-join (the
+    # excluded set contains no NULLs by construction, so anti-join ==
+    # NOT IN); part attributes broadcast into the derived partsupp; one
+    # shuffle for the distinct-count aggregate.
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").like("MED%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_s = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad_s), ps.ps_suppkey == bad_s.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q20_potential_promotion",
+    _PARTSUPP_SQL + """
+SELECT s_name, n_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'small%' OR p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+ORDER BY s_name""",
+)
+def q_tpch_q20_potential_promotion(spark, sf_dir):
+    # TPC-H Q20 (potential part promotion), adapted: 'small%'/'red%'
+    # p_name prefixes stand in for 'forest%', NATION_9 for CANADA,
+    # s_address is absent (n_name fills the second output column). The
+    # correlated half-year-volume subquery decorrelates to a
+    # (partkey, suppkey) aggregate of the 1995 lineitem slice; partsupp
+    # (small, derived) BROADCASTS into that aggregate, an empty
+    # correlation group drops out via the inner join — matching the SQL
+    # NULL-comparison semantics. The supplier IN becomes a semi-join on
+    # the distinct qualifying suppkeys.
+    ps = _partsupp(spark, sf_dir)
+    named_p = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%") | F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.lit(0.5) * F.sum("l_quantity")).alias("__half"))
+    qualifying = (
+        ps.join(F.broadcast(named_p), ps.ps_partkey == named_p.p_partkey)
+        .join(vol, (ps.ps_partkey == vol.l_partkey)
+              & (ps.ps_suppkey == vol.l_suppkey))
+        .where(F.col("ps_availqty") > F.col("__half"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.ps_suppkey,
+              "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 @register(
     "q_window_distribution",
     """SELECT event_type, event_id,
@@ -3732,6 +4031,10 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
+    # new in round 5 — never driver-checked
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_type_profit",
+    "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
+    "q_tpch_q20_potential_promotion",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

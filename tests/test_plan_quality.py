@@ -204,6 +204,12 @@ _CARTESIAN_ALLOWED = {
     # step-1 funnel count for conversion rates; hybrid search composes
     # the bm25 retriever and inherits its stats broadcast
     "q_bm25_search", "q_funnel", "q_hybrid_search",
+    # the derived-partsupp TPC-H five: _partsupp cross-joins the 1-row
+    # supplier COUNT onto the part scan (exactly the scalar-broadcast
+    # shape above), and q11 additionally broadcasts its 1-row threshold
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_type_profit",
+    "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
+    "q_tpch_q20_potential_promotion",
 }
 
 
