@@ -347,3 +347,72 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         compute, AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------- synthesis
+# Deterministic media synthesis: the testdata ships no media table, so
+# these build REAL (decodable) PNG/WAV blobs from integer seeds — the
+# battery's q_media_features runs the real decoders end-to-end over them
+# and golden feature values are pinned in tests. Bounded, driver-side,
+# documented: a handful of KB per blob, never used on data paths.
+
+
+def synthesize_png(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """A real RGB PNG (filter-0 scanlines, stdlib zlib) whose pixels are
+    a deterministic function of ``seed`` — decodable by ``_decode_png``,
+    Pillow, or any browser."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    img = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw.extend(img[y].tobytes())
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", crc))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def synthesize_wav(seed: int, rate: int = 8000, n_samples: int = 1600) -> bytes:
+    """A real 16-bit mono PCM WAV (stdlib ``wave``): a seed-pitched sine
+    with a little seeded noise — decodable by ``decode_audio`` or any
+    audio tool."""
+    import io
+    import wave
+
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    freq = 200.0 + float(seed % 17) * 100.0
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samples)
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def synthetic_media_df(spark, n_images: int = 12, n_audio: int = 12) -> DataFrame:
+    """A small deterministic media table in MEDIA_SCHEMA shape (blobs are
+    REAL PNGs/WAVs built driver-side — bounded: n_images+n_audio rows of
+    a few KB each)."""
+    rows = []
+    for i in range(n_images):
+        blob = synthesize_png(i, width=16, height=16)
+        rows.append((i, "image", bytearray(blob), ("png", 16, 16, None)))
+    for i in range(n_audio):
+        blob = synthesize_wav(i)
+        rows.append((1000 + i, "audio", bytearray(blob),
+                     ("wav", None, None, 200)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -183,3 +183,30 @@ class TestAudioDecode:
         assert abs(tone.spectral_centroid_hz - 440) < 30
         assert silence.rms == 0.0
         assert silence.duration_s == pytest.approx(0.5)
+
+
+def test_media_features_battery_golden(spark):
+    """q_media_features runs the REAL decoders (no oracle possible —
+    DuckDB can't decode PNG/WAV), so exact golden values pin it here:
+    sha256 of the deterministic blobs, byte sizes, and the feature
+    scalars (image = mean of the 16-dim pooled vector, audio = RMS)."""
+    from druid_hadoop_utils_spark.battery import QUERIES
+
+    fn, oracle = QUERIES["q_media_features"]
+    assert oracle is None  # rows-only by design
+    rows = {r.media_id: r for r in fn(spark, "/unused").collect()}
+    assert len(rows) == 24
+    img0 = rows[0]
+    assert img0.kind == "image"
+    assert img0.sha256 == ("475d89ca0e7a14ec0bec52279fca2a52"
+                           "d9600c341b4d04c29dd956f8c598839b")
+    assert img0.n_bytes == 852
+    assert img0.feature == pytest.approx(0.551471, abs=1e-6)
+    aud0 = rows[1000]
+    assert aud0.kind == "audio"
+    assert aud0.sha256 == ("7eb5b8746eb3015a0c361d1abcd965fe"
+                           "56a36b95e784dea06261f4a6696ec07d")
+    assert aud0.n_bytes == 3244
+    assert aud0.feature == pytest.approx(0.427663, abs=1e-6)
+    # every blob decoded for real: all 24 features are finite and nonzero
+    assert all(r.feature is not None and r.feature > 0 for r in rows.values())
