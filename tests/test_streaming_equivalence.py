@@ -306,3 +306,74 @@ def test_streaming_zscore_cold_start_guard(spark, tmp_path):
     rows = spark.sql("SELECT * FROM cold_z").collect()
     assert len(rows) == 3
     assert all(r.zscore is None and r.is_outlier is False for r in rows)
+
+
+def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
+    """VERDICT r4 stretch: kill-and-restart mid-stream for sessionize.
+    A session whose events STRADDLE the restart boundary must still emit
+    as ONE session (the session_window state lives in the checkpoint);
+    a failed state recovery would fragment it into two."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.operators.sessions import sessionize
+
+    src = str(tmp_path / "sess_restart_in")
+    ckpt = str(tmp_path / "sess_restart_ckpt")
+    schema = "ts timestamp, uid int, value double"
+    # chunk A (before restart): uid=1 session starts; uid=2 lone event
+    a = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 10, 0), uid=1, value=1.0),
+        Row(ts=datetime(2024, 1, 1, 10, 10), uid=1, value=2.0),
+        Row(ts=datetime(2024, 1, 1, 10, 0), uid=2, value=5.0),
+    ], schema)
+    a.coalesce(1).write.parquet(src + "/a")
+
+    emitted = []
+
+    def run_once():
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+            .withWatermark("ts", "1 minute")
+        )
+        out = sessionize(stream, "ts", ["uid"], gap="30 minutes",
+                         aggs=[F.count("*").alias("n_events"),
+                               F.round(F.sum("value"), 2).alias("total")])
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()  # first run: sessions still open, nothing final emitted
+
+    # after the "crash": uid=1's session CONTINUES (10:20 < 10:10+30min),
+    # uid=2 starts a second session; the sentinel closes everything
+    b = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, 10, 20), uid=1, value=3.0),
+        Row(ts=datetime(2024, 1, 1, 12, 0), uid=2, value=7.0),
+    ], schema)
+    b.coalesce(1).write.parquet(src + "/b")
+    spark.createDataFrame(
+        [Row(ts=datetime(2030, 1, 1), uid=-1, value=0.0)], schema
+    ).coalesce(1).write.parquet(src + "/c")
+
+    run_once()  # fresh query, SAME checkpoint: must resume session state
+
+    streamed = {tuple(r) for r in emitted if r.uid != -1}
+    full = a.unionByName(b)
+    batch = {tuple(r) for r in
+             sessionize(full, "ts", ["uid"], gap="30 minutes",
+                        aggs=[F.count("*").alias("n_events"),
+                              F.round(F.sum("value"), 2).alias("total")]
+                        ).collect()}
+    assert streamed == batch
+    # the straddling session surfaced as ONE 3-event session, not 2+1
+    uid1 = [r for r in streamed if r[2] == 1]
+    assert len(uid1) == 1 and uid1[0][3] == 3 and uid1[0][4] == 6.0, uid1
