@@ -3578,6 +3578,40 @@ def q_mix_sources(spark, sf_dir):
 
 
 @register(
+    "q_mix_temperature",
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents
+                  WHERE lang IS NOT NULL GROUP BY 1),
+       w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+       sc AS (SELECT min(n / wt) AS s FROM w),
+       keep AS (SELECT lang,
+                       CAST(floor((SELECT s FROM sc) * wt) AS BIGINT)
+                           AS n_keep
+                FROM w),
+       b AS (SELECT doc_id, lang,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || 's0'), 1, 15)) AS BIGINT) % 1000000 AS bk
+             FROM documents WHERE lang IS NOT NULL),
+       r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY bk, doc_id) AS rn
+             FROM b)
+       SELECT doc_id, lang FROM r JOIN keep USING (lang)
+       WHERE rn <= n_keep""",
+)
+def q_mix_temperature(spark, sf_dir):
+    # temperature-scaled mixture (T=2): weights derive from the source
+    # counts themselves (w ∝ sqrt(n) — upsample the tail languages
+    # relative to natural proportions). Weights stay UNNORMALIZED (keep
+    # counts are scale-invariant), so every number in the chain is a pure
+    # per-source IEEE expression the oracle recomputes bit-identically
+    # (sqrt is exactly rounded; no float-summation-order dependence).
+    from druid_hadoop_utils_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_sources(docs, "doc_id", "lang", temperature=2.0)
+
+
+@register(
     "q_pack_documents",
     """WITH b AS (
          SELECT doc_id, n_chars,
@@ -4069,6 +4103,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_type_profit",
     "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
     "q_tpch_q20_potential_promotion", "q_media_features",
+    "q_mix_temperature",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

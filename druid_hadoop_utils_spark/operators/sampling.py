@@ -111,12 +111,40 @@ def weighted_hash_sample(
     return scored.orderBy(F.desc("__esk"), F.col(id_col)).limit(k).drop("__esk")
 
 
+def temperature_weights(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from raw source counts:
+    ``w_s ∝ count_s^(1/T)`` (Conneau & Lample's multilingual sampling —
+    T=1 keeps natural proportions, T→∞ approaches uniform, T in (1, 5]
+    upsamples the tail without flattening the head).
+
+    Returned UNNORMALIZED: ``mix_sources``'s keep counts
+    (``floor(min_t(n_t/w_t) · w_s)``) are invariant to scaling every
+    weight by a constant, and skipping the normalizing sum keeps the
+    math a pure per-source expression — no float-summation-order
+    dependence, so a SQL oracle recomputes it bit-identically. NOTE:
+    T=2 makes the exponent 0.5, i.e. ``sqrt`` — exactly rounded under
+    IEEE 754, identical in every engine; other exponents go through
+    ``pow``, whose last-ulp behavior is libm-specific."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
+    if not counts:
+        raise ValueError("temperature_weights: need at least one source")
+    import math
+
+    if temperature == 2.0:
+        return {s: math.sqrt(float(n)) for s, n in counts.items()}
+    return {s: float(n) ** (1.0 / temperature) for s, n in counts.items()}
+
+
 def mix_sources(
     df: DataFrame,
     id_col: str,
     source_col: str,
-    weights: dict[str, float],
+    weights: dict[str, float] | None = None,
     seed: str = "s0",
+    temperature: float | None = None,
 ) -> DataFrame:
     """Mixture-weighted downsampling: keep the LARGEST subset whose source
     composition matches the target ``weights`` — the data-mixing step of a
@@ -138,6 +166,19 @@ def mix_sources(
     """
     from pyspark.sql import Window
 
+    if (weights is None) == (temperature is None):
+        raise ValueError(
+            "mix_sources: pass exactly one of weights= (explicit mixture) "
+            "or temperature= (weights derived from source counts)"
+        )
+    if temperature is not None:
+        # one extra bounded count aggregate over ALL sources — the
+        # weights ARE a function of the data here
+        all_counts = {
+            r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+            if r[0] is not None
+        }
+        weights = temperature_weights(all_counts, temperature)
     if not weights:
         raise ValueError("mix_sources: need at least one source weight")
     if any(w <= 0 for w in weights.values()):

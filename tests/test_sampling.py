@@ -292,3 +292,59 @@ class TestCapPerGroup:
         df = spark.createDataFrame([Row(doc_id=1, grp="x")])
         with pytest.raises(ValueError, match="n must be positive"):
             S.cap_per_group(df, "doc_id", ["grp"], 0)
+
+
+class TestMixTemperature:
+    def test_sqrt_weights_upsample_tail(self, spark, sf_dir):
+        """T=2 keeps relative proportions compressed: the kept-count
+        ratio between the biggest and smallest language must shrink from
+        n_big/n_small toward sqrt(n_big/n_small); each source keeps
+        floor(min_t sqrt(n_t) * sqrt(n_s)) rows."""
+        import math
+
+        from druid_hadoop_utils_spark.operators.sampling import mix_sources
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        raw = {r.lang: r.n for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        out = mix_sources(docs, "doc_id", "lang", temperature=2.0)
+        got = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        smin = min(math.sqrt(n) for n in raw.values())
+        for s, n in raw.items():
+            assert got.get(s, 0) == int(smin * math.sqrt(n)), (s, got)
+        # the smallest source is kept (nearly) whole; ratios compressed
+        small = min(raw, key=raw.get)
+        big = max(raw, key=raw.get)
+        assert got[small] >= raw[small] - 1
+        if raw[big] > raw[small]:
+            assert got[big] / got[small] < raw[big] / raw[small]
+
+    def test_exactly_one_of_weights_or_temperature(self, spark, sf_dir):
+        from druid_hadoop_utils_spark.operators.sampling import mix_sources
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        with pytest.raises(ValueError, match="exactly one"):
+            mix_sources(docs, "doc_id", "lang")
+        with pytest.raises(ValueError, match="exactly one"):
+            mix_sources(docs, "doc_id", "lang", {"en": 1.0}, temperature=2.0)
+        with pytest.raises(ValueError, match="temperature"):
+            mix_sources(docs, "doc_id", "lang", temperature=0.0)
+
+    def test_temperature_weights_values(self):
+        import math
+
+        from druid_hadoop_utils_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        w = temperature_weights({"a": 100, "b": 4}, 2.0)
+        assert w == {"a": 10.0, "b": 2.0}
+        w1 = temperature_weights({"a": 100, "b": 4}, 1.0)
+        assert w1 == {"a": 100.0, "b": 4.0}
+        w3 = temperature_weights({"a": 8}, 3.0)
+        assert w3["a"] == pytest.approx(2.0)
+        with pytest.raises(ValueError, match="at least one"):
+            temperature_weights({}, 2.0)
