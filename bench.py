@@ -60,7 +60,10 @@ HEADLINE = [
     "q_rank_quantiles",
     "q_interval_overlap_join",
     "q_weighted_sample",
-    "q_kll_quantiles",
+    # production-k KLL (compaction active, bounded states) — the oracle
+    # config q_kll_quantiles (k=8192 exact regime, states carry every
+    # value) is correctness-only, mirroring the ANN `_prod` split
+    "q_kll_quantiles_prod",
     "q_similarity_pq_topk_prod",
     "q_mix_sources",
     "q_pack_documents",

@@ -3676,6 +3676,27 @@ def q_kll_quantiles(spark, sf_dir):
     return kll_quantiles(states, ["event_type"], [0.25, 0.5, 0.95])
 
 
+@register("q_kll_quantiles_prod", None)
+def q_kll_quantiles_prod(spark, sf_dir):
+    # PRODUCTION KLL config (k=256): compaction active, states bounded at
+    # O(k·log) regardless of group size — the regime the sketch exists
+    # for. Results are approximate (relative quantile error ≤1.4%
+    # measured at sf0.1, floor pinned in test_kll), so no SQL oracle —
+    # rows-only driver check, same split as the `_prod` ANN entries: the
+    # oracle config q_kll_quantiles (k=8192, exact regime) stays
+    # hash-green for correctness while THIS entry is what the bench
+    # measures (benching the exact-regime config measures the sketch's
+    # degenerate worst case: states carrying every value).
+    from druid_hadoop_utils_spark.functions.kll import (
+        kll_partials,
+        kll_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    states = kll_partials(ev, "value", ["event_type"], k=256)
+    return kll_quantiles(states, ["event_type"], [0.25, 0.5, 0.95])
+
+
 # =====================================================================
 # retrieval, substring dedup, time-series post-processing, event funnels
 # (round-4 third wave)
@@ -4103,7 +4124,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_type_profit",
     "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
     "q_tpch_q20_potential_promotion", "q_media_features",
-    "q_mix_temperature",
+    "q_mix_temperature", "q_kll_quantiles_prod",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

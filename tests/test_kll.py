@@ -137,3 +137,29 @@ def test_compaction_offset_alternates_by_level():
     _compact(lv2, 8)
     # level 1 overflowed: odd offset -> promoted are 1,3,5,... (uppers)
     assert lv2[2] == [1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0]
+
+
+def test_prod_k_accuracy_floor_vs_exact(spark, sf_dir):
+    """The production config (k=256, compaction active) must stay within
+    2% relative error of the exact quantiles on real data — the accuracy
+    contract behind benching q_kll_quantiles_prod without an oracle."""
+    from druid_hadoop_utils_spark.functions.kll import (
+        kll_partials,
+        kll_quantiles,
+    )
+    from druid_hadoop_utils_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.95]
+
+    def quant(k):
+        states = kll_partials(ev, "value", ["event_type"], k=k)
+        return {r["event_type"]: (r.p25, r.p50, r.p95)
+                for r in kll_quantiles(states, ["event_type"], qs).collect()}
+
+    exact = quant(10 ** 6)   # k >> n: no compaction anywhere
+    prod = quant(256)
+    assert set(prod) == set(exact)
+    for g, evals in exact.items():
+        for a, e in zip(prod[g], evals):
+            assert abs(a - e) <= 0.02 * max(abs(e), 1e-9), (g, a, e)
