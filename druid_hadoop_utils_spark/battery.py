@@ -1493,6 +1493,67 @@ def q_media_features(spark, sf_dir):
 
 
 @register(
+    "q_salted_join",
+    """SELECT c_mktsegment, event_type,
+              count(*) AS n, round(sum(value), 2) AS total
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2""",
+)
+def q_salted_join(spark, sf_dir):
+    # skew-salted join == plain join, proven through the oracle: the
+    # large side salts per-row, the small side explodes ×salts, the join
+    # runs on (key, salt) — hot keys spread over `salts` reducers instead
+    # of one. The aggregate output is salt-invariant by construction.
+    from druid_hadoop_utils_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = salted_join(ev, cust, on="user_id", salts=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_frame_sample_plan",
+    """WITH v AS (SELECT CAST(i AS BIGINT) AS media_id,
+                         CAST(800 * (i + 1) + i * 37 AS INT) AS duration_ms
+                  FROM (SELECT unnest(range(10)) AS i))
+       SELECT media_id, CAST(u.f AS BIGINT) AS frame_ts_ms
+       FROM v, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 500))
+                AS u(f)""",
+)
+def q_frame_sample_plan(spark, sf_dir):
+    # video frame-sampling WITHOUT decoding: per-video (media_id,
+    # frame_ts_ms) rows from metadata only — pure Catalyst
+    # sequence+explode, content bytes never read (column pruning). The
+    # video table is synthesized deterministically from metadata (the
+    # testdata ships no media), which is exactly the operator's point:
+    # it touches nothing but metadata.
+    from druid_hadoop_utils_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    vids = spark.range(10).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (800 * (F.col("id") + 1) + F.col("id") * 37)
+            .cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = frame_sample_plan(vids, every_ms=500)
+    return out.select("media_id",
+                      F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+@register(
     "q_text_langid",
     """SELECT lang AS labeled_lang, count(*) AS n_docs,
               round(avg(n_chars), 2) AS avg_chars
@@ -4124,7 +4185,8 @@ _DRIVER_PRIORITY = [
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_type_profit",
     "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
     "q_tpch_q20_potential_promotion", "q_media_features",
-    "q_mix_temperature", "q_kll_quantiles_prod",
+    "q_mix_temperature", "q_kll_quantiles_prod", "q_salted_join",
+    "q_frame_sample_plan",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",
