@@ -2284,6 +2284,64 @@ def q_segment_table_load(spark, sf_dir):
     return out.withColumn("value", F.round("value", 2))
 
 
+_MATERIALIZED_CACHE: dict[str, str] = {}
+
+
+def _materialized_table(spark, sf_dir: str) -> str:
+    """The shared battery segment table with a per-segment DAY rollup
+    materialized once per process (sources/materialize.py)."""
+    root = _materialized_cache_get(spark, sf_dir)
+    return root
+
+
+def _materialized_cache_get(spark, sf_dir: str) -> str:
+    root = _MATERIALIZED_CACHE.get(sf_dir)
+    if root:
+        return root
+    from druid_hadoop_utils_spark.sources.materialize import materialize_aggs
+
+    root = _segment_table(spark, sf_dir)
+    materialize_aggs(
+        spark, root, "events", "daily",
+        ["event_type"],
+        [{"type": "count", "name": "n"},
+         {"type": "doubleSum", "name": "value", "fieldName": "value"},
+         {"type": "longMin", "name": "vmin", "fieldName": "user_id"},
+         {"type": "longMax", "name": "vmax", "fieldName": "user_id"}],
+        granularity="DAY", time_column="__time",
+    )
+    _MATERIALIZED_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "q_materialized_rollup",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+              event_type, count(*) AS n, round(sum(value), 2) AS value,
+              min(user_id) AS vmin, max(user_id) AS vmax
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+         AND ts < TIMESTAMP '2024-01-12 00:00:00'
+       GROUP BY 1, 2""",
+)
+def q_materialized_rollup(spark, sf_dir):
+    # incremental rollup maintenance (sources/materialize.py): the query
+    # reads ONLY per-segment state files — raw rows never rescan — and
+    # the merge (count→longSum, sums re-summed, min/max re-min/maxed) is
+    # exact, so the result hash-matches the raw-row oracle. The 100 TB
+    # story: a new day's publish costs one segment's scan to catch the
+    # states up; overshadowed versions' states are never read.
+    from druid_hadoop_utils_spark.sources.materialize import (
+        query_materialized,
+    )
+
+    root = _materialized_table(spark, sf_dir)
+    out = query_materialized(spark, root, "events", "daily",
+                             interval="2024-01-02/2024-01-12")
+    return out.select("__time", "event_type", "n",
+                      F.round("value", 2).alias("value"), "vmin", "vmax")
+
+
 _MV_SEGMENT_TABLE_CACHE: dict[str, str] = {}
 
 
@@ -4186,7 +4244,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
     "q_tpch_q20_potential_promotion", "q_media_features",
     "q_mix_temperature", "q_kll_quantiles_prod", "q_salted_join",
-    "q_frame_sample_plan",
+    "q_frame_sample_plan", "q_materialized_rollup",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

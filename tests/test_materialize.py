@@ -1,0 +1,154 @@
+"""Per-segment aggregate-state materialization: incremental maintenance,
+MVCC soundness, merge correctness (exact aggs == raw-row query; sketch
+estimates == direct sketch query)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.materialize import (
+    materialize_aggs,
+    query_materialized,
+    vacuum_materialized,
+)
+
+AGGS = [
+    {"type": "count", "name": "n"},
+    {"type": "doubleSum", "name": "total", "fieldName": "value"},
+    {"type": "longMax", "name": "vmax", "fieldName": "value"},
+    {"type": "hyperUnique", "name": "users", "fieldName": "user_id"},
+]
+
+
+def _events(spark, days, per_day=24):
+    rows = [
+        Row(ts=datetime(2024, 1, d, h), event_type=("click" if h % 2 else "view"),
+            value=float(d * 100 + h), user_id=(d * 7 + h) % 11)
+        for d in days for h in range(per_day)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "mat_root")
+    publish_segments(_events(spark, [1, 2, 3]), root, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    return root
+
+
+def _direct(spark, root, interval="2024-01-01/2024-02-01"):
+    """Ground truth: the same rollup over raw rows through load()."""
+    from druid_hadoop_utils_spark import load
+    from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+
+    df = load(spark, root, {"granularity": "DAY",
+                            "dimensions": ["event_type"],
+                            "metrics": [{"name": "value", "type": "double"},
+                                        {"name": "user_id", "type": "long"}]},
+              interval=interval, data_source="ev")
+    return group_aggregate(df, ["event_type"], AGGS)
+
+
+def _as_map(df):
+    return {(r["__time"], r["event_type"]):
+            (r["n"], round(r["total"], 6), r["vmax"], round(r["users"], 6))
+            for r in df.collect()}
+
+
+def test_materialized_equals_raw_query(spark, table):
+    done = materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    assert len(done) == 3  # one state per day segment
+    got = _as_map(query_materialized(spark, table, "ev", "daily"))
+    want = _as_map(_direct(spark, table))
+    assert got == want
+    assert len(got) == 6  # 3 days x 2 event types
+
+
+def test_incremental_new_segment_only(spark, table):
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    publish_segments(_events(spark, [4]), table, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    done = materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    assert len(done) == 1 and "2024-01-04" in done[0]
+    got = _as_map(query_materialized(spark, table, "ev", "daily"))
+    assert got == _as_map(_direct(spark, table))
+    assert len(got) == 8
+
+
+def test_missing_state_fails_loudly_then_catches_up(spark, table):
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    publish_segments(_events(spark, [5]), table, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    with pytest.raises(FileNotFoundError, match="no state"):
+        query_materialized(spark, table, "ev", "daily")
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    assert len(_as_map(query_materialized(spark, table, "ev", "daily"))) == 8
+
+
+def test_overshadow_uses_new_version_state(spark, table):
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    # replace day 2 with different data at v2 — old state must be ignored
+    repl = _events(spark, [2]).withColumn("value", F.col("value") * 10)
+    publish_segments(repl, table, "ev", version="v2",
+                     time_column="ts", bucket="DAY")
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    got = _as_map(query_materialized(spark, table, "ev", "daily"))
+    assert got == _as_map(_direct(spark, table))
+
+
+def test_interval_filter_on_buckets(spark, table):
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    got = _as_map(query_materialized(spark, table, "ev", "daily",
+                                     interval="2024-01-02/2024-01-03"))
+    want = _as_map(_direct(spark, table, interval="2024-01-02/2024-01-03"))
+    assert got == want and len(got) == 2
+
+
+def test_non_mergeable_agg_rejected(spark, table):
+    with pytest.raises(ValueError, match="non-mergeable"):
+        materialize_aggs(spark, table, "ev", "bad", ["event_type"],
+                         [{"type": "doubleFirst", "name": "f",
+                           "fieldName": "value"}])
+
+
+def test_spec_change_under_same_name_rejected(spark, table):
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    with pytest.raises(ValueError, match="different spec"):
+        materialize_aggs(spark, table, "ev", "daily", [], AGGS)
+
+
+def test_vacuum_drops_unlisted_states(spark, table):
+    from druid_hadoop_utils_spark.sources.maintenance import (
+        drop_interval,
+        vacuum,
+    )
+
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    drop_interval(table, "ev", "2024-01-03/2024-01-04")
+    vacuum(table, "ev")
+    gone = vacuum_materialized(table, "ev", "daily")
+    assert len(gone) == 1 and "2024-01-03" in gone[0]
+    # remaining states still answer the surviving interval correctly
+    got = _as_map(query_materialized(spark, table, "ev", "daily",
+                                     interval="2024-01-01/2024-01-03"))
+    assert got == _as_map(_direct(spark, table,
+                                  interval="2024-01-01/2024-01-03"))
+
+
+def test_partial_overshadow_refuses_loudly(spark, table):
+    """A half-day v2 segment overshadows part of day 2: day 2's
+    whole-segment state would over-count, so the query must refuse."""
+    from druid_hadoop_utils_spark.sources.segments import write_segment
+
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    half = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 2, 1), event_type="click",
+            value=9.0, user_id=1)]).withColumnRenamed("ts", "__time")
+    write_segment(half, table, "ev", "2024-01-02T00:00:00/2024-01-02T12:00:00",
+                  version="v2")
+    with pytest.raises(ValueError, match="partially visible"):
+        query_materialized(spark, table, "ev", "daily")
