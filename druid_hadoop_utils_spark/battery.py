@@ -824,6 +824,50 @@ def q_dedup_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@register(
+    "q_dedup_keep_best",
+    """WITH RECURSIVE s AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+       comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+       SELECT d.doc_id, d.lang, d.n_chars
+       FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+       QUALIFY row_number() OVER (
+           PARTITION BY coalesce(comp.component, d.doc_id)
+           ORDER BY d.n_chars DESC, d.doc_id) = 1""",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    # quality-aware near-dup dedup: one survivor per cluster, the
+    # LONGEST document (n_chars as the quality signal), ties by min id —
+    # composition of the LSH pair generator (convergent params == exact
+    # all-pairs), pointer-jumping components, and one row_number window
+    # on the component key. Oracle recomputes the whole chain.
+    from druid_hadoop_utils_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.5,
+                                       num_hashes=64, bands=32)
+    return dedup_keep_best(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", pairs,
+        "n_chars",
+    )
+
+
 def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB recomputation of the md5_60 SimHash: token hash = first 15
     md5 hex chars as BIGINT (bit-for-bit the engine's ``md5_60``), per-bit
@@ -4244,7 +4288,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
     "q_tpch_q20_potential_promotion", "q_media_features",
     "q_mix_temperature", "q_kll_quantiles_prod", "q_salted_join",
-    "q_frame_sample_plan", "q_materialized_rollup",
+    "q_frame_sample_plan", "q_materialized_rollup", "q_dedup_keep_best",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

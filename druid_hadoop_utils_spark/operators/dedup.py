@@ -706,3 +706,43 @@ def strip_duplicate_ngrams(
             (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep ONE document per near-duplicate cluster — the HIGHEST-quality
+    one, not an arbitrary id (the practical training-data dedup rule:
+    near-dup groups usually contain one clean original and several
+    mangled copies; dropping by min-id keeps whichever crawled first).
+
+    ``pairs`` is any near-dup pair list (MinHash-LSH, SimHash, n-gram
+    Jaccard). Composition: connected components label each clustered doc;
+    docs in NO pair are their own singleton component; one row per
+    component survives — max ``quality_col``, ties broken by min id
+    (deterministic, SQL-recomputable).
+
+    Plan shape: component labels come from the pointer-jumping
+    ``connected_components`` (O(log diameter) rounds over the PAIR list,
+    never the corpus); the survivor pick is one row_number window over
+    the corpus keyed by component — a single shuffle on the component
+    key. No all-pairs work outside the pair generator's own bounds.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id_a, id_b)
+    out = df.join(comp, df[id_col] == comp["node"], "left").drop("node")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    w = Window.partitionBy(component).orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )

@@ -330,3 +330,15 @@ class TestStripDuplicateNgrams:
         out = strip_duplicate_ngrams(
             spark.createDataFrame(rows), n=6, min_count=3)
         assert all(r.n_removed == 0 for r in out.collect())
+
+
+def test_dedup_keep_best_quality_and_singletons(spark):
+    from druid_hadoop_utils_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7)], "id long, q long")
+    # cluster {1,2,3} (transitive via 1-2, 2-3); 4 is a singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r.id for r in dedup_keep_best(df, "id", pairs, "q").collect())
+    # best quality 50 is tied between 2 and 3 -> min id 2 wins; 4 survives
+    assert kept == [2, 4]
