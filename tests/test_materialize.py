@@ -152,3 +152,14 @@ def test_partial_overshadow_refuses_loudly(spark, table):
                   version="v2")
     with pytest.raises(ValueError, match="partially visible"):
         query_materialized(spark, table, "ev", "daily")
+
+
+def test_query_reads_states_only(spark, table):
+    """The 100 TB contract in the plan itself: the state-merge query's
+    scan reads ONLY _materialized paths — the raw segment parquet never
+    appears."""
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    files = query_materialized(spark, table, "ev", "daily").inputFiles()
+    assert files, "expected parquet inputs"
+    raw = [f for f in files if "_materialized" not in f]
+    assert not raw, f"raw segment files in the states-only query: {raw[:3]}"
