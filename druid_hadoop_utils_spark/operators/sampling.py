@@ -171,23 +171,25 @@ def mix_sources(
             "mix_sources: pass exactly one of weights= (explicit mixture) "
             "or temperature= (weights derived from source counts)"
         )
+    counts: dict | None = None
     if temperature is not None:
-        # one extra bounded count aggregate over ALL sources — the
-        # weights ARE a function of the data here
-        all_counts = {
+        # the weights ARE a function of the data here: one bounded count
+        # aggregate over ALL sources, reused below (no second count job)
+        counts = {
             r[0]: r[1] for r in df.groupBy(source_col).count().collect()
             if r[0] is not None
         }
-        weights = temperature_weights(all_counts, temperature)
+        weights = temperature_weights(counts, temperature)
     if not weights:
         raise ValueError("mix_sources: need at least one source weight")
     if any(w <= 0 for w in weights.values()):
         raise ValueError(f"weights must be positive: {weights}")
-    counts = {
-        r[0]: r[1]
-        for r in df.where(F.col(source_col).isin(*weights))
-        .groupBy(source_col).count().collect()
-    }
+    if counts is None:
+        counts = {
+            r[0]: r[1]
+            for r in df.where(F.col(source_col).isin(*weights))
+            .groupBy(source_col).count().collect()
+        }
     missing = sorted(set(weights) - set(counts))
     if missing:
         raise ValueError(
