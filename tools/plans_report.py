@@ -253,6 +253,34 @@ ANNOTATED = {
         "and the single-partition rank windows + fusion aggregate touch "
         "only those bounded lists."
     ),
+    "q_tpch_q9_product_type_profit": (
+        "TPC-H Q9 on the derived partsupp (round 5): the part filter, "
+        "the 4x|part| partsupp derivation, and supplier⋈nation all "
+        "BroadcastHashJoin into the single lineitem scan; the ONE "
+        "shuffle join is orders on orderkey. Exact-decimal profit "
+        "arithmetic stays inside whole-stage codegen."
+    ),
+    "q_materialized_rollup": (
+        "Per-segment aggregate-state materialization (round 5): the "
+        "scan reads ONLY `_materialized/` state files — tiny inputs, "
+        "raw segments absent from the plan — and the merge is one "
+        "hash-aggregate exchange on (bucket, dims): count re-sums, "
+        "sketches union (ObjectHashAggregate on the binary HLL state)."
+    ),
+    "q_kll_quantiles_prod": (
+        "Production-k KLL (round 5): ONE Python stage (mapInPandas "
+        "partial build, no pre-shuffle), then pure-Catalyst evaluation — "
+        "collect_list of bounded state pair-arrays per group and an "
+        "aggregate fold; no window over exploded items, no second "
+        "Python stage (the merge/compaction step only exists for "
+        "STORED states)."
+    ),
+    "q_salted_join": (
+        "Skew-salted join (round 5): both sides exchange on (key, salt) "
+        "— a hot key spreads over 8 reducers instead of one — and the "
+        "salt columns never escape; the aggregate output is provably "
+        "salt-invariant (hash-checked against the plain-join oracle)."
+    ),
 }
 
 
