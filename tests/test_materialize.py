@@ -163,3 +163,50 @@ def test_query_reads_states_only(spark, table):
     assert files, "expected parquet inputs"
     raw = [f for f in files if "_materialized" not in f]
     assert not raw, f"raw segment files in the states-only query: {raw[:3]}"
+
+
+def test_randomized_publish_sequences_match_direct(spark, tmp_path):
+    """Property sweep: random publish/replace sequences over random day
+    layouts — after catching states up, the states-only query equals the
+    raw-row query EXACTLY (sums/counts/min/max) for every seed. Partial
+    overshadows never arise here (publishes are whole-day), so every
+    layout must answer, not refuse."""
+    import random
+
+    exact_aggs = [
+        {"type": "count", "name": "n"},
+        {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        {"type": "longMin", "name": "vmin", "fieldName": "user_id"},
+        {"type": "longMax", "name": "vmax", "fieldName": "user_id"},
+    ]
+    for seed in range(4):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"rand_{seed}")
+        # 2-4 publishes, each covering 1-3 random days at increasing
+        # versions (later versions overshadow whole days)
+        for step in range(rng.randint(2, 4)):
+            days = rng.sample(range(1, 6), rng.randint(1, 3))
+            df = _events(spark, days, per_day=rng.randint(3, 8)) \
+                .withColumn("value", F.col("value") + step)
+            publish_segments(df, root, "ev", version=f"v{step}",
+                             time_column="ts", bucket="DAY")
+        materialize_aggs(spark, root, "ev", "rnd", ["event_type"],
+                         exact_aggs)
+        from druid_hadoop_utils_spark import load
+        from druid_hadoop_utils_spark.functions.aggregators import (
+            group_aggregate,
+        )
+
+        raw = load(spark, root, {"granularity": "DAY",
+                                 "dimensions": ["event_type"],
+                                 "metrics": [{"name": "value", "type": "double"},
+                                             {"name": "user_id", "type": "long"}]},
+                   interval="2024-01-01/2024-02-01", data_source="ev")
+        want = {(r["__time"], r["event_type"]):
+                (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
+                for r in group_aggregate(raw, ["event_type"],
+                                         exact_aggs).collect()}
+        got = {(r["__time"], r["event_type"]):
+               (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
+               for r in query_materialized(spark, root, "ev", "rnd").collect()}
+        assert got == want, f"seed {seed}"
