@@ -210,3 +210,64 @@ def test_randomized_publish_sequences_match_direct(spark, tmp_path):
                (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
                for r in query_materialized(spark, root, "ev", "rnd").collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_streaming_published_segments_materialize_incrementally(
+    spark, tmp_path
+):
+    """End-to-end composition: a stream publishes hourly segments
+    (streaming/ingest.segment_publishing_writer); materialize_aggs then
+    maintains an HOURLY rollup state per published segment, and a second
+    micro-batch round only materializes the newly published segments."""
+    from druid_hadoop_utils_spark.streaming.ingest import (
+        segment_publishing_writer,
+        streaming_rollup,
+    )
+
+    src = str(tmp_path / "stream_in")
+    first = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, h, m), event_type=t, value=float(v))
+         for h, m, t, v in [(0, 5, "a", 1), (0, 25, "a", 2), (0, 45, "b", 3),
+                            (3, 30, "sentinel", 9)]])
+    first.coalesce(1).write.parquet(src + "/c0")
+
+    table_root = str(tmp_path / "stream_tables")
+    aggs = [{"type": "doubleSum", "name": "value", "fieldName": "value"},
+            {"type": "longSum", "name": "n", "fieldName": "n"}]
+
+    def run_stream():
+        stream = spark.readStream.schema(first.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        rolled = streaming_rollup(
+            stream, dims=["event_type"],
+            aggs=[F.sum("value").alias("value"), F.count("*").alias("n")])
+        q = segment_publishing_writer(
+            rolled, table_root, "sev",
+            checkpoint_dir=str(tmp_path / "stream_ckpt"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_stream()
+    done = materialize_aggs(spark, table_root, "sev", "hourly",
+                            ["event_type"], aggs, granularity="HOUR")
+    assert done, "first round materialized nothing"
+    n_first = len(done)
+
+    # second micro-batch round: later events close the hour-3 window
+    second = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 3, 0, 0), event_type="late_sentinel",
+             value=0.0)])
+    second.coalesce(1).write.parquet(src + "/c1")
+    run_stream()
+    done2 = materialize_aggs(spark, table_root, "sev", "hourly",
+                             ["event_type"], aggs, granularity="HOUR")
+    # incremental: the first round's segments are never recomputed
+    assert all(d not in done for d in done2)
+
+    out = {(r["__time"].hour, r["event_type"]): (r["value"], r["n"])
+           for r in query_materialized(
+               spark, table_root, "sev", "hourly",
+               interval="2024-01-01/2024-01-02").collect()}
+    assert out[(0, "a")] == (3.0, 2)
+    assert out[(0, "b")] == (3.0, 1)
+    assert n_first >= 1 and len(done2) >= 1
