@@ -650,6 +650,36 @@ def q_window_running_lag(spark, sf_dir):
 
 
 @register(
+    "q_window_time_range",
+    """SELECT event_id, user_id,
+              count(*) OVER w AS n_1h,
+              CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2)
+                   AS DOUBLE) AS sum_1h
+       FROM events
+       WHERE user_id < 50
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW)""",
+)
+def q_window_time_range(spark, sf_dir):
+    # TIME-based RANGE window frame (trailing 1-hour per user): Spark
+    # expresses it as rangeBetween over epoch-micros (an interval frame
+    # over a timestamp ordering isn't in the DataFrame API) — inclusive
+    # [-1h, now], peers included, exactly DuckDB's INTERVAL PRECEDING
+    # frame. One exchange on user_id; exact-decimal window sums.
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    micros = F.unix_micros(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(micros.cast("long"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+        .cast("double").alias("sum_1h"),
+    )
+
+
+@register(
     "q_orderby_limit_topk",
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
@@ -1053,6 +1083,36 @@ def q_build_vocab(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TX.build_vocab(docs, max_size=50, min_count=2).select(
         "token", "count", F.col("token_id").cast("int").alias("token_id"))
+
+
+@register(
+    "q_oov_rate",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS token
+         FROM documents),
+       t AS (SELECT doc_id, token FROM toks WHERE token != ''),
+       vocab AS (
+         SELECT token FROM (
+           SELECT token, count(*) AS c FROM t GROUP BY 1)
+         QUALIFY row_number() OVER (ORDER BY c DESC, token) <= 200)
+       SELECT t.doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+              round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    * 1.0 / count(*), 4) AS oov_rate
+       FROM t LEFT JOIN vocab v ON t.token = v.token
+       GROUP BY 1""",
+)
+def q_oov_rate(spark, sf_dir):
+    # tokenizer-vocabulary coverage: per-doc OOV fraction against the
+    # top-200 corpus vocab — the signal for sizing a tokenizer. Explode →
+    # broadcast vocab join → per-doc aggregate; fully recomputed by the
+    # oracle (integer-ratio division is IEEE-exact on both engines).
+    docs = _t(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(docs, max_size=200)
+    return TX.oov_rate(docs, vocab)
 
 
 @register(
@@ -4289,6 +4349,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q20_potential_promotion", "q_media_features",
     "q_mix_temperature", "q_kll_quantiles_prod", "q_salted_join",
     "q_frame_sample_plan", "q_materialized_rollup", "q_dedup_keep_best",
+    "q_window_time_range", "q_oov_rate", "q_oov_rate",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

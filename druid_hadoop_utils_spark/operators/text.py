@@ -508,3 +508,39 @@ def encode_documents(
         )
         .withColumn("n_tokens", F.size("input_ids"))
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage: (id, n_tokens, n_oov, oov_rate)
+    against a ``build_vocab`` table — the curation signal for sizing a
+    tokenizer vocabulary (documents with high OOV under the candidate
+    vocab are the ones a byte-fallback tokenizer will fragment).
+
+    One positional explode + one left join on the token (Catalyst
+    broadcasts the vocab while it fits) + one per-doc aggregate; the
+    token stream never routes through Python. Empty/whitespace-only
+    documents drop out (no tokens — same convention as encode_documents).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("token"),
+    ).where(F.col("token") != "")
+    joined = toks.join(vocab.select("token").withColumn(
+        "__in", F.lit(1)), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+        )
+    )
