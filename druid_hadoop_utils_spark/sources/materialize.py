@@ -48,10 +48,15 @@ from druid_hadoop_utils_spark.intervals import Interval
 
 #: aggregator types whose partial states re-aggregate associatively with
 #: the SAME grammar (count re-merges as longSum — Druid's standard
-#: count-becomes-longSum-on-rollup rule, applied automatically)
+#: count-becomes-longSum-on-rollup rule, applied automatically).
+#: approxHistogram states are self-describing structs that agg_expr
+#: re-merges element-wise; `filtered` is mergeable iff its inner
+#: aggregator is (the filter applied at materialize time, the state
+#: merging like the inner type).
 MERGEABLE_TYPES = frozenset({
     "count", "longSum", "doubleSum", "longMin", "longMax",
     "doubleMin", "doubleMax", "hyperUnique", "thetaSketch",
+    "approxHistogram", "approxHistogramFold",
 })
 
 
@@ -65,31 +70,45 @@ def _state_path(mat_dir: str, identifier: str) -> str:
     return os.path.join(mat_dir, f"{_safe(identifier)}.parquet")
 
 
+def _mergeable(a: dict) -> bool:
+    t = a.get("type")
+    if t == "filtered":
+        inner = a.get("aggregator") or {}
+        return inner.get("type") in MERGEABLE_TYPES
+    return t in MERGEABLE_TYPES
+
+
 def _validate_aggs(aggregations: list[dict]) -> None:
-    bad = [a for a in aggregations
-           if a.get("type") not in MERGEABLE_TYPES]
+    bad = [a for a in aggregations if not _mergeable(a)]
     if bad:
         raise ValueError(
             "materialize_aggs: non-mergeable aggregator types "
             f"{sorted({a.get('type') for a in bad})} — per-segment states "
             "must re-aggregate associatively; supported: "
-            f"{sorted(MERGEABLE_TYPES)} (first/last and quantile sketches "
-            "need time-ordered or non-grammar merges — query those "
+            f"{sorted(MERGEABLE_TYPES)} plus `filtered` wrapping any of "
+            "them (first/last need time-ordered merges — query those "
             "through load()/group_aggregate on raw rows)"
         )
 
 
 def _merge_aggregations(aggregations: list[dict]) -> list[dict]:
     """The query-side re-aggregation spec over state columns: count
-    re-merges as longSum of the stored counts; everything else keeps its
-    type with fieldName = its own output name."""
+    re-merges as longSum of the stored counts; a `filtered` wrapper
+    merges as its INNER type (the filter already applied at materialize
+    time); everything else keeps its type with fieldName = its own output
+    name. Parameterized factories (thetaSketch size, approxHistogram
+    numBuckets/probability) keep their params so the merge and the final
+    quantile evaluation read the stored state correctly."""
     from druid_hadoop_utils_spark.functions.aggregators import agg_out_name
 
     out = []
     for a in aggregations:
         n = agg_out_name(a)
-        t = "longSum" if a.get("type") == "count" else a["type"]
-        out.append({"type": t, "name": n, "fieldName": n})
+        base = a.get("aggregator") if a.get("type") == "filtered" else a
+        t = "longSum" if base.get("type") == "count" else base["type"]
+        merged = {k: v for k, v in base.items() if k != "filter"}
+        merged.update({"type": t, "name": n, "fieldName": n})
+        out.append(merged)
     return out
 
 

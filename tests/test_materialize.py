@@ -271,3 +271,42 @@ def test_streaming_published_segments_materialize_incrementally(
     assert out[(0, "a")] == (3.0, 2)
     assert out[(0, "b")] == (3.0, 1)
     assert n_first >= 1 and len(done2) >= 1
+
+
+def test_filtered_and_histogram_aggs_materialize(spark, table):
+    """filtered (inner mergeable) and approxHistogram states materialize
+    and merge: the states-only answers equal the raw-row query — the
+    filter applied once at materialize time, the histogram quantile
+    evaluated from the merged self-describing struct state."""
+    from druid_hadoop_utils_spark import load
+    from druid_hadoop_utils_spark.functions.aggregators import (
+        group_aggregate,
+    )
+
+    aggs = [
+        {"type": "filtered",
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "click"},
+         "aggregator": {"type": "doubleSum", "name": "click_value",
+                        "fieldName": "value"}},
+        {"type": "filtered",
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "click"},
+         "aggregator": {"type": "count", "name": "click_n"}},
+        {"type": "approxHistogram", "name": "p50", "fieldName": "value",
+         "lowerLimit": 0.0, "upperLimit": 400.0, "numBuckets": 64,
+         "probability": 0.5},
+    ]
+    materialize_aggs(spark, table, "ev", "filtered_hist", [], aggs)
+    got = {r["__time"]: (round(r["click_value"], 6), r["click_n"],
+                         round(r["p50"], 6))
+           for r in query_materialized(spark, table, "ev",
+                                       "filtered_hist").collect()}
+
+    raw = load(spark, table, {"granularity": "DAY", "dimensions": ["event_type"],
+                              "metrics": [{"name": "value", "type": "double"}]},
+               interval="2024-01-01/2024-02-01", data_source="ev")
+    want = {r["__time"]: (round(r["click_value"], 6), r["click_n"],
+                          round(r["p50"], 6))
+            for r in group_aggregate(raw, [], aggs).collect()}
+    assert got == want and len(got) == 3
