@@ -169,3 +169,29 @@ def test_groupby_no_explode_option(spark):
                       interval="2024-01-01/2024-01-02", explode_multivalue=False)
     got = {tuple(r.tags): r.total for r in out.collect()}
     assert got == {("a", "b"): 3.0}
+
+
+def test_derived_partsupp_soundness(spark, sf_dir):
+    """The TPC-H partsupp derivation must behave like a real partsupp:
+    (partkey, suppkey) unique (a duplicate PK would double-count joins in
+    Q9), exactly 4 distinct suppliers per part (stride S/4 divides the
+    supplier count's multiples), keys within domain, supplycost exact
+    2-dp positive decimals."""
+    from druid_hadoop_utils_spark.battery import _partsupp
+
+    ps = _partsupp(spark, sf_dir).cache()
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    total = ps.count()
+    assert total == 4 * n_part
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == total
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count_distinct("ps_suppkey").alias("k")).agg(
+        F.min("k"), F.max("k")).first()
+    assert per_part == (4, 4) if n_supp >= 4 else per_part[0] >= 1
+    lo, hi = ps.agg(F.min("ps_suppkey"), F.max("ps_suppkey")).first()
+    assert 0 <= lo and hi < n_supp
+    bad = ps.where((F.col("ps_supplycost") <= 0)
+                   | (F.col("ps_availqty") <= 0)).count()
+    assert bad == 0
+    ps.unpersist()
