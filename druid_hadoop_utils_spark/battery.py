@@ -3666,6 +3666,43 @@ def q_api_datasource_metadata(spark, sf_dir):
 
 
 @register(
+    "q_corpus_report",
+    """WITH lens AS (
+         SELECT source, lang, length(text) AS len, md5(text) AS fp
+         FROM documents),
+       base AS (
+         SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(len) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 4)
+                    AS dup_rate
+         FROM lens GROUP BY 1, 2),
+       pv AS (SELECT source, lang, len AS v, count(*) AS c
+              FROM lens GROUP BY 1, 2, 3),
+       cum AS (SELECT source, lang, v,
+                      sum(c) OVER (PARTITION BY source, lang
+                                   ORDER BY v) AS cum,
+                      sum(c) OVER (PARTITION BY source, lang) AS n
+               FROM pv),
+       med AS (SELECT source, lang,
+                      min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1)
+                          THEN v END) AS median_chars
+               FROM cum GROUP BY 1, 2)
+       SELECT base.*, CAST(median_chars AS DOUBLE) AS median_chars
+       FROM base JOIN med USING (source, lang)""",
+)
+def q_corpus_report(spark, sf_dir):
+    # the corpus "data card": per-(source, lang) doc counts, volume,
+    # exact-dup rate, exact rank-rule median length — every number
+    # recomputed by the oracle (md5 fingerprints, count distinct,
+    # integer-ratio rounding, the shared ceil(q·n) rank rule).
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.corpus_report(docs, group_cols=["source", "lang"])
+    return out.withColumn("median_chars",
+                          F.col("median_chars").cast("double"))
+
+
+@register(
     "q_rank_quantiles",
     """WITH pv AS (
          SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
@@ -4349,7 +4386,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q20_potential_promotion", "q_media_features",
     "q_mix_temperature", "q_kll_quantiles_prod", "q_salted_join",
     "q_frame_sample_plan", "q_materialized_rollup", "q_dedup_keep_best",
-    "q_window_time_range", "q_oov_rate", "q_oov_rate",
+    "q_window_time_range", "q_oov_rate", "q_corpus_report", "q_oov_rate",
     # last driver-green in r02 — three rounds stale, MUST refresh (the
     # VERDICT r4 top item)
     "q_semi_join", "q_anti_join", "q_window_topn_per_group",

@@ -544,3 +544,42 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group corpus "data card": document count, total/median
+    characters, and the exact-duplicate rate — the summary table a
+    training-data release ships next to the corpus.
+
+    Composition, one logical pass each: a hash aggregate for
+    counts/volume/distinct fingerprints (md5 of the raw text — exact
+    dups only; near-dup rates come from the dedup family), and the
+    rank-quantile median over the collapsed (group, length) distribution
+    (never a raw sort). Both shuffles key on the group columns.
+    """
+    from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+
+    gcols = list(group_cols or [])
+    lens = df.select(
+        *gcols,
+        F.length(text_col).alias("__len"),
+        F.md5(F.col(text_col).cast("binary")).alias("__fp"),
+    )
+    base = (lens.groupBy(*gcols) if gcols else lens.groupBy()).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__len").alias("total_chars"),
+        F.count_distinct("__fp").alias("n_unique"),
+    ).withColumn(
+        "dup_rate",
+        F.round((F.col("n_docs") - F.col("n_unique"))
+                / F.col("n_docs"), 4),
+    )
+    med = rank_quantiles(lens, "__len", gcols, [0.5]) \
+        .withColumnRenamed("p50", "median_chars")
+    if gcols:
+        return base.join(med, gcols)
+    return base.join(med)
