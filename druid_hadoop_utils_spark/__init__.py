@@ -45,6 +45,11 @@ from druid_hadoop_utils_spark.sources.segments import (
     resolve_visible_windows,
 )
 from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.materialize import (
+    materialize_aggs,
+    query_materialized,
+    vacuum_materialized,
+)
 from druid_hadoop_utils_spark.functions.lookups import (
     lookup_join,
     register_lookup,
@@ -74,6 +79,9 @@ __all__ = [
     "list_manifests",
     "resolve_visible_windows",
     "publish_segments",
+    "materialize_aggs",
+    "query_materialized",
+    "vacuum_materialized",
     "register_lookup",
     "unregister_lookup",
     "lookup_join",
