@@ -95,7 +95,9 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # if the 1-minute loadavg shows another heavy process at bench start,
 # wait (bounded) for it to drain rather than record polluted numbers
 QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "8"))
-MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "120"))
+# bounded so the whole bench (wait + warm-up + 46 queries × min-of-3)
+# stays well inside any outer harness timeout
+MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "90"))
 
 
 def _wait_for_quiet() -> float:
