@@ -124,11 +124,20 @@ def main() -> None:
 
     load_at_start = _wait_for_quiet()
 
-    # untimed warm-up: spins up executor threads, Python workers, codegen
-    # and the parquet footer cache so the first TIMED query measures plan
-    # execution, not session cold-start
+    # untimed warm-up: spins up executor threads, codegen and the parquet
+    # footer cache so the first TIMED query measures plan execution, not
+    # session cold-start
     warm_fn, _ = QUERIES["q_scan_interval_project"]
     warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # ... and the Python/Arrow worker pool: the first mapInPandas of a
+    # session pays ~2-3 s of worker fork + Arrow init, which would land
+    # on whichever Python-stage query happens to run first (measured: it
+    # inflated q_kll_quantiles' bench slot by ~0.25 s even at min-of-3)
+    import pandas as _pd
+
+    spark.range(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
