@@ -310,3 +310,27 @@ def test_filtered_and_histogram_aggs_materialize(spark, table):
                           round(r["p50"], 6))
             for r in group_aggregate(raw, [], aggs).collect()}
     assert got == want and len(got) == 3
+
+
+def test_theta_sketch_states_materialize_and_merge(spark, table):
+    """thetaSketch is in MERGEABLE_TYPES: per-segment KMV states must
+    union at query time to the same estimate a direct raw-row thetaSketch
+    produces (exact regime here — small distinct counts)."""
+    from druid_hadoop_utils_spark import load
+    from druid_hadoop_utils_spark.functions.aggregators import (
+        group_aggregate,
+    )
+
+    aggs = [{"type": "thetaSketch", "name": "theta_users",
+             "fieldName": "user_id"}]
+    materialize_aggs(spark, table, "ev", "theta", ["event_type"], aggs)
+    got = {(r["__time"], r["event_type"]): round(r["theta_users"], 6)
+           for r in query_materialized(spark, table, "ev",
+                                       "theta").collect()}
+    raw = load(spark, table, {"granularity": "DAY",
+                              "dimensions": ["event_type"],
+                              "metrics": [{"name": "user_id", "type": "long"}]},
+               interval="2024-01-01/2024-02-01", data_source="ev")
+    want = {(r["__time"], r["event_type"]): round(r["theta_users"], 6)
+            for r in group_aggregate(raw, ["event_type"], aggs).collect()}
+    assert got == want and len(got) == 6
