@@ -263,3 +263,74 @@ def compaction_candidates(
                 "reasons": reasons,
             })
     return out
+
+
+def auto_compact(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    max_files_per_segment: int = 4,
+    min_file_bytes: int = 16 * 1024 * 1024,
+    bucket: str = "DAY",
+    files_per_bucket: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """Apply the auto-compaction advisor: every flagged interval is
+    rewritten through ``compact_segments`` (new version, atomic flip;
+    stats/blooms carried automatically). Returns the ISO intervals
+    compacted (or, with ``dry_run=True``, the ones that WOULD be).
+
+    Driver-side coordination only — one rewrite job per distinct flagged
+    interval, duplicate shard flags collapse. This is the Druid
+    auto-compaction loop as a callable: schedule it after ingest waves,
+    not per publish."""
+    flagged = compaction_candidates(
+        table_root, data_source,
+        max_files_per_segment=max_files_per_segment,
+        min_file_bytes=min_file_bytes,
+    )
+    intervals = sorted({c["interval"] for c in flagged})
+    if dry_run:
+        return intervals
+    for iso in intervals:
+        compact_segments(spark, table_root, data_source, iso,
+                         bucket=bucket, files_per_bucket=files_per_bucket)
+    return intervals
+
+
+def table_stats(table_root: str, data_source: str) -> dict:
+    """Ops summary of a managed table — the coordinator-view numbers,
+    driver-side metadata + directory stats only (no data read): visible /
+    overshadowed / tombstone segment counts, file count and bytes of the
+    VISIBLE set, distinct versions, and the covered time span."""
+    import glob as _glob
+
+    manifests = list_manifests(table_root, data_source)
+    if not manifests:
+        raise FileNotFoundError(
+            f"no segments for {data_source} under {table_root}")
+    everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
+    visible = resolve_visible_windows(manifests, everything)
+    vis_set = {w.manifest for w in visible}
+    live = [w.manifest for w in visible if not w.manifest.tombstone]
+    n_files = 0
+    n_bytes = 0
+    for m in {m.path: m for m in live}.values():
+        files = [f for f in _glob.glob(os.path.join(m.path, "**", "*.parquet"),
+                                       recursive=True) if os.path.isfile(f)]
+        n_files += len(files)
+        n_bytes += sum(os.path.getsize(f) for f in files)
+    spans = [m.interval for m in live]
+    return {
+        "data_source": data_source,
+        "segments_total": len(manifests),
+        "segments_visible": len([m for m in vis_set if not m.tombstone]),
+        "segments_overshadowed": len(
+            [m for m in manifests if m not in vis_set]),
+        "tombstones": len([m for m in manifests if m.tombstone]),
+        "versions": sorted({m.version for m in manifests}),
+        "visible_files": n_files,
+        "visible_bytes": n_bytes,
+        "time_min": min(s.start for s in spans).isoformat() if spans else None,
+        "time_max": max(s.end for s in spans).isoformat() if spans else None,
+    }

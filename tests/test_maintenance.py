@@ -314,3 +314,66 @@ class TestCompactionCandidates:
         root = str(tmp_path / "tbl")
         publish_segments(df, root, "ev", "v1", bucket="DAY")
         assert compaction_candidates(root, "ev", min_file_bytes=0) == []
+
+
+class TestAutoCompactAndStats:
+    def _fragmented(self, spark, tmp_path):
+        import glob
+        import shutil
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+        rows = [Row(__time=datetime(2024, 1, 1, i % 24), v=float(i))
+                for i in range(500)]
+        root = str(tmp_path / "tbl")
+        publish_segments(spark.createDataFrame(rows), root, "ev", "v1",
+                         bucket="DAY")
+        seg_file = glob.glob(f"{root}/ev/2024*/v=v1/shard=0/*.parquet")[0]
+        for i in range(6):
+            shutil.copy(seg_file,
+                        seg_file.replace("part-", f"extra{i}-part-"))
+        return root
+
+    def test_auto_compact_applies_advisor(self, spark, tmp_path):
+        from druid_hadoop_utils_spark import load
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            auto_compact,
+            compaction_candidates,
+        )
+
+        root = self._fragmented(spark, tmp_path)
+        spec = {"granularity": "NONE", "dimensions": [],
+                "metrics": [{"name": "v", "type": "double"}]}
+        before = load(spark, root, spec, interval="2024-01-01/2024-01-02",
+                      data_source="ev").count()
+
+        planned = auto_compact(spark, root, "ev", min_file_bytes=1024 * 1024,
+                               dry_run=True)
+        assert len(planned) == 1
+        done = auto_compact(spark, root, "ev", min_file_bytes=1024 * 1024)
+        assert done == planned
+        # report clears, rows preserved through the atomic flip
+        assert compaction_candidates(root, "ev", min_file_bytes=0) == []
+        after = load(spark, root, spec, interval="2024-01-01/2024-01-02",
+                     data_source="ev").count()
+        assert after == before
+        # idempotent: a healthy table compacts nothing
+        assert auto_compact(spark, root, "ev", min_file_bytes=0) == []
+
+    def test_table_stats(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            auto_compact,
+            table_stats,
+        )
+
+        root = self._fragmented(spark, tmp_path)
+        st = table_stats(root, "ev")
+        assert st["segments_visible"] == 1 and st["visible_files"] == 7
+        assert st["versions"] == ["v1"]
+        assert st["time_min"].startswith("2024-01-01")
+        auto_compact(spark, root, "ev", min_file_bytes=1024 * 1024)
+        st2 = table_stats(root, "ev")
+        assert st2["visible_files"] == 1
+        assert st2["segments_overshadowed"] >= 1  # the v1 original
+        assert st2["segments_visible"] == 1
