@@ -243,7 +243,7 @@ def main() -> None:
     BASELINE["q_similarity_ivf_topk_prod"] = BASELINE["q_similarity_pq_topk_prod"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))  # matches bench.py
     timings = {}
     for name, fn in BASELINE.items():
         best = None
