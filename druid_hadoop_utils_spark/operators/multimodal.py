@@ -358,28 +358,12 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def synthesize_png(seed: int, width: int = 16, height: int = 16) -> bytes:
-    """A real RGB PNG (filter-0 scanlines, stdlib zlib) whose pixels are
-    a deterministic function of ``seed`` — decodable by ``_decode_png``,
+    """A real RGB PNG (via ``encode_png``) whose pixels are a
+    deterministic function of ``seed`` — decodable by ``_decode_png``,
     Pillow, or any browser."""
-    import struct
-    import zlib
-
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
-    img = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type 0 (None)
-        raw.extend(img[y].tobytes())
-
-    def chunk(typ: bytes, payload: bytes) -> bytes:
-        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
-        return (struct.pack(">I", len(payload)) + typ + payload
-                + struct.pack(">I", crc))
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + chunk(b"IEND", b""))
+    return encode_png(
+        rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8))
 
 
 def synthesize_wav(seed: int, rate: int = 8000, n_samples: int = 1600) -> bytes:
@@ -416,3 +400,87 @@ def synthetic_media_df(spark, n_images: int = 12, n_audio: int = 12) -> DataFram
         rows.append((1000 + i, "audio", bytearray(blob),
                      ("wav", None, None, 200)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def encode_png(img: "Any") -> bytes:
+    """Minimal dependency-free PNG encoder (8-bit RGB, filter-0
+    scanlines, stdlib zlib) — the write half of ``_decode_png``. Accepts
+    an HxWx3 uint8 array; output decodes bit-exactly by any PNG reader."""
+    import struct
+    import zlib
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_png needs HxWx3 uint8, got {arr.shape}")
+    h, w, _ = arr.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(arr[y].tobytes())
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", crc))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def resize_array(img: "Any", width: int, height: int) -> "Any":
+    """Nearest-neighbor resize of an HxWxC array — pure integer index
+    math (src = floor((dst + 0.5) * src_len / dst_len)), deterministic
+    across platforms, no interpolation-rounding ambiguity."""
+    arr = np.asarray(img)
+    h, w = arr.shape[0], arr.shape[1]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64),
+                    h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64),
+                    w - 1)
+    return arr[ys][:, xs]
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("content", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+])
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Batch image resize: decode (real PNG/Pillow path or the
+    deterministic fake) → nearest-neighbor resample → re-encode as PNG.
+    Arrow-batched ``mapInPandas``; output rows carry the resized blob +
+    refreshed dimensions/digest, ready to publish as a new media table.
+    The thumbnail/normalize step of a multimodal training pipeline."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target size must be positive: {width}x{height}")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                img = decode_image(blob, fake=fake)
+                resized = resize_array(img, width, height)
+                enc = encode_png(resized)
+                out.append({
+                    "media_id": media_id,
+                    "content": enc,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(enc),
+                    "sha256": hashlib.sha256(enc).hexdigest(),
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("media_id", "content").mapInPandas(
+        compute, RESIZED_SCHEMA)

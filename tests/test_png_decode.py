@@ -210,3 +210,42 @@ def test_media_features_battery_golden(spark):
     assert aud0.feature == pytest.approx(0.427663, abs=1e-6)
     # every blob decoded for real: all 24 features are finite and nonzero
     assert all(r.feature is not None and r.feature > 0 for r in rows.values())
+
+
+def test_resize_images_real_decode_reencode(spark):
+    """resize_images over real synthesized PNGs: output blobs are valid
+    PNGs of the target size whose pixels equal the numpy
+    nearest-neighbor reference, bit-exactly."""
+    import numpy as np
+
+    from druid_hadoop_utils_spark.operators.multimodal import (
+        _decode_png,
+        resize_array,
+        resize_images,
+        synthesize_png,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n_images=6, n_audio=0)
+    out = {r.media_id: r for r in resize_images(media, 8, 4).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out[i]
+        assert (r.width, r.height) == (8, 4)
+        got = _decode_png(bytes(r.content))
+        want = resize_array(_decode_png(synthesize_png(i)), 8, 4)
+        assert got.shape == (4, 8, 3)
+        assert np.array_equal(got, want), i
+
+
+def test_resize_array_identity_and_upscale():
+    import numpy as np
+
+    from druid_hadoop_utils_spark.operators.multimodal import resize_array
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(resize_array(img, 7, 5), img)  # identity
+    up = resize_array(img, 14, 10)  # 2x upscale duplicates pixels
+    assert up.shape == (10, 14, 3)
+    assert np.array_equal(up[::2, ::2], img)
