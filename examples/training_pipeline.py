@@ -70,9 +70,11 @@ def main() -> None:
     ).drop("__norm")
     n2 = deduped.count()
 
-    # 3. near-dup CLUSTER removal: LSH pairs -> connected components ->
-    #    keep exactly one doc (the min id) per cluster, not per pair
-    neardeduped = D.neardup_dedup(deduped, "doc_id", threshold=0.5)
+    # 3. near-dup CLUSTER removal, quality-aware (round 5): LSH pairs ->
+    #    connected components -> keep the LONGEST doc per cluster (ties
+    #    by min id), not whichever crawled first
+    pairs = D.minhash_lsh_dedup_pairs(deduped, "doc_id", threshold=0.5)
+    neardeduped = D.dedup_keep_best(deduped, "doc_id", pairs, "n_chars")
     n3 = neardeduped.count()
 
     # 4. embedding near-dup pruning (vec_id aligns with doc_id in testdata)
@@ -107,7 +109,11 @@ def main() -> None:
         F.round(F.avg("fill_ratio"), 3).alias("avg_fill"),
     ).first()
 
-    # 8. corpus stats per split and language
+    # 8. the release data card (round 5): per-split counts, volume,
+    #    exact-dup rate (should be 0 after the dedup stages) and exact
+    #    median length — the table the corpus ships with
+    T.corpus_report(split, group_cols=["split"]) \
+        .orderBy("split").show(truncate=False)
     stats = split.groupBy("split", "pred_lang").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
