@@ -655,8 +655,38 @@ def druid_query(
                     aggregations=aggs, post_aggregations=posts,
                     interval=interval, data_source=ds, time_column=time_column)
     if qtype == "groupBy":
-        out = groupby(spark, source, spec, raw_dims, aggs, posts,
-                      interval=interval, data_source=ds, time_column=time_column)
+        out = None
+        ctx = q.get("context") or {}
+        use_mat = ctx.get("useMaterialized", True)
+        # transparent rollup rewrite (sources/materialize.py): when the
+        # source is a managed table root with a materialized rollup
+        # covering this query, answer from per-segment states — raw
+        # segments never scan. Any coverage miss falls back silently to
+        # the raw path; context {"useMaterialized": false} opts out,
+        # {"useMaterialized": "require"} makes a miss an error (tests /
+        # latency-critical callers that must not fall back to a scan).
+        if (use_mat and isinstance(source, str) and isinstance(ds, str)
+                and all(d.get("type") == "default"
+                        and d["dimension"] != "__time" for d in dim_specs)):
+            from druid_hadoop_utils_spark.sources.materialize import (
+                rewrite_groupby_from_states,
+            )
+
+            out = rewrite_groupby_from_states(
+                spark, source, ds, dims, aggs,
+                q.get("granularity", "NONE"), interval,
+                dim_filter=q.get("filter"), post_aggregations=posts,
+                require=(use_mat == "require"),
+            )
+        elif use_mat == "require":
+            raise ValueError(
+                "useMaterialized=require needs a managed table root, a "
+                "plain dataSource, and default dimension specs"
+            )
+        if out is None:
+            out = groupby(spark, source, spec, raw_dims, aggs, posts,
+                          interval=interval, data_source=ds,
+                          time_column=time_column)
         if q.get("having"):
             out = out.where(having_to_column(q["having"]))
         if q.get("limitSpec"):

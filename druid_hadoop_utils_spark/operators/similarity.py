@@ -597,17 +597,11 @@ def table_corpus_version(table_root: str, data_source: str) -> str:
     sorted visible manifest identifiers. Any publish, compaction, drop,
     or vacuum changes it, so an ANN index trained against one timeline
     state refuses to load after the corpus changes — without scanning a
-    single data row."""
-    import hashlib
+    single data row. Alias of ``sources.segments.timeline_version`` (the
+    same stamp also keys the query result cache)."""
+    from druid_hadoop_utils_spark.sources.segments import timeline_version
 
-    from druid_hadoop_utils_spark.sources.segments import list_manifests
-
-    idents = sorted(m.identifier for m in list_manifests(table_root, data_source))
-    if not idents:
-        raise FileNotFoundError(
-            f"no segments for {data_source} under {table_root}"
-        )
-    return hashlib.md5("\n".join(idents).encode()).hexdigest()
+    return timeline_version(table_root, data_source)
 
 
 def ann_index_path(table_root: str, data_source: str) -> str:

@@ -278,3 +278,296 @@ def vacuum_materialized(
             shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
             gone.append(stem)
     return sorted(gone)
+
+
+# ------------------------------------------------ transparent query rewrite
+
+#: epoch-anchored bucket widths in seconds. UTC is pinned engine-wide
+#: (session.py), so DAY is a fixed 86400 s and every width below it is
+#: epoch-aligned — divisibility is exactly bucket nesting.
+_GRAN_SECONDS = {
+    "SECOND": 1, "MINUTE": 60, "FIVE_MINUTE": 300, "TEN_MINUTE": 600,
+    "FIFTEEN_MINUTE": 900, "THIRTY_MINUTE": 1800, "HOUR": 3600,
+    "SIX_HOUR": 21600, "DAY": 86400,
+}
+
+_CALENDAR = {"WEEK", "MONTH", "QUARTER", "YEAR"}
+
+
+def granularity_nests(fine, coarse) -> bool:
+    """True iff every ``coarse`` bucket is a union of whole ``fine``
+    buckets (named UTC granularities only) — the condition under which
+    states rolled up at ``fine`` re-bucket EXACTLY to ``coarse``.
+
+    WEEK nests nothing coarser (ISO weeks straddle month boundaries) and
+    only day-aligned widths nest into it. Dict (duration/period)
+    granularities only nest into themselves."""
+    if isinstance(fine, dict) or isinstance(coarse, dict):
+        return (isinstance(fine, dict) and isinstance(coarse, dict)
+                and json.dumps(fine, sort_keys=True)
+                == json.dumps(coarse, sort_keys=True))
+    f, c = str(fine).upper(), str(coarse).upper()
+    if f == c:
+        return True
+    if c == "ALL":
+        return True
+    if f == "ALL" or c == "NONE":
+        return False
+    if f == "NONE":
+        return True
+    if f in _GRAN_SECONDS and c in _GRAN_SECONDS:
+        return _GRAN_SECONDS[c] % _GRAN_SECONDS[f] == 0
+    if c in _CALENDAR:
+        if f in _GRAN_SECONDS:
+            return 86400 % _GRAN_SECONDS[f] == 0
+        if f == "MONTH":
+            return c in {"QUARTER", "YEAR"}
+        if f == "QUARTER":
+            return c == "YEAR"
+        return False  # WEEK, or unknown
+    return False
+
+
+def _bucket_aligned(dt, granularity) -> bool:
+    """True iff ``dt`` is a bucket START of the named granularity — the
+    condition an interval endpoint must meet for whole-bucket state
+    filtering to equal raw-row filtering."""
+    from datetime import timezone
+
+    g = str(granularity).upper()
+    if g == "NONE":
+        return True
+    if dt.microsecond:
+        return False
+    if g in _GRAN_SECONDS:
+        aware = dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+        return int(aware.timestamp()) % _GRAN_SECONDS[g] == 0
+    midnight = dt.hour == 0 and dt.minute == 0 and dt.second == 0
+    if g == "WEEK":
+        return midnight and dt.isoweekday() == 1
+    if g == "MONTH":
+        return midnight and dt.day == 1
+    if g == "QUARTER":
+        return midnight and dt.day == 1 and dt.month in {1, 4, 7, 10}
+    if g == "YEAR":
+        return midnight and dt.day == 1 and dt.month == 1
+    return False  # ALL, or unknown
+
+
+def list_materializations(table_root: str, data_source: str) -> dict[str, dict]:
+    """name → persisted spec for every materialized rollup of a table."""
+    base = os.path.join(table_root, data_source, "_materialized")
+    out: dict[str, dict] = {}
+    if not os.path.isdir(base):
+        return out
+    for name in sorted(os.listdir(base)):
+        spec_path = os.path.join(base, name, "spec.json")
+        if os.path.isfile(spec_path):
+            with open(spec_path) as f:
+                out[name] = json.load(f)
+    return out
+
+
+def _filter_refs(node) -> set:
+    """Column names a DimFilter tree reads."""
+    if not node:
+        return set()
+    out = set()
+    if node.get("dimension"):
+        out.add(node["dimension"])
+    for child in node.get("fields") or []:
+        out |= _filter_refs(child)
+    if isinstance(node.get("field"), dict):
+        out |= _filter_refs(node["field"])
+    return out
+
+
+def _canonical_agg(a: dict) -> str:
+    return json.dumps({k: v for k, v in a.items() if k != "name"},
+                      sort_keys=True, default=str)
+
+
+class RewriteMiss(ValueError):
+    """No materialization covers the query (reason in the message)."""
+
+
+def rewrite_groupby_from_states(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    dimensions: list[str],
+    aggregations: list[dict],
+    granularity,
+    intervals,
+    dim_filter: dict | None = None,
+    post_aggregations: list[dict] | None = None,
+    require: bool = False,
+) -> DataFrame | None:
+    """Answer a Druid groupBy from per-segment materialized states when a
+    persisted rollup COVERS it — the broker-side automatic-rollup-usage
+    Druid gets for free from ingest-time rollup, reconstructed for lazy
+    materialization. Returns ``None`` when no rollup covers the query
+    (``require=True`` raises ``RewriteMiss`` with the reason instead), so
+    the caller falls back to the raw-segment scan.
+
+    Coverage conditions (each refusal is a soundness argument):
+
+    - query dims ⊆ spec dims — extra spec dims merge away exactly
+      (mergeable states re-aggregate associatively);
+    - spec granularity NESTS into query granularity
+      (``granularity_nests``) — coarse buckets are unions of whole fine
+      buckets, so re-truncating state bucket timestamps is exact;
+    - every query aggregator equals a spec aggregator modulo output name
+      — it then evaluates as the spec state's merge, renamed;
+    - the filter references only spec DIMENSIONS — state rows keep raw
+      dimension values, so any DimFilter evaluates identically on them;
+      a filter touching ``__time`` or a metric column refuses;
+    - every interval endpoint is a SPEC-granularity bucket start
+      (``_bucket_aligned``) — whole-bucket filtering then selects exactly
+      the raw rows the interval would;
+    - no queried/filtered dimension is array-typed (multi-value explode
+      happens on raw rows in the scan path; refusing keeps the two paths
+      bit-identical rather than arguing about explode-after-merge);
+    - every visible segment in the intervals is FULLY visible and has a
+      state file (same MVCC contract as ``query_materialized``).
+
+    Plan shape on success: read small state parquets → one hash aggregate
+    on (coarse bucket, query dims). Raw rows are never scanned — at
+    100 TB the query touches kilobytes per segment instead of the table.
+    """
+    from druid_hadoop_utils_spark.functions.aggregators import (
+        agg_out_name,
+        group_aggregate,
+    )
+    from druid_hadoop_utils_spark.functions.filters import filter_to_column
+    from druid_hadoop_utils_spark.functions.granularity import granularity_expr
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        resolve_visible_windows,
+    )
+
+    def miss(reason: str):
+        if require:
+            raise RewriteMiss(
+                f"no materialization covers the query: {reason}")
+        return None
+
+    if not isinstance(data_source, str):
+        return miss("dataSource is not a plain table name")
+    specs = list_materializations(table_root, data_source)
+    if not specs:
+        return miss("table has no materialized rollups")
+    ivs = intervals if isinstance(intervals, (list, tuple)) else [intervals]
+    ivs = [Interval.parse(iv) for iv in ivs]
+    q_dims = list(dimensions)
+    refs = _filter_refs(dim_filter)
+    reasons = []
+    for name, spec in specs.items():
+        s_dims, s_gran = spec["dimensions"], spec["granularity"]
+        if isinstance(s_gran, str) and s_gran.upper() == "ALL":
+            reasons.append(f"{name}: ALL-granularity states cannot "
+                           "re-filter by interval")
+            continue
+        if not set(q_dims) <= set(s_dims):
+            reasons.append(f"{name}: dims {sorted(set(q_dims) - set(s_dims))} "
+                           "not materialized")
+            continue
+        if not granularity_nests(s_gran, granularity):
+            reasons.append(f"{name}: {s_gran} does not nest into "
+                           f"{granularity}")
+            continue
+        spec_by_canon = {}
+        for sa in spec["aggregations"]:
+            spec_by_canon.setdefault(_canonical_agg(sa), sa)
+        matched = []
+        for qa in aggregations:
+            sa = spec_by_canon.get(_canonical_agg(qa))
+            if sa is None:
+                matched = None
+                reasons.append(f"{name}: aggregator "
+                               f"{agg_out_name(qa)!r} not materialized")
+                break
+            matched.append((qa, sa))
+        if matched is None:
+            continue
+        if not refs <= set(s_dims):
+            reasons.append(f"{name}: filter references "
+                           f"{sorted(refs - set(s_dims))} beyond the "
+                           "materialized dimensions")
+            continue
+        misaligned = [
+            e for iv in ivs for e in (iv.start, iv.end)
+            if not _bucket_aligned(e, s_gran)
+        ]
+        if misaligned:
+            reasons.append(f"{name}: interval endpoints {misaligned} not "
+                           f"aligned to {s_gran} buckets")
+            continue
+
+        # ---- MVCC resolution: same contract as query_materialized
+        mdir = _mat_dir(table_root, data_source, name)
+        manifests = list_manifests(table_root, data_source)
+        paths: list[str] = []
+        sound = True
+        seen_idents = set()
+        for iv in ivs:
+            for w in resolve_visible_windows(manifests, iv):
+                if w.manifest.tombstone:
+                    continue
+                if not w.is_fully_visible(iv):
+                    reasons.append(f"{name}: segment "
+                                   f"{w.manifest.identifier} only "
+                                   "partially visible — compact first")
+                    sound = False
+                    break
+                p = _state_path(mdir, w.manifest.identifier)
+                if not os.path.exists(p):
+                    reasons.append(f"{name}: segment "
+                                   f"{w.manifest.identifier} has no state "
+                                   "— run materialize_aggs to catch up")
+                    sound = False
+                    break
+                if w.manifest.identifier not in seen_idents:
+                    seen_idents.add(w.manifest.identifier)
+                    paths.append(p)
+            if not sound:
+                break
+        if not sound:
+            continue
+        if not paths:
+            reasons.append(f"{name}: no visible segments in the intervals")
+            continue
+
+        states = spark.read.parquet(*paths)
+        dtypes = dict(states.dtypes)
+        arrayish = [d for d in (set(q_dims) | refs)
+                    if dtypes.get(d, "").startswith("array<")]
+        if arrayish:
+            reasons.append(f"{name}: multi-value dims {sorted(arrayish)} "
+                           "take the raw-scan explode path")
+            continue
+
+        pred = None
+        for iv in ivs:
+            p = (
+                (F.col("__time") >= F.lit(iv.start.replace(tzinfo=None)))
+                & (F.col("__time") < F.lit(iv.end.replace(tzinfo=None)))
+            )
+            pred = p if pred is None else (pred | p)
+        states = states.where(pred)
+        if dim_filter is not None:
+            states = states.where(filter_to_column(dim_filter, states.schema))
+        states = states.withColumn(
+            "__time", granularity_expr(granularity, F.col("__time"))
+        )
+        merged = []
+        for qa, sa in matched:
+            m = _merge_aggregations([sa])[0]
+            m["name"] = agg_out_name(qa)
+            merged.append(m)
+        return group_aggregate(
+            states, q_dims, merged,
+            post_aggregations=post_aggregations, finalize=True,
+            time_column="__time",
+        )
+    return miss("; ".join(reasons) if reasons else "no candidate specs")

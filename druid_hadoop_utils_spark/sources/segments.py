@@ -320,6 +320,27 @@ def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
     return out
 
 
+def timeline_version(table_root: str, data_source: str) -> str:
+    """Version stamp for a managed table's segment timeline: the md5 of
+    the sorted manifest identifiers. Any publish, compaction, drop,
+    retention sweep, or vacuum changes it — without scanning a single
+    data row — so derived artifacts (ANN indexes, cached query results,
+    materialized states) can detect staleness by comparing one string.
+
+    Druid's broker result cache keys on (segment id, query) for the same
+    reason (public Druid CacheStrategy design); here the whole-timeline
+    hash is the coarser single-key variant that matches this engine's
+    driver-side manifest planning."""
+    import hashlib
+
+    idents = sorted(m.identifier for m in list_manifests(table_root, data_source))
+    if not idents:
+        raise FileNotFoundError(
+            f"no segments for {data_source} under {table_root}"
+        )
+    return hashlib.md5("\n".join(idents).encode()).hexdigest()
+
+
 class _MaxKey:
     """Inverts tuple ordering so heapq's min-heap acts as a max-heap over
     (version, start, end) keys (version strings compare lexicographically,
