@@ -665,8 +665,14 @@ def druid_query(
         # the raw path; context {"useMaterialized": false} opts out,
         # {"useMaterialized": "require"} makes a miss an error (tests /
         # latency-critical callers that must not fall back to a scan).
+        # dim_specs are NORMALIZED dicts (dimension/outputName/extractionFn
+        # — no "type" key): a spec is rewrite-eligible when it is a plain
+        # pass-through default dim (no extractionFn, output under the raw
+        # name — rewrite_groupby_from_states returns columns under raw
+        # dimension names) and not the __time pseudo-column.
         if (use_mat and isinstance(source, str) and isinstance(ds, str)
-                and all(d.get("type") == "default"
+                and all(d["extractionFn"] is None
+                        and d["outputName"] == d["dimension"]
                         and d["dimension"] != "__time" for d in dim_specs)):
             from druid_hadoop_utils_spark.sources.materialize import (
                 rewrite_groupby_from_states,

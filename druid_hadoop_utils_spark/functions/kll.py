@@ -253,7 +253,17 @@ def kll_quantiles(
     cumulative weight to the lower-rank pick at ceil(q·W) — identical
     semantics to ``rank_quantiles`` (and identical RESULTS when the
     sketch is exact). Works on ``kll_partials`` output or merged states;
-    both evaluate to the same quantiles by construction."""
+    both evaluate to the same quantiles by construction.
+
+    Memory bound: the per-group array holds ~states × k × log2(n/k)
+    (item, weight) pairs in ONE non-spillable cell. At production k
+    (k=256, the q_kll_quantiles_prod configuration) that is kilobytes
+    per state regardless of raw-row count — safe at any scale. In the
+    EXACT regime (k ≥ group size, the oracle-test mode) the array holds
+    every raw value of the group; use that mode only when a group's
+    values fit driver-side anyway (tests / small dims), or pre-merge
+    with ``kll_merge`` (whose applyInPandas compaction bounds state
+    size) before evaluating."""
     if not quantiles:
         raise ValueError("kll_quantiles: need at least one quantile")
     gcols = list(group_cols)

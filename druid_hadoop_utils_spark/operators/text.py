@@ -525,12 +525,15 @@ def oov_rate(
     broadcasts the vocab while it fits) + one per-doc aggregate; the
     token stream never routes through Python. Empty/whitespace-only
     documents drop out (no tokens — same convention as encode_documents).
+    The vocab side is deduplicated defensively (``distinct`` on the
+    token column — still broadcastable) so a caller passing a table with
+    duplicate token rows can't fan the join out and inflate the counts.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("token"),
     ).where(F.col("token") != "")
-    joined = toks.join(vocab.select("token").withColumn(
+    joined = toks.join(vocab.select("token").distinct().withColumn(
         "__in", F.lit(1)), "token", "left")
     return (
         joined.groupBy(id_col)

@@ -118,7 +118,16 @@ def cached_druid_query(
         if os.path.isdir(entry):  # concurrent filler won the race — keep it
             shutil.rmtree(tmp)
         else:
-            os.replace(tmp, entry)
+            try:
+                os.replace(tmp, entry)
+            except OSError:
+                # A concurrent filler published `entry` between the isdir
+                # check and the rename (ENOTEMPTY/EEXIST). Both fillers
+                # computed the same (key, timeline) result — keep the
+                # winner's entry, discard ours, read theirs below.
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise
         meta = {"dataSource": ds, "query": {k: v for k, v in q.items()
                                             if k != "context"}}
         meta_path = os.path.join(table_root, ds, CACHE_DIR, key, "query.json")

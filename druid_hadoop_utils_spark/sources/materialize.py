@@ -565,9 +565,22 @@ def rewrite_groupby_from_states(
             m = _merge_aggregations([sa])[0]
             m["name"] = agg_out_name(qa)
             merged.append(m)
-        return group_aggregate(
+        out = group_aggregate(
             states, q_dims, merged,
             post_aggregations=post_aggregations, finalize=True,
             time_column="__time",
         )
+        # schema parity with the raw-scan path: count re-merges as a SUM
+        # of stored counts (nullable), but raw count(*) is non-nullable —
+        # coalesce restores the non-null schema bit (a group always has
+        # ≥1 state row, so the value itself can never actually be null).
+        count_names = [
+            agg_out_name(qa) for qa, _ in matched
+            if qa.get("type") == "count"
+            or (qa.get("type") == "filtered"
+                and (qa.get("aggregator") or {}).get("type") == "count")
+        ]
+        for n in count_names:
+            out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
+        return out
     return miss("; ".join(reasons) if reasons else "no candidate specs")
