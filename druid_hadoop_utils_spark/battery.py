@@ -3270,6 +3270,34 @@ partsupp AS (
   FROM part, scnt, (SELECT unnest([0,1,2,3]) AS i) i)"""
 
 
+_ROWCOUNT_CACHE: dict[tuple, int] = {}
+
+
+def _table_rows(spark, sf_dir: str, name: str) -> int:
+    """Row count of a base table, computed once per (sf_dir, table) —
+    count(*) over parquet resolves from footer metadata, so this is a
+    listing-cost planning input, not a data scan."""
+    key = (sf_dir, name)
+    n = _ROWCOUNT_CACHE.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, name).count()
+        _ROWCOUNT_CACHE[key] = n
+    return n
+
+
+def _bcast(df, est_rows: int, cap: int = 4_000_000):
+    """Scale-guarded broadcast hint (VERDICT r5 item 4): a bare
+    ``F.broadcast`` bypasses Spark's size check, so a side that scales
+    with SF would OOM the build rather than degrade to a shuffle join at
+    a large enough dimension. Hint only while the KNOWN upper-bound row
+    count is under ``cap`` (~128 MB for these narrow schemas — well
+    inside executor memory on any realistic cluster); above it, return
+    the plain DataFrame and let Catalyst/AQE pick the join strategy from
+    actual sizes. ``est_rows`` is an upper bound (base-table count before
+    filters), so the guard can only be conservative."""
+    return F.broadcast(df) if est_rows <= cap else df
+
+
 def _partsupp(spark, sf_dir):
     """The Spark twin of ``_PARTSUPP_SQL`` (identical arithmetic). Size is
     4×|part| — broadcastable at any realistic part-dimension scale, and
@@ -3337,8 +3365,10 @@ def q_tpch_q2_min_cost_supplier(spark, sf_dir):
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     euro_ps = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(euro_s), ps.ps_suppkey == euro_s.s_suppkey)
+        ps.join(_bcast(p, _table_rows(spark, sf_dir, "part")),
+                ps.ps_partkey == p.p_partkey)
+        .join(_bcast(euro_s, _table_rows(spark, sf_dir, "supplier")),
+              ps.ps_suppkey == euro_s.s_suppkey)
     )
     w = Window.partitionBy("ps_partkey")
     return (
@@ -3392,10 +3422,13 @@ def q_tpch_q9_product_type_profit(spark, sf_dir):
         - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(ps), (li.l_partkey == ps.ps_partkey)
+        li.join(_bcast(p, _table_rows(spark, sf_dir, "part")),
+                li.l_partkey == p.p_partkey)
+        .join(_bcast(ps, 4 * _table_rows(spark, sf_dir, "part")),
+              (li.l_partkey == ps.ps_partkey)
               & (li.l_suppkey == ps.ps_suppkey))
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(_bcast(sn, _table_rows(spark, sf_dir, "supplier")),
+              li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -3437,7 +3470,8 @@ def q_tpch_q11_important_stock(spark, sf_dir):
     nat_s = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey")
     grouped = (
-        ps.join(F.broadcast(nat_s), ps.ps_suppkey == nat_s.s_suppkey)
+        ps.join(_bcast(nat_s, _table_rows(spark, sf_dir, "supplier")),
+                ps.ps_suppkey == nat_s.s_suppkey)
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
              .alias("value"))
@@ -3481,9 +3515,10 @@ def q_tpch_q16_parts_supplier(spark, sf_dir):
     bad_s = _t(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(bad_s), ps.ps_suppkey == bad_s.s_suppkey,
-              "left_anti")
+        ps.join(_bcast(p, _table_rows(spark, sf_dir, "part")),
+                ps.ps_partkey == p.p_partkey)
+        .join(_bcast(bad_s, _table_rows(spark, sf_dir, "supplier")),
+              ps.ps_suppkey == bad_s.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -3528,7 +3563,8 @@ def q_tpch_q20_potential_promotion(spark, sf_dir):
     vol = li.groupBy("l_partkey", "l_suppkey").agg(
         (F.lit(0.5) * F.sum("l_quantity")).alias("__half"))
     qualifying = (
-        ps.join(F.broadcast(named_p), ps.ps_partkey == named_p.p_partkey)
+        ps.join(_bcast(named_p, _table_rows(spark, sf_dir, "part")),
+                ps.ps_partkey == named_p.p_partkey)
         .join(vol, (ps.ps_partkey == vol.l_partkey)
               & (ps.ps_suppkey == vol.l_suppkey))
         .where(F.col("ps_availqty") > F.col("__half"))
@@ -4458,32 +4494,10 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # new in round 5 — never driver-checked
-    "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_type_profit",
-    "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
-    "q_tpch_q20_potential_promotion", "q_media_features",
-    "q_mix_temperature", "q_kll_quantiles_prod", "q_salted_join",
-    "q_frame_sample_plan", "q_materialized_rollup", "q_dedup_keep_best",
-    "q_window_time_range", "q_oov_rate", "q_corpus_report",
-    "q_media_resize", "q_oov_rate",
-    # last driver-green in r02 — three rounds stale, MUST refresh (the
-    # VERDICT r4 top item)
-    "q_semi_join", "q_anti_join", "q_window_topn_per_group",
-    "q_window_running_lag", "q_orderby_limit_topk", "q_set_ops",
-    "q_rollup_grouping_sets", "q_distinct", "q_dedup_exact",
-    "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_clusters",
-    "q_dedup_simhash", "q_text_analysis", "q_sample_split",
-    "q_text_tfidf_topk", "q_text_chunking", "q_embedding_mean_pool",
-    "q_text_langid", "q_similarity_topk", "q_embedding_neardup",
-    "q_similarity_lsh_topk", "q_multivalue_explode_groupby",
-    "q_json_props_extract", "q_topn_druid_style", "q_scalar_functions",
-    "q_correlated_subquery", "q_percentile",
-    # rows-only-by-design ANN prod entries: refresh their rows evidence
-    "q_similarity_lsh_topk_prod", "q_similarity_pq_topk_prod",
-    "q_similarity_ivf_topk_prod",
-    # oldest r03 evidence fills the remaining ~20 slots (r06 takes the
-    # rest of the r03 batch)
-    "q_filter_selector", "q_filter_in", "q_filter_bound_numeric",
+    # new in round 6 — never driver-checked (the rewrite + cache layers)
+    "q_api_materialized_require", "q_cached_query",
+    # last driver-green in r03 — the 45-query stale block VERDICT r5
+    # item 3 says must lead; the 50-slot snapshot covers all of them
     "q_filter_regex", "q_filter_search", "q_filter_registered_lookup",
     "q_filter_extraction_time_format", "q_groupby_extraction_partial",
     "q_extraction_cascade_format", "q_dedup_minhash_lsh_prod",
@@ -4491,7 +4505,21 @@ _DRIVER_PRIORITY = [
     "q_contamination_check", "q_multimodal_features",
     "q_similarity_pq_topk", "q_api_timeseries",
     "q_api_topn_lexicographic", "q_nested_groupby", "q_kll_quantiles",
-    "q_quantile_sketch",
+    "q_quantile_sketch", "q_scan_interval_project", "q_filter_and_or_not",
+    "q_asof_join", "q_range_join", "q_agg_first_last", "q_theta_distinct",
+    "q_timeseries_zero_fill", "q_multi_interval", "q_api_topn",
+    "q_similarity_ivf_topk", "q_sessionize", "q_segment_table_load",
+    "q_tpch_q6_forecast_revenue", "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier_volume", "q_tpch_q10_returned_items",
+    "q_tpch_q18_large_volume_customer", "q_window_distribution",
+    "q_text_normalize_repetition", "q_druid_native_query", "q_api_groupby",
+    "q_api_groupby_having_limit", "q_api_datasource_metadata",
+    "q_rank_quantiles", "q_rank_quantiles_cont", "q_interval_overlap_join",
+    "q_weighted_sample",
+    # oldest r04 evidence fills the remaining slots
+    "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
+    "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",
+    "q_agg_min_max", "q_agg_hyperunique", "q_agg_cardinality",
 ]
 
 

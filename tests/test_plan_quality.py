@@ -231,3 +231,20 @@ def test_battery_has_no_unexpected_cartesian_products(spark, sf_dir):
                 and name not in _CARTESIAN_ALLOWED:
             offenders[name] = "cartesian/nested-loop join in plan"
     assert not offenders, offenders
+
+
+def test_tpch_partsupp_broadcast_is_size_guarded(spark, sf_dir):
+    """VERDICT r5 item 4: the derived-partsupp TPC-H queries hint the
+    broadcast only under a row-count cap. At testdata scale the hint
+    fires (Q9's plan broadcasts ps); above the cap _bcast returns the
+    unhinted side so AQE picks the strategy from real sizes."""
+    from druid_hadoop_utils_spark.battery import QUERIES, _bcast, _partsupp
+
+    q9 = QUERIES["q_tpch_q9_product_type_profit"][0]
+    plan = plan_str(q9(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # p, ps, sn all broadcast
+    ps = _partsupp(spark, sf_dir)
+    hinted = _bcast(ps, 1_000)
+    unhinted = _bcast(ps, 5_000_000)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert unhinted is ps  # no hint object wrapped at all
