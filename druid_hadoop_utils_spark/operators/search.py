@@ -65,6 +65,16 @@ def bm25_topk(
     tokens that match the query terms — the filter sits under the
     explode's projection, so a 100 TB corpus shuffles only matching
     postings. df/N/avgdl are broadcast. Top-k never global-sorts.
+
+    Profiled alternatives (round 6, sf0.1, local[32], BENCH_r05's
+    q_bm25_search watch item): (a) a zero-shuffle formulation computing
+    per-term tf as size(filter(tokens)) expressions plus one 1-row
+    stats aggregate measured 1.0-1.4 s vs 0.7-0.9 s for this plan —
+    each tf expression re-tokenizes the text, and regexp tokenization
+    dominates the runtime; (b) pre-filtering the array before explode
+    (explode(filter(toks, isin))) measured within noise of this plan.
+    The r4→r5 bench delta (0.62→1.05 s) does not reproduce quietly;
+    this shape stands as the fastest measured.
     """
     if not query:
         raise ValueError("bm25_topk: query must contain at least one term")
