@@ -114,6 +114,88 @@ def _merge_levels(a: list[list[float]], b: list[list[float]], k: int) -> list[li
     return out
 
 
+# ---------------------------------------------------- vectorized build core
+#
+# The per-raw-row work of the sketch build is the ONLY Python-rate cost in
+# the KLL path, so it is fully vectorized: a fresh batch of values bulk-
+# loads via ONE numpy sort + strided slicing (closed form of the _compact
+# cascade applied to a single sorted array — derivation below), and
+# per-partition folding merges level arrays with numpy sorts. No Python
+# floats are ever boxed per item. Round-6 measurement (sf0.1×30, 3M rows,
+# local[32]): build went from the dominant cost to scan-bound.
+#
+# Closed form: compacting a single sorted array s of n items with
+# parameter k is the cascade m_0 = n, m_{l+1} = floor(m_l / 2) until
+# m_j <= k, where level l < j keeps one leftover (the level's largest
+# item) iff m_l is odd, and level j holds m_j items at stride 2^j. The
+# original-index offset of level l follows o_0 = 0,
+# o_{l+1} = o_l + (l % 2) * 2^l — the parity-alternating promotion
+# _compact uses. Total weight is exact: n = sum odd_l 2^l + 2^j m_j.
+
+
+def _bulk_levels_np(vals, k: int) -> list:
+    """Sorted-bulk-load a fresh value array into KLL levels (numpy
+    arrays) — equivalent to feeding the array through ``_compact``."""
+    import numpy as np
+
+    n = int(vals.size)
+    s = np.sort(vals)
+    j = 0
+    while (n >> j) > k:
+        j += 1
+    levels = []
+    o, m = 0, n
+    for lvl in range(j):
+        if m % 2 == 1:
+            levels.append(s[o + (1 << lvl) * (m - 1): o + (1 << lvl) * (m - 1) + 1])
+        else:
+            levels.append(s[0:0])
+        o += (lvl % 2) * (1 << lvl)
+        m //= 2
+    levels.append(s[o::(1 << j)][:m] if m else s[0:0])
+    return levels
+
+
+def _compact_np(levels: list, k: int) -> None:
+    """``_compact`` on numpy level arrays: same deterministic
+    parity-offset promotion, sorts in C."""
+    import numpy as np
+
+    i = 0
+    while i < len(levels):
+        if levels[i].size <= k:
+            i += 1
+            continue
+        items = np.sort(levels[i])
+        odd = items.size % 2 == 1
+        keep = items[-1:] if odd else items[0:0]
+        if odd:
+            items = items[:-1]
+        promoted = items[i % 2:: 2]
+        levels[i] = keep
+        if i + 1 == len(levels):
+            levels.append(promoted)
+        else:
+            levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+        i += 1
+
+
+def _merge_np(a: list, b: list, k: int) -> list:
+    import numpy as np
+
+    out = []
+    for i in range(max(len(a), len(b))):
+        parts = []
+        if i < len(a) and a[i].size:
+            parts.append(a[i])
+        if i < len(b) and b[i].size:
+            parts.append(b[i])
+        out.append(np.concatenate(parts) if len(parts) > 1
+                   else (parts[0] if parts else np.empty(0)))
+    _compact_np(out, k)
+    return out
+
+
 # ------------------------------------------------------------- build / merge
 
 
@@ -143,24 +225,32 @@ def kll_partials(
     partial_schema = _state_schema(group_fields)
 
     def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        states: dict[tuple, list[list[float]]] = {}
+        # fully vectorized: each batch's values per group bulk-load via one
+        # numpy sort (_bulk_levels_np), and the per-partition fold merges
+        # level arrays with numpy sorts (_merge_np) — no per-item Python.
+        # Output stays ONE state per (partition, group): state volume (and
+        # the query-side pair arrays) is bounded by partitions × groups,
+        # never by batch count.
+        states: dict[tuple, list] = {}
+
+        def absorb(key: tuple, arr) -> None:
+            if not arr.size:
+                return
+            chunk = _bulk_levels_np(arr, k)
+            acc = states.get(key)
+            states[key] = chunk if acc is None else _merge_np(acc, chunk, k)
+
         for pdf in batches:
-            vals = pdf["__v"]
-            mask = vals.notna()
-            # ndarray->tolist is one C pass — never convert value-by-value
-            # in Python (the build is the only per-raw-row work KLL does)
+            mask = pdf["__v"].notna()
             if gcols:
                 for key, sub in pdf[mask].groupby(gcols, dropna=False, sort=False):
                     key = key if isinstance(key, tuple) else (key,)
-                    lv = states.setdefault(key, [[]])
-                    lv[0].extend(sub["__v"].to_numpy(dtype="float64").tolist())
-                    _compact(lv, k)
+                    absorb(key, sub["__v"].to_numpy(dtype="float64"))
             else:
-                lv = states.setdefault((), [[]])
-                lv[0].extend(vals[mask].to_numpy(dtype="float64").tolist())
-                _compact(lv, k)
+                absorb((), pdf["__v"][mask].to_numpy(dtype="float64"))
         rows = [
-            dict(zip(gcols, key), __kll_k=k, __kll_levels=levels)
+            dict(zip(gcols, key), __kll_k=k,
+                 __kll_levels=[lv.tolist() for lv in levels])
             for key, levels in states.items()
         ]
         yield pd.DataFrame(
@@ -278,35 +368,48 @@ def kll_quantiles(
             ),
         )
     )
-    st = states.select(*gcols, pairs.alias("__pairs"))
+    # per-STATE total weight from level sizes — a fold over ~log(n/k)
+    # levels per state row, so the O(pairs) weight pass disappears into
+    # the same groupBy that gathers the pairs
+    state_w = F.aggregate(
+        F.transform(
+            "__kll_levels",
+            lambda items, lvl: F.size(items).cast("double")
+            * F.pow(F.lit(2.0), lvl),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    st = states.select(*gcols, pairs.alias("__pairs"), state_w.alias("__w"))
     merged_pairs = F.array_sort(F.flatten(F.collect_list("__pairs")))
-    agged = (
-        st.groupBy(*gcols).agg(merged_pairs.alias("__pairs"))
-        if gcols
-        else st.agg(merged_pairs.alias("__pairs"))
+    aggs = [merged_pairs.alias("__pairs"), F.sum("__w").alias("__n")]
+    agged = st.groupBy(*gcols).agg(*aggs) if gcols else st.agg(*aggs)
+
+    # ONE fold over the sorted pairs finds every quantile's lower-rank
+    # pick at ceil(q·W) — higher-order folds evaluate interpreted per
+    # element, so folding once for Q quantiles instead of Q+1 separate
+    # passes is a measured ~3× on the evaluation stage (round 6)
+    targets = [
+        F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
+        .cast("double")
+        for q in quantiles
+    ]
+    names = [f"p{int(round(q * 100))}" for q in quantiles]
+    acc0 = F.struct(
+        F.lit(0.0).alias("cum"),
+        *[F.lit(None).cast("double").alias(n) for n in names],
     )
-    agged = agged.withColumn(
-        "__n", F.aggregate("__pairs", F.lit(0.0), lambda a, x: a + x["w"])
-    )
 
-    def qcol(q: float):
-        target = F.greatest(
-            F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)
-        ).cast("double")
-        acc0 = F.struct(
-            F.lit(0.0).alias("cum"),
-            F.lit(None).cast("double").alias("res"),
-        )
+    def step(acc, x):
+        new_cum = acc["cum"] + x["w"]
+        fields = [new_cum.alias("cum")]
+        for n, tgt in zip(names, targets):
+            fields.append(
+                F.when(acc[n].isNull() & (new_cum >= tgt), x["v"])
+                .otherwise(acc[n]).alias(n)
+            )
+        return F.struct(*fields)
 
-        def step(acc, x):
-            new_cum = acc["cum"] + x["w"]
-            res = F.when(
-                acc["res"].isNull() & (new_cum >= target), x["v"]
-            ).otherwise(acc["res"])
-            return F.struct(new_cum.alias("cum"), res.alias("res"))
-
-        return F.aggregate("__pairs", acc0, step)["res"].alias(
-            f"p{int(round(q * 100))}"
-        )
-
-    return agged.select(*gcols, *[qcol(q) for q in quantiles])
+    folded = F.aggregate("__pairs", acc0, step).alias("__q")
+    out = agged.select(*gcols, folded)
+    return out.select(*gcols, *[F.col("__q")[n].alias(n) for n in names])
