@@ -249,3 +249,17 @@ def test_resize_array_identity_and_upscale():
     up = resize_array(img, 14, 10)  # 2x upscale duplicates pixels
     assert up.shape == (10, 14, 3)
     assert np.array_equal(up[::2, ::2], img)
+
+def test_media_segment_roundtrip_bit_exact(spark):
+    """VERDICT r5 stretch item 8: binary content + struct meta survive
+    publish_segments → manifest → load() bit-exactly — the loaded-path
+    battery query returns EXACTLY the rows of the in-memory-path one
+    (same blobs, same sha256, same decoded features)."""
+    from druid_hadoop_utils_spark.battery import QUERIES
+
+    loaded_fn, oracle = QUERIES["q_media_segment_roundtrip"]
+    assert oracle is None  # rows-only by design
+    mem_fn, _ = QUERIES["q_media_features"]
+    loaded = sorted(tuple(r) for r in loaded_fn(spark, "/unused").collect())
+    mem = sorted(tuple(r) for r in mem_fn(spark, "/unused").collect())
+    assert loaded == mem and len(loaded) == 24
