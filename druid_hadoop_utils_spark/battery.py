@@ -4564,8 +4564,10 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # new in round 6 — never driver-checked (the rewrite + cache layers)
+    # new in round 6 — never driver-checked (the rewrite + cache layers,
+    # the binary managed-segment round-trip)
     "q_api_materialized_require", "q_cached_query",
+    "q_media_segment_roundtrip",
     # last driver-green in r03 — the 45-query stale block VERDICT r5
     # item 3 says must lead; the 50-slot snapshot covers all of them
     "q_filter_regex", "q_filter_search", "q_filter_registered_lookup",
