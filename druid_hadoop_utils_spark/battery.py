@@ -978,6 +978,39 @@ def q_text_analysis(spark, sf_dir):
 
 
 @register(
+    "q_corpus_shuffle",
+    """WITH b AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                      1, 15)) AS BIGINT) % 1000000 AS h
+         FROM documents),
+       r AS (
+         SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY h % 256, h, doc_id) - 1
+                    AS shuffle_pos
+         FROM b)
+       SELECT doc_id, shuffle_pos,
+              shuffle_pos % 8 AS shard_id,
+              shuffle_pos // 8 AS pos_in_shard
+       FROM r""",
+)
+def q_corpus_shuffle(spark, sf_dir):
+    # deterministic global corpus shuffle (pre-sharding permutation):
+    # every position and round-robin shard assignment recomputed exactly
+    # by the SQL oracle — the order is (md5 bucket, md5 hash, id), built
+    # as a distributed prefix sum over per-bucket counts (no global
+    # sort, no single-partition window; operators/sampling.py)
+    from druid_hadoop_utils_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shuffle_pos", "shard_id", "pos_in_shard"
+    )
+
+
+@register(
     "q_sample_split",
     """WITH b AS (
          SELECT doc_id,
@@ -4567,7 +4600,7 @@ _DRIVER_PRIORITY = [
     # new in round 6 — never driver-checked (the rewrite + cache layers,
     # the binary managed-segment round-trip)
     "q_api_materialized_require", "q_cached_query",
-    "q_media_segment_roundtrip",
+    "q_media_segment_roundtrip", "q_corpus_shuffle",
     # last driver-green in r03 — the 45-query stale block VERDICT r5
     # item 3 says must lead; the 50-slot snapshot covers all of them
     "q_filter_regex", "q_filter_search", "q_filter_registered_lookup",

@@ -295,3 +295,71 @@ def cap_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "s0",
+    n_buckets: int = 256,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Reproducible global corpus shuffle: adds ``shuffle_pos`` (0-based,
+    a permutation of 0..n-1) ordering rows by the deterministic hash
+    order (bucket, md5-hash, id) — the pre-sharding shuffle a training
+    pipeline runs so adjacent raw documents (same crawl host, same dump
+    file) land far apart, identically on every rerun and regardless of
+    input partitioning. With ``n_shards``, also assigns round-robin
+    ``shard_id`` = pos % n_shards and ``pos_in_shard`` = pos div
+    n_shards — shards are size-balanced to ±1 row and each is itself in
+    shuffled order.
+
+    Scale shape: the classic distributed prefix sum over per-bucket
+    COUNTS (same as ``pack_documents``): one small aggregate (≤
+    n_buckets rows), broadcast offsets, rank windows run PER BUCKET in
+    parallel — no global sort, no single-partition window. Requires
+    unique ids (ties would make positions ambiguous); the whole order is
+    ANSI-SQL-expressible, so an external oracle can recompute every
+    position exactly.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    if n_shards is not None and n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    h = sample_bucket(F.col(id_col), seed)
+    rows = df.withColumn("__h", h).withColumn(
+        "__bkt", F.pmod(F.col("__h"), F.lit(n_buckets))
+    )
+    offsets = (
+        rows.groupBy("__bkt")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__cnt")
+    )
+    w = Window.partitionBy("__bkt").orderBy("__h", F.col(id_col))
+    out = (
+        rows.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "shuffle_pos",
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__h", "__bkt", "__off")
+    )
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard_id", F.pmod(F.col("shuffle_pos"), F.lit(n_shards))
+        ).withColumn(
+            "pos_in_shard", F.expr(f"shuffle_pos div {int(n_shards)}")
+        )
+    return out

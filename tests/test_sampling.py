@@ -348,3 +348,82 @@ class TestMixTemperature:
         assert w3["a"] == pytest.approx(2.0)
         with pytest.raises(ValueError, match="at least one"):
             temperature_weights({}, 2.0)
+
+
+class TestDeterministicShuffle:
+    def _df(self, spark, n=500, parts=1):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("host"), (F.col("id") % 7)).alias("source"),
+        ).repartition(parts)
+
+    def test_positions_are_a_permutation(self, spark):
+        from druid_hadoop_utils_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        out = deterministic_shuffle(self._df(spark), "doc_id")
+        pos = sorted(r.shuffle_pos for r in out.collect())
+        assert pos == list(range(500))
+
+    def test_layout_independent_and_rerun_stable(self, spark):
+        from druid_hadoop_utils_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        a = {(r.doc_id, r.shuffle_pos) for r in
+             deterministic_shuffle(self._df(spark, parts=1), "doc_id").collect()}
+        b = {(r.doc_id, r.shuffle_pos) for r in
+             deterministic_shuffle(self._df(spark, parts=13), "doc_id").collect()}
+        assert a == b
+
+    def test_seed_changes_the_permutation(self, spark):
+        from druid_hadoop_utils_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        a = {(r.doc_id, r.shuffle_pos) for r in
+             deterministic_shuffle(self._df(spark), "doc_id", seed="s0").collect()}
+        b = {(r.doc_id, r.shuffle_pos) for r in
+             deterministic_shuffle(self._df(spark), "doc_id", seed="s1").collect()}
+        assert a != b
+        assert {p for _, p in a} == {p for _, p in b}  # both permutations
+
+    def test_shuffle_actually_scatters_adjacent_ids(self, spark):
+        from druid_hadoop_utils_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        out = {r.doc_id: r.shuffle_pos for r in
+               deterministic_shuffle(self._df(spark), "doc_id").collect()}
+        # consecutive input ids should rarely stay consecutive: count
+        # adjacent pairs that remain adjacent after the shuffle
+        adjacent = sum(1 for i in range(499) if abs(out[i] - out[i + 1]) == 1)
+        assert adjacent < 25  # expected ~2 for a random permutation of 500
+
+    def test_shards_balanced_and_round_robin(self, spark):
+        from druid_hadoop_utils_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        out = deterministic_shuffle(self._df(spark, n=103), "doc_id",
+                                    n_shards=8).collect()
+        by_shard = {}
+        for r in out:
+            assert r.shard_id == r.shuffle_pos % 8
+            assert r.pos_in_shard == r.shuffle_pos // 8
+            by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+        sizes = sorted(len(v) for v in by_shard.values())
+        assert sizes[-1] - sizes[0] <= 1  # ±1 balance
+        for v in by_shard.values():  # each shard densely numbered
+            assert sorted(v) == list(range(len(v)))
+
+    def test_rejects_bad_params(self, spark):
+        from druid_hadoop_utils_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        with pytest.raises(ValueError, match="n_buckets"):
+            deterministic_shuffle(self._df(spark), "doc_id", n_buckets=0)
+        with pytest.raises(ValueError, match="n_shards"):
+            deterministic_shuffle(self._df(spark), "doc_id", n_shards=0)
