@@ -1595,6 +1595,33 @@ def _register_media_queries() -> None:
 _register_media_queries()
 
 
+def _media_feature_rows(media):
+    """Decode features for a media frame (image mean-pool scalar, audio
+    RMS) — shared by the in-memory and managed-segment battery entries so
+    the round-trip equality test compares one implementation."""
+    from druid_hadoop_utils_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+    )
+
+    imgs = image_features(
+        media.where(F.col("kind") == "image"), fake=False
+    ).select(
+        "media_id", F.lit("image").alias("kind"), "sha256", "n_bytes",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"), 6,
+        ).alias("feature"),
+    )
+    auds = audio_features(
+        media.where(F.col("kind") == "audio"), fake=False
+    ).select(
+        "media_id", F.lit("audio").alias("kind"), "sha256", "n_bytes",
+        F.round("rms", 6).alias("feature"),
+    )
+    return imgs.unionByName(auds).orderBy("media_id")
+
+
 _MEDIA_SEGMENT_CACHE: dict[str, str] = {}
 
 
@@ -1635,11 +1662,6 @@ def q_media_segment_roundtrip(spark, sf_dir):
     # check; bit-exactness of the round-trip (sha256 and decoded
     # features equal the in-memory frame's) is pinned in
     # tests/test_png_decode.py::test_media_segment_roundtrip_bit_exact.
-    from druid_hadoop_utils_spark.operators.multimodal import (
-        audio_features,
-        image_features,
-    )
-
     root = _media_segment_table(spark, sf_dir)
     loaded = load(
         spark, root,
@@ -1647,22 +1669,7 @@ def q_media_segment_roundtrip(spark, sf_dir):
          "dimensions": ["media_id", "kind", "content", "meta"]},
         interval="2024-01-01/2024-02-01", data_source="media",
     )
-    imgs = image_features(
-        loaded.where(F.col("kind") == "image"), fake=False
-    ).select(
-        "media_id", F.lit("image").alias("kind"), "sha256", "n_bytes",
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
-            / F.size("features"), 6,
-        ).alias("feature"),
-    )
-    auds = audio_features(
-        loaded.where(F.col("kind") == "audio"), fake=False
-    ).select(
-        "media_id", F.lit("audio").alias("kind"), "sha256", "n_bytes",
-        F.round("rms", 6).alias("feature"),
-    )
-    return imgs.unionByName(auds).orderBy("media_id")
+    return _media_feature_rows(loaded)
 
 
 @register("q_media_features", None)
@@ -1675,28 +1682,10 @@ def q_media_features(spark, sf_dir):
     # golden feature values are pinned in
     # tests/test_png_decode.py::test_media_features_battery_golden.
     from druid_hadoop_utils_spark.operators.multimodal import (
-        audio_features,
-        image_features,
         synthetic_media_df,
     )
 
-    media = synthetic_media_df(spark)
-    imgs = image_features(
-        media.where(F.col("kind") == "image"), fake=False
-    ).select(
-        "media_id", F.lit("image").alias("kind"), "sha256", "n_bytes",
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
-            / F.size("features"), 6,
-        ).alias("feature"),
-    )
-    auds = audio_features(
-        media.where(F.col("kind") == "audio"), fake=False
-    ).select(
-        "media_id", F.lit("audio").alias("kind"), "sha256", "n_bytes",
-        F.round("rms", 6).alias("feature"),
-    )
-    return imgs.unionByName(auds).orderBy("media_id")
+    return _media_feature_rows(synthetic_media_df(spark))
 
 
 @register(

@@ -395,6 +395,13 @@ def kll_quantiles(
         for q in quantiles
     ]
     names = [f"p{int(round(q * 100))}" for q in quantiles]
+    if len(set(names)) != len(names):
+        # the shared accumulator struct keys fields by label — colliding
+        # labels (e.g. 0.25 and 0.252 both → p25) would be ambiguous
+        raise ValueError(
+            f"kll_quantiles: quantile labels collide: {names} — quantiles "
+            "must round to distinct whole percents"
+        )
     acc0 = F.struct(
         F.lit(0.0).alias("cum"),
         *[F.lit(None).cast("double").alias(n) for n in names],

@@ -64,21 +64,11 @@ def pack_documents(
     rows = df.where(size.isNotNull() & (size > 0)).withColumn("__bkt", bucket)
 
     # per-(group,)bucket totals -> running offsets (tiny: ≤ groups×buckets)
-    totals = (
-        rows.groupBy(*gcols, "__bkt")
-        .agg(F.sum(size).alias("__tot"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__tot").over(
-                    Window.partitionBy(*gcols).orderBy("__bkt")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("__tot")
+    from druid_hadoop_utils_spark.operators.sampling import (
+        bucket_prefix_offsets,
     )
+
+    totals = bucket_prefix_offsets(rows, gcols, "__bkt", F.sum(size))
 
     w = Window.partitionBy(*gcols, "__bkt").orderBy(
         sample_bucket(F.col(id_col), seed), F.col(id_col)

@@ -297,6 +297,36 @@ def cap_per_group(
     )
 
 
+def bucket_prefix_offsets(
+    rows: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Distributed-prefix-sum scaffolding shared by ``pack_documents``
+    and ``deterministic_shuffle``: per-(group,)bucket totals of
+    ``weight`` → running offsets in bucket order. Output is tiny
+    (≤ groups × buckets rows) and broadcast back by callers; the offset
+    window runs over that tiny frame only, never the data."""
+    from pyspark.sql import Window
+
+    return (
+        rows.groupBy(*group_cols, bucket_col)
+        .agg(weight.alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.partitionBy(*group_cols).orderBy(bucket_col)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__tot")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,
@@ -332,21 +362,7 @@ def deterministic_shuffle(
     rows = df.withColumn("__h", h).withColumn(
         "__bkt", F.pmod(F.col("__h"), F.lit(n_buckets))
     )
-    offsets = (
-        rows.groupBy("__bkt")
-        .agg(F.count("*").alias("__cnt"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__bkt")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("__cnt")
-    )
+    offsets = bucket_prefix_offsets(rows, [], "__bkt", F.count("*"))
     w = Window.partitionBy("__bkt").orderBy("__h", F.col(id_col))
     out = (
         rows.join(F.broadcast(offsets), "__bkt")

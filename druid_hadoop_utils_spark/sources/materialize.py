@@ -565,15 +565,21 @@ def rewrite_groupby_from_states(
             m = _merge_aggregations([sa])[0]
             m["name"] = agg_out_name(qa)
             merged.append(m)
+        from druid_hadoop_utils_spark.functions.aggregators import (
+            post_agg_expr,
+            sketch_post_agg_refs,
+        )
+
         out = group_aggregate(
-            states, q_dims, merged,
-            post_aggregations=post_aggregations, finalize=True,
-            time_column="__time",
+            states, q_dims, merged, finalize=True, time_column="__time",
+            no_finalize=sketch_post_agg_refs(post_aggregations),
         )
         # schema parity with the raw-scan path: count re-merges as a SUM
         # of stored counts (nullable), but raw count(*) is non-nullable —
         # coalesce restores the non-null schema bit (a group always has
         # ≥1 state row, so the value itself can never actually be null).
+        # This runs BEFORE post-aggregations so derived columns computed
+        # from counts inherit the same nullability as on the raw path.
         count_names = [
             agg_out_name(qa) for qa, _ in matched
             if qa.get("type") == "count"
@@ -582,5 +588,9 @@ def rewrite_groupby_from_states(
         ]
         for n in count_names:
             out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
+        if post_aggregations:
+            out = out.select(
+                "*", *[post_agg_expr(p) for p in post_aggregations]
+            )
         return out
     return miss("; ".join(reasons) if reasons else "no candidate specs")

@@ -233,6 +233,21 @@ def test_require_rejects_extraction_and_renamed_dims(spark, table):
     assert "et" in out.columns and len(_rows(out)) == 6
 
 
+def test_rewrite_post_agg_over_count_schema_parity(spark, table):
+    """Post-aggregations derived from counts must match the raw path in
+    VALUES and SCHEMA (incl. nullability): the count-coalesce runs before
+    post-agg evaluation on the rewrite path."""
+    q = _q(postAggregations=[{
+        "type": "arithmetic", "name": "n_per_2", "fn": "/",
+        "fields": [{"type": "fieldAccess", "fieldName": "n"},
+                   {"type": "constant", "value": 2.0}],
+    }])
+    hit = druid_query(spark, table, dict(q, context={"useMaterialized": "require"}))
+    raw = druid_query(spark, table, dict(q, context={"useMaterialized": False}))
+    assert _rows(hit) == _rows(raw)
+    assert hit.schema == raw.schema
+
+
 # ---------------------------------------------------------------- cache
 
 
@@ -296,21 +311,31 @@ def test_cache_vacuum_dry_run_and_apply(spark, table):
     assert len(_rows(cached_druid_query(spark, table, "ev", q))) == 6
 
 
-def test_cache_refresh_overwrites(spark, table):
+def test_cache_refresh_overwrites(spark, table, monkeypatch):
+    """refresh=True must RE-EXECUTE the query (counted via a wrapped
+    druid_query) and republish the entry; a plain second call must not."""
     q = _q()
     entry_rows = _rows(cached_druid_query(spark, table, "ev", q))
+
+    calls = {"n": 0}
+    real = druid_query
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr("druid_hadoop_utils_spark.api.druid_query", counting)
+    assert _rows(cached_druid_query(spark, table, "ev", q)) == entry_rows
+    assert calls["n"] == 0  # plain call served from cache
+    fresh = cached_druid_query(spark, table, "ev", q, refresh=True)
+    assert calls["n"] == 1  # refresh recomputed
+    assert _rows(fresh) == entry_rows
     key = query_cache_key(q, "ev")
     from druid_hadoop_utils_spark.sources.segments import timeline_version
 
     entry = os.path.join(table, "ev", "_result_cache", key,
                          timeline_version(table, "ev"))
-    before = {f: os.path.getmtime(os.path.join(entry, f))
-              for f in os.listdir(entry)}
-    fresh = cached_druid_query(spark, table, "ev", q, refresh=True)
-    assert _rows(fresh) == entry_rows
-    after = set(os.listdir(entry))
-    assert after  # rewritten entry exists and serves
-    assert before is not None
+    assert os.path.exists(os.path.join(entry, "_SUCCESS"))
 
 
 def test_cache_concurrent_filler_race(spark, table, monkeypatch):
