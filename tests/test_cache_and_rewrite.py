@@ -408,3 +408,52 @@ def test_cache_over_rewrite_integration(spark, table, monkeypatch):
     raw = _rows(druid_query(spark, table,
                             dict(q4, context={"useMaterialized": False})))
     assert refilled == raw and len(refilled) == 8
+
+
+def test_rewrite_random_query_sweep_never_wrong(spark, table):
+    """Soundness property: for RANDOM queries (dims × granularity ×
+    intervals × filters × agg subsets), whenever the rewrite ANSWERS it
+    must equal the raw scan bit-for-bit; refusing is always allowed,
+    answering wrong never is. Catches any missed coverage condition."""
+    import random
+
+    rng = random.Random(42)
+    grans = ["DAY", "MONTH", "HOUR", "WEEK"]
+    intervals = [
+        ["2024-01-01/2024-01-04"],
+        ["2024-01-02/2024-01-03"],
+        ["2024-01-01/2024-01-02", "2024-01-03/2024-01-04"],
+        ["2024-01-01T12:00:00/2024-01-03"],     # misaligned
+        ["2024-01-01/2024-02-01"],
+    ]
+    filters = [
+        None,
+        {"type": "selector", "dimension": "event_type", "value": "click"},
+        {"type": "bound", "dimension": "value", "lower": "120",
+         "ordering": "numeric"},                 # metric filter → refuse
+        {"type": "not", "field": {"type": "selector",
+                                  "dimension": "event_type", "value": "view"}},
+    ]
+    dim_choices = [[], ["event_type"], ["event_type", "user_id"]]
+    answered = refused = 0
+    for _ in range(40):
+        q = _q(
+            granularity=rng.choice(grans),
+            intervals=rng.choice(intervals),
+            dimensions=rng.choice(dim_choices),
+            aggregations=rng.sample(AGGS, rng.randint(1, len(AGGS))),
+        )
+        f = rng.choice(filters)
+        if f is not None:
+            q["filter"] = f
+        try:
+            hit = druid_query(spark, table,
+                              dict(q, context={"useMaterialized": "require"}))
+        except (RewriteMiss, ValueError):
+            refused += 1
+            continue
+        raw = druid_query(spark, table,
+                          dict(q, context={"useMaterialized": False}))
+        assert _rows(hit) == _rows(raw), f"rewrite answered WRONG for {q}"
+        answered += 1
+    assert answered >= 5 and refused >= 5  # sweep exercised both paths
