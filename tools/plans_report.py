@@ -122,6 +122,27 @@ ANNOTATED = {
         "ratio is conditional+total decimal sums in ONE aggregate pass "
         "(no second scan, no self-join), partial+final on o_year."
     ),
+    "q_api_materialized_require": (
+        "The transparent materialized-rollup rewrite on the native-query "
+        "path: the scan reads only `_materialized/` state parquets (KB "
+        "per segment), the interval predicate and dim filter evaluate on "
+        "state rows, and one two-phase HashAggregate re-merges the states "
+        "(count as sum-of-counts) — raw segments never appear in the plan."
+    ),
+    "q_corpus_shuffle": (
+        "Deterministic global shuffle as a distributed prefix sum: the "
+        "only data-width Exchange is the per-bucket rank window's hash "
+        "partitioning; the offsets side is a tiny (≤256-row) aggregate "
+        "broadcast back — no global sort, no single-partition data window."
+    ),
+    "q_tpch_q9_product_type_profit": (
+        "TPC-H Q9 with size-guarded broadcasts: part filter, derived "
+        "partsupp (4x|part|), and supplier⋈nation all broadcast into the "
+        "lineitem scan because their row-count upper bounds are under the "
+        "_bcast cap; above the cap the hint disappears and AQE picks the "
+        "strategy. One big-big Exchange on orderkey; exact decimal "
+        "arithmetic in the profit expression."
+    ),
     "q_tpch_q13_customer_distribution": (
         "TPC-H Q13 double aggregation: the left outer join feeds a "
         "per-customer count whose Exchange is keyed on custkey, then the "
