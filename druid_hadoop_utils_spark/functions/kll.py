@@ -212,7 +212,18 @@ def kll_partials(
     it); feed to ``merge_kll_states`` for one stored state per group, or
     straight to ``kll_quantiles`` for a query (evaluation over the
     partial-state union is exact w.r.t. the merged state — compaction
-    only bounds stored size)."""
+    only bounds stored size).
+
+    A pure-Catalyst alternative build (chunk values with
+    monotonically_increasing_id, collect_list per chunk, compact via the
+    closed-form cascade as array expressions) was implemented and
+    MEASURED in round 6: 0.80 s vs 0.64 s (this path) at sf0.1 and
+    1.78 s vs 1.69 s at 30×, after fixing a 30×-re-sort inlining
+    pathology (every reference to an inline array_sort re-sorts — a
+    multi-referenced expensive expression must be its own projection
+    column). It also shuffles the raw value column (collect_list
+    partials ARE the values), which this path's whole design avoids —
+    rejected on both counts; details in BASELINE.md round 6."""
     if k < 8:
         raise ValueError(f"k must be ≥ 8: {k}")
     import pandas as pd

@@ -24,11 +24,13 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
-    from druid_hadoop_utils_spark.session import get_spark
-
-    spark = get_spark("plain-pyspark-baseline")
-    spark.sparkContext.setLogLevel("ERROR")
+def build_baseline(spark, sf_dir: str = None) -> dict:
+    """The plain-PySpark twin of each headline engine query, as a dict of
+    name → thunk — importable so tools/pair_sweep.py can alternate
+    engine/plain in ONE session."""
+    global SF_DIR
+    if sf_dir is not None:
+        SF_DIR = sf_dir
 
     def events():
         return spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -203,8 +205,11 @@ def main() -> None:
                     (ts + F.expr("INTERVAL 1 HOUR")).alias("rhi")),
         ),
         # plain grouped quantiles via percentile_approx (built-in sketch,
-        # not mergeable as a reusable state — what the KLL path adds)
-        "q_kll_quantiles": lambda: events()
+        # not mergeable as a reusable state — what the KLL path adds).
+        # Paired against the PRODUCTION engine config (k=256 — what
+        # bench.py runs); the exact-regime oracle config is the sketch's
+        # documented degenerate worst case, not the deployed shape.
+        "q_kll_quantiles_prod": lambda: events()
         .groupBy("event_type")
         .agg(F.percentile_approx("value", [0.25, 0.5, 0.95]).alias("ps")),
         # plain ANN: exact brute-force cosine top-k (the formulation a
@@ -241,6 +246,15 @@ def main() -> None:
     # brute-force cosine top-k (a plain user has no index to probe), so
     # the benched IVF prod config shares the PQ prod twin
     BASELINE["q_similarity_ivf_topk_prod"] = BASELINE["q_similarity_pq_topk_prod"]
+    return BASELINE
+
+
+def main() -> None:
+    from druid_hadoop_utils_spark.session import get_spark
+
+    spark = get_spark("plain-pyspark-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+    BASELINE = build_baseline(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))  # matches bench.py
