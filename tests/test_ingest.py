@@ -126,3 +126,40 @@ def test_files_per_bucket_bound(spark, sf_dir, tmp_path):
     for m in manifests:
         n_files = len([f for f in os.listdir(m.path) if f.endswith(".parquet")])
         assert 1 <= n_files <= 2
+
+
+def test_crashed_publish_leftover_staging_is_invisible_and_retryable(
+    spark, sf_dir, tmp_path
+):
+    """Crash-safety of the publish protocol (manifests land LAST): a
+    publish that died after writing its staging parquet leaves (a) query
+    results unchanged — staging dirs never reach the visible timeline —
+    and (b) a clean retry path: re-running the same publish overwrites
+    the leftover staging and lands normally."""
+    root = str(tmp_path / "crash_root")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id")
+    publish_segments(ev, root, "events", version="v1",
+                     time_column="ts", bucket="DAY")
+    before = load(spark, root, SPEC, interval="2024-01-01/2025-01-01",
+                  data_source="events").count()
+
+    # simulate the crash: a v2 staging dir exists, no manifests for it
+    staging = os.path.join(root, "events", "_staging_v2")
+    ev.withColumn("value", F.col("value") * 10).limit(100) \
+        .write.mode("overwrite").parquet(staging)
+    from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+    assert all(m.version == "v1" for m in list_manifests(root, "events"))
+    after_crash = load(spark, root, SPEC, interval="2024-01-01/2025-01-01",
+                       data_source="events")
+    assert after_crash.count() == before  # nothing leaked into queries
+
+    # the retry lands cleanly over the leftover staging
+    publish_segments(ev.withColumn("value", F.col("value") + 1000.0),
+                     root, "events", version="v2",
+                     time_column="ts", bucket="DAY")
+    out = load(spark, root, SPEC, interval="2024-01-01/2025-01-01",
+               data_source="events")
+    assert out.count() == before  # v2 overshadows v1 row-for-row
+    assert out.agg(F.min("value")).collect()[0][0] >= 1000.0  # v2 rows
