@@ -163,6 +163,21 @@ def materialize_aggs(
     manifests = list_manifests(table_root, data_source)
     everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
     visible = resolve_visible_windows(manifests, everything)
+
+    def _agg_field_refs(aggs: list[dict]) -> set[str]:
+        refs: set[str] = set()
+        for a in aggs:
+            if a.get("fieldName"):
+                refs.add(a["fieldName"])
+            if a.get("type") == "filtered":
+                inner = a.get("aggregator") or {}
+                if inner.get("fieldName"):
+                    refs.add(inner["fieldName"])
+                refs |= _filter_refs(a.get("filter"))
+        return refs
+
+    needed = set(dimensions) | _agg_field_refs(aggregations)
+    union_schema = None  # resolved lazily, only when a segment is missing a column
     done: list[str] = []
     for w in visible:
         if w.manifest.tombstone:
@@ -171,6 +186,24 @@ def materialize_aggs(
         if os.path.exists(path):
             continue
         seg = spark.read.parquet(w.manifest.path)
+        # evolving dimensions (Druid semantics, same as the raw-path
+        # mergeSchema read): a column ADDED in later segment versions is
+        # NULL for every row of an older segment — typed from the
+        # table-wide merged schema so state files stay union-readable.
+        # A column present in NO segment still fails analysis loudly.
+        missing = sorted(needed - set(seg.columns))
+        if missing:
+            if union_schema is None:
+                live = [m.path for m in manifests if not m.tombstone]
+                union_schema = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*live).schema
+                )
+            for c in missing:
+                if c in union_schema.names:
+                    seg = seg.withColumn(
+                        c, F.lit(None).cast(union_schema[c].dataType)
+                    )
         bucket = granularity_expr(granularity, F.col(time_column))
         rolled = group_aggregate(
             seg.withColumn("__time", bucket),

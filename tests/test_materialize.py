@@ -334,3 +334,45 @@ def test_theta_sketch_states_materialize_and_merge(spark, table):
     want = {(r["__time"], r["event_type"]): round(r["theta_users"], 6)
             for r in group_aggregate(raw, ["event_type"], aggs).collect()}
     assert got == want and len(got) == 6
+
+
+def test_evolving_dimension_materializes_as_null(spark, tmp_path):
+    """Druid evolving-dimension semantics (round-6 fix): a dimension
+    ADDED in later segments materializes as NULL for older segments —
+    matching the raw-path mergeSchema read — instead of failing
+    analysis. A column present in NO segment still fails loudly."""
+    from druid_hadoop_utils_spark import load
+    from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "evolve")
+    old = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 1, h), event_type="click", value=float(h))
+        for h in range(24)])
+    publish_segments(old, root, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    new = spark.createDataFrame([
+        Row(ts=datetime(2024, 1, 2, h), event_type="view", value=float(h),
+            region="eu") for h in range(24)])
+    publish_segments(new, root, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    aggs = [{"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    done = materialize_aggs(spark, root, "ev", "by_region",
+                            ["event_type", "region"], aggs)
+    assert len(done) == 2
+    got = {(r["__time"], r["event_type"], r["region"]): (r["n"], r["total"])
+           for r in query_materialized(spark, root, "ev", "by_region").collect()}
+    raw = load(spark, root,
+               {"granularity": "DAY", "dimensions": ["event_type", "region"],
+                "metrics": [{"name": "value", "type": "double"}]},
+               interval="2024-01-01/2024-02-01", data_source="ev")
+    want = {(r["__time"], r["event_type"], r["region"]): (r["n"], r["total"])
+            for r in group_aggregate(raw, ["event_type", "region"],
+                                     aggs).collect()}
+    assert got == want and len(got) == 2
+    assert any(k[2] is None for k in got)  # the old segment's NULL region
+
+    with pytest.raises(Exception, match="nowhere|cannot be resolved|UNRESOLVED"):
+        materialize_aggs(spark, root, "ev", "ghost",
+                         ["event_type", "no_such_col"], aggs)
