@@ -342,3 +342,39 @@ def test_dedup_keep_best_quality_and_singletons(spark):
     kept = sorted(r.id for r in dedup_keep_best(df, "id", pairs, "q").collect())
     # best quality 50 is tied between 2 and 3 -> min id 2 wins; 4 survives
     assert kept == [2, 4]
+
+
+def test_simhash_table_swar_bit_identical_to_naive(spark):
+    """The SWAR lane-packed bit sums (round 6) must be bit-identical to
+    the naive per-bit formulation in BOTH hash modes — including docs
+    longer than the 255-token lane capacity (block split exercised)."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{j}" for j in range(400)]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.choice([3, 50, 300, 700]))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode, bits in [("xxhash64", 64), ("md5_60", 60)]:
+        got = {r.doc_id: r.sig for r in D.simhash_table(
+            docs, "doc_id", bits=bits, hash_mode=mode).collect()}
+        toks = docs.select(
+            F.col("doc_id"), F.explode(D.tokens("text")).alias("t"))
+        h = (D.md5_60(F.col("t")) if mode == "md5_60"
+             else F.xxhash64("t", F.lit(7)))
+        naive_sums = [
+            F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)))
+            .alias(f"b{b}") for b in range(bits)
+        ]
+        agg = toks.groupBy("doc_id").agg(
+            F.count("*").alias("n"), *naive_sums)
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            mask = (1 << b) if b < 63 else -(1 << 63)
+            sig = sig + F.when(
+                F.col(f"b{b}") * 2 > F.col("n"), F.lit(mask)
+            ).otherwise(F.lit(0))
+        want = {r.doc_id: r.sig for r in
+                agg.select("doc_id", sig.alias("sig")).collect()}
+        assert got == want, mode
