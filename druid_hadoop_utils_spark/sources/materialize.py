@@ -212,7 +212,26 @@ def materialize_aggs(
             finalize=False,
             time_column="__time",
         )
-        rolled.write.mode("overwrite").parquet(path)
+        # atomic publish (same protocol as cache.py): write to a tmp dir
+        # and rename. A reader's os.path.exists(state) check then implies
+        # a COMPLETE state — never a half-written one — and a crashed
+        # writer leaves only a tmp dir (retried cleanly on the next
+        # call), instead of a partial dir that would be skipped as done
+        # forever. Concurrent materializers race benignly: the loser
+        # discards its tmp and keeps the winner's identical state.
+        import shutil
+
+        tmp = path + f".tmp-{os.getpid()}"
+        rolled.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(tmp)
+        else:
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(path):
+                    raise
         done.append(w.manifest.identifier)
     return done
 
@@ -304,6 +323,12 @@ def vacuum_materialized(
               for m in list_manifests(table_root, data_source)}
     gone = []
     for entry in os.listdir(mdir):
+        if ".parquet.tmp-" in entry:
+            # a crashed writer's staging dir (materialize_aggs publishes
+            # atomically via tmp+rename) — always reclaimable
+            shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
+            gone.append(entry)
+            continue
         if not entry.endswith(".parquet"):
             continue
         stem = entry[: -len(".parquet")]

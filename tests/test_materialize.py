@@ -376,3 +376,30 @@ def test_evolving_dimension_materializes_as_null(spark, tmp_path):
     with pytest.raises(Exception, match="nowhere|cannot be resolved|UNRESOLVED"):
         materialize_aggs(spark, root, "ev", "ghost",
                          ["event_type", "no_such_col"], aggs)
+
+
+def test_crashed_state_write_retries_cleanly(spark, table):
+    """Atomic state publish (round 6): a writer that died mid-write
+    leaves only a .tmp dir — the segment is NOT treated as covered, the
+    next materialize_aggs recomputes it for real, and vacuum reclaims
+    the orphan tmp."""
+    import os
+    import shutil
+
+    mdir = os.path.join(table, "ev", "_materialized", "daily")
+    done = materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
+    assert len(done) == 3
+    # simulate the crash: demote one state back to a tmp dir
+    states = sorted(e for e in os.listdir(mdir) if e.endswith(".parquet"))
+    victim = os.path.join(mdir, states[0])
+    shutil.move(victim, victim + ".tmp-9999")
+    with pytest.raises(FileNotFoundError, match="has no state"):
+        query_materialized(spark, table, "ev", "daily")
+    redone = materialize_aggs(spark, table, "ev", "daily",
+                              ["event_type"], AGGS)
+    assert len(redone) == 1  # only the crashed segment recomputes
+    got = _as_map(query_materialized(spark, table, "ev", "daily"))
+    assert got == _as_map(_direct(spark, table))
+    reclaimed = vacuum_materialized(table, "ev", "daily")
+    assert any(".tmp-9999" in g for g in reclaimed)
+    assert not any(".tmp-" in e for e in os.listdir(mdir))
