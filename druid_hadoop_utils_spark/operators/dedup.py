@@ -442,8 +442,13 @@ def simhash_table(
     measured a net LOSS (1.72→1.85 s)."""
     if hash_mode == "md5_60" and bits > 60:
         raise ValueError("md5_60 hash carries 60 bits; pass bits<=60")
+    # __rid: a unique per-INPUT-ROW key. The SWAR block below must bound
+    # tokens per block at 127, and __pos restarts at 0 for every source
+    # row — if the same id spans several rows, (id, pos div 127) alone
+    # would pool their tokens into one overflowing block.
     toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
+        F.monotonically_increasing_id().alias("__rid"),
         F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
     )
     if hash_mode == "md5_60":
@@ -459,12 +464,14 @@ def simhash_table(
         toks = toks.withColumn("__h", F.xxhash64("__tok", F.lit(seed)))
         lanes = 0x0101010101010101
         toks = toks.withColumn("__blk", F.expr("__pos div 127"))
+        # block key includes __rid so a block can NEVER exceed 127 tokens
+        # even when one id spans many input rows
         stripe_sums = [
             F.sum(F.shiftrightunsigned(F.col("__h"), i)
                   .bitwiseAND(F.lit(lanes))).alias(f"__s{i}")
             for i in range(8)
         ]
-        blocks = toks.groupBy("__id", "__blk").agg(
+        blocks = toks.groupBy("__id", "__rid", "__blk").agg(
             F.count("*").alias("__bc"), *stripe_sums)
         bit_sums = []
         for b in range(bits):

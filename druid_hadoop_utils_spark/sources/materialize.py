@@ -194,7 +194,11 @@ def materialize_aggs(
         missing = sorted(needed - set(seg.columns))
         if missing:
             if union_schema is None:
-                live = [m.path for m in manifests if not m.tombstone]
+                # VISIBLE windows only — an overshadowed old version may
+                # carry an incompatible dtype that the raw-path read
+                # (which also resolves visibility first) never touches
+                live = sorted({v.manifest.path for v in visible
+                               if not v.manifest.tombstone})
                 union_schema = (
                     spark.read.option("mergeSchema", "true")
                     .parquet(*live).schema
@@ -311,7 +315,12 @@ def vacuum_materialized(
     """Delete state files whose segment identifier is no longer listed in
     ANY manifest (vacuumed/killed segments) — overshadowed-but-listed
     segments keep their states (cheap, and a rollback via re-publish of
-    the old version would reuse them). Returns deleted identifiers."""
+    the old version would reuse them). Also reclaims crashed writers'
+    ``.parquet.tmp-<pid>`` staging dirs — but only when that pid is no
+    longer alive, so a vacuum can never yank a live materializer's
+    staging out from under it. Returns the deleted entries: bare segment
+    identifiers for vacuumed states, the full directory name for
+    reclaimed tmp dirs."""
     import shutil
 
     from druid_hadoop_utils_spark.sources.segments import _safe, list_manifests
@@ -324,10 +333,20 @@ def vacuum_materialized(
     gone = []
     for entry in os.listdir(mdir):
         if ".parquet.tmp-" in entry:
-            # a crashed writer's staging dir (materialize_aggs publishes
-            # atomically via tmp+rename) — always reclaimable
-            shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
-            gone.append(entry)
+            # a writer's staging dir (materialize_aggs publishes
+            # atomically via tmp+rename): reclaim only if the writing
+            # pid is dead — a live pid means a materializer is mid-write
+            try:
+                pid = int(entry.rsplit(".tmp-", 1)[1])
+                os.kill(pid, 0)
+                alive = True
+            except (ValueError, ProcessLookupError):
+                alive = False
+            except PermissionError:
+                alive = True
+            if not alive:
+                shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
+                gone.append(entry)
             continue
         if not entry.endswith(".parquet"):
             continue

@@ -355,6 +355,11 @@ def test_simhash_table_swar_bit_identical_to_naive(spark):
     rows = [(i, " ".join(rng.choice(words)
                          for _ in range(rng.choice([3, 50, 300, 700]))))
             for i in range(40)]
+    # same id across MULTIPLE input rows: the SWAR block key must bound
+    # per-block tokens even then (the round-6 review repro — 6×127
+    # tokens under one id overflowed the packed sum)
+    rows += [(99, " ".join(rng.choice(words) for _ in range(127)))
+             for _ in range(6)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     for mode, bits in [("xxhash64", 64), ("md5_60", 60)]:
         got = {r.doc_id: r.sig for r in D.simhash_table(

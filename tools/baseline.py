@@ -27,16 +27,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def build_baseline(spark, sf_dir: str = None) -> dict:
     """The plain-PySpark twin of each headline engine query, as a dict of
     name → thunk — importable so tools/pair_sweep.py can alternate
-    engine/plain in ONE session."""
-    global SF_DIR
-    if sf_dir is not None:
-        SF_DIR = sf_dir
+    engine/plain in ONE session. The data dir binds at BUILD time (a
+    local captured by the closures), so two builds at different scale
+    factors coexist without retargeting each other's thunks."""
+    sfd = sf_dir if sf_dir is not None else SF_DIR
 
     def events():
-        return spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return spark.read.parquet(f"{sfd}/events.parquet")
 
     def t(name):
-        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        return spark.read.parquet(f"{sfd}/{name}.parquet")
 
     # events.ts is parquet timestamp[us] → session-tz TimestampType
     ts = F.col("ts")
