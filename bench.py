@@ -83,6 +83,13 @@ HEADLINE = [
     # round 5: the heaviest of the derived-partsupp TPC-H five (6-table
     # join tree, one big-big shuffle on orderkey)
     "q_tpch_q9_product_type_profit",
+    # round 6: the read-acceleration layers (materialized-rollup rewrite
+    # through the native-query path; second call inside the same bench
+    # process serves the result cache) and the pre-sharding corpus
+    # shuffle (distributed prefix sum)
+    "q_api_materialized_require",
+    "q_cached_query",
+    "q_corpus_shuffle",
 ]
 
 # run each query three times and report the min: run-to-run variance on a
