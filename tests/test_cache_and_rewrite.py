@@ -457,3 +457,36 @@ def test_rewrite_random_query_sweep_never_wrong(spark, table):
         assert _rows(hit) == _rows(raw), f"rewrite answered WRONG for {q}"
         answered += 1
     assert answered >= 5 and refused >= 5  # sweep exercised both paths
+
+
+def test_compaction_invalidates_cache_and_states_lifecycle(spark, table):
+    """Cross-subsystem lifecycle: compaction (a) changes the timeline so
+    the cache recomputes and vacuum reclaims the stale entry, (b) leaves
+    the rewrite refusing (compacted segments have no states) but FALLING
+    BACK correctly, and (c) a materialize catch-up re-covers it."""
+    from druid_hadoop_utils_spark.sources.maintenance import compact_segments
+    from druid_hadoop_utils_spark.sources.materialize import RewriteMiss
+
+    q = _q()
+    before = _rows(cached_druid_query(spark, table, "ev", q))
+
+    compacted = compact_segments(spark, table, "ev",
+                                 "2024-01-01/2024-01-04", bucket="DAY")
+    assert len(compacted) == 3
+
+    # (b) rewrite refuses for the fresh segments, silent path stays right
+    with pytest.raises(RewriteMiss):
+        druid_query(spark, table, dict(q, context={"useMaterialized": "require"}))
+    assert _rows(druid_query(spark, table, q)) == before
+
+    # (a) cache recomputes under the new stamp; old entry reclaims
+    assert _rows(cached_druid_query(spark, table, "ev", q)) == before
+    stale = vacuum_result_cache(table, "ev")
+    assert len(stale) == 1
+
+    # (c) catch-up re-covers; require now answers, states only
+    materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS,
+                     granularity="DAY", time_column="__time")
+    hit = druid_query(spark, table, dict(q, context={"useMaterialized": "require"}))
+    assert _rows(hit) == before
+    assert all("_materialized" in f for f in hit.inputFiles())
