@@ -1630,6 +1630,7 @@ def _media_segment_table(spark, sf_dir: str) -> str:
     BinaryType content + struct metadata through the full
     publish → manifest → load path (VERDICT r5 stretch item 8). One
     deterministic day per media_id%3 gives three DAY segments."""
+    _prep(spark)
     root = _MEDIA_SEGMENT_CACHE.get(sf_dir)
     if root:
         return root
@@ -2398,7 +2399,10 @@ _SEGMENT_TABLE_CACHE: dict[str, str] = {}
 def _segment_table(spark, sf_dir: str) -> str:
     """Ingest the events table into a managed segment table once per
     process (tempdir), so battery queries can exercise the manifest +
-    overshadow read path."""
+    overshadow read path. ``_prep`` runs even on the cache-hit fast path:
+    the driver may hand a non-UTC session, and a query that skips the
+    ``_t`` load (root already built this process) must still repin."""
+    _prep(spark)
     root = _SEGMENT_TABLE_CACHE.get(sf_dir)
     if root:
         return root
@@ -2423,6 +2427,7 @@ _ZORDER_TABLE_CACHE: dict[str, str] = {}
 def _zorder_segment_table(spark, sf_dir: str) -> str:
     """Events published with Z-order clustering on (event_type, value) —
     proves the Morton layout through the full publish→load→query gate."""
+    _prep(spark)
     root = _ZORDER_TABLE_CACHE.get(sf_dir)
     if root:
         return root
@@ -2509,6 +2514,7 @@ def _materialized_table(spark, sf_dir: str) -> str:
 
 
 def _materialized_cache_get(spark, sf_dir: str) -> str:
+    _prep(spark)
     root = _MATERIALIZED_CACHE.get(sf_dir)
     if root:
         return root
@@ -2626,6 +2632,7 @@ def _mv_segment_table(spark, sf_dir: str) -> str:
     (SURVEY.md §7.4; reference DruidStorage.java:125-137 emits dimension
     values as bags). ``n`` is an ingest-time count metric (Druid count →
     longSum-at-query semantics)."""
+    _prep(spark)
     root = _MV_SEGMENT_TABLE_CACHE.get(sf_dir)
     if root:
         return root

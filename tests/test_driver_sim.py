@@ -25,6 +25,11 @@ TZ_SENSITIVE = [
     "q_scan_interval_project",
     "q_timeseries_zero_fill",
     "q_multi_interval",
+    # round 6: state-bucket interval filtering (materialized rewrite) and
+    # the cache's TIMESTAMP_MICROS-pinned parquet round-trip both lean on
+    # the UTC pin — guard them under a hostile session tz too
+    "q_api_materialized_require",
+    "q_cached_query",
 ]
 
 
