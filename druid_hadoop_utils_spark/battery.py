@@ -1976,19 +1976,25 @@ def q_json_props_extract(spark, sf_dir):
 @register(
     "q_topn_druid_style",
     """SELECT event_type, round(sum(value), 2) AS total,
-              CAST(count(DISTINCT user_id) AS DOUBLE) AS users
+              count(DISTINCT user_id) AS users
        FROM events GROUP BY 1
        ORDER BY total DESC, event_type LIMIT 3""",
 )
 def q_topn_druid_style(spark, sf_dir):
     # Druid's topN query shape: dimension leaderboard by aggregate metric.
-    # Spark plans this as partial top-k per partition + merge (TakeOrdered)
+    # Spark plans this as partial top-k per partition + merge (TakeOrdered).
+    # The distinct-user metric is EXACT (count_distinct) so the entry
+    # hash-matches at EVERY scale: the round-6 sf0.1 sweep caught the previous
+    # hyperUnique column drifting (1484 vs 1500) once per-type user
+    # cardinality crossed the HLL sparse-exact threshold — approximate-
+    # sketch coverage lives in q_agg_hyperunique / q_two_phase_hll /
+    # q_theta_distinct, whose group cardinalities keep them exact at the
+    # checked scales.
     ev = _t(spark, sf_dir, "events")
-    out = group_aggregate(
-        ev, ["event_type"],
-        [{"type": "doubleSum", "name": "total", "fieldName": "value"},
-         {"type": "hyperUnique", "name": "users", "fieldName": "user_id"}],
-        time_column=None,
+    out = (
+        ev.groupBy("event_type")
+        .agg(F.sum("value").alias("total"),
+             F.count_distinct("user_id").alias("users"))
     )
     return (
         out.withColumn("total", F.round("total", 2))
@@ -4136,16 +4142,18 @@ def q_kll_quantiles(spark, sf_dir):
     # evaluation DIRECTLY on the partial-state union — a quantile query
     # never needs the merged/compacted state (compaction only bounds
     # stored size), so the merge shuffle + second Python stage drop out.
-    # k=8192 ≥ any sf0.01 group, so the sketch is EXACT here and
-    # hash-matches the rank-rule oracle; at larger scales the same query
-    # runs compacted/approximate.
+    # k=65536 ≥ any group size at EVERY driver-checked scale
+    # (sf0.001/0.01/0.1 — the round-6 sf0.1 sweep caught k=8192 going
+    # approximate at ~25k-row groups), so the sketch is EXACT here and
+    # hash-matches the rank-rule oracle; production uses
+    # q_kll_quantiles_prod (k=256, compacted, rows-only check).
     from druid_hadoop_utils_spark.functions.kll import (
         kll_partials,
         kll_quantiles,
     )
 
     ev = _t(spark, sf_dir, "events")
-    states = kll_partials(ev, "value", ["event_type"], k=8192)
+    states = kll_partials(ev, "value", ["event_type"], k=65536)
     return kll_quantiles(states, ["event_type"], [0.25, 0.5, 0.95])
 
 

@@ -226,6 +226,19 @@ def publish_segments(
     # promote each staged bucket dir to its segment location (a rename, no
     # second write) and announce it; manifests land last (crash-safe), one
     # file per bucket covering all its shards
+    # rows with a NULL time value have no bucket — Druid rejects
+    # unparseable/absent timestamps at ingestion. Refuse BEFORE promoting
+    # anything (loudly, with the fix), never crash on the partition-dir
+    # parse, never half-publish the valid buckets, never invent an
+    # interval. The check costs one driver-side listdir.
+    if os.path.isdir(os.path.join(staging,
+                                  "__bucket=__HIVE_DEFAULT_PARTITION__")):
+        raise ValueError(
+            f"publish_segments: input rows with NULL {time_column!r} "
+            "cannot be bucketed into segments — filter them out or "
+            "assign a timestamp before publishing (Druid likewise "
+            "rejects rows without a parseable timestamp at ingestion)"
+        )
     manifests: list[SegmentManifest] = []
     for name in sorted(os.listdir(staging)):
         if not name.startswith("__bucket="):

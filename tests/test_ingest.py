@@ -163,3 +163,28 @@ def test_crashed_publish_leftover_staging_is_invisible_and_retryable(
                data_source="events")
     assert out.count() == before  # v2 overshadows v1 row-for-row
     assert out.agg(F.min("value")).collect()[0][0] >= 1000.0  # v2 rows
+
+
+def test_null_timestamp_rows_refused_loudly_before_any_promote(spark, tmp_path):
+    """Rows with NULL time have no bucket: publish must refuse with an
+    actionable message BEFORE any segment promotes (no half-publish) —
+    Druid likewise rejects rows without a parseable timestamp."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "nullts")
+    rows = [Row(ts=datetime(2024, 1, 1, h), v=float(h)) for h in range(5)]
+    rows.append(Row(ts=None, v=99.0))
+    with pytest.raises(ValueError, match="NULL 'ts'"):
+        publish_segments(spark.createDataFrame(rows), root, "ev",
+                         version="v1", time_column="ts", bucket="DAY")
+    from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+    with pytest.raises(FileNotFoundError):  # nothing half-published:
+        list_manifests(root, "ev")          # no manifest dir even exists
+    # the fix the message names works
+    good = spark.createDataFrame(rows).where(F.col("ts").isNotNull())
+    ms = publish_segments(good, root, "ev", version="v1",
+                          time_column="ts", bucket="DAY")
+    assert len(ms) == 1
