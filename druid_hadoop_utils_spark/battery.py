@@ -1786,12 +1786,12 @@ def q_text_langid(spark, sf_dir):
 @register(
     "q_similarity_topk",
     """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-              round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos_sim
+              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
        FROM embeddings q, embeddings e
        WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
        QUALIFY row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5""",
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5""",
 )
 def q_similarity_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1803,10 +1803,10 @@ def q_similarity_topk(spark, sf_dir):
 @register(
     "q_embedding_neardup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
        FROM embeddings a, embeddings b
        WHERE a.vec_id < b.vec_id
-         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
 )
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1815,12 +1815,12 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 _BRUTE_TOPK_SQL = """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-              round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos_sim
+              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
        FROM embeddings q, embeddings e
        WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
        QUALIFY row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5"""
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"""
 
 
 # bits=2/tables=32 drives per-neighbor miss probability to (1-p^2)^32
@@ -4400,7 +4400,7 @@ def q_stickiness(spark, sf_dir):
          FROM bm),
        cos AS (
          SELECT e.vec_id AS doc_id,
-                round(list_cosine_similarity(q.embedding, e.embedding), 6) AS c
+                round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS c
          FROM embeddings e, embeddings q
          WHERE q.vec_id = 0 AND e.vec_id != 0
          ORDER BY c DESC, doc_id LIMIT 50),
