@@ -40,6 +40,18 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def _tmp_table_root(prefix: str) -> str:
+    """mkdtemp + atexit rmtree (ADVICE r6): battery temp table roots are
+    cached per-process and must not accumulate in /tmp across runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _prep(spark: SparkSession) -> None:
     # the driver may hand us a session without our session.py defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1634,14 +1646,13 @@ def _media_segment_table(spark, sf_dir: str) -> str:
     root = _MEDIA_SEGMENT_CACHE.get(sf_dir)
     if root:
         return root
-    import tempfile
 
     from druid_hadoop_utils_spark.operators.multimodal import (
         synthetic_media_df,
     )
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
-    root = tempfile.mkdtemp(prefix="media_battery_")
+    root = _tmp_table_root("media_battery_")
     media = synthetic_media_df(spark).withColumn(
         "ts",
         F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
@@ -2412,11 +2423,10 @@ def _segment_table(spark, sf_dir: str) -> str:
     root = _SEGMENT_TABLE_CACHE.get(sf_dir)
     if root:
         return root
-    import tempfile
 
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
-    root = tempfile.mkdtemp(prefix="seg_battery_")
+    root = _tmp_table_root("seg_battery_")
     ev = _t(spark, sf_dir, "events")
     publish_segments(
         ev.select("ts", "event_type", "value", "user_id"),
@@ -2437,11 +2447,10 @@ def _zorder_segment_table(spark, sf_dir: str) -> str:
     root = _ZORDER_TABLE_CACHE.get(sf_dir)
     if root:
         return root
-    import tempfile
 
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
-    root = tempfile.mkdtemp(prefix="zorder_battery_")
+    root = _tmp_table_root("zorder_battery_")
     ev = _t(spark, sf_dir, "events")
     publish_segments(
         ev.select("ts", "event_type", "value", "user_id"),
@@ -2642,11 +2651,10 @@ def _mv_segment_table(spark, sf_dir: str) -> str:
     root = _MV_SEGMENT_TABLE_CACHE.get(sf_dir)
     if root:
         return root
-    import tempfile
 
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
-    root = tempfile.mkdtemp(prefix="seg_battery_mv_")
+    root = _tmp_table_root("seg_battery_mv_")
     ev = _t(spark, sf_dir, "events")
     mv = ev.select(
         "ts",
@@ -4434,11 +4442,10 @@ def _union_segment_table(spark, sf_dir: str) -> str:
     root = _UNION_TABLE_CACHE.get(sf_dir)
     if root:
         return root
-    import tempfile
 
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
-    root = tempfile.mkdtemp(prefix="union_battery_")
+    root = _tmp_table_root("union_battery_")
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value", "user_id")
     for name, pred in [("events_even", F.col("user_id") % 2 == 0),
                        ("events_odd", F.col("user_id") % 2 == 1)]:

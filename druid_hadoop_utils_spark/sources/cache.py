@@ -132,7 +132,11 @@ def cached_druid_query(
                                             if k != "context"}}
         meta_path = os.path.join(table_root, ds, CACHE_DIR, key, "query.json")
         if not os.path.exists(meta_path):
-            mtmp = meta_path + ".tmp"
+            # pid-suffixed tmp (ADVICE r6): a shared tmp name lets two
+            # concurrent fillers truncate each other mid-write and
+            # publish a short query.json — per-writer names keep every
+            # os.replace source fully written by its own writer
+            mtmp = meta_path + f".tmp-{os.getpid()}"
             with open(mtmp, "w") as f:
                 json.dump(meta, f, indent=2, default=str)
             os.replace(mtmp, meta_path)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -310,7 +311,8 @@ def query_materialized(
 
 
 def vacuum_materialized(
-    table_root: str, data_source: str, name: str
+    table_root: str, data_source: str, name: str,
+    tmp_min_age_s: float = 6 * 3600,
 ) -> list[str]:
     """Delete state files whose segment identifier is no longer listed in
     ANY manifest (vacuumed/killed segments) — overshadowed-but-listed
@@ -335,7 +337,11 @@ def vacuum_materialized(
         if ".parquet.tmp-" in entry:
             # a writer's staging dir (materialize_aggs publishes
             # atomically via tmp+rename): reclaim only if the writing
-            # pid is dead — a live pid means a materializer is mid-write
+            # pid is dead AND the dir has gone stale. The pid probe is
+            # SAME-HOST only — on shared storage a live materializer on
+            # another host would look dead (and pid reuse would look
+            # alive) — so an mtime-age floor (default 6 h, override via
+            # tmp_min_age_s) gates reclamation regardless of the probe.
             try:
                 pid = int(entry.rsplit(".tmp-", 1)[1])
                 os.kill(pid, 0)
@@ -344,7 +350,11 @@ def vacuum_materialized(
                 alive = False
             except PermissionError:
                 alive = True
-            if not alive:
+            try:
+                age = time.time() - os.path.getmtime(os.path.join(mdir, entry))
+            except OSError:
+                age = 0.0
+            if not alive and age >= tmp_min_age_s:
                 shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
                 gone.append(entry)
             continue
@@ -643,13 +653,15 @@ def rewrite_groupby_from_states(
             m["name"] = agg_out_name(qa)
             merged.append(m)
         from druid_hadoop_utils_spark.functions.aggregators import (
+            finalize_sketch_columns,
             post_agg_expr,
             sketch_post_agg_refs,
         )
 
+        refs = sketch_post_agg_refs(post_aggregations)
         out = group_aggregate(
             states, q_dims, merged, finalize=True, time_column="__time",
-            no_finalize=sketch_post_agg_refs(post_aggregations),
+            no_finalize=refs,
         )
         # schema parity with the raw-scan path: count re-merges as a SUM
         # of stored counts (nullable), but raw count(*) is non-nullable —
@@ -669,5 +681,9 @@ def rewrite_groupby_from_states(
             out = out.select(
                 "*", *[post_agg_expr(p) for p in post_aggregations]
             )
+        # the broker step, mirroring the raw path (api.py): sketch
+        # columns the post-aggs consumed as raw state re-finalize to
+        # their double estimates in the response
+        out = finalize_sketch_columns(out, merged, refs)
         return out
     return miss("; ".join(reasons) if reasons else "no candidate specs")

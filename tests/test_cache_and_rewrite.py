@@ -248,6 +248,33 @@ def test_rewrite_post_agg_over_count_schema_parity(spark, table):
     assert hit.schema == raw.schema
 
 
+def test_rewrite_sketch_post_agg_finalizes(spark, table):
+    """ADVICE r6 high: a sketch aggregator consumed by a post-agg
+    (hyperUniqueCardinality) must come back FINALIZED (double estimate)
+    on the rewrite path exactly as on the raw path — not as raw binary
+    HLL state."""
+    aggs = AGGS + [
+        {"type": "hyperUnique", "name": "u", "fieldName": "user_id"}
+    ]
+    materialize_aggs(spark, table, "ev", "daily_hll", ["event_type"],
+                     aggs, granularity="DAY", time_column="__time")
+    q = _q(
+        aggregations=aggs,
+        postAggregations=[{
+            "type": "arithmetic", "name": "per_user", "fn": "/",
+            "fields": [
+                {"type": "fieldAccess", "fieldName": "n"},
+                {"type": "hyperUniqueCardinality", "fieldName": "u"},
+            ],
+        }],
+    )
+    hit = druid_query(spark, table, dict(q, context={"useMaterialized": "require"}))
+    raw = druid_query(spark, table, dict(q, context={"useMaterialized": False}))
+    assert dict(hit.dtypes)["u"] == "double"
+    assert hit.schema == raw.schema
+    assert _rows(hit) == _rows(raw)
+
+
 # ---------------------------------------------------------------- cache
 
 
