@@ -363,12 +363,12 @@ def druid_query(
             u_ivs = _pi(q.get("intervals") or q.get("interval")
                         or ["0001-01-01T00:00:00/9999-12-31T00:00:00"])
             span = _Iv(u_ivs[0].start, u_ivs[-1].end)
-            import os as _os
-
+            from druid_hadoop_utils_spark.sources.fs import get_fs
             from druid_hadoop_utils_spark.sources.segments import MANIFEST_DIR
 
-            missing = [n for n in names if not _os.path.isdir(
-                _os.path.join(source, n, MANIFEST_DIR))]
+            _fs = get_fs(source)
+            missing = [n for n in names if not _fs.isdir(
+                _fs.join(source, n, MANIFEST_DIR))]
             if missing:
                 # a member that was never created is a query error (a
                 # typo'd name must not silently contribute nothing)

@@ -542,20 +542,23 @@ def train_ann_index(
 
 
 def save_ann_index(index: dict, path: str) -> str:
-    """Persist an ANN index artifact as JSON (atomic rename, so a crashed
-    writer never leaves a truncated artifact beside live segments)."""
+    """Persist an ANN index artifact as JSON through the filesystem
+    seam's atomic put (sources/fs.py) — a crashed writer never leaves a
+    truncated artifact beside live segments, on POSIX or object-store
+    roots alike."""
     import json
     import os
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
 
     doc = dict(index)
     doc["centroids"] = np.asarray(index["centroids"]).tolist()
     if index.get("codebooks") is not None:
         doc["codebooks"] = np.asarray(index["codebooks"]).tolist()
-    tmp = f"{path}.tmp-{os.getpid()}"
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, path)
+    fs = get_fs(path)
+    if "://" not in path:
+        path = os.path.abspath(path)
+    fs.put_text(path, json.dumps(doc))
     return path
 
 
@@ -565,8 +568,9 @@ def load_ann_index(path: str, expect_corpus_version: str | None = None) -> dict:
     retrains instead of silently querying a stale quantizer."""
     import json
 
-    with open(path) as f:
-        doc = json.load(f)
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    doc = json.loads(get_fs(path).read_text(path))
     if doc.get("format") != ANN_INDEX_FORMAT:
         raise ValueError(
             f"load_ann_index: unsupported artifact format {doc.get('format')!r} "

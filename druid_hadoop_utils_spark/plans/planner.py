@@ -164,7 +164,10 @@ def load(
         df = source
     else:
         ds = data_source or spec.data_source
-        if ds and os.path.isdir(os.path.join(source, ds, MANIFEST_DIR)):
+        from druid_hadoop_utils_spark.sources.fs import get_fs
+
+        _fs = get_fs(source)
+        if ds and _fs.isdir(_fs.join(source, ds, MANIFEST_DIR)):
             if not ivs:
                 raise ValueError("an interval is required for segment-table loads")
             try:

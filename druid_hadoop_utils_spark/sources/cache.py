@@ -42,7 +42,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -94,53 +93,49 @@ def cached_druid_query(
             "query/union dataSources compose ABOVE the cache (cache the "
             "members)"
         )
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        publish_parquet_dir,
+        remove_published_dir,
+        resolve_parquet_dir,
+    )
+
+    fs = get_fs(table_root)
     key = query_cache_key(q, ds)
     version = timeline_version(table_root, ds)
     entry = _entry_dir(table_root, ds, key, version)
-    marker = os.path.join(entry, "_SUCCESS")
-    if refresh and os.path.isdir(entry):
-        shutil.rmtree(entry)
-    if not os.path.exists(marker):
+    if refresh:
+        remove_published_dir(fs, entry)
+    if resolve_parquet_dir(fs, entry) is None:
         result = druid_query(spark, table_root, q, data_source=ds,
                              time_column=time_column)
-        tmp = entry + f".tmp-{os.getpid()}"
         conf = spark.conf
         prev = conf.get("spark.sql.parquet.outputTimestampType", None)
-        try:
-            conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-            result.write.mode("overwrite").parquet(tmp)
-        finally:
-            if prev is None:
-                conf.unset("spark.sql.parquet.outputTimestampType")
-            else:
-                conf.set("spark.sql.parquet.outputTimestampType", prev)
-        os.makedirs(os.path.dirname(entry), exist_ok=True)
-        if os.path.isdir(entry):  # concurrent filler won the race — keep it
-            shutil.rmtree(tmp)
-        else:
+
+        def _write(url: str) -> None:
             try:
-                os.replace(tmp, entry)
-            except OSError:
-                # A concurrent filler published `entry` between the isdir
-                # check and the rename (ENOTEMPTY/EEXIST). Both fillers
-                # computed the same (key, timeline) result — keep the
-                # winner's entry, discard ours, read theirs below.
-                shutil.rmtree(tmp, ignore_errors=True)
-                if not os.path.exists(marker):
-                    raise
+                conf.set("spark.sql.parquet.outputTimestampType",
+                         "TIMESTAMP_MICROS")
+                result.write.mode("overwrite").parquet(url)
+            finally:
+                if prev is None:
+                    conf.unset("spark.sql.parquet.outputTimestampType")
+                else:
+                    conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+        fs.mkdirs(fs.parent(entry))
+        # the publish protocol (fs.py) handles the concurrent-filler
+        # race on both backend families: rename backends keep the
+        # winner's entry and discard the loser's tmp (both computed the
+        # same (key, timeline) result); pointer backends are
+        # last-writer-wins over two complete identical dirs.
+        publish_parquet_dir(fs, _write, entry)
         meta = {"dataSource": ds, "query": {k: v for k, v in q.items()
                                             if k != "context"}}
-        meta_path = os.path.join(table_root, ds, CACHE_DIR, key, "query.json")
-        if not os.path.exists(meta_path):
-            # pid-suffixed tmp (ADVICE r6): a shared tmp name lets two
-            # concurrent fillers truncate each other mid-write and
-            # publish a short query.json — per-writer names keep every
-            # os.replace source fully written by its own writer
-            mtmp = meta_path + f".tmp-{os.getpid()}"
-            with open(mtmp, "w") as f:
-                json.dump(meta, f, indent=2, default=str)
-            os.replace(mtmp, meta_path)
-    return spark.read.parquet(entry)
+        meta_path = fs.join(table_root, ds, CACHE_DIR, key, "query.json")
+        if not fs.exists(meta_path):
+            fs.put_text(meta_path, json.dumps(meta, indent=2, default=str))
+    return spark.read.parquet(fs.spark_url(resolve_parquet_dir(fs, entry)))
 
 
 def vacuum_result_cache(
@@ -150,20 +145,41 @@ def vacuum_result_cache(
     CURRENT timeline (superseded by later publishes) — the reclamation
     half of the lifecycle, same contract as ``vacuum_materialized``.
     Returns the removed (or would-remove) entry paths."""
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        published_entries,
+        remove_published_dir,
+    )
+
+    fs = get_fs(table_root)
     current = timeline_version(table_root, data_source)
-    root = os.path.join(table_root, data_source, CACHE_DIR)
+    root = fs.join(table_root, data_source, CACHE_DIR)
     removed: list[str] = []
-    if not os.path.isdir(root):
-        return removed
-    for key in sorted(os.listdir(root)):
-        kdir = os.path.join(root, key)
-        if not os.path.isdir(kdir):
+    for key in fs.ls(root):
+        kdir = fs.join(root, key)
+        if not fs.isdir(kdir):
             continue
-        for version in sorted(os.listdir(kdir)):
-            vdir = os.path.join(kdir, version)
-            if not os.path.isdir(vdir) or version == current:
+        committed = published_entries(fs, kdir)
+        kept_targets = {fs.name(p) for v, p in committed.items()
+                        if v == current}
+        for version in sorted(committed):
+            if version == current:
                 continue
-            removed.append(vdir)
+            removed.append(fs.join(kdir, version))
             if not dry_run:
-                shutil.rmtree(vdir)
+                remove_published_dir(fs, fs.join(kdir, version))
+        if not fs.atomic_dir_rename:
+            # pointer backends: unreferenced token dirs (race losers,
+            # crashed fillers) for NON-current versions — a live filler
+            # of the current version keeps its in-flight dir
+            for n in fs.ls(kdir):
+                p = fs.join(kdir, n)
+                if not fs.isdir(p) or n in kept_targets:
+                    continue
+                logical = n.rsplit(".", 1)[0] if "." in n else n
+                if logical == current or logical in committed:
+                    continue
+                removed.append(p)
+                if not dry_run:
+                    fs.delete_dir(p)
     return removed

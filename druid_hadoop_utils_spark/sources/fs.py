@@ -1,0 +1,552 @@
+"""Pluggable filesystem seam for the managed-table METADATA lifecycle.
+
+Everything the engine persists beside the data — segment manifests
+(``_segments/*.json``), materialized rollup states (``_materialized/``),
+the result cache (``_cache/``), ANN index artifacts — went through
+driver-local POSIX calls (``os.listdir``/``open``/``os.replace``) before
+round 7. Data I/O always rode Spark's Hadoop filesystem layer (any URI
+works), but a ``table_root`` of ``s3://…`` or ``hdfs://…`` broke the
+managed lifecycle. The reference was HDFS-native throughout: its schema
+files resolve HDFS-first (DruidStorage.java:267-282) and segments load
+from HDFS per the descriptor.json loadSpec — this module is that
+capability re-expressed for the Spark engine.
+
+Design:
+
+- ``get_fs(path)`` maps a path/URI to a :class:`MetaFS` via a scheme
+  registry. Plain paths and ``file://`` get :class:`LocalMetaFS`
+  (pure ``os``, byte-identical behavior to the pre-seam code).
+  ``objectsim://`` gets a LOCAL-DISK-BACKED simulation of an object
+  store — same list/read/put/delete surface, but **directory rename is
+  forbidden** (``atomic_dir_rename = False``), exactly the property
+  that makes S3/GCS different. Unknown schemes fall through to
+  ``pyarrow.fs.FileSystem.from_uri`` (S3/GCS/HDFS/Azure), with
+  ``atomic_dir_rename`` False except for HDFS-like backends.
+
+- **Atomicity contract per backend** (NOTES.md):
+
+  * single METADATA FILES (manifests, spec.json, query.json, ANN
+    artifacts) publish via :meth:`MetaFS.put_text`. Rename backends:
+    write-tmp + rename. Object stores: a PUT is atomic per object
+    (readers see the old object or the new one, never a partial), so
+    the write IS the publish — no rename needed, no assumption made.
+
+  * PARQUET DIRECTORIES (states, cache entries) publish via
+    :func:`publish_parquet_dir`. Rename backends: write tmp dir,
+    ``rename`` — unchanged. No-rename backends use a POINTER protocol:
+    the writer writes a COMPLETE dir under a unique token name
+    (``<dest>.<token>/``), then atomically PUTs a tiny pointer object
+    (``<dest>.ptr.json``) naming it. Readers resolve through the
+    pointer, so they only ever see complete directories. Two
+    concurrent fillers both write complete, identical-content dirs;
+    whichever pointer PUT lands last wins and the loser's dir becomes
+    unreferenced garbage that ``vacuum_*`` reclaims (age-gated). This
+    needs NO rename and NO conditional-put — plain last-writer-wins
+    PUT is enough because both candidate targets are complete.
+
+  * SEGMENT DATA publishes are already object-store-safe by
+    construction: ``write_segment`` writes the parquet dir directly
+    and the manifest PUT — a single object — is the commit.
+    ``publish_segments`` promotes staged bucket dirs by rename where
+    the backend has it, by per-file copy (server-side on real object
+    stores) where it doesn't; manifests still land last either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import shutil
+import uuid
+
+#: suffix of the pointer object in the no-rename directory-publish protocol
+PTR_SUFFIX = ".ptr.json"
+
+
+class MetaFS:
+    """Minimal filesystem surface the metadata lifecycle needs.
+
+    All methods take full paths in the TABLE-ROOT namespace (including
+    the scheme prefix when there is one). ``spark_url`` translates such
+    a path into the URI the Spark JVM reads/writes the same bytes at.
+    """
+
+    #: directory rename is atomic and cheap (POSIX, HDFS). When False,
+    #: callers must use the pointer protocol for directory publishes.
+    atomic_dir_rename: bool = True
+
+    # --- path math -----------------------------------------------------
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*parts)
+
+    def parent(self, path: str) -> str:
+        return posixpath.dirname(path)
+
+    def name(self, path: str) -> str:
+        return posixpath.basename(path)
+
+    def spark_url(self, path: str) -> str:
+        """URI for the JVM side (identity on local filesystems)."""
+        raise NotImplementedError
+
+    # --- queries -------------------------------------------------------
+    def ls(self, path: str) -> list[str]:
+        """Sorted child NAMES of a directory; [] if it doesn't exist."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def list_files(self, path: str, suffix: str = "",
+                   recursive: bool = False) -> list[tuple[str, int]]:
+        """(path, size) for plain files under ``path``."""
+        raise NotImplementedError
+
+    # --- mutations -----------------------------------------------------
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def put_text(self, path: str, text: str) -> None:
+        """ATOMIC single-object publish (see module docstring)."""
+        raise NotImplementedError
+
+    def delete_file(self, path: str) -> None:
+        """Remove one file; missing is not an error."""
+        raise NotImplementedError
+
+    def delete_dir(self, path: str) -> None:
+        """Recursive remove; missing is not an error."""
+        raise NotImplementedError
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        """Atomic directory move. Only valid when ``atomic_dir_rename``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no atomic directory rename — "
+            "use copy_tree / the pointer protocol"
+        )
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Per-file copy of a directory tree (promotion fallback on
+        no-rename backends; server-side copy on real object stores)."""
+        raise NotImplementedError
+
+
+class LocalMetaFS(MetaFS):
+    """Plain POSIX — byte-identical behavior to the pre-seam code."""
+
+    atomic_dir_rename = True
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def parent(self, path: str) -> str:
+        return os.path.dirname(path)
+
+    def name(self, path: str) -> str:
+        return os.path.basename(path)
+
+    def spark_url(self, path: str) -> str:
+        return path
+
+    def ls(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def list_files(self, path, suffix="", recursive=False):
+        out = []
+        if recursive:
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(suffix):
+                        p = os.path.join(root, f)
+                        out.append((p, os.path.getsize(p)))
+        else:
+            for f in self.ls(path):
+                p = os.path.join(path, f)
+                if f.endswith(suffix) and os.path.isfile(p):
+                    out.append((p, os.path.getsize(p)))
+        return sorted(out)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_text(self, path: str, text: str) -> None:
+        self.mkdirs(os.path.dirname(path))
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def delete_file(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def delete_dir(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+
+
+class ObjectStoreSimFS(MetaFS):
+    """Local-disk-backed SIMULATION of an object store.
+
+    ``objectsim:///abs/path`` stores bytes at ``/abs/path`` (so the
+    Spark JVM reads/writes them through ``file://``), but the metadata
+    surface behaves like S3/GCS: **no directory rename** — callers that
+    assume one get a loud ``NotImplementedError`` — and ``put_text`` is
+    an atomic whole-object PUT. The lifecycle test suite runs the full
+    publish → overshadow → load → compact → cache flow through this
+    class, proving no code path still assumes rename atomicity.
+    """
+
+    SCHEME = "objectsim://"
+    atomic_dir_rename = False
+
+    def _local(self, path: str) -> str:
+        if path.startswith(self.SCHEME):
+            return path[len(self.SCHEME) - 1:] \
+                if path[len(self.SCHEME):].startswith("/") \
+                else "/" + path[len(self.SCHEME):]
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        return path
+
+    def spark_url(self, path: str) -> str:
+        return "file://" + self._local(path)
+
+    def ls(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(self._local(path)))
+        except FileNotFoundError:
+            return []
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._local(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._local(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._local(path))
+
+    def list_files(self, path, suffix="", recursive=False):
+        return LocalMetaFS().list_files(self._local(path), suffix, recursive)
+
+    def mkdirs(self, path: str) -> None:
+        # object stores have no directories; creating parents is a no-op
+        # that must nevertheless leave Spark able to write under the
+        # prefix — locally that means the dirs must exist
+        os.makedirs(self._local(path), exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with open(self._local(path)) as f:
+            return f.read()
+
+    def put_text(self, path: str, text: str) -> None:
+        # simulates one atomic PUT: the object appears whole or not at
+        # all (locally: hidden side-file + replace — the replace is the
+        # SIMULATION of PUT atomicity, not a protocol the engine relies
+        # on; engine code never calls rename on this class)
+        local = self._local(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = f"{local}.__put-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, local)
+
+    def delete_file(self, path: str) -> None:
+        try:
+            os.remove(self._local(path))
+        except FileNotFoundError:
+            pass
+
+    def delete_dir(self, path: str) -> None:
+        shutil.rmtree(self._local(path), ignore_errors=True)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        shutil.copytree(self._local(src), self._local(dst),
+                        dirs_exist_ok=True)
+
+
+class ArrowMetaFS(MetaFS):
+    """Real remote filesystems via ``pyarrow.fs.FileSystem.from_uri``
+    (S3, GCS, HDFS, Azure). ``atomic_dir_rename`` is True only for
+    HDFS-like backends; object stores take the pointer/copy protocols.
+
+    Untestable in this environment (no cluster, no credentials), but it
+    shares every protocol decision with :class:`ObjectStoreSimFS`, which
+    the lifecycle suite DOES exercise — the only untested surface is the
+    pyarrow call mapping below.
+    """
+
+    #: spark scheme translation (s3 reads via the s3a Hadoop connector)
+    _SPARK_SCHEME = {"s3": "s3a", "gs": "gs", "hdfs": "hdfs", "abfs": "abfs"}
+
+    def __init__(self, uri: str):
+        from pyarrow import fs as pafs
+
+        self._fs, self._base = pafs.FileSystem.from_uri(uri)
+        self._scheme = uri.split("://", 1)[0]
+        self.atomic_dir_rename = self._scheme in ("hdfs", "viewfs")
+
+    def _p(self, path: str) -> str:
+        return path.split("://", 1)[1] if "://" in path else path
+
+    def spark_url(self, path: str) -> str:
+        scheme = self._SPARK_SCHEME.get(self._scheme, self._scheme)
+        return f"{scheme}://{self._p(path)}"
+
+    def ls(self, path: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        try:
+            sel = pafs.FileSelector(self._p(path), recursive=False)
+            infos = self._fs.get_file_info(sel)
+        except FileNotFoundError:
+            return []
+        return sorted(i.base_name for i in infos)
+
+    def _info(self, path: str):
+        return self._fs.get_file_info(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type != pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type == pafs.FileType.Directory
+
+    def mtime(self, path: str) -> float:
+        mt = self._info(path).mtime
+        return mt.timestamp() if mt is not None else 0.0
+
+    def list_files(self, path, suffix="", recursive=False):
+        from pyarrow import fs as pafs
+
+        try:
+            sel = pafs.FileSelector(self._p(path), recursive=recursive)
+            infos = self._fs.get_file_info(sel)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            (f"{self._scheme}://{i.path}", i.size or 0)
+            for i in infos
+            if i.type == pafs.FileType.File and i.base_name.endswith(suffix)
+        )
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.create_dir(self._p(path), recursive=True)
+
+    def read_text(self, path: str) -> str:
+        with self._fs.open_input_stream(self._p(path)) as f:
+            return f.read().decode()
+
+    def put_text(self, path: str, text: str) -> None:
+        # object stores: the PUT (close of the output stream) is atomic
+        # per object. HDFS: create is not atomic — write a side file and
+        # rename, same as LocalMetaFS.
+        if self.atomic_dir_rename:
+            tmp = f"{self._p(path)}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with self._fs.open_output_stream(tmp) as f:
+                f.write(text.encode())
+            self._fs.move(tmp, self._p(path))
+        else:
+            with self._fs.open_output_stream(self._p(path)) as f:
+                f.write(text.encode())
+
+    def delete_file(self, path: str) -> None:
+        try:
+            self._fs.delete_file(self._p(path))
+        except FileNotFoundError:
+            pass
+
+    def delete_dir(self, path: str) -> None:
+        try:
+            self._fs.delete_dir(self._p(path))
+        except FileNotFoundError:
+            pass
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        if not self.atomic_dir_rename:
+            raise NotImplementedError(
+                f"{self._scheme} has no atomic directory rename"
+            )
+        self._fs.move(self._p(src), self._p(dst))
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        from pyarrow import fs as pafs
+
+        sp, dp = self._p(src), self._p(dst)
+        self._fs.create_dir(dp, recursive=True)
+        sel = pafs.FileSelector(sp, recursive=True)
+        for info in self._fs.get_file_info(sel):
+            if info.type != pafs.FileType.File:
+                continue
+            rel = info.path[len(sp):].lstrip("/")
+            tgt = f"{dp}/{rel}"
+            parent = tgt.rsplit("/", 1)[0]
+            self._fs.create_dir(parent, recursive=True)
+            # server-side copy where the backend supports it
+            self._fs.copy_file(info.path, tgt)
+
+
+_REGISTRY: dict[str, type | None] = {}
+_CACHE: dict[str, MetaFS] = {}
+
+
+def register_fs_scheme(scheme: str, cls) -> None:
+    """Plug in a MetaFS class for ``scheme://`` roots (tests, custom
+    backends)."""
+    _REGISTRY[scheme] = cls
+
+
+def get_fs(path: str) -> MetaFS:
+    """MetaFS for a table root / metadata path, by scheme."""
+    if "://" not in path:
+        return _local
+    scheme = path.split("://", 1)[0]
+    if scheme == "file":
+        return _local
+    if scheme == "objectsim":
+        return _objectsim
+    if scheme in _REGISTRY:
+        cls = _REGISTRY[scheme]
+        key = scheme
+        if key not in _CACHE:
+            _CACHE[key] = cls()
+        return _CACHE[key]
+    # real remote roots: one ArrowMetaFS per scheme+authority
+    key = path.split("://", 1)[0] + "://" + path.split("://", 1)[1].split("/", 1)[0]
+    if key not in _CACHE:
+        _CACHE[key] = ArrowMetaFS(path)
+    return _CACHE[key]
+
+
+_local = LocalMetaFS()
+_objectsim = ObjectStoreSimFS()
+
+
+# ------------------------------------------------- directory publish protocol
+
+
+def publish_parquet_dir(fs: MetaFS, write_fn, dest: str) -> str:
+    """Publish a Spark-written parquet directory at logical path ``dest``
+    such that a reader either resolves a COMPLETE directory or nothing.
+
+    ``write_fn(spark_url)`` must leave a complete parquet dir at the
+    given physical location (e.g. ``df.write.parquet``). Returns the
+    physical path (in table-root namespace) the data landed at.
+
+    Rename backends: tmp dir + atomic rename onto ``dest`` (a concurrent
+    filler that already published wins; our tmp is discarded — both
+    results are identical by construction, same semantics the local
+    cache/materialize publishes had before the seam).
+
+    No-rename backends: pointer protocol (module docstring)."""
+    if fs.atomic_dir_rename:
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        write_fn(fs.spark_url(tmp))
+        if fs.isdir(dest):
+            fs.delete_dir(tmp)
+        else:
+            try:
+                fs.rename_dir(tmp, dest)
+            except OSError:
+                fs.delete_dir(tmp)
+                if not fs.isdir(dest):
+                    raise
+        return dest
+    token = uuid.uuid4().hex[:12]
+    data = f"{dest}.{token}"
+    write_fn(fs.spark_url(data))
+    fs.put_text(dest + PTR_SUFFIX,
+                json.dumps({"dir": fs.name(data)}))
+    return data
+
+
+def resolve_parquet_dir(fs: MetaFS, dest: str) -> str | None:
+    """Physical path of the committed directory published at logical
+    ``dest``, or None if nothing committed. The returned path is in
+    table-root namespace — pass through ``fs.spark_url`` for the JVM."""
+    if fs.atomic_dir_rename:
+        return dest if fs.isdir(dest) else None
+    ptr = dest + PTR_SUFFIX
+    if not fs.exists(ptr):
+        return None
+    name = json.loads(fs.read_text(ptr))["dir"]
+    return fs.join(fs.parent(dest), name)
+
+
+def remove_published_dir(fs: MetaFS, dest: str) -> None:
+    """Unpublish + reclaim a directory published at logical ``dest``
+    (pointer first, so readers stop resolving before bytes vanish)."""
+    if fs.atomic_dir_rename:
+        fs.delete_dir(dest)
+        return
+    ptr = dest + PTR_SUFFIX
+    target = resolve_parquet_dir(fs, dest)
+    fs.delete_file(ptr)
+    if target:
+        fs.delete_dir(target)
+
+
+def published_entries(fs: MetaFS, parent: str,
+                      suffix: str = "") -> dict[str, str]:
+    """Committed directory publishes directly under ``parent``:
+    {logical name: physical path}. On rename backends these are plain
+    directories (tmp dirs excluded); on no-rename backends, pointer
+    files resolved to their token dirs."""
+    out: dict[str, str] = {}
+    names = fs.ls(parent)
+    if fs.atomic_dir_rename:
+        for n in names:
+            if ".tmp-" in n or not n.endswith(suffix):
+                continue
+            p = fs.join(parent, n)
+            if fs.isdir(p):
+                out[n] = p
+        return out
+    for n in names:
+        if not n.endswith(PTR_SUFFIX):
+            continue
+        logical = n[: -len(PTR_SUFFIX)]
+        if not logical.endswith(suffix):
+            continue
+        resolved = resolve_parquet_dir(fs, fs.join(parent, logical))
+        if resolved:
+            out[logical] = resolved
+    return out

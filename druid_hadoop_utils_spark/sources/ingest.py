@@ -12,8 +12,6 @@ data movement, one shuffle on the bucket key, file sizes controlled by
 
 from __future__ import annotations
 
-import os
-import shutil
 import urllib.parse
 from datetime import datetime, timedelta, timezone
 
@@ -145,8 +143,13 @@ def publish_segments(
         stats_columns = [c for c in clustering
                          if c not in (time_column, "__time")]
 
-    staging = os.path.join(table_root, data_source, f"_staging_{version}")
-    bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    staging = fs.join(table_root, data_source, f"_staging_{version}")
+    bucketed.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        fs.spark_url(staging)
+    )
 
     # Manifest column stats come from a RE-READ of the just-written
     # staging parquet, not a second execution of the input pipeline: the
@@ -169,7 +172,7 @@ def publish_segments(
             _stats_dtype_ok,
         )
 
-        staged = df.sparkSession.read.parquet(staging)
+        staged = df.sparkSession.read.parquet(fs.spark_url(staging))
         dtypes = dict(staged.dtypes)
         scols = [c for c in (stats_columns or [])
                  if _stats_dtype_ok(dtypes.get(c, ""))]
@@ -231,16 +234,28 @@ def publish_segments(
     # anything (loudly, with the fix), never crash on the partition-dir
     # parse, never half-publish the valid buckets, never invent an
     # interval. The check costs one driver-side listdir.
-    if os.path.isdir(os.path.join(staging,
-                                  "__bucket=__HIVE_DEFAULT_PARTITION__")):
+    if fs.isdir(fs.join(staging, "__bucket=__HIVE_DEFAULT_PARTITION__")):
         raise ValueError(
             f"publish_segments: input rows with NULL {time_column!r} "
             "cannot be bucketed into segments — filter them out or "
             "assign a timestamp before publishing (Druid likewise "
             "rejects rows without a parseable timestamp at ingestion)"
         )
+    def _promote(src: str, seg_dir: str) -> None:
+        # rename backends: one metadata move (no second data pass).
+        # No-rename backends (object stores): per-file copy into the
+        # final location — a second pass over the bytes, but server-side
+        # on real object stores; the data stays INVISIBLE either way
+        # until the manifest (a single atomic PUT) lands below, so a
+        # crash mid-copy leaves only unreferenced orphans.
+        if fs.atomic_dir_rename:
+            fs.mkdirs(fs.parent(seg_dir))
+            fs.rename_dir(src, seg_dir)
+        else:
+            fs.copy_tree(src, seg_dir)
+
     manifests: list[SegmentManifest] = []
-    for name in sorted(os.listdir(staging)):
+    for name in fs.ls(staging):
         if not name.startswith("__bucket="):
             continue
         raw = urllib.parse.unquote(name.split("=", 1)[1])
@@ -248,15 +263,14 @@ def publish_segments(
         iv = Interval(start, _bucket_end(start, bucket))
         bucket_manifests: list[SegmentManifest] = []
         if sharded:
-            bdir = os.path.join(staging, name)
-            for sname in sorted(os.listdir(bdir)):
+            bdir = fs.join(staging, name)
+            for sname in fs.ls(bdir):
                 if not sname.startswith("__shard="):
                     continue
                 shard_num = int(sname.split("=", 1)[1])
                 seg_dir = segment_dir(table_root, data_source, iv, version,
                                       shard_num)
-                os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
-                os.replace(os.path.join(bdir, sname), seg_dir)
+                _promote(fs.join(bdir, sname), seg_dir)
                 bucket_manifests.append(
                     SegmentManifest(
                         data_source, iv, str(version), shard_num, seg_dir,
@@ -266,8 +280,7 @@ def publish_segments(
             register_manifest_group(table_root, bucket_manifests)
         else:
             seg_dir = segment_dir(table_root, data_source, iv, version)
-            os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
-            os.replace(os.path.join(staging, name), seg_dir)
+            _promote(fs.join(staging, name), seg_dir)
             manifest = SegmentManifest(
                 data_source, iv, str(version), 0, seg_dir,
                 stats=stats_by_key.get((raw, 0)),
@@ -275,5 +288,5 @@ def publish_segments(
             register_manifest(table_root, manifest)
             bucket_manifests.append(manifest)
         manifests.extend(bucket_manifests)
-    shutil.rmtree(staging, ignore_errors=True)  # only _SUCCESS remains
+    fs.delete_dir(staging)  # rename backends: only _SUCCESS remains
     return manifests

@@ -15,8 +15,6 @@ overshadow timeline, old data stays until vacuumed. Same model here:
 
 from __future__ import annotations
 
-import os
-import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
@@ -179,6 +177,9 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     The manifest is deleted first: if the process dies before the data
     directory is removed, the leftover parquet is unreferenced and harmless.
     """
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
     manifests = list_manifests(table_root, data_source)
     if not manifests:
         return []
@@ -190,7 +191,7 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     # them visible or invisible together — this is belt and braces)
     by_file: dict[str, list[SegmentManifest]] = {}
     for m in manifests:
-        mfile = m.manifest_file or os.path.join(
+        mfile = m.manifest_file or fs.join(
             table_root, data_source, MANIFEST_DIR, f"{_safe(m.identifier)}.json"
         )
         by_file.setdefault(mfile, []).append(m)
@@ -201,11 +202,10 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
         removed.extend(m.identifier for m in members)
         if dry_run:
             continue
-        if os.path.exists(mfile):
-            os.remove(mfile)
+        fs.delete_file(mfile)
         for m in members:
             if m.path:  # tombstones own no data directory
-                shutil.rmtree(m.path, ignore_errors=True)
+                fs.delete_dir(m.path)
     return removed
 
 
@@ -227,8 +227,9 @@ def compaction_candidates(
     n_files, total_bytes, reasons. Feed each flagged interval to
     ``compact_segments`` (which rewrites and atomically flips it).
     """
-    import glob as _glob
+    from druid_hadoop_utils_spark.sources.fs import get_fs
 
+    fs = get_fs(table_root)
     iv = Interval.parse(interval)
     visible = resolve_visible_windows(list_manifests(table_root, data_source), iv)
     seen_paths = set()
@@ -238,13 +239,11 @@ def compaction_candidates(
         if seg.tombstone or seg.path in seen_paths:
             continue
         seen_paths.add(seg.path)
-        files = [
-            f for f in _glob.glob(os.path.join(seg.path, "*.parquet"))
-            if os.path.isfile(f)
-        ]
-        if not files:
+        listed = fs.list_files(seg.path, suffix=".parquet")
+        if not listed:
             continue
-        sizes = [os.path.getsize(f) for f in files]
+        files = [f for f, _sz in listed]
+        sizes = [sz for _f, sz in listed]
         reasons = []
         if len(files) > max_files_per_segment:
             reasons.append(f"{len(files)} files > {max_files_per_segment}")
@@ -303,8 +302,9 @@ def table_stats(table_root: str, data_source: str) -> dict:
     driver-side metadata + directory stats only (no data read): visible /
     overshadowed / tombstone segment counts, file count and bytes of the
     VISIBLE set, distinct versions, and the covered time span."""
-    import glob as _glob
+    from druid_hadoop_utils_spark.sources.fs import get_fs
 
+    fs = get_fs(table_root)
     manifests = list_manifests(table_root, data_source)
     if not manifests:
         raise FileNotFoundError(
@@ -316,10 +316,9 @@ def table_stats(table_root: str, data_source: str) -> dict:
     n_files = 0
     n_bytes = 0
     for m in {m.path: m for m in live}.values():
-        files = [f for f in _glob.glob(os.path.join(m.path, "**", "*.parquet"),
-                                       recursive=True) if os.path.isfile(f)]
-        n_files += len(files)
-        n_bytes += sum(os.path.getsize(f) for f in files)
+        listed = fs.list_files(m.path, suffix=".parquet", recursive=True)
+        n_files += len(listed)
+        n_bytes += sum(sz for _f, sz in listed)
     spans = [m.interval for m in live]
     return {
         "data_source": data_source,

@@ -143,12 +143,18 @@ def materialize_aggs(
         "granularity": granularity,
         "time_column": time_column,
     }
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        publish_parquet_dir,
+        resolve_parquet_dir,
+    )
+
+    fs = get_fs(table_root)
     mdir = _mat_dir(table_root, data_source, name)
-    os.makedirs(mdir, exist_ok=True)
-    spec_path = os.path.join(mdir, "spec.json")
-    if os.path.exists(spec_path):
-        with open(spec_path) as f:
-            existing = json.load(f)
+    fs.mkdirs(mdir)
+    spec_path = fs.join(mdir, "spec.json")
+    if fs.exists(spec_path):
+        existing = json.loads(fs.read_text(spec_path))
         if existing != spec:
             raise ValueError(
                 f"materialized rollup {name!r} already exists with a "
@@ -156,10 +162,7 @@ def materialize_aggs(
                 "merge; materialize under a new name"
             )
     else:
-        tmp = spec_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(spec, f, indent=2)
-        os.replace(tmp, spec_path)
+        fs.put_text(spec_path, json.dumps(spec, indent=2))
 
     manifests = list_manifests(table_root, data_source)
     everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
@@ -184,7 +187,7 @@ def materialize_aggs(
         if w.manifest.tombstone:
             continue
         path = _state_path(mdir, w.manifest.identifier)
-        if os.path.exists(path):
+        if resolve_parquet_dir(fs, path) is not None:
             continue
         seg = spark.read.parquet(w.manifest.path)
         # evolving dimensions (Druid semantics, same as the raw-path
@@ -217,26 +220,16 @@ def materialize_aggs(
             finalize=False,
             time_column="__time",
         )
-        # atomic publish (same protocol as cache.py): write to a tmp dir
-        # and rename. A reader's os.path.exists(state) check then implies
-        # a COMPLETE state — never a half-written one — and a crashed
-        # writer leaves only a tmp dir (retried cleanly on the next
-        # call), instead of a partial dir that would be skipped as done
-        # forever. Concurrent materializers race benignly: the loser
-        # discards its tmp and keeps the winner's identical state.
-        import shutil
-
-        tmp = path + f".tmp-{os.getpid()}"
-        rolled.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(tmp)
-        else:
-            try:
-                os.replace(tmp, path)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-                if not os.path.isdir(path):
-                    raise
+        # atomic publish through the filesystem seam (fs.py): rename
+        # backends write a tmp dir and rename (a reader's resolved state
+        # is always COMPLETE, a crashed writer leaves only a reclaimable
+        # tmp, concurrent materializers race benignly); no-rename
+        # backends take the pointer protocol with the same guarantees.
+        publish_parquet_dir(
+            fs,
+            lambda url: rolled.write.mode("overwrite").parquet(url),
+            path,
+        )
         done.append(w.manifest.identifier)
     return done
 
@@ -258,15 +251,17 @@ def query_materialized(
         resolve_visible_windows,
     )
 
+    from druid_hadoop_utils_spark.sources.fs import get_fs, resolve_parquet_dir
+
+    fs = get_fs(table_root)
     mdir = _mat_dir(table_root, data_source, name)
-    spec_path = os.path.join(mdir, "spec.json")
-    if not os.path.exists(spec_path):
+    spec_path = fs.join(mdir, "spec.json")
+    if not fs.exists(spec_path):
         raise FileNotFoundError(
             f"no materialized rollup {name!r} for {data_source} — run "
             "materialize_aggs first"
         )
-    with open(spec_path) as f:
-        spec = json.load(f)
+    spec = json.loads(fs.read_text(spec_path))
 
     iv = Interval.parse(interval) if interval is not None else Interval.parse(
         "0001-01-01T00:00:00/9999-12-31T00:00:00")
@@ -283,14 +278,14 @@ def query_materialized(
                 "whole-segment state would over-count; compact the table, "
                 "re-run materialize_aggs, then query again"
             )
-        p = _state_path(mdir, w.manifest.identifier)
-        if not os.path.exists(p):
+        p = resolve_parquet_dir(fs, _state_path(mdir, w.manifest.identifier))
+        if p is None:
             raise FileNotFoundError(
                 f"segment {w.manifest.identifier} has no state for "
                 f"{name!r} — run materialize_aggs to catch up (it only "
                 "computes the missing segments)"
             )
-        paths.append(p)
+        paths.append(fs.spark_url(p))
     if not paths:
         raise FileNotFoundError(
             f"no visible segments for {data_source} in {iv.iso()}"
@@ -322,26 +317,43 @@ def vacuum_materialized(
     longer alive, so a vacuum can never yank a live materializer's
     staging out from under it. Returns the deleted entries: bare segment
     identifiers for vacuumed states, the full directory name for
-    reclaimed tmp dirs."""
-    import shutil
-
+    reclaimed tmp/orphan dirs."""
+    from druid_hadoop_utils_spark.sources.fs import (
+        PTR_SUFFIX,
+        get_fs,
+        published_entries,
+        remove_published_dir,
+    )
     from druid_hadoop_utils_spark.sources.segments import _safe, list_manifests
 
+    fs = get_fs(table_root)
     mdir = _mat_dir(table_root, data_source, name)
-    if not os.path.isdir(mdir):
+    entries = fs.ls(mdir)
+    if not entries:
         return []
     listed = {_safe(m.identifier)
               for m in list_manifests(table_root, data_source)}
+
+    def _stale(entry: str) -> bool:
+        # an mtime-age floor gates ALL reclamation of in-flight writer
+        # dirs (default 6 h, override via tmp_min_age_s): the pid probe
+        # below is SAME-HOST only — on shared storage a live
+        # materializer on another host would look dead (and pid reuse
+        # would look alive) — so age is the load-bearing condition.
+        try:
+            age = time.time() - fs.mtime(fs.join(mdir, entry))
+        except OSError:
+            age = 0.0
+        return age >= tmp_min_age_s
+
+    # the committed states (rename backends: `<ident>.parquet` dirs;
+    # pointer backends: `<ident>.parquet` pointer files), keyed by stem
+    committed = published_entries(fs, mdir, suffix=".parquet")
+    live_targets = {fs.name(p) for p in committed.values()}
     gone = []
-    for entry in os.listdir(mdir):
+    for entry in entries:
         if ".parquet.tmp-" in entry:
-            # a writer's staging dir (materialize_aggs publishes
-            # atomically via tmp+rename): reclaim only if the writing
-            # pid is dead AND the dir has gone stale. The pid probe is
-            # SAME-HOST only — on shared storage a live materializer on
-            # another host would look dead (and pid reuse would look
-            # alive) — so an mtime-age floor (default 6 h, override via
-            # tmp_min_age_s) gates reclamation regardless of the probe.
+            # a crashed writer's tmp staging dir (rename backends)
             try:
                 pid = int(entry.rsplit(".tmp-", 1)[1])
                 os.kill(pid, 0)
@@ -350,20 +362,34 @@ def vacuum_materialized(
                 alive = False
             except PermissionError:
                 alive = True
-            try:
-                age = time.time() - os.path.getmtime(os.path.join(mdir, entry))
-            except OSError:
-                age = 0.0
-            if not alive and age >= tmp_min_age_s:
-                shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
+            if not alive and _stale(entry):
+                fs.delete_dir(fs.join(mdir, entry))
                 gone.append(entry)
             continue
-        if not entry.endswith(".parquet"):
+        if entry.endswith(".parquet" + PTR_SUFFIX):
+            continue  # handled via `committed` below
+        if entry.endswith(".parquet"):
+            if entry not in committed and not fs.atomic_dir_rename:
+                continue  # shouldn't occur; be conservative
+            stem = entry[: -len(".parquet")]
+            if stem not in listed:
+                remove_published_dir(fs, fs.join(mdir, entry))
+                gone.append(stem)
             continue
-        stem = entry[: -len(".parquet")]
-        if stem not in listed:
-            shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
-            gone.append(stem)
+        # pointer backends: token data dirs `<ident>.parquet.<token>`
+        if ".parquet." in entry and fs.isdir(fs.join(mdir, entry)):
+            if entry not in live_targets and _stale(entry):
+                # a loser of a concurrent-fill race, or a crashed
+                # writer's complete-but-unreferenced dir
+                fs.delete_dir(fs.join(mdir, entry))
+                gone.append(entry)
+    # pointer backends: committed states for unlisted segments
+    if not fs.atomic_dir_rename:
+        for logical in committed:
+            stem = logical[: -len(".parquet")]
+            if stem not in listed:
+                remove_published_dir(fs, fs.join(mdir, logical))
+                gone.append(stem)
     return sorted(gone)
 
 
@@ -443,15 +469,15 @@ def _bucket_aligned(dt, granularity) -> bool:
 
 def list_materializations(table_root: str, data_source: str) -> dict[str, dict]:
     """name → persisted spec for every materialized rollup of a table."""
-    base = os.path.join(table_root, data_source, "_materialized")
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    base = fs.join(table_root, data_source, "_materialized")
     out: dict[str, dict] = {}
-    if not os.path.isdir(base):
-        return out
-    for name in sorted(os.listdir(base)):
-        spec_path = os.path.join(base, name, "spec.json")
-        if os.path.isfile(spec_path):
-            with open(spec_path) as f:
-                out[name] = json.load(f)
+    for name in fs.ls(base):
+        spec_path = fs.join(base, name, "spec.json")
+        if fs.exists(spec_path):
+            out[name] = json.loads(fs.read_text(spec_path))
     return out
 
 
@@ -541,6 +567,12 @@ def rewrite_groupby_from_states(
 
     if not isinstance(data_source, str):
         return miss("dataSource is not a plain table name")
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        resolve_parquet_dir,
+    )
+
+    fs = get_fs(table_root)
     specs = list_materializations(table_root, data_source)
     if not specs:
         return miss("table has no materialized rollups")
@@ -607,8 +639,9 @@ def rewrite_groupby_from_states(
                                    "partially visible — compact first")
                     sound = False
                     break
-                p = _state_path(mdir, w.manifest.identifier)
-                if not os.path.exists(p):
+                p = resolve_parquet_dir(
+                    fs, _state_path(mdir, w.manifest.identifier))
+                if p is None:
                     reasons.append(f"{name}: segment "
                                    f"{w.manifest.identifier} has no state "
                                    "— run materialize_aggs to catch up")
@@ -616,7 +649,7 @@ def rewrite_groupby_from_states(
                     break
                 if w.manifest.identifier not in seen_idents:
                     seen_idents.add(w.manifest.identifier)
-                    paths.append(p)
+                    paths.append(fs.spark_url(p))
             if not sound:
                 break
         if not sound:

@@ -25,7 +25,6 @@ from __future__ import annotations
 import heapq
 import json
 import os
-import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -214,25 +213,36 @@ def write_segment(
 
 def segment_dir(table_root: str, data_source: str, iv: Interval, version: str,
                 shard_num: int = 0) -> str:
-    return os.path.join(
+    """Physical data location for one segment, in the SPARK namespace —
+    manifests persist this path verbatim, so every reader (planner,
+    materializer) can hand it straight to ``spark.read.parquet``
+    whatever filesystem the table root lives on (identity for local
+    roots; ``file://``/``s3a://``-style URLs for scheme roots)."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    return fs.spark_url(fs.join(
         table_root,
         data_source,
         f"{_safe(iv.start.isoformat())}_{_safe(iv.end.isoformat())}",
         f"v={version}",
         f"shard={shard_num}",
-    )
+    ))
 
 
 def register_manifest(table_root: str, manifest: SegmentManifest) -> None:
     """Atomically announce a segment: manifest lands last, so readers never
-    see half-written data (orphan parquet without a manifest is invisible)."""
-    mdir = os.path.join(table_root, manifest.data_source, MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
-    mpath = os.path.join(mdir, f"{_safe(manifest.identifier)}.json")
-    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(manifest.to_json(), f, indent=2)
-    os.replace(tmp, mpath)
+    see half-written data (orphan parquet without a manifest is invisible).
+    The manifest is a single small object, published through the
+    filesystem seam's atomic put (sources/fs.py) — tmp+rename on POSIX,
+    plain PUT on object stores where the PUT itself is atomic."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    mdir = fs.join(table_root, manifest.data_source, MANIFEST_DIR)
+    fs.mkdirs(mdir)
+    mpath = fs.join(mdir, f"{_safe(manifest.identifier)}.json")
+    fs.put_text(mpath, json.dumps(manifest.to_json(), indent=2))
 
 
 def register_manifest_group(
@@ -254,14 +264,17 @@ def register_manifest_group(
     shards = sorted(m.shard_num for m in manifests)
     if len(set(shards)) != len(shards):
         raise ValueError(f"duplicate shardNum in group: {shards}")
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
     m0 = manifests[0]
-    mdir = os.path.join(table_root, m0.data_source, MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
+    mdir = fs.join(table_root, m0.data_source, MANIFEST_DIR)
+    fs.mkdirs(mdir)
     group_id = (
         f"{m0.data_source}_{m0.interval.start.isoformat()}"
         f"_{m0.interval.end.isoformat()}_{m0.version}"
     )
-    mpath = os.path.join(mdir, f"{_safe(group_id)}.json")
+    mpath = fs.join(mdir, f"{_safe(group_id)}.json")
     obj = {
         "dataSource": m0.data_source,
         "interval": m0.interval.iso(),
@@ -272,10 +285,7 @@ def register_manifest_group(
             for m in sorted(manifests, key=lambda m: m.shard_num)
         ],
     }
-    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=2)
-    os.replace(tmp, mpath)
+    fs.put_text(mpath, json.dumps(obj, indent=2))
     return mpath
 
 
@@ -308,15 +318,20 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
 def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
     """Driver-side metadata listing (replaces the overlord HTTP hop). A
     multi-shard group file expands to one entry per shard."""
-    mdir = os.path.join(table_root, data_source, MANIFEST_DIR)
-    if not os.path.isdir(mdir):
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    mdir = fs.join(table_root, data_source, MANIFEST_DIR)
+    names = fs.ls(mdir)
+    if not names and not fs.isdir(mdir):
         raise FileNotFoundError(f"no segment manifests under {mdir}")
     out = []
-    for name in sorted(os.listdir(mdir)):
-        if name.endswith(".json"):
-            mpath = os.path.join(mdir, name)
-            with open(mpath) as f:
-                out.extend(_manifests_from_json(json.load(f), mpath))
+    for name in names:
+        if name.endswith(".json") and not name.endswith(".tmp"):
+            mpath = fs.join(mdir, name)
+            out.extend(
+                _manifests_from_json(json.loads(fs.read_text(mpath)), mpath)
+            )
     return out
 
 

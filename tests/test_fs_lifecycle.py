@@ -1,0 +1,321 @@
+"""The filesystem seam (sources/fs.py) and the full managed-table
+lifecycle over a simulated OBJECT STORE root (``objectsim://``) —
+VERDICT r6 item 1: the metadata layer must not assume POSIX rename.
+
+``ObjectStoreSimFS`` stores bytes on local disk (so the Spark JVM can
+read/write them via ``file://``) but forbids directory rename — calling
+``rename_dir`` raises. Every test here therefore proves, by running,
+that the code path under test publishes through single-object PUTs,
+per-file copies, or the pointer protocol only. The belt-and-braces spy
+(`_no_dir_renames`) additionally asserts that NO ``os.replace`` under
+the table root ever moves a directory (the only replaces allowed are
+the simulator's own whole-object PUT emulation on single files).
+
+Reference parity: the reference engine was HDFS-native throughout —
+schema files resolve HDFS-first (DruidStorage.java:267-282), segments
+load from the HDFS loadSpec of descriptor.json:7-10. This seam is that
+capability for the Spark engine, generalized to no-rename stores.
+"""
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.api import druid_query
+from druid_hadoop_utils_spark.plans.planner import load
+from druid_hadoop_utils_spark.sources.cache import (
+    cached_druid_query,
+    vacuum_result_cache,
+)
+from druid_hadoop_utils_spark.sources.fs import (
+    LocalMetaFS,
+    ObjectStoreSimFS,
+    get_fs,
+    publish_parquet_dir,
+    published_entries,
+    remove_published_dir,
+    resolve_parquet_dir,
+)
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.maintenance import (
+    compact_segments,
+    drop_interval,
+    table_stats,
+    vacuum,
+)
+from druid_hadoop_utils_spark.sources.materialize import (
+    materialize_aggs,
+    query_materialized,
+    vacuum_materialized,
+)
+from druid_hadoop_utils_spark.sources.segments import (
+    list_manifests,
+    write_segment,
+)
+
+AGGS = [
+    {"type": "count", "name": "n"},
+    {"type": "doubleSum", "name": "total", "fieldName": "value"},
+]
+
+
+def _events(spark, days, per_day=6, tag="a"):
+    rows = [
+        Row(ts=datetime(2024, 1, d, h),
+            event_type=("click" if h % 2 else "view"),
+            value=float(d * 100 + h), user_id=(d * 7 + h) % 11, tag=tag)
+        for d in days for h in range(per_day)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def objroot(tmp_path):
+    """objectsim:// table root backed by tmp_path."""
+    local = tmp_path / "objstore"
+    local.mkdir()
+    return "objectsim://" + str(local)
+
+
+@pytest.fixture(autouse=True)
+def _no_dir_renames(monkeypatch, tmp_path):
+    """Belt and braces: under the objectsim root, os.replace may only be
+    the simulator's own single-file PUT emulation — never a directory
+    move (which real object stores cannot do)."""
+    real = os.replace
+    root = str(tmp_path / "objstore")
+
+    def spy(src, dst):
+        if str(dst).startswith(root) and os.path.isdir(src):
+            raise AssertionError(
+                f"directory rename under the object-store root: {src} -> {dst}"
+            )
+        if str(dst).startswith(root) and ".__put-" not in str(src):
+            raise AssertionError(
+                f"non-PUT file replace under the object-store root: {src}"
+            )
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "replace", spy)
+    yield
+
+
+# ------------------------------------------------------------ fs primitives
+
+
+@pytest.mark.parametrize("fs_kind", ["local", "objectsim"])
+def test_put_text_read_ls(tmp_path, fs_kind):
+    if fs_kind == "local":
+        fs, root = LocalMetaFS(), str(tmp_path)
+    else:
+        fs, root = ObjectStoreSimFS(), "objectsim://" + str(tmp_path)
+    p = fs.join(root, "sub", "x.json")
+    fs.put_text(p, '{"a": 1}')
+    assert fs.exists(p)
+    assert json.loads(fs.read_text(p)) == {"a": 1}
+    assert fs.ls(fs.join(root, "sub")) == ["x.json"]
+    assert fs.ls(fs.join(root, "nope")) == []
+    assert fs.mtime(p) > 0
+    fs.delete_file(p)
+    assert not fs.exists(p)
+    fs.delete_file(p)  # missing is not an error
+
+
+def test_objectsim_refuses_rename(tmp_path):
+    fs = ObjectStoreSimFS()
+    with pytest.raises(NotImplementedError, match="rename"):
+        fs.rename_dir("objectsim:///a", "objectsim:///b")
+    assert fs.atomic_dir_rename is False
+
+
+def test_get_fs_dispatch(tmp_path):
+    assert isinstance(get_fs(str(tmp_path)), LocalMetaFS)
+    assert isinstance(get_fs("file:///x"), LocalMetaFS)
+    assert isinstance(get_fs("objectsim:///x"), ObjectStoreSimFS)
+
+
+@pytest.mark.parametrize("fs_kind", ["local", "objectsim"])
+def test_publish_resolve_remove_dir(spark, tmp_path, fs_kind):
+    if fs_kind == "local":
+        fs, root = LocalMetaFS(), str(tmp_path)
+    else:
+        fs, root = ObjectStoreSimFS(), "objectsim://" + str(tmp_path)
+    dest = fs.join(root, "out.parquet")
+    assert resolve_parquet_dir(fs, dest) is None
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+
+    publish_parquet_dir(
+        fs, lambda url: df.write.mode("overwrite").parquet(url), dest)
+    phys = resolve_parquet_dir(fs, dest)
+    assert phys is not None
+    back = spark.read.parquet(fs.spark_url(phys))
+    assert back.count() == 10
+    assert published_entries(fs, root, suffix=".parquet") \
+        == {"out.parquet": phys}
+    remove_published_dir(fs, dest)
+    assert resolve_parquet_dir(fs, dest) is None
+
+
+def test_pointer_republish_is_last_writer_wins(spark, tmp_path):
+    fs, root = ObjectStoreSimFS(), "objectsim://" + str(tmp_path)
+    dest = fs.join(root, "out.parquet")
+    df1 = spark.range(5)
+    df2 = spark.range(7)
+    publish_parquet_dir(fs, lambda u: df1.write.parquet(u), dest)
+    first = resolve_parquet_dir(fs, dest)
+    publish_parquet_dir(fs, lambda u: df2.write.parquet(u), dest)
+    second = resolve_parquet_dir(fs, dest)
+    assert first != second
+    assert spark.read.parquet(fs.spark_url(second)).count() == 7
+    # the loser's dir still exists (garbage) but is unreferenced
+    assert fs.isdir(first)
+
+
+# ------------------------------------------------------- managed lifecycle
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_full_lifecycle_on_object_store(spark, objroot):
+    """publish → load → overshadow → materialize → rewrite → cache →
+    compact → vacuum, all with a table root that cannot rename."""
+    # ---- publish v1 (3 DAY segments, with stats for pruning)
+    publish_segments(_events(spark, [1, 2, 3]), objroot, "ev", version="v1",
+                     time_column="ts", bucket="DAY", sort_by=["user_id"])
+    ms = list_manifests(objroot, "ev")
+    assert len(ms) == 3
+    assert all(m.path.startswith("file://") for m in ms)
+
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "doubleSum"},
+                        {"name": "user_id", "type": "longSum"}]}
+    out = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
+               data_source="ev")
+    assert out.count() == 18
+
+    # ---- overshadow day 2 with a v2 rewrite (write_segment path)
+    v2 = _events(spark, [2], per_day=6, tag="b").withColumn(
+        "value", F.col("value") + 1000.0)
+    write_segment(v2.withColumnRenamed("ts", "__time"), objroot, "ev",
+                  "2024-01-02/2024-01-03", version="v2")
+    got = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
+               data_source="ev")
+    day2 = got.where(F.col("__time") >= "2024-01-02") \
+              .where(F.col("__time") < "2024-01-03")
+    assert day2.agg(F.min("value")).collect()[0][0] >= 1000.0
+    assert got.count() == 18
+
+    # ---- materialized rollup over the object-store root
+    materialize_aggs(spark, objroot, "ev", "daily", ["event_type"], AGGS,
+                     granularity="DAY", time_column="__time")
+    mat = query_materialized(spark, objroot, "ev", "daily")
+    mat_rows = _rows(mat)
+    assert len(mat_rows) == 6  # 3 days x 2 event types
+
+    q = {"queryType": "groupBy", "dataSource": "ev",
+         "intervals": ["2024-01-01/2024-01-04"], "granularity": "DAY",
+         "dimensions": ["event_type"], "aggregations": AGGS}
+    # the transparent rewrite must answer from states (require mode)
+    hit = druid_query(spark, objroot, dict(
+        q, context={"useMaterialized": "require"}))
+    raw = druid_query(spark, objroot, dict(
+        q, context={"useMaterialized": False}))
+    assert _rows(hit) == _rows(raw)
+    files = hit.inputFiles()
+    assert files and all("_materialized" in f for f in files)
+
+    # ---- result cache: fill then zero-execution hit
+    c1 = cached_druid_query(spark, objroot, "ev", q)
+    assert _rows(c1) == _rows(raw)
+    import druid_hadoop_utils_spark.api as api_mod
+    real_dq = api_mod.druid_query
+    api_mod.druid_query = None  # poison: a hit must not execute
+    try:
+        c2 = cached_druid_query(spark, objroot, "ev", q)
+        assert _rows(c2) == _rows(c1)
+    finally:
+        api_mod.druid_query = real_dq
+
+    # ---- compaction flips the timeline; stale cache + states recover
+    compact_segments(spark, objroot, "ev", "2024-01-01/2024-01-04",
+                     bucket="DAY")
+    got2 = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
+                data_source="ev")
+    assert _rows(got2.select("event_type", "value", "user_id")) == \
+        _rows(got.select("event_type", "value", "user_id"))
+
+    # old cache entry is stale (timeline changed) → vacuum reclaims it
+    stale = vacuum_result_cache(objroot, "ev", dry_run=True)
+    assert stale
+    assert vacuum_result_cache(objroot, "ev") == stale
+
+    # refill under the new timeline still equals raw
+    c3 = cached_druid_query(spark, objroot, "ev", q)
+    assert _rows(c3) == _rows(raw)
+
+    # ---- vacuum overshadowed segments + orphaned states
+    removed = vacuum(objroot, "ev")
+    assert removed  # v1 day-2 + all pre-compaction segments
+    mat_gone = vacuum_materialized(objroot, "ev", "daily", tmp_min_age_s=0)
+    assert mat_gone  # states of vacuumed segments reclaimed
+    # catch-up rematerializes the compacted segments, then answers again
+    materialize_aggs(spark, objroot, "ev", "daily", ["event_type"], AGGS,
+                     granularity="DAY", time_column="__time")
+    mat2 = query_materialized(spark, objroot, "ev", "daily")
+    assert _rows(mat2) == mat_rows
+
+    stats = table_stats(objroot, "ev")
+    assert stats["segments_visible"] == 3
+    assert stats["visible_bytes"] > 0
+
+
+def test_sharded_publish_on_object_store(spark, objroot):
+    """Multi-shard buckets promote by per-file copy and announce via ONE
+    group manifest per bucket."""
+    publish_segments(_events(spark, [1, 2], per_day=8), objroot, "ev",
+                     version="v1", time_column="ts", bucket="DAY",
+                     shards_per_bucket=2)
+    ms = list_manifests(objroot, "ev")
+    assert len(ms) == 4  # 2 days x 2 shards
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "doubleSum"}]}
+    out = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
+               data_source="ev")
+    assert out.count() == 16
+
+
+def test_drop_interval_and_stats_pruning_on_object_store(spark, objroot):
+    publish_segments(_events(spark, [1, 2]), objroot, "ev", version="v1",
+                     time_column="ts", bucket="DAY",
+                     stats_columns=["user_id"])
+    drop_interval(objroot, "ev", "2024-01-01/2024-01-02")
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "doubleSum"}]}
+    out = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
+               data_source="ev")
+    assert out.count() == 6  # day 1 hidden
+    removed = vacuum(objroot, "ev")
+    assert len(removed) == 1
+
+
+def test_ann_index_roundtrip_on_object_store(tmp_path):
+    from druid_hadoop_utils_spark.operators.similarity import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    idx = {"format": 1, "corpus_version": "42",
+           "kind": "ivf", "centroids": [[0.0, 1.0], [1.0, 0.0]],
+           "codebooks": None, "assign": {"0": [1, 2]}}
+    path = "objectsim://" + str(tmp_path / "ann" / "idx.json")
+    save_ann_index(dict(idx), path)
+    back = load_ann_index(path, expect_corpus_version="42")
+    assert back["kind"] == "ivf"
+    with pytest.raises(ValueError, match="stale"):
+        load_ann_index(path, expect_corpus_version="43")
