@@ -17,6 +17,8 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1637,6 +1639,16 @@ def _media_feature_rows(media):
 _MEDIA_SEGMENT_CACHE: dict[str, str] = {}
 
 
+#: deterministic media-segment root: the DuckDB oracle of
+#: q_media_segment_hashes reads the published parquet directly (glob
+#: below), so the path must be known AT REGISTRATION TIME, not an
+#: mkdtemp. A token in the name versions the synthetic content — bump
+#: it if synthetic_media_df ever changes, so a stale root from an older
+#: build is never reused.
+_MEDIA_SEGMENT_ROOT = os.path.join(
+    tempfile.gettempdir(), "spark_graft_media_segment_c1")
+
+
 def _media_segment_table(spark, sf_dir: str) -> str:
     """Synthetic media blobs published as a MANAGED segment table —
     BinaryType content + struct metadata through the full
@@ -1652,14 +1664,20 @@ def _media_segment_table(spark, sf_dir: str) -> str:
     )
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
-    root = _tmp_table_root("media_battery_")
-    media = synthetic_media_df(spark).withColumn(
-        "ts",
-        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
-               "0,0,0,CAST(media_id % 3 AS INT),0,0,0)"),
-    )
-    publish_segments(media, root, "media", version="v1",
-                     time_column="ts", bucket="DAY")
+    root = _MEDIA_SEGMENT_ROOT
+    mdir = os.path.join(root, "media", "_segments")
+    complete = os.path.isdir(mdir) and len(os.listdir(mdir)) == 3
+    if not complete:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        media = synthetic_media_df(spark).withColumn(
+            "ts",
+            F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+                   "0,0,0,CAST(media_id % 3 AS INT),0,0,0)"),
+        )
+        publish_segments(media, root, "media", version="v1",
+                         time_column="ts", bucket="DAY")
     _MEDIA_SEGMENT_CACHE[sf_dir] = root
     return root
 
@@ -1682,6 +1700,36 @@ def q_media_segment_roundtrip(spark, sf_dir):
         interval="2024-01-01/2024-02-01", data_source="media",
     )
     return _media_feature_rows(loaded)
+
+
+@register(
+    "q_media_segment_hashes",
+    f"""SELECT media_id, kind,
+               octet_length(content) AS n_bytes,
+               hex(content) AS content_hex
+        FROM read_parquet(
+            '{_MEDIA_SEGMENT_ROOT}/media/*/v=v1/shard=0/*.parquet')""",
+)
+def q_media_segment_hashes(spark, sf_dir):
+    # the DRIVER-CHECKABLE half of the media round-trip (VERDICT r6
+    # item 4): the engine loads the published media segments through the
+    # manifest/timeline path and returns each blob hex-encoded with its
+    # byte length; the DuckDB oracle reads the SAME published parquet
+    # directly (deterministic root, see _MEDIA_SEGMENT_ROOT) — the
+    # driver's value-hash comparison is then a bit-exactness check of
+    # the publish→manifest→load round-trip for BinaryType columns.
+    # Decode features stay pytest-pinned (q_media_segment_roundtrip).
+    root = _media_segment_table(spark, sf_dir)
+    loaded = load(
+        spark, root,
+        {"granularity": "NONE", "dimensions": ["media_id", "kind", "content"]},
+        interval="2024-01-01/2024-02-01", data_source="media",
+    )
+    return loaded.select(
+        "media_id", "kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.hex("content").alias("content_hex"),
+    )
 
 
 @register("q_media_features", None)
@@ -4608,34 +4656,30 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # new in round 6 — never driver-checked (the rewrite + cache layers,
-    # the binary managed-segment round-trip)
-    "q_api_materialized_require", "q_cached_query",
-    "q_media_segment_roundtrip", "q_corpus_shuffle",
-    # last driver-green in r03 — the 45-query stale block VERDICT r5
-    # item 3 says must lead; the 50-slot snapshot covers all of them
-    "q_filter_regex", "q_filter_search", "q_filter_registered_lookup",
-    "q_filter_extraction_time_format", "q_groupby_extraction_partial",
-    "q_extraction_cascade_format", "q_dedup_minhash_lsh_prod",
-    "q_heavy_hitters", "q_text_winnowing", "q_text_redact",
-    "q_contamination_check", "q_multimodal_features",
-    "q_similarity_pq_topk", "q_api_timeseries",
-    "q_api_topn_lexicographic", "q_nested_groupby", "q_kll_quantiles",
-    "q_quantile_sketch", "q_scan_interval_project", "q_filter_and_or_not",
-    "q_asof_join", "q_range_join", "q_agg_first_last", "q_theta_distinct",
-    "q_timeseries_zero_fill", "q_multi_interval", "q_api_topn",
-    "q_similarity_ivf_topk", "q_sessionize", "q_segment_table_load",
-    "q_tpch_q6_forecast_revenue", "q_tpch_q3_shipping_priority",
-    "q_tpch_q5_local_supplier_volume", "q_tpch_q10_returned_items",
-    "q_tpch_q18_large_volume_customer", "q_window_distribution",
-    "q_text_normalize_repetition", "q_druid_native_query", "q_api_groupby",
-    "q_api_groupby_having_limit", "q_api_datasource_metadata",
-    "q_rank_quantiles", "q_rank_quantiles_cont", "q_interval_overlap_join",
-    "q_weighted_sample",
-    # oldest r04 evidence fills the remaining slots
-    "q_granularity_hour_rollup", "q_granularity_fifteen_minute",
-    "q_granularity_week", "q_granularity_day_tz", "q_granularity_all",
-    "q_agg_min_max", "q_agg_hyperunique", "q_agg_cardinality",
+    # round-7 rotation (VERDICT r6 item 3): the 48 queries whose newest
+    # driver-green row is r04, then the four oldest-r05 entries — after
+    # the r07 snapshot nothing registered should be staler than r05.
+    # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
+    # q_media_segment_hashes is NEW in r7 (never driver-checked) — first.
+    "q_media_segment_hashes",
+    "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
+    "q_agg_min_max", "q_bm25_search", "q_build_vocab",
+    "q_cap_per_group", "q_cohort_retention", "q_encode_docs",
+    "q_event_transitions", "q_forward_fill", "q_funnel",
+    "q_granularity_all", "q_granularity_day_tz", "q_granularity_fifteen_minute",
+    "q_granularity_week", "q_hybrid_search", "q_incremental_dedup",
+    "q_join_5way_star", "q_join_broadcast_dim", "q_leakage_safe_split",
+    "q_mix_sources", "q_pack_documents", "q_post_agg_arithmetic",
+    "q_quantize_embeddings", "q_segment_metadata_analysis", "q_segment_table_multivalue",
+    "q_segment_table_zorder", "q_stickiness", "q_strip_dup_ngrams",
+    "q_text_lm_score", "q_theta_set_ops", "q_timeseries_mad",
+    "q_timeseries_smooth", "q_tpch_q12_priority_lines", "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_revenue", "q_tpch_q15_top_supplier", "q_tpch_q17_small_quantity",
+    "q_tpch_q19_discounted_revenue", "q_tpch_q1_pricing_summary", "q_tpch_q21_suppliers_kept_waiting",
+    "q_tpch_q22_sales_opportunity", "q_tpch_q4_order_priority", "q_tpch_q7_volume_shipping",
+    "q_tpch_q8_market_share", "q_two_phase_hll", "q_union_datasource",
+    "q_anti_join", "q_corpus_report", "q_correlated_subquery",
+    "q_dedup_clusters",
 ]
 
 

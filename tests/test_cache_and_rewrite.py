@@ -275,6 +275,54 @@ def test_rewrite_sketch_post_agg_finalizes(spark, table):
     assert _rows(hit) == _rows(raw)
 
 
+def test_multivalue_dim_through_rewrite_and_cache(spark, tmp_path):
+    """VERDICT r6 item 5: the rewrite/cache layers meet an ARRAY
+    dimension end-to-end. Contract pinned: a groupBy over a multi-value
+    dim REFUSES the states rewrite (require mode raises naming the mv
+    dim; default mode silently takes the raw explode path and equals the
+    no-rewrite result), while the result cache works normally on top —
+    it caches the raw result and a publish invalidates it."""
+    root = str(tmp_path / "mvroot")
+    rows = [
+        Row(ts=datetime(2024, 1, d, h),
+            tags=(["a", "b"] if h % 2 else ["b"]),
+            value=float(d * 10 + h))
+        for d in [1, 2] for h in range(6)
+    ]
+    publish_segments(spark.createDataFrame(rows), root, "mv", version="v1",
+                     time_column="ts", bucket="DAY")
+    aggs = [{"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    materialize_aggs(spark, root, "mv", "daily", ["tags"], aggs,
+                     granularity="DAY", time_column="__time")
+    q = {"queryType": "groupBy", "dataSource": "mv",
+         "intervals": ["2024-01-01/2024-01-03"], "granularity": "DAY",
+         "dimensions": ["tags"], "aggregations": aggs}
+    with pytest.raises(RewriteMiss, match="multi-value"):
+        druid_query(spark, root, dict(q, context={"useMaterialized": "require"}))
+    default = druid_query(spark, root, q)
+    raw = druid_query(spark, root, dict(q, context={"useMaterialized": False}))
+    assert _rows(default) == _rows(raw)
+    assert default.schema == raw.schema
+    # Druid mv semantics: the explode path groups by VALUE, so 'b' rows
+    # count contributions from both ["a","b"] and ["b"] rows
+    assert {r["tags"] for r in raw.collect()} == {"a", "b"}
+
+    filled = cached_druid_query(spark, root, "mv", q)
+    assert _rows(filled) == _rows(raw)
+    hit = cached_druid_query(spark, root, "mv", q)
+    assert _rows(hit) == _rows(raw)
+    # a publish flips the timeline → the old entry is never read again:
+    # day 1 is overshadowed by a v2 carrying only tag "c", day 2 stays v1
+    publish_segments(
+        spark.createDataFrame(
+            [Row(ts=datetime(2024, 1, 1, 1), tags=["c"], value=999.0)]),
+        root, "mv", version="v2", time_column="ts", bucket="DAY")
+    refilled = cached_druid_query(spark, root, "mv", q)
+    got = {(r["tags"], r["__time"].day) for r in refilled.collect()}
+    assert ("c", 1) in got and ("a", 1) not in got and ("a", 2) in got
+
+
 # ---------------------------------------------------------------- cache
 
 
