@@ -55,6 +55,9 @@ from druid_hadoop_utils_spark.functions.lookups import (
     register_lookup,
     unregister_lookup,
 )
+from druid_hadoop_utils_spark.sources.druid_segment_export import (
+    export_druid_segments,
+)
 from druid_hadoop_utils_spark.sources.druid_segment import (
     druid_hll_estimate,
     druid_hll_merge_estimate,
@@ -86,6 +89,7 @@ __all__ = [
     "unregister_lookup",
     "lookup_join",
     "import_druid_segment",
+    "export_druid_segments",
     "druid_hll_estimate",
     "druid_hll_merge_estimate",
     "api",

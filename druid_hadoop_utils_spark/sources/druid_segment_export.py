@@ -1,0 +1,405 @@
+"""Druid v9 segment EXPORT — the reverse of ``sources/druid_segment.py``.
+
+Writes a managed engine segment (or any bounded DataFrame) back out as a
+Druid 0.9-era v9 segment directory: ``descriptor.json`` + ``index.zip``
+(version.bin, meta.smoosh, 00000.smoosh), closing the migration loop
+import → engine → export (VERDICT r6 stretch item 8). The reference
+consumed exactly these artifacts (descriptor.json:1-17 fields,
+DruidInputFormat.java reading index.zip via the Druid loader).
+
+Encoding choices — each the simplest VALID v9 representation, verified
+against the reference's own golden segment
+(druid-pig/src/test/resources/test-segment) byte layout:
+
+- framing ints are big-endian (java ByteBuffer), value payloads follow
+  the declared ``byteOrder`` (LITTLE_ENDIAN here, like the golden);
+- numeric/id blocks are written UNCOMPRESSED (compression id 0xff) — a
+  first-class v9 strategy (CompressionStrategy.UNCOMPRESSED), chosen
+  over LZ4 so the writer needs no compressor and stays bit-auditable;
+- string dimensions carry the full v2 dictionary serde: sorted unique
+  dictionary (allowReverseLookup=1), vsize dictionary ids, and a
+  GenericIndexed of per-value CONCISE bitmap indexes written as
+  all-literal words (a valid, uncompressed CONCISE representation —
+  each 32-bit word has the literal flag 0x80000000 and 31 row bits,
+  exactly the shape the golden segment's own tiny bitmaps use);
+- multi-value dimensions use CompressedVSizeIndexed v2 (serde flag 0x1):
+  numRows+1 start offsets + flat value ids, both as vsize-int suppliers;
+- LONG columns are CompressedLongsIndexedSupplier v2; FLOAT columns the
+  float variant. Engine DOUBLE columns export as v9 FLOAT (Druid 0.9
+  pre-dates double columns) — LOSSY, refused unless ``allow_lossy``;
+- COMPLEX columns (e.g. imported hyperUnique state) are a
+  GenericIndexed of the raw sketch blobs, typeName preserved;
+- index.drd mirrors the golden: GenericIndexed(columns),
+  GenericIndexed(dimensions), big-endian (minTime, maxTime+1), then the
+  length-prefixed bitmap factory json ({"type": "concise"}).
+
+Rows are gathered driver-side: a Druid segment is bounded by
+construction (the indexer's own memory model — segments are built to a
+target of ~5M rows); exporting a 100 TB TABLE means exporting its many
+segments one at a time, which ``export_druid_segments`` does, streaming
+one segment's rows at a time rather than the table's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zipfile
+from datetime import timezone
+
+__all__ = ["export_druid_segments", "write_v9_segment"]
+
+
+# ----------------------------------------------------------- encoders
+
+
+def _generic_indexed(items: list[bytes], allow_reverse: bool = False) -> bytes:
+    """GenericIndexed v1 (inverse of druid_segment.read_generic_indexed):
+    version, allowReverseLookup, totalSize, numElements, END offsets,
+    4-byte-length-prefixed values."""
+    offsets = []
+    values = bytearray()
+    for it in items:
+        values += struct.pack(">i", len(it)) + it
+        offsets.append(len(values))
+    body = struct.pack(">i", len(items))
+    body += b"".join(struct.pack(">i", o) for o in offsets)
+    body += bytes(values)
+    return bytes([1, 1 if allow_reverse else 0]) + struct.pack(">i", len(body)) + body
+
+
+_UNCOMPRESSED = 0xFF
+
+
+def _compressed_primitives(vals: list, fmt: str, size_per: int = 0x2000) -> bytes:
+    """CompressedLongs/Floats/IntsIndexedSupplier v2, uncompressed blocks,
+    little-endian payload (the declared column byteOrder)."""
+    blocks = []
+    for i in range(0, len(vals), size_per):
+        chunk = vals[i:i + size_per]
+        blocks.append(struct.pack(f"<{len(chunk)}{fmt}", *chunk))
+    if not blocks:
+        blocks = [b""]
+    return (
+        bytes([2])
+        + struct.pack(">ii", len(vals), size_per)
+        + bytes([_UNCOMPRESSED])
+        + _generic_indexed(blocks)
+    )
+
+
+def _vsize_ints(vals: list[int], size_per: int = 0x4000) -> bytes:
+    """CompressedVSizeIntsIndexedSupplier v2, uncompressed. Values are
+    big-endian truncated to the minimal byte width (the reader decodes
+    sub-4-byte values big-endian regardless of column byteOrder); each
+    block carries 4-numBytes tail padding (java getInt headroom)."""
+    num_bytes = max(1, (max(vals, default=0).bit_length() + 7) // 8)
+    if num_bytes >= 4:
+        # a 4-byte id stream flips to the column byteOrder in the reader
+        # (little-endian here) while narrower widths are always
+        # big-endian; >16M dictionary entries / flat values per segment
+        # is far past the ~5M-row segment target, so refuse loudly
+        # rather than carry both paths untested.
+        raise ValueError(
+            "vsize-int stream needs 4-byte ids (>16M distinct values) — "
+            "split the segment before exporting"
+        )
+    blocks = []
+    for i in range(0, len(vals), size_per):
+        chunk = vals[i:i + size_per]
+        raw = b"".join(v.to_bytes(num_bytes, "big") for v in chunk)
+        blocks.append(raw + b"\x00" * (4 - num_bytes))
+    if not blocks:
+        blocks = [b"\x00" * (4 - num_bytes)]
+    return (
+        bytes([2, num_bytes])
+        + struct.pack(">ii", len(vals), size_per)
+        + bytes([_UNCOMPRESSED])
+        + _generic_indexed(blocks)
+    )
+
+
+def _concise_bitmap(rows: list[int]) -> bytes:
+    """ImmutableConciseSet bytes for a set of row ids: all-literal CONCISE
+    words (0x80000000 | 31 payload bits), big-endian ints, no trailing
+    empty words. Valid uncompressed CONCISE — the golden segment's own
+    single-word bitmaps are exactly this shape. Empty set = zero bytes."""
+    if not rows:
+        return b""
+    words: dict[int, int] = {}
+    for r in rows:
+        words[r // 31] = words.get(r // 31, 0) | (1 << (r % 31))
+    out = bytearray()
+    for w in range(max(words) + 1):
+        out += struct.pack(">I", 0x80000000 | words.get(w, 0))
+    return bytes(out)
+
+
+def _string_column(values: list, multi_value: bool) -> bytes:
+    """Dictionary-encoded STRING column blob (descriptor + v2 serde +
+    ids + CONCISE bitmap indexes). ``values`` holds str (single-value,
+    None/'' both encode the empty string, Druid's null) or list[str]."""
+    if multi_value:
+        row_lists = [list(v) if v is not None else [] for v in values]
+        pool = sorted({s if s is not None else "" for row in row_lists for s in row})
+    else:
+        row_lists = None
+        pool = sorted({v if v is not None else "" for v in values})
+    dictionary = pool
+    index = {s: i for i, s in enumerate(dictionary)}
+
+    desc = {
+        "valueType": "STRING",
+        "hasMultipleValues": bool(multi_value),
+        "parts": [{
+            "type": "stringDictionary",
+            "bitmapSerdeFactory": {"type": "concise"},
+            "byteOrder": "LITTLE_ENDIAN",
+        }],
+    }
+    body = bytearray()
+    body += bytes([2])  # dictionary serde v2
+    body += struct.pack(">i", 0x1 if multi_value else 0x0)  # feature flags
+    body += _generic_indexed(
+        [s.encode("utf-8") for s in dictionary], allow_reverse=True)
+
+    bitmap_rows: dict[int, list[int]] = {i: [] for i in range(len(dictionary))}
+    if multi_value:
+        offsets = [0]
+        flat: list[int] = []
+        for rn, row in enumerate(row_lists):
+            for s in row:
+                did = index[s if s is not None else ""]
+                flat.append(did)
+                bitmap_rows[did].append(rn)
+            offsets.append(len(flat))
+        # CompressedVSizeIndexed v2: version, offsets supplier, values
+        body += bytes([2]) + _vsize_ints(offsets) + _vsize_ints(flat)
+    else:
+        ids = []
+        for rn, v in enumerate(values):
+            did = index[v if v is not None else ""]
+            ids.append(did)
+            bitmap_rows[did].append(rn)
+        body += _vsize_ints(ids)
+    body += _generic_indexed(
+        [_concise_bitmap(bitmap_rows[i]) for i in range(len(dictionary))])
+
+    desc_json = json.dumps(desc, separators=(",", ":")).encode("utf-8")
+    return struct.pack(">i", len(desc_json)) + desc_json + bytes(body)
+
+
+def _numeric_column(values: list, kind: str) -> bytes:
+    desc = {
+        "valueType": kind,
+        "hasMultipleValues": False,
+        "parts": [{"type": kind.lower(), "byteOrder": "LITTLE_ENDIAN"}],
+    }
+    desc_json = json.dumps(desc, separators=(",", ":")).encode("utf-8")
+    fmt = "q" if kind == "LONG" else "f"
+    vals = [int(v or 0) for v in values] if kind == "LONG" \
+        else [float(v or 0.0) for v in values]
+    return struct.pack(">i", len(desc_json)) + desc_json \
+        + _compressed_primitives(vals, fmt)
+
+
+def _complex_column(values: list, type_name: str) -> bytes:
+    desc = {
+        "valueType": "COMPLEX",
+        "hasMultipleValues": False,
+        "parts": [{"type": "complex", "typeName": type_name}],
+    }
+    desc_json = json.dumps(desc, separators=(",", ":")).encode("utf-8")
+    return struct.pack(">i", len(desc_json)) + desc_json \
+        + _generic_indexed([bytes(v) if v is not None else b"" for v in values])
+
+
+# ------------------------------------------------------------ assembly
+
+
+def write_v9_segment(
+    columns: dict[str, dict],
+    out_dir: str,
+    data_source: str,
+    interval: str,
+    version: str,
+    dimensions: list[str],
+    metrics: list[str],
+    shard_num: int = 0,
+) -> str:
+    """Assemble a v9 segment directory from encoded column specs.
+
+    ``columns``: ordered {name: {"kind": STRING|LONG|FLOAT|COMPLEX,
+    "values": [...], "multi_value": bool, "type_name": str}} — must
+    include ``__time`` (epoch millis, ascending). Returns ``out_dir``.
+    """
+    times = columns["__time"]["values"]
+    if any(b < a for a, b in zip(times, times[1:])):
+        raise ValueError("__time must be ascending (Druid segment order)")
+
+    blobs: dict[str, bytes] = {}
+    for name, spec in columns.items():
+        kind = spec["kind"]
+        if kind == "STRING":
+            blobs[name] = _string_column(
+                spec["values"], spec.get("multi_value", False))
+        elif kind in ("LONG", "FLOAT"):
+            blobs[name] = _numeric_column(spec["values"], kind)
+        elif kind == "COMPLEX":
+            blobs[name] = _complex_column(
+                spec["values"], spec.get("type_name") or "hyperUnique")
+        else:
+            raise ValueError(f"column {name!r}: unsupported kind {kind!r}")
+
+    other = [n for n in columns if n != "__time"]
+    drd = _generic_indexed([n.encode() for n in other], allow_reverse=True)
+    drd += _generic_indexed([d.encode() for d in dimensions],
+                            allow_reverse=True)
+    # dataInterval the way IndexMergerV9 records it: (minTime, maxTime+1)
+    drd += struct.pack(">qq", min(times) if times else 0,
+                       (max(times) + 1) if times else 1)
+    factory = json.dumps({"type": "concise"}, separators=(",", ":")).encode()
+    drd += struct.pack(">i", len(factory)) + factory
+    blobs["index.drd"] = drd
+
+    # one smoosh chunk; meta.smoosh header is "v1,<maxChunk>,<numChunks>"
+    order = ["__time"] + other + ["index.drd"]
+    chunk = bytearray()
+    meta_lines = []
+    for name in order:
+        start = len(chunk)
+        chunk += blobs[name]
+        meta_lines.append(f"{name},0,{start},{len(chunk)}")
+    meta = "v1,2147483647,1\n" + "\n".join(meta_lines) + "\n"
+
+    os.makedirs(out_dir, exist_ok=True)
+    zip_path = os.path.join(out_dir, "index.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("version.bin", struct.pack(">i", 9))
+        zf.writestr("meta.smoosh", meta)
+        zf.writestr("00000.smoosh", bytes(chunk))
+
+    identifier = f"{data_source}_{interval.replace('/', '_')}_{version}" + (
+        f"_{shard_num}" if shard_num else "")
+    descriptor = {
+        "binaryVersion": 9,
+        "dataSource": data_source,
+        "dimensions": ",".join(dimensions),
+        "identifier": identifier,
+        "interval": interval,
+        "loadSpec": {"type": "local", "path": zip_path},
+        "metrics": ",".join(metrics),
+        "shardSpec": ({"type": "none"} if not shard_num else
+                      {"type": "numbered", "partitionNum": shard_num}),
+        "size": os.path.getsize(zip_path),
+        "version": version,
+    }
+    with open(os.path.join(out_dir, "descriptor.json"), "w") as f:
+        json.dump(descriptor, f, indent=4, sort_keys=True)
+    return out_dir
+
+
+def _df_to_columns(rows, schema, complex_types: dict[str, str],
+                   allow_lossy: bool):
+    """Collected Spark rows → write_v9_segment column specs, with the
+    engine→v9 type mapping from the module docstring."""
+    cols: dict[str, dict] = {}
+    dims: list[str] = []
+    metrics: list[str] = []
+    for field in schema.fields:
+        name = field.name
+        dt = field.dataType.simpleString()
+        vals = [r[name] for r in rows]
+        if name == "__time":
+            cols[name] = {"kind": "LONG", "values": [
+                int(v.replace(tzinfo=timezone.utc).timestamp() * 1000)
+                for v in vals]}
+            continue
+        if dt == "array<string>":
+            multi = any(v is not None and len(v) > 1 for v in vals)
+            if multi:
+                cols[name] = {"kind": "STRING", "values": vals,
+                              "multi_value": True}
+            else:
+                cols[name] = {"kind": "STRING", "values": [
+                    (v[0] if v else "") for v in vals]}
+            dims.append(name)
+        elif dt == "string":
+            cols[name] = {"kind": "STRING", "values": vals}
+            dims.append(name)
+        elif dt in ("bigint", "int", "smallint", "tinyint"):
+            cols[name] = {"kind": "LONG", "values": vals}
+            metrics.append(name)
+        elif dt == "float":
+            cols[name] = {"kind": "FLOAT", "values": vals}
+            metrics.append(name)
+        elif dt == "double":
+            if not allow_lossy:
+                raise ValueError(
+                    f"column {name!r} is DOUBLE; v9 has only 4-byte FLOAT "
+                    "metric columns — pass allow_lossy=True to accept the "
+                    "precision loss, or cast/round upstream"
+                )
+            cols[name] = {"kind": "FLOAT", "values": vals}
+            metrics.append(name)
+        elif dt == "binary":
+            cols[name] = {"kind": "COMPLEX", "values": vals,
+                          "type_name": complex_types.get(name, "hyperUnique")}
+            metrics.append(name)
+        else:
+            raise ValueError(
+                f"column {name!r}: no v9 mapping for Spark type {dt!r}")
+    return cols, dims, metrics
+
+
+def export_druid_segments(
+    spark,
+    table_root: str,
+    data_source: str,
+    out_root: str,
+    interval: str | None = None,
+    complex_types: dict[str, str] | None = None,
+    allow_lossy: bool = False,
+) -> list[str]:
+    """Export every VISIBLE segment of a managed table (optionally
+    restricted to ``interval``) as a v9 segment directory under
+    ``out_root/<identifier>/``. One driver-side pass per segment — never
+    the whole table at once. Returns the directories written.
+
+    Segments only partially visible in the timeline are refused
+    (compact first): an exported segment must equal what a Druid
+    deployment would serve for its whole interval.
+    """
+    from druid_hadoop_utils_spark.intervals import Interval
+    from druid_hadoop_utils_spark.sources.segments import (
+        _safe,
+        list_manifests,
+        resolve_visible_windows,
+    )
+
+    iv = Interval.parse(interval) if interval else Interval.parse(
+        "0001-01-01T00:00:00/9999-12-31T00:00:00")
+    visible = resolve_visible_windows(
+        list_manifests(table_root, data_source), iv)
+    out_dirs = []
+    for w in visible:
+        m = w.manifest
+        if m.tombstone:
+            continue
+        if not w.is_fully_visible(iv):
+            raise ValueError(
+                f"segment {m.identifier} is only partially visible — "
+                "compact the interval, then export"
+            )
+        df = spark.read.parquet(m.path).orderBy("__time")
+        rows = df.collect()
+        cols, dims, metrics = _df_to_columns(
+            rows, df.schema, complex_types or {}, allow_lossy)
+        out_dir = os.path.join(out_root, _safe(m.identifier))
+        write_v9_segment(
+            cols, out_dir, data_source, m.interval.iso(), m.version,
+            dims, metrics, m.shard_num,
+        )
+        out_dirs.append(out_dir)
+    return out_dirs

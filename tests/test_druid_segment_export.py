@@ -1,0 +1,190 @@
+"""Druid v9 segment EXPORT (sources/druid_segment_export.py) — the
+migrate-OUT half of the loop (VERDICT r6 stretch item 8).
+
+The strongest check available without a live Druid: the writer's output
+is decoded by the engine's own v9 READER (sources/druid_segment.py),
+which was itself validated byte-for-byte against the reference's golden
+segment — and the full loop runs: import the reference golden → publish
+as an engine segment → export as v9 → re-import → identical rows,
+including the raw hyperUnique sketch bytes and their HLL estimate
+(DruidStorageTest.java:50-52's 1.0002442201269182).
+"""
+
+import json
+import struct
+
+import pytest
+
+from druid_hadoop_utils_spark.sources.druid_segment import (
+    druid_hll_estimate_bytes,
+    read_segment,
+    read_smoosh,
+)
+from druid_hadoop_utils_spark.sources.druid_segment_export import (
+    _concise_bitmap,
+    export_druid_segments,
+    write_v9_segment,
+)
+
+GOLDEN = "/root/reference/druid-pig/src/test/resources/test-segment"
+
+
+def test_concise_bitmap_matches_golden_shape():
+    # the golden's host bitmaps are single literal words 0x80000001/2/4
+    assert _concise_bitmap([0]) == struct.pack(">I", 0x80000001)
+    assert _concise_bitmap([1]) == struct.pack(">I", 0x80000002)
+    assert _concise_bitmap([2]) == struct.pack(">I", 0x80000004)
+    assert _concise_bitmap([]) == b""
+    # bit 31 starts the second word
+    assert _concise_bitmap([31]) == struct.pack(
+        ">II", 0x80000000, 0x80000001)
+
+
+def test_write_then_read_all_column_kinds(tmp_path):
+    cols = {
+        "__time": {"kind": "LONG",
+                   "values": [1000, 2000, 2000, 3000, 4000]},
+        "host": {"kind": "STRING",
+                 "values": ["b", "a", "", "a", "c"]},
+        "tags": {"kind": "STRING", "multi_value": True,
+                 "values": [["x", "y"], ["y"], [], ["z", "x", "y"], ["x"]]},
+        "n": {"kind": "LONG", "values": [5, -3, 0, 7, 9]},
+        "ratio": {"kind": "FLOAT", "values": [0.5, 1.25, -2.0, 0.0, 3.5]},
+        "sketch": {"kind": "COMPLEX", "type_name": "hyperUnique",
+                   "values": [b"\x01\x02", b"", b"\xff" * 10, b"x", b"y"]},
+    }
+    out = write_v9_segment(
+        dict(cols), str(tmp_path / "seg"), "ds",
+        "1970-01-01T00:00:01/1970-01-01T00:00:05", "v1",
+        dimensions=["host", "tags"], metrics=["n", "ratio", "sketch"])
+    back = read_segment(out)
+    assert back["__time"].values == cols["__time"]["values"]
+    assert back["host"].values == cols["host"]["values"]
+    assert back["tags"].multi_value
+    assert back["tags"].values == cols["tags"]["values"]
+    assert back["n"].values == cols["n"]["values"]
+    assert back["ratio"].values == cols["ratio"]["values"]
+    assert [bytes(v) for v in back["sketch"].values] \
+        == cols["sketch"]["values"]
+    files = read_smoosh(out)
+    assert set(files) == {"__time", "host", "tags", "n", "ratio",
+                          "sketch", "index.drd"}
+    desc = json.load(open(f"{out}/descriptor.json"))
+    assert desc["binaryVersion"] == 9
+    assert desc["dimensions"] == "host,tags"
+    assert desc["metrics"] == "n,ratio,sketch"
+
+
+def test_unsorted_time_refused(tmp_path):
+    with pytest.raises(ValueError, match="ascending"):
+        write_v9_segment(
+            {"__time": {"kind": "LONG", "values": [2, 1]}},
+            str(tmp_path / "seg"), "ds", "1970/1971", "v1", [], [])
+
+
+def test_blocked_encodings_refused(tmp_path):
+    # >16M distinct string values would need 4-byte dictionary ids
+    from druid_hadoop_utils_spark.sources.druid_segment_export import (
+        _vsize_ints,
+    )
+
+    with pytest.raises(ValueError, match="4-byte"):
+        _vsize_ints([1 << 24])
+
+
+def test_block_spanning_roundtrip(tmp_path):
+    """Values crossing block boundaries (size_per) decode intact."""
+    n = 70000  # > one 0x2000 long block and > one 0x4000 id block
+    cols = {
+        "__time": {"kind": "LONG", "values": list(range(n))},
+        "host": {"kind": "STRING",
+                 "values": [f"h{i % 300}" for i in range(n)]},
+        "n": {"kind": "LONG", "values": [i * 7 - 3 for i in range(n)]},
+    }
+    out = write_v9_segment(dict(cols), str(tmp_path / "seg"), "ds",
+                           "1970/1971", "v1", ["host"], ["n"])
+    back = read_segment(out)
+    assert back["__time"].values == cols["__time"]["values"]
+    assert back["host"].values == cols["host"]["values"]
+    assert back["n"].values == cols["n"]["values"]
+
+
+def test_double_lossy_gate(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.sources.segments import write_segment
+
+    root = str(tmp_path / "root")
+    df = spark.createDataFrame(
+        [Row(__time=datetime(2024, 1, 1), host=["a"], value=1.5)])
+    write_segment(df, root, "ev", "2024-01-01/2024-01-02", "v1")
+    with pytest.raises(ValueError, match="allow_lossy"):
+        export_druid_segments(spark, root, "ev", str(tmp_path / "out"))
+    dirs = export_druid_segments(spark, root, "ev",
+                                 str(tmp_path / "out"), allow_lossy=True)
+    back = read_segment(dirs[0])
+    assert back["value"].values == [1.5]
+
+
+def test_golden_migration_loop(spark, tmp_path):
+    """Reference golden → import → export → re-import: identical rows,
+    sketch bytes bit-equal, HLL estimate preserved to the reference's
+    own printed value."""
+    from druid_hadoop_utils_spark.plans.planner import load
+    from druid_hadoop_utils_spark.sources.druid_segment import (
+        import_druid_segment,
+    )
+
+    root1 = str(tmp_path / "r1")
+    root2 = str(tmp_path / "r2")
+    import_druid_segment(spark, GOLDEN, root1)
+    dirs = export_druid_segments(
+        spark, root1, "testds", str(tmp_path / "out"),
+        complex_types={"unique_hosts": "hyperUnique"})
+    assert len(dirs) == 1
+
+    # the exported segment decodes to the same values the golden does
+    golden_cols = read_segment(GOLDEN)
+    exported_cols = read_segment(dirs[0])
+    assert exported_cols["__time"].values == golden_cols["__time"].values
+    assert exported_cols["visited_sum"].values \
+        == golden_cols["visited_sum"].values
+    assert [bytes(v) for v in exported_cols["unique_hosts"].values] \
+        == [bytes(v) for v in golden_cols["unique_hosts"].values]
+    # host rode through the engine as one-element arrays and exports
+    # back to a single-value dictionary column, like the golden
+    assert not exported_cols["host"].multi_value
+    assert exported_cols["host"].values == golden_cols["host"].values
+
+    # re-import and compare through the engine load path
+    import_druid_segment(spark, dirs[0], root2)
+    spec = {"granularity": "NONE", "dimensions": ["host"],
+            "metrics": [{"name": "visited_sum", "type": "long"},
+                        {"name": "unique_hosts", "type": "hyperUnique"}]}
+    a = load(spark, root1, spec, interval="1970-01-01/3000-01-01",
+             data_source="testds").collect()
+    b = load(spark, root2, spec, interval="1970-01-01/3000-01-01",
+             data_source="testds").collect()
+    key = lambda r: (r["__time"], tuple(r["host"]))  # noqa: E731
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) == len(b) == 3
+    for ra, rb in zip(a, b):
+        assert ra["__time"] == rb["__time"]
+        assert list(ra["host"]) == list(rb["host"])
+        assert ra["visited_sum"] == rb["visited_sum"]
+        assert bytes(ra["unique_hosts"]) == bytes(rb["unique_hosts"])
+    # per-row estimates survive bit-exactly (the reference's own printed
+    # value, DruidStorageTest.java:50-52) and so does the merge
+    assert druid_hll_estimate_bytes(bytes(b[0]["unique_hosts"])) \
+        == pytest.approx(1.0002442201269182, rel=1e-12)
+    from druid_hadoop_utils_spark.sources.druid_segment import (
+        druid_hll_merge_bytes,
+    )
+
+    est_a = druid_hll_estimate_bytes(
+        druid_hll_merge_bytes([bytes(r["unique_hosts"]) for r in a]))
+    est_b = druid_hll_estimate_bytes(
+        druid_hll_merge_bytes([bytes(r["unique_hosts"]) for r in b]))
+    assert est_a == est_b
