@@ -379,14 +379,24 @@ class ArrowMetaFS(MetaFS):
         # object stores: the PUT (close of the output stream) is atomic
         # per object. HDFS: create is not atomic — write a side file and
         # rename, same as LocalMetaFS.
+        def _write(target: str) -> None:
+            try:
+                with self._fs.open_output_stream(target) as f:
+                    f.write(text.encode())
+            except FileNotFoundError:
+                # dir-ful backends (local, HDFS) need the parent to
+                # exist; object stores never hit this branch
+                self._fs.create_dir(target.rsplit("/", 1)[0],
+                                    recursive=True)
+                with self._fs.open_output_stream(target) as f:
+                    f.write(text.encode())
+
         if self.atomic_dir_rename:
             tmp = f"{self._p(path)}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-            with self._fs.open_output_stream(tmp) as f:
-                f.write(text.encode())
+            _write(tmp)
             self._fs.move(tmp, self._p(path))
         else:
-            with self._fs.open_output_stream(self._p(path)) as f:
-                f.write(text.encode())
+            _write(self._p(path))
 
     def delete_file(self, path: str) -> None:
         try:

@@ -73,12 +73,34 @@ def _events(spark, days, per_day=6, tag="a"):
     return spark.createDataFrame(rows)
 
 
-@pytest.fixture()
-def objroot(tmp_path):
-    """objectsim:// table root backed by tmp_path."""
+@pytest.fixture(autouse=True, scope="module")
+def _register_arrowsim():
+    from druid_hadoop_utils_spark.sources import fs as fsmod
+    from druid_hadoop_utils_spark.sources.fs import ArrowMetaFS
+
+    class ArrowSim(ArrowMetaFS):
+        def __init__(self):
+            from pyarrow import fs as pafs
+
+            self._fs = pafs.LocalFileSystem()
+            self._scheme = "arrowsim"
+            self.atomic_dir_rename = False
+
+        def spark_url(self, path):
+            return "file://" + self._p(path)
+
+    fsmod.register_fs_scheme("arrowsim", ArrowSim)
+    yield
+
+
+@pytest.fixture(params=["objectsim", "arrowsim"])
+def objroot(tmp_path, request):
+    """No-rename table root backed by tmp_path: the local object-store
+    simulation, and the SAME protocols through ArrowMetaFS's pyarrow
+    call mapping (arrowsim://)."""
     local = tmp_path / "objstore"
     local.mkdir()
-    return "objectsim://" + str(local)
+    return f"{request.param}://" + str(local)
 
 
 @pytest.fixture(autouse=True)
