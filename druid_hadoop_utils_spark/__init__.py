@@ -58,6 +58,7 @@ from druid_hadoop_utils_spark.functions.lookups import (
 from druid_hadoop_utils_spark.sources.druid_segment_export import (
     export_druid_segments,
 )
+from druid_hadoop_utils_spark.sources.fs import get_fs, register_fs_scheme
 from druid_hadoop_utils_spark.sources.druid_segment import (
     druid_hll_estimate,
     druid_hll_merge_estimate,
@@ -90,6 +91,8 @@ __all__ = [
     "lookup_join",
     "import_druid_segment",
     "export_druid_segments",
+    "get_fs",
+    "register_fs_scheme",
     "druid_hll_estimate",
     "druid_hll_merge_estimate",
     "api",

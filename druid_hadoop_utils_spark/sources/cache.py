@@ -82,6 +82,13 @@ def cached_druid_query(
     after a miss), so hit and miss paths have identical schemas —
     timestamps are pinned to TIMESTAMP_MICROS at write for that reason
     (NOTES.md testdata-format section).
+
+    The cache is for AGGREGATE-SHAPED results: the entry stores the full
+    result at the query's own selectivity. The returned frame is lazy,
+    so filters/limits composed on top still prune the cached parquet
+    scan via Catalyst — but a cached full-selectivity ``scan`` query
+    would persist (and on a naive read, re-read) everything; cache
+    aggregates, not raw scans.
     """
     from druid_hadoop_utils_spark.api import druid_query
 
