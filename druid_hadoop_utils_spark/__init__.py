@@ -39,6 +39,7 @@ from druid_hadoop_utils_spark.functions.aggregators import (
     post_agg_expr,
 )
 from druid_hadoop_utils_spark.sources.segments import (
+    compact_manifests,
     SegmentManifest,
     write_segment,
     list_manifests,
@@ -81,6 +82,7 @@ __all__ = [
     "SegmentManifest",
     "write_segment",
     "list_manifests",
+    "compact_manifests",
     "resolve_visible_windows",
     "publish_segments",
     "materialize_aggs",

@@ -177,7 +177,12 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     The manifest is deleted first: if the process dies before the data
     directory is removed, the leftover parquet is unreferenced and harmless.
     """
+    import json as _json
+
     from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.segments import (
+        _manifests_from_json,
+    )
 
     fs = get_fs(table_root)
     manifests = list_manifests(table_root, data_source)
@@ -186,9 +191,6 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     lo = min(m.interval.start for m in manifests)
     hi = max(m.interval.end for m in manifests)
     visible = {w.manifest for w in resolve_visible_windows(manifests, Interval(lo, hi))}
-    # a multi-shard group file is removed only once EVERY shard it carries
-    # is invisible (they share (interval, version), so the timeline makes
-    # them visible or invisible together — this is belt and braces)
     by_file: dict[str, list[SegmentManifest]] = {}
     for m in manifests:
         mfile = m.manifest_file or fs.join(
@@ -196,17 +198,53 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
         )
         by_file.setdefault(mfile, []).append(m)
     removed = []
+    data_dirs: list[str] = []
     for mfile, members in by_file.items():
+        # re-read the file to process its actual shape — a snapshot
+        # (compact_manifests) holds many independent entries; simple and
+        # group files are all-or-nothing as before (a multi-shard group
+        # is removed only once EVERY shard it carries is invisible: the
+        # shards share (interval, version), so the timeline makes them
+        # visible or invisible together — belt and braces)
+        try:
+            obj = _json.loads(fs.read_text(mfile))
+        except FileNotFoundError:
+            continue
+        if "snapshot" in obj:
+            keep, drop = [], []
+            for entry in obj["snapshot"]:
+                ms = _manifests_from_json(entry, mfile)
+                if any(m in visible for m in ms):
+                    keep.append(entry)
+                else:
+                    drop.append((entry, ms))
+            if not drop:
+                continue
+            removed.extend(m.identifier for _e, ms in drop for m in ms)
+            if dry_run:
+                continue
+            # rewrite FIRST (atomic put), data dirs after: a crash leaves
+            # unreferenced orphans, never dangling references
+            if keep:
+                fs.put_text(mfile, _json.dumps({"snapshot": keep}, indent=1))
+            else:
+                fs.delete_file(mfile)
+            for _e, ms in drop:
+                data_dirs.extend(m.path for m in ms if m.path)
+            continue
         if any(m in visible for m in members):
             continue
         removed.extend(m.identifier for m in members)
         if dry_run:
             continue
         fs.delete_file(mfile)
-        for m in members:
-            if m.path:  # tombstones own no data directory
-                fs.delete_dir(m.path)
-    return removed
+        data_dirs.extend(m.path for m in members if m.path)
+    for p in data_dirs:
+        fs.delete_dir(p)
+    # a crash-window duplicate (same entry in snapshot + standalone)
+    # reports once
+    seen: set = set()
+    return [x for x in removed if not (x in seen or seen.add(x))]
 
 
 def compaction_candidates(

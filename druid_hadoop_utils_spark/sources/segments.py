@@ -290,8 +290,15 @@ def register_manifest_group(
 
 
 def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
-    """Parse one manifest file: the single-segment shape or the
-    multi-shard group shape (``shards`` list)."""
+    """Parse one manifest file: the single-segment shape, the
+    multi-shard group shape (``shards`` list), or a compacted SNAPSHOT
+    (``snapshot`` list of either of the other two shapes) written by
+    ``compact_manifests``."""
+    if "snapshot" in obj:
+        out: list[SegmentManifest] = []
+        for entry in obj["snapshot"]:
+            out.extend(_manifests_from_json(entry, mpath))
+        return out
     if "shards" in obj:
         iv = Interval.parse(obj["interval"])
         return [
@@ -326,13 +333,72 @@ def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
     if not names and not fs.isdir(mdir):
         raise FileNotFoundError(f"no segment manifests under {mdir}")
     out = []
+    seen: set = set()
     for name in names:
         if name.endswith(".json") and not name.endswith(".tmp"):
             mpath = fs.join(mdir, name)
-            out.extend(
-                _manifests_from_json(json.loads(fs.read_text(mpath)), mpath)
-            )
+            for m in _manifests_from_json(
+                    json.loads(fs.read_text(mpath)), mpath):
+                # dedup: a crash between a snapshot PUT and the deletion
+                # of the originals (compact_manifests) leaves the same
+                # entry in two files — identity-equal, keep the first
+                # (names sort snapshots first, so the snapshot copy
+                # wins and vacuum's snapshot-aware path owns it)
+                key = (m.identifier, m.tombstone)
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append(m)
     return out
+
+
+#: snapshot files sort BEFORE other manifest names (listing order makes
+#: the snapshot's copy of a duplicated entry win — see list_manifests)
+SNAPSHOT_PREFIX = "0-snapshot-"
+
+
+def compact_manifests(table_root: str, data_source: str) -> str | None:
+    """Compact every ``_segments/*.json`` file into ONE snapshot file, so
+    a table with 100k segments lists its timeline in a single metadata
+    read instead of 100k small-object reads — the driver-side planning
+    cost that dominates at object-store scale.
+
+    Protocol (no rename, crash-safe at every step): write the snapshot
+    (atomic put via the filesystem seam), then delete the source files.
+    A crash in between leaves duplicates, which ``list_manifests``
+    dedups by identity and a re-run cleans up. New publishes keep
+    writing ordinary per-segment files beside the snapshot; periodic
+    re-compaction folds them in — the same accumulate-then-compact
+    rhythm the segment data itself uses.
+
+    Returns the snapshot path (None when there is nothing to compact).
+    """
+    import uuid
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    mdir = fs.join(table_root, data_source, MANIFEST_DIR)
+    names = [n for n in fs.ls(mdir)
+             if n.endswith(".json") and not n.endswith(".tmp")]
+    if not names:
+        return None
+    entries: list[dict] = []
+    seen_blobs: set[str] = set()
+    for name in names:
+        obj = json.loads(fs.read_text(fs.join(mdir, name)))
+        members = obj["snapshot"] if "snapshot" in obj else [obj]
+        for m in members:
+            blob = json.dumps(m, sort_keys=True)
+            if blob not in seen_blobs:
+                seen_blobs.add(blob)
+                entries.append(m)
+    snap_name = f"{SNAPSHOT_PREFIX}{uuid.uuid4().hex[:8]}.json"
+    fs.put_text(fs.join(mdir, snap_name),
+                json.dumps({"snapshot": entries}, indent=1))
+    for name in names:
+        fs.delete_file(fs.join(mdir, name))
+    return fs.join(mdir, snap_name)
 
 
 def timeline_version(table_root: str, data_source: str) -> str:
