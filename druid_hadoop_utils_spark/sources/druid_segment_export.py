@@ -13,9 +13,11 @@ against the reference's own golden segment
 
 - framing ints are big-endian (java ByteBuffer), value payloads follow
   the declared ``byteOrder`` (LITTLE_ENDIAN here, like the golden);
-- numeric/id blocks are written UNCOMPRESSED (compression id 0xff) — a
-  first-class v9 strategy (CompressionStrategy.UNCOMPRESSED), chosen
-  over LZ4 so the writer needs no compressor and stays bit-auditable;
+- numeric/id blocks are LZ4 block-compressed by default (compression
+  id 0x1 — Druid's own default strategy; ``lz4_block_compress`` below
+  is the inverse of the importer's pure-Python decoder), with
+  ``compression="uncompressed"`` (id 0xff, also first-class v9) as the
+  bit-auditable alternative;
 - string dimensions carry the full v2 dictionary serde: sorted unique
   dictionary (allowReverseLookup=1), vsize dictionary ids, and a
   GenericIndexed of per-value CONCISE bitmap indexes written as
@@ -70,27 +72,89 @@ def _generic_indexed(items: list[bytes], allow_reverse: bool = False) -> bytes:
 
 
 _UNCOMPRESSED = 0xFF
+_LZ4 = 0x1
 
 
-def _compressed_primitives(vals: list, fmt: str, size_per: int = 0x2000) -> bytes:
-    """CompressedLongs/Floats/IntsIndexedSupplier v2, uncompressed blocks,
-    little-endian payload (the declared column byteOrder)."""
+def lz4_block_compress(src: bytes) -> bytes:
+    """Pure-Python LZ4 *block* compressor (greedy, 4-byte hash matches) —
+    the inverse of druid_segment.lz4_block_decompress and spec-conformant
+    for any decoder: the last 5 bytes stay literals and no match starts
+    within the final 12 bytes (the format's end-of-block rules)."""
+    n = len(src)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    match_limit = n - 12
+
+    def _emit_len(rem: int) -> None:
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+
+    while i < match_limit:
+        key = src[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is None or i - j > 0xFFFF:
+            i += 1
+            continue
+        ml = 4
+        while i + ml < n - 5 and src[j + ml] == src[i + ml]:
+            ml += 1
+        lit = src[anchor:i]
+        t_lit = min(len(lit), 15)
+        t_ml = min(ml - 4, 15)
+        out.append((t_lit << 4) | t_ml)
+        if t_lit == 15:
+            _emit_len(len(lit) - 15)
+        out += lit
+        out += (i - j).to_bytes(2, "little")
+        if t_ml == 15:
+            _emit_len(ml - 4 - 15)
+        i += ml
+        anchor = i
+    lit = src[anchor:]
+    t_lit = min(len(lit), 15)
+    out.append(t_lit << 4)
+    if t_lit == 15:
+        _emit_len(len(lit) - 15)
+    out += lit
+    return bytes(out)
+
+
+def _pack_blocks(blocks: list[bytes], compression: str) -> tuple[int, list[bytes]]:
+    if compression == "lz4":
+        return _LZ4, [lz4_block_compress(b) for b in blocks]
+    if compression == "uncompressed":
+        return _UNCOMPRESSED, blocks
+    raise ValueError(f"unsupported compression {compression!r} (lz4/uncompressed)")
+
+
+def _compressed_primitives(vals: list, fmt: str, size_per: int = 0x2000,
+                           compression: str = "lz4") -> bytes:
+    """CompressedLongs/Floats/IntsIndexedSupplier v2, little-endian
+    payload (the declared column byteOrder), LZ4 blocks by default
+    (Druid's own default strategy)."""
     blocks = []
     for i in range(0, len(vals), size_per):
         chunk = vals[i:i + size_per]
         blocks.append(struct.pack(f"<{len(chunk)}{fmt}", *chunk))
     if not blocks:
         blocks = [b""]
+    cid, packed = _pack_blocks(blocks, compression)
     return (
         bytes([2])
         + struct.pack(">ii", len(vals), size_per)
-        + bytes([_UNCOMPRESSED])
-        + _generic_indexed(blocks)
+        + bytes([cid])
+        + _generic_indexed(packed)
     )
 
 
-def _vsize_ints(vals: list[int], size_per: int = 0x4000) -> bytes:
-    """CompressedVSizeIntsIndexedSupplier v2, uncompressed. Values are
+def _vsize_ints(vals: list[int], size_per: int = 0x4000,
+                compression: str = "lz4") -> bytes:
+    """CompressedVSizeIntsIndexedSupplier v2. Values are
     big-endian truncated to the minimal byte width (the reader decodes
     sub-4-byte values big-endian regardless of column byteOrder); each
     block carries 4-numBytes tail padding (java getInt headroom)."""
@@ -112,11 +176,12 @@ def _vsize_ints(vals: list[int], size_per: int = 0x4000) -> bytes:
         blocks.append(raw + b"\x00" * (4 - num_bytes))
     if not blocks:
         blocks = [b"\x00" * (4 - num_bytes)]
+    cid, packed = _pack_blocks(blocks, compression)
     return (
         bytes([2, num_bytes])
         + struct.pack(">ii", len(vals), size_per)
-        + bytes([_UNCOMPRESSED])
-        + _generic_indexed(blocks)
+        + bytes([cid])
+        + _generic_indexed(packed)
     )
 
 
@@ -136,7 +201,8 @@ def _concise_bitmap(rows: list[int]) -> bytes:
     return bytes(out)
 
 
-def _string_column(values: list, multi_value: bool) -> bytes:
+def _string_column(values: list, multi_value: bool,
+                   compression: str = "lz4") -> bytes:
     """Dictionary-encoded STRING column blob (descriptor + v2 serde +
     ids + CONCISE bitmap indexes). ``values`` holds str (single-value,
     None/'' both encode the empty string, Druid's null) or list[str]."""
@@ -175,14 +241,15 @@ def _string_column(values: list, multi_value: bool) -> bytes:
                 bitmap_rows[did].append(rn)
             offsets.append(len(flat))
         # CompressedVSizeIndexed v2: version, offsets supplier, values
-        body += bytes([2]) + _vsize_ints(offsets) + _vsize_ints(flat)
+        body += bytes([2]) + _vsize_ints(offsets, compression=compression) \
+            + _vsize_ints(flat, compression=compression)
     else:
         ids = []
         for rn, v in enumerate(values):
             did = index[v if v is not None else ""]
             ids.append(did)
             bitmap_rows[did].append(rn)
-        body += _vsize_ints(ids)
+        body += _vsize_ints(ids, compression=compression)
     body += _generic_indexed(
         [_concise_bitmap(bitmap_rows[i]) for i in range(len(dictionary))])
 
@@ -190,7 +257,8 @@ def _string_column(values: list, multi_value: bool) -> bytes:
     return struct.pack(">i", len(desc_json)) + desc_json + bytes(body)
 
 
-def _numeric_column(values: list, kind: str) -> bytes:
+def _numeric_column(values: list, kind: str,
+                    compression: str = "lz4") -> bytes:
     desc = {
         "valueType": kind,
         "hasMultipleValues": False,
@@ -201,7 +269,7 @@ def _numeric_column(values: list, kind: str) -> bytes:
     vals = [int(v or 0) for v in values] if kind == "LONG" \
         else [float(v or 0.0) for v in values]
     return struct.pack(">i", len(desc_json)) + desc_json \
-        + _compressed_primitives(vals, fmt)
+        + _compressed_primitives(vals, fmt, compression=compression)
 
 
 def _complex_column(values: list, type_name: str) -> bytes:
@@ -227,6 +295,7 @@ def write_v9_segment(
     dimensions: list[str],
     metrics: list[str],
     shard_num: int = 0,
+    compression: str = "lz4",
 ) -> str:
     """Assemble a v9 segment directory from encoded column specs.
 
@@ -243,9 +312,11 @@ def write_v9_segment(
         kind = spec["kind"]
         if kind == "STRING":
             blobs[name] = _string_column(
-                spec["values"], spec.get("multi_value", False))
+                spec["values"], spec.get("multi_value", False),
+                compression=compression)
         elif kind in ("LONG", "FLOAT"):
-            blobs[name] = _numeric_column(spec["values"], kind)
+            blobs[name] = _numeric_column(spec["values"], kind,
+                                          compression=compression)
         elif kind == "COMPLEX":
             blobs[name] = _complex_column(
                 spec["values"], spec.get("type_name") or "hyperUnique")

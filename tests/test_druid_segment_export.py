@@ -188,3 +188,61 @@ def test_golden_migration_loop(spark, tmp_path):
     est_b = druid_hll_estimate_bytes(
         druid_hll_merge_bytes([bytes(r["unique_hosts"]) for r in b]))
     assert est_a == est_b
+
+
+def test_lz4_compressor_roundtrips():
+    import random
+
+    from druid_hadoop_utils_spark.sources.druid_segment import (
+        lz4_block_decompress,
+    )
+    from druid_hadoop_utils_spark.sources.druid_segment_export import (
+        lz4_block_compress,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 1,
+        b"x" * 100000,                         # long run
+        bytes(rng.randrange(256) for _ in range(5000)),   # incompressible
+        b"".join(bytes([i % 7]) * (i % 13 + 1) for i in range(3000)),
+        struct.pack("<5000q", *range(5000)),   # the actual column shape
+    ]
+    for src in cases:
+        packed = lz4_block_compress(src)
+        assert lz4_block_decompress(packed, len(src)) == src
+
+
+@pytest.mark.parametrize("compression", ["lz4", "uncompressed"])
+def test_compression_modes_roundtrip(tmp_path, compression):
+    n = 50000
+    cols = {
+        "__time": {"kind": "LONG", "values": list(range(n))},
+        "host": {"kind": "STRING",
+                 "values": [f"h{i % 100}" for i in range(n)]},
+        "v": {"kind": "FLOAT", "values": [float(i % 97) for i in range(n)]},
+    }
+    out = write_v9_segment(dict(cols), str(tmp_path / compression), "ds",
+                           "1970/1971", "v1", ["host"], ["v"],
+                           compression=compression)
+    back = read_segment(out)
+    assert back["__time"].values == cols["__time"]["values"]
+    assert back["host"].values == cols["host"]["values"]
+    assert back["v"].values == cols["v"]["values"]
+
+
+def test_lz4_is_default_and_smaller(tmp_path):
+    n = 20000
+    cols = {"__time": {"kind": "LONG", "values": list(range(n))},
+            "n": {"kind": "LONG", "values": [i % 5 for i in range(n)]}}
+    a = write_v9_segment(dict(cols), str(tmp_path / "lz4"), "ds",
+                         "1970/1971", "v1", [], ["n"])
+    b = write_v9_segment(dict(cols), str(tmp_path / "unc"), "ds",
+                         "1970/1971", "v1", [], ["n"],
+                         compression="uncompressed")
+    import os as _os
+
+    assert _os.path.getsize(f"{a}/index.zip") < _os.path.getsize(
+        f"{b}/index.zip") * 0.9
