@@ -311,6 +311,7 @@ def auto_compact(
     bucket: str = "DAY",
     files_per_bucket: int = 1,
     dry_run: bool = False,
+    compact_manifests_over: int | None = 256,
 ) -> list[str]:
     """Apply the auto-compaction advisor: every flagged interval is
     rewritten through ``compact_segments`` (new version, atomic flip;
@@ -320,7 +321,12 @@ def auto_compact(
     Driver-side coordination only — one rewrite job per distinct flagged
     interval, duplicate shard flags collapse. This is the Druid
     auto-compaction loop as a callable: schedule it after ingest waves,
-    not per publish."""
+    not per publish.
+
+    When the table's ``_segments/`` directory holds more than
+    ``compact_manifests_over`` metadata files, the sweep also folds them
+    into one snapshot (``segments.compact_manifests``) so planning stays
+    one metadata read at object-store scale; None disables."""
     flagged = compaction_candidates(
         table_root, data_source,
         max_files_per_segment=max_files_per_segment,
@@ -332,6 +338,17 @@ def auto_compact(
     for iso in intervals:
         compact_segments(spark, table_root, data_source, iso,
                          bucket=bucket, files_per_bucket=files_per_bucket)
+    if compact_manifests_over is not None:
+        from druid_hadoop_utils_spark.sources.fs import get_fs
+        from druid_hadoop_utils_spark.sources.segments import (
+            compact_manifests,
+        )
+
+        fs = get_fs(table_root)
+        mdir = fs.join(table_root, data_source, MANIFEST_DIR)
+        n = len([x for x in fs.ls(mdir) if x.endswith(".json")])
+        if n > compact_manifests_over:
+            compact_manifests(table_root, data_source)
     return intervals
 
 

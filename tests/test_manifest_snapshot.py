@@ -177,3 +177,20 @@ def test_vacuum_deletes_snapshot_when_empty(spark, root):
     # the tombstone's own file remains (it is still visible); the
     # snapshot lost its only entry and was deleted
     assert len(names) == 1 and not names[0].startswith(SNAPSHOT_PREFIX)
+
+
+def test_auto_compact_folds_manifests_over_threshold(spark, tmp_path):
+    """auto_compact's manifest-compaction hook: above the threshold the
+    sweep snapshots the metadata; below it, files are left alone."""
+    from druid_hadoop_utils_spark.sources.maintenance import auto_compact
+
+    root = str(tmp_path / "tbl")
+    publish_segments(_events(spark, [1, 2, 3]), root, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    fs, mdir = _mdir(root)
+    auto_compact(spark, root, "ev", compact_manifests_over=10)
+    assert len([n for n in fs.ls(mdir) if n.endswith(".json")]) == 3
+    auto_compact(spark, root, "ev", compact_manifests_over=2)
+    names = [n for n in fs.ls(mdir) if n.endswith(".json")]
+    assert len(names) == 1 and names[0].startswith(SNAPSHOT_PREFIX)
+    assert len(list_manifests(root, "ev")) == 3
