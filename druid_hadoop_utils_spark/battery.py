@@ -1644,9 +1644,12 @@ _MEDIA_SEGMENT_CACHE: dict[str, str] = {}
 #: below), so the path must be known AT REGISTRATION TIME, not an
 #: mkdtemp. A token in the name versions the synthetic content — bump
 #: it if synthetic_media_df ever changes, so a stale root from an older
-#: build is never reused.
+#: build is never reused. The uid in the name keeps users on a shared
+#: host from squatting/colliding on each other's path.
 _MEDIA_SEGMENT_ROOT = os.path.join(
-    tempfile.gettempdir(), "spark_graft_media_segment_c1")
+    tempfile.gettempdir(),
+    f"spark_graft_media_segment_c1_u{os.getuid() if hasattr(os, 'getuid') else 0}",
+)
 
 
 def _media_segment_table(spark, sf_dir: str) -> str:
@@ -1664,20 +1667,44 @@ def _media_segment_table(spark, sf_dir: str) -> str:
     )
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
+    import shutil
+    import time
+
     root = _MEDIA_SEGMENT_ROOT
     mdir = os.path.join(root, "media", "_segments")
-    complete = os.path.isdir(mdir) and len(os.listdir(mdir)) == 3
-    if not complete:
-        import shutil
 
-        shutil.rmtree(root, ignore_errors=True)
-        media = synthetic_media_df(spark).withColumn(
-            "ts",
-            F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
-                   "0,0,0,CAST(media_id % 3 AS INT),0,0,0)"),
-        )
-        publish_segments(media, root, "media", version="v1",
-                         time_column="ts", bucket="DAY")
+    def _complete() -> bool:
+        return os.path.isdir(mdir) and len(os.listdir(mdir)) == 3
+
+    if not _complete():
+        # cross-process mutex (pytest-xdist / concurrent batteries on
+        # one host): mkdir is atomic; the loser waits for the winner's
+        # build, a stale lock (>10 min) is broken as crashed
+        lock = root + ".lock"
+        while True:
+            try:
+                os.makedirs(lock)
+                break
+            except FileExistsError:
+                if time.time() - os.path.getmtime(lock) > 600:
+                    shutil.rmtree(lock, ignore_errors=True)
+                    continue
+                time.sleep(0.5)
+                if _complete():
+                    _MEDIA_SEGMENT_CACHE[sf_dir] = root
+                    return root
+        try:
+            if not _complete():
+                shutil.rmtree(root, ignore_errors=True)
+                media = synthetic_media_df(spark).withColumn(
+                    "ts",
+                    F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+                           "0,0,0,CAST(media_id % 3 AS INT),0,0,0)"),
+                )
+                publish_segments(media, root, "media", version="v1",
+                                 time_column="ts", bucket="DAY")
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)
     _MEDIA_SEGMENT_CACHE[sf_dir] = root
     return root
 

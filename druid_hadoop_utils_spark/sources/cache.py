@@ -142,16 +142,30 @@ def cached_druid_query(
         meta_path = fs.join(table_root, ds, CACHE_DIR, key, "query.json")
         if not fs.exists(meta_path):
             fs.put_text(meta_path, json.dumps(meta, indent=2, default=str))
-    return spark.read.parquet(fs.spark_url(resolve_parquet_dir(fs, entry)))
+    resolved = resolve_parquet_dir(fs, entry)
+    if resolved is None:
+        # a concurrent vacuum/refresh unpublished the entry between the
+        # hit check and this read — loud, not a TypeError
+        raise FileNotFoundError(
+            f"cache entry vanished concurrently: {entry} — retry the call"
+        )
+    return spark.read.parquet(fs.spark_url(resolved))
 
 
 def vacuum_result_cache(
-    table_root: str, data_source: str, dry_run: bool = False
+    table_root: str, data_source: str, dry_run: bool = False,
+    tmp_min_age_s: float = 6 * 3600,
 ) -> list[str]:
     """Drop every cache entry whose timeline stamp differs from the
     CURRENT timeline (superseded by later publishes) — the reclamation
     half of the lifecycle, same contract as ``vacuum_materialized``.
+    Also reclaims in-flight writer garbage (crashed fillers' tmp dirs,
+    pointer-protocol race losers), but ONLY past an mtime age floor
+    (``tmp_min_age_s``, default 6 h): a live filler that started before
+    the timeline moved must not have its write yanked mid-flight.
     Returns the removed (or would-remove) entry paths."""
+    import time
+
     from druid_hadoop_utils_spark.sources.fs import (
         get_fs,
         published_entries,
@@ -162,6 +176,13 @@ def vacuum_result_cache(
     current = timeline_version(table_root, data_source)
     root = fs.join(table_root, data_source, CACHE_DIR)
     removed: list[str] = []
+
+    def _stale(path: str) -> bool:
+        try:
+            return time.time() - fs.mtime(path) >= tmp_min_age_s
+        except OSError:
+            return False
+
     for key in fs.ls(root):
         kdir = fs.join(root, key)
         if not fs.isdir(kdir):
@@ -175,18 +196,22 @@ def vacuum_result_cache(
             removed.append(fs.join(kdir, version))
             if not dry_run:
                 remove_published_dir(fs, fs.join(kdir, version))
-        if not fs.atomic_dir_rename:
-            # pointer backends: unreferenced token dirs (race losers,
-            # crashed fillers) for NON-current versions — a live filler
-            # of the current version keeps its in-flight dir
-            for n in fs.ls(kdir):
-                p = fs.join(kdir, n)
-                if not fs.isdir(p) or n in kept_targets:
-                    continue
-                logical = n.rsplit(".", 1)[0] if "." in n else n
-                if logical == current or logical in committed:
-                    continue
-                removed.append(p)
-                if not dry_run:
-                    fs.delete_dir(p)
+        # writer garbage, age-gated: rename backends leave
+        # '<version>.tmp-<pid>' dirs when a filler crashes; pointer
+        # backends leave unreferenced token dirs (race losers, crashed
+        # fillers)
+        for n in fs.ls(kdir):
+            p = fs.join(kdir, n)
+            if not fs.isdir(p) or n in kept_targets:
+                continue
+            logical = n.rsplit(".", 1)[0] if "." in n else n
+            if logical == current or logical in committed:
+                continue
+            if fs.atomic_dir_rename and ".tmp-" not in n:
+                continue  # committed dirs were handled above
+            if not _stale(p):
+                continue
+            removed.append(p)
+            if not dry_run:
+                fs.delete_dir(p)
     return removed

@@ -296,6 +296,7 @@ def write_v9_segment(
     metrics: list[str],
     shard_num: int = 0,
     compression: str = "lz4",
+    total_shards: int = 1,
 ) -> str:
     """Assemble a v9 segment directory from encoded column specs.
 
@@ -361,8 +362,13 @@ def write_v9_segment(
         "interval": interval,
         "loadSpec": {"type": "local", "path": zip_path},
         "metrics": ",".join(metrics),
-        "shardSpec": ({"type": "none"} if not shard_num else
-                      {"type": "numbered", "partitionNum": shard_num}),
+        # a member of a sharded group MUST declare numbered/partitions —
+        # {"type": "none"} tells Druid the segment is the interval's
+        # COMPLETE data, so shard 0 of a 2-shard group would shadow
+        # shard 1 in a real deployment
+        "shardSpec": ({"type": "none"} if total_shards <= 1 else
+                      {"type": "numbered", "partitionNum": shard_num,
+                       "partitions": total_shards}),
         "size": os.path.getsize(zip_path),
         "version": version,
     }
@@ -383,8 +389,13 @@ def _df_to_columns(rows, schema, complex_types: dict[str, str],
         dt = field.dataType.simpleString()
         vals = [r[name] for r in rows]
         if name == "__time":
+            # integer epoch math: float .timestamp()*1000 rounds some
+            # sub-second timestamps 1 ms low (e.g. ….489 → ….488999…)
+            import calendar
+
             cols[name] = {"kind": "LONG", "values": [
-                int(v.replace(tzinfo=timezone.utc).timestamp() * 1000)
+                calendar.timegm(v.timetuple()) * 1000
+                + v.microsecond // 1000
                 for v in vals]}
             continue
         if dt == "array<string>":
@@ -453,6 +464,13 @@ def export_druid_segments(
         "0001-01-01T00:00:00/9999-12-31T00:00:00")
     visible = resolve_visible_windows(
         list_manifests(table_root, data_source), iv)
+    # shard-group sizes: every shard's descriptor must carry the group's
+    # partition count (see write_v9_segment's shardSpec note)
+    group_sizes: dict[tuple, int] = {}
+    for w in visible:
+        if not w.manifest.tombstone:
+            k = (w.manifest.interval.iso(), w.manifest.version)
+            group_sizes[k] = group_sizes.get(k, 0) + 1
     out_dirs = []
     for w in visible:
         m = w.manifest
@@ -471,6 +489,7 @@ def export_druid_segments(
         write_v9_segment(
             cols, out_dir, data_source, m.interval.iso(), m.version,
             dims, metrics, m.shard_num,
+            total_shards=group_sizes[(m.interval.iso(), m.version)],
         )
         out_dirs.append(out_dir)
     return out_dirs

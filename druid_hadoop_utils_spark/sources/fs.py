@@ -313,19 +313,51 @@ class ArrowMetaFS(MetaFS):
     #: spark scheme translation (s3 reads via the s3a Hadoop connector)
     _SPARK_SCHEME = {"s3": "s3a", "gs": "gs", "hdfs": "hdfs", "abfs": "abfs"}
 
+    # defaults so test/embedding subclasses that skip __init__ still work
+    _netloc = ""
+    _netloc_in_path = False
+
     def __init__(self, uri: str):
+        from urllib.parse import urlparse
+
         from pyarrow import fs as pafs
 
         self._fs, self._base = pafs.FileSystem.from_uri(uri)
-        self._scheme = uri.split("://", 1)[0]
+        parsed = urlparse(uri)
+        self._scheme = parsed.scheme
+        # HDFS-style URIs carry an authority (namenode:port) that the
+        # backend filesystem does NOT want in its paths (from_uri's
+        # returned base path is authority-free); S3-style URIs put the
+        # bucket in netloc and the backend DOES want it ('bucket/key').
+        # Detect which convention from_uri used by checking whether the
+        # netloc survived into the base path it returned.
+        self._netloc = parsed.netloc
+        self._netloc_in_path = bool(
+            parsed.netloc and self._base.split("/", 1)[0] == parsed.netloc
+        )
         self.atomic_dir_rename = self._scheme in ("hdfs", "viewfs")
 
     def _p(self, path: str) -> str:
-        return path.split("://", 1)[1] if "://" in path else path
+        if "://" not in path:
+            return path
+        rest = path.split("://", 1)[1]
+        if self._netloc and not self._netloc_in_path:
+            # strip 'namenode:port' → '/warehouse/…'
+            if rest.startswith(self._netloc):
+                rest = rest[len(self._netloc):] or "/"
+        return rest
+
+    def _qualify(self, backend_path: str) -> str:
+        """Backend path → fully-qualified URI (re-adds a stripped
+        authority so HDFS URLs keep their namenode)."""
+        if self._netloc and not self._netloc_in_path:
+            return f"{self._scheme}://{self._netloc}{backend_path}"
+        return f"{self._scheme}://{backend_path}"
 
     def spark_url(self, path: str) -> str:
         scheme = self._SPARK_SCHEME.get(self._scheme, self._scheme)
-        return f"{scheme}://{self._p(path)}"
+        q = self._qualify(self._p(path))
+        return scheme + q[len(self._scheme):]
 
     def ls(self, path: str) -> list[str]:
         from pyarrow import fs as pafs
@@ -363,7 +395,7 @@ class ArrowMetaFS(MetaFS):
         except FileNotFoundError:
             return []
         return sorted(
-            (f"{self._scheme}://{i.path}", i.size or 0)
+            (self._qualify(i.path), i.size or 0)
             for i in infos
             if i.type == pafs.FileType.File and i.base_name.endswith(suffix)
         )
@@ -394,7 +426,16 @@ class ArrowMetaFS(MetaFS):
         if self.atomic_dir_rename:
             tmp = f"{self._p(path)}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             _write(tmp)
-            self._fs.move(tmp, self._p(path))
+            try:
+                self._fs.move(tmp, self._p(path))
+            except OSError:
+                # HDFS rename refuses an existing destination (unlike
+                # POSIX rename): delete-then-move, the same brief
+                # not-present window Hadoop's own rename(OVERWRITE)
+                # has. Re-publishing a manifest / rewriting a snapshot
+                # hits this path.
+                self.delete_file(path)
+                self._fs.move(tmp, self._p(path))
         else:
             _write(self._p(path))
 

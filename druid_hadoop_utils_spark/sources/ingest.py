@@ -248,6 +248,15 @@ def publish_segments(
         # on real object stores; the data stays INVISIBLE either way
         # until the manifest (a single atomic PUT) lands below, so a
         # crash mid-copy leaves only unreferenced orphans.
+        # An EXISTING destination is cleared first: it is either a
+        # crashed earlier attempt's partial promotion (unreferenced —
+        # promoting must be retryable) or a re-publish of the same
+        # (interval, version) (segment identity says same logical data;
+        # merging two runs' differently-named part files would silently
+        # DUPLICATE rows — the copy path's analogue of the loud
+        # ENOTEMPTY a bare rename would raise).
+        if fs.isdir(seg_dir):
+            fs.delete_dir(seg_dir)
         if fs.atomic_dir_rename:
             fs.mkdirs(fs.parent(seg_dir))
             fs.rename_dir(src, seg_dir)

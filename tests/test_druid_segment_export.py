@@ -246,3 +246,55 @@ def test_lz4_is_default_and_smaller(tmp_path):
 
     assert _os.path.getsize(f"{a}/index.zip") < _os.path.getsize(
         f"{b}/index.zip") * 0.9
+
+
+def test_subsecond_time_export_exact(spark, tmp_path):
+    """Review r7: float epoch math truncated some sub-second timestamps
+    1 ms low — export must use integer millis."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.sources.segments import write_segment
+
+    root = str(tmp_path / "root")
+    ts = [datetime(1987, 5, 28, 6, 25, 46, 489000),  # the fuzzed repro
+          datetime(1987, 5, 28, 6, 25, 46, 490000),
+          datetime(1987, 5, 28, 6, 25, 47, 1000)]
+    df = spark.createDataFrame([Row(__time=t, host=["a"], n=1) for t in ts])
+    write_segment(df, root, "ev", "1987-05-28/1987-05-29", "v1")
+    dirs = export_druid_segments(spark, root, "ev", str(tmp_path / "out"))
+    back = read_segment(dirs[0])
+    import calendar
+
+    want = sorted(calendar.timegm(t.timetuple()) * 1000
+                  + t.microsecond // 1000 for t in ts)
+    assert sorted(back["__time"].values) == want
+    assert want[0] % 1000 == 489
+
+
+def test_sharded_export_shardspec(spark, tmp_path):
+    """Review r7: every shard of a sharded group must export a numbered
+    shardSpec with the group's partition count — 'none' would declare
+    shard 0 the complete segment."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path / "root")
+    rows = [Row(ts=datetime(2024, 1, 1, h), host=["h"], n=h)
+            for h in range(8)]
+    publish_segments(spark.createDataFrame(rows), root, "ev", version="v1",
+                     time_column="ts", bucket="DAY", shards_per_bucket=2)
+    dirs = export_druid_segments(spark, root, "ev", str(tmp_path / "out"))
+    assert len(dirs) == 2
+    specs = sorted(
+        (json.load(open(f"{d}/descriptor.json"))["shardSpec"]["partitionNum"],
+         json.load(open(f"{d}/descriptor.json"))["shardSpec"])
+        for d in dirs)
+    for num, spec in specs:
+        assert spec["type"] == "numbered"
+        assert spec["partitions"] == 2
+    assert [n for n, _s in specs] == [0, 1]

@@ -341,3 +341,18 @@ def test_ann_index_roundtrip_on_object_store(tmp_path):
     assert back["kind"] == "ivf"
     with pytest.raises(ValueError, match="stale"):
         load_ann_index(path, expect_corpus_version="43")
+
+
+def test_republish_same_version_does_not_duplicate(spark, objroot):
+    """Review r7: on no-rename backends the copy promotion must CLEAR an
+    existing destination — a retried publish of the same version must
+    not merge two runs' part files into doubled rows."""
+    publish_segments(_events(spark, [1]), objroot, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    publish_segments(_events(spark, [1]), objroot, "ev", version="v1",
+                     time_column="ts", bucket="DAY")
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "doubleSum"}]}
+    out = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
+               data_source="ev")
+    assert out.count() == 6  # not 12
