@@ -169,13 +169,15 @@ def vacuum_result_cache(
     from druid_hadoop_utils_spark.sources.fs import (
         get_fs,
         published_entries,
-        remove_published_dir,
+        remove_published_dirs,
     )
 
     fs = get_fs(table_root)
     current = timeline_version(table_root, data_source)
     root = fs.join(table_root, data_source, CACHE_DIR)
     removed: list[str] = []
+    stale_entries: list[str] = []  # published entries → bulk unpublish
+    garbage_dirs: list[str] = []   # writer garbage → bulk delete
 
     def _stale(path: str) -> bool:
         try:
@@ -194,8 +196,7 @@ def vacuum_result_cache(
             if version == current:
                 continue
             removed.append(fs.join(kdir, version))
-            if not dry_run:
-                remove_published_dir(fs, fs.join(kdir, version))
+            stale_entries.append(fs.join(kdir, version))
         # writer garbage, age-gated: rename backends leave
         # '<version>.tmp-<pid>' dirs when a filler crashes; pointer
         # backends leave unreferenced token dirs (race losers, crashed
@@ -212,6 +213,10 @@ def vacuum_result_cache(
             if not _stale(p):
                 continue
             removed.append(p)
-            if not dry_run:
-                fs.delete_dir(p)
+            garbage_dirs.append(p)
+    if not dry_run:
+        # one pool-parallel reclamation pass instead of per-entry
+        # round-trips (fs.py bulk contract)
+        remove_published_dirs(fs, stale_entries)
+        fs.delete_dirs(garbage_dirs)
     return removed

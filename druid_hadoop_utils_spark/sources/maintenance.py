@@ -239,8 +239,9 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
             continue
         fs.delete_file(mfile)
         data_dirs.extend(m.path for m in members if m.path)
-    for p in data_dirs:
-        fs.delete_dir(p)
+    # pool-parallel reclamation (fs.py bulk contract) — manifests are
+    # already gone, so these dirs are unreferenced orphans at worst
+    fs.delete_dirs(data_dirs)
     # a crash-window duplicate (same entry in snapshot + standalone)
     # reports once
     seen: set = set()

@@ -322,7 +322,7 @@ def vacuum_materialized(
         PTR_SUFFIX,
         get_fs,
         published_entries,
-        remove_published_dir,
+        remove_published_dirs,
     )
     from druid_hadoop_utils_spark.sources.segments import _safe, list_manifests
 
@@ -351,6 +351,8 @@ def vacuum_materialized(
     committed = published_entries(fs, mdir, suffix=".parquet")
     live_targets = {fs.name(p) for p in committed.values()}
     gone = []
+    unpublish: list[str] = []   # committed entries → bulk unpublish
+    plain_dirs: list[str] = []  # tmp/orphan dirs → bulk delete
     for entry in entries:
         if ".parquet.tmp-" in entry:
             # a crashed writer's tmp staging dir (rename backends)
@@ -363,7 +365,7 @@ def vacuum_materialized(
             except PermissionError:
                 alive = True
             if not alive and _stale(entry):
-                fs.delete_dir(fs.join(mdir, entry))
+                plain_dirs.append(fs.join(mdir, entry))
                 gone.append(entry)
             continue
         if entry.endswith(".parquet" + PTR_SUFFIX):
@@ -373,7 +375,7 @@ def vacuum_materialized(
                 continue  # shouldn't occur; be conservative
             stem = entry[: -len(".parquet")]
             if stem not in listed:
-                remove_published_dir(fs, fs.join(mdir, entry))
+                unpublish.append(fs.join(mdir, entry))
                 gone.append(stem)
             continue
         # pointer backends: token data dirs `<ident>.parquet.<token>`
@@ -381,15 +383,19 @@ def vacuum_materialized(
             if entry not in live_targets and _stale(entry):
                 # a loser of a concurrent-fill race, or a crashed
                 # writer's complete-but-unreferenced dir
-                fs.delete_dir(fs.join(mdir, entry))
+                plain_dirs.append(fs.join(mdir, entry))
                 gone.append(entry)
     # pointer backends: committed states for unlisted segments
     if not fs.atomic_dir_rename:
         for logical in committed:
             stem = logical[: -len(".parquet")]
             if stem not in listed:
-                remove_published_dir(fs, fs.join(mdir, logical))
+                unpublish.append(fs.join(mdir, logical))
                 gone.append(stem)
+    # one pool-parallel reclamation pass (fs.py bulk contract): pointers
+    # drop first inside remove_published_dirs, then data dirs
+    remove_published_dirs(fs, unpublish)
+    fs.delete_dirs(plain_dirs)
     return sorted(gone)
 
 

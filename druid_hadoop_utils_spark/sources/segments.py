@@ -396,8 +396,9 @@ def compact_manifests(table_root: str, data_source: str) -> str | None:
     snap_name = f"{SNAPSHOT_PREFIX}{uuid.uuid4().hex[:8]}.json"
     fs.put_text(fs.join(mdir, snap_name),
                 json.dumps({"snapshot": entries}, indent=1))
-    for name in names:
-        fs.delete_file(fs.join(mdir, name))
+    # the snapshot is committed; the old files are now redundant copies,
+    # so reclaim them with overlapped round-trips (fs.py bulk contract)
+    fs.delete_files(fs.join(mdir, name) for name in names)
     return fs.join(mdir, snap_name)
 
 

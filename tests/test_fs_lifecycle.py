@@ -197,6 +197,64 @@ def test_pointer_republish_is_last_writer_wins(spark, tmp_path):
     assert fs.isdir(first)
 
 
+@pytest.mark.parametrize("fs_kind", ["local", "objectsim"])
+def test_bulk_delete_files_and_dirs(tmp_path, fs_kind):
+    if fs_kind == "local":
+        fs, root = LocalMetaFS(), str(tmp_path)
+    else:
+        fs, root = ObjectStoreSimFS(), "objectsim://" + str(tmp_path)
+    files = [fs.join(root, f"f{i}.json") for i in range(5)]
+    dirs = [fs.join(root, f"d{i}") for i in range(5)]
+    for p in files:
+        fs.put_text(p, "{}")
+    for d in dirs:
+        fs.put_text(fs.join(d, "part"), "x")
+    fs.delete_files(files + [fs.join(root, "missing.json")])
+    fs.delete_dirs(dirs + [fs.join(root, "missing_dir")])
+    assert not any(fs.exists(p) for p in files)
+    assert not any(fs.isdir(d) for d in dirs)
+    fs.delete_files(files)  # idempotent
+    fs.delete_dirs(dirs)
+
+
+def test_remove_published_dirs_pointers_drop_before_data(tmp_path):
+    """The bulk unpublish must stop readers resolving (pointer deletes)
+    before any data bytes vanish — same ordering contract as the single
+    remove_published_dir, kept under pool parallelism."""
+    from druid_hadoop_utils_spark.sources.fs import remove_published_dirs
+
+    calls = []
+
+    class SpyFS(ObjectStoreSimFS):
+        def delete_file(self, path):
+            calls.append(("file", path))
+            super().delete_file(path)
+
+        def delete_dir(self, path):
+            calls.append(("dir", path))
+            super().delete_dir(path)
+
+    fs = SpyFS()
+    root = "objectsim://" + str(tmp_path)
+    dests = [fs.join(root, f"e{i}.parquet") for i in range(3)]
+    for d in dests:
+        def _write(url, d=d):
+            local = url[len("file://"):]
+            os.makedirs(local, exist_ok=True)
+            with open(os.path.join(local, "part-0"), "w") as f:
+                f.write("data")
+        publish_parquet_dir(fs, _write, d)
+    assert all(resolve_parquet_dir(fs, d) for d in dests)
+    calls.clear()
+    remove_published_dirs(fs, dests)
+    kinds = [k for k, _p in calls]
+    assert kinds.count("file") == 3 and kinds.count("dir") == 3
+    # every pointer delete happens before the first data-dir delete
+    assert max(i for i, k in enumerate(kinds) if k == "file") \
+        < min(i for i, k in enumerate(kinds) if k == "dir")
+    assert all(resolve_parquet_dir(fs, d) is None for d in dests)
+
+
 # ------------------------------------------------------- managed lifecycle
 
 
