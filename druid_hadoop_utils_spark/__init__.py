@@ -59,7 +59,11 @@ from druid_hadoop_utils_spark.functions.lookups import (
 from druid_hadoop_utils_spark.sources.druid_segment_export import (
     export_druid_segments,
 )
-from druid_hadoop_utils_spark.sources.fs import get_fs, register_fs_scheme
+from druid_hadoop_utils_spark.sources.fs import (
+    configure_object_store,
+    get_fs,
+    register_fs_scheme,
+)
 from druid_hadoop_utils_spark.sources.druid_segment import (
     druid_hll_estimate,
     druid_hll_merge_estimate,
@@ -93,6 +97,7 @@ __all__ = [
     "lookup_join",
     "import_druid_segment",
     "export_druid_segments",
+    "configure_object_store",
     "get_fs",
     "register_fs_scheme",
     "druid_hll_estimate",

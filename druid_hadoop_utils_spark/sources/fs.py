@@ -353,6 +353,22 @@ class ArrowMetaFS(MetaFS):
     _netloc = ""
     _netloc_in_path = False
 
+    @classmethod
+    def from_filesystem(cls, backend, scheme: str, netloc: str,
+                        netloc_in_path: bool = True,
+                        atomic_dir_rename: bool = False) -> "ArrowMetaFS":
+        """Wrap an ALREADY-CONSTRUCTED pyarrow filesystem (explicit
+        credentials, custom endpoint) instead of ``from_uri``'s
+        env-resolved one. Used by :func:`configure_object_store`."""
+        self = cls.__new__(cls)
+        self._fs = backend
+        self._base = ""
+        self._scheme = scheme
+        self._netloc = netloc
+        self._netloc_in_path = netloc_in_path
+        self.atomic_dir_rename = atomic_dir_rename
+        return self
+
     def __init__(self, uri: str):
         from urllib.parse import urlparse
 
@@ -545,6 +561,96 @@ def get_fs(path: str) -> MetaFS:
 
 _local = LocalMetaFS()
 _objectsim = ObjectStoreSimFS()
+
+
+def configure_object_store(
+    root: str,
+    spark=None,
+    *,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+    endpoint: str | None = None,
+    region: str | None = None,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """Wire ONE set of object-store credentials into BOTH halves of the
+    engine's I/O for a table root like ``s3://bucket/path``:
+
+    * the METADATA side (this module): constructs a pyarrow filesystem
+      with the explicit options, wraps it in :class:`ArrowMetaFS`, and
+      primes the ``get_fs`` cache for the root's scheme+bucket — every
+      manifest/cache/states call under that bucket uses it from then on
+      (instead of ``from_uri``'s env-resolved credentials);
+
+    * the DATA side (Spark): returns the matching Hadoop s3a conf as a
+      dict, and — when a live ``SparkSession`` is passed — sets it on
+      the running context's hadoopConfiguration so subsequent
+      ``spark.read.parquet("s3a://…")`` calls pick it up. At
+      session-build time, pass the returned dict as
+      ``.config("spark.hadoop." + k, v)`` entries instead.
+
+    Credentials resolved from the environment / instance metadata need
+    no call at all (both pyarrow and s3a resolve the standard chain);
+    this function exists for the explicit-keys / custom-endpoint
+    (MinIO, on-prem) case where the two stacks would otherwise each
+    need their own plumbing. Pass ``region`` explicitly to avoid a
+    network round-trip resolving the bucket location at construct time.
+    """
+    if "://" not in root:
+        raise ValueError(f"not an object-store root: {root!r}")
+    scheme, rest = root.split("://", 1)
+    bucket = rest.split("/", 1)[0]
+    from pyarrow import fs as pafs
+
+    if scheme == "s3":
+        opts: dict = {"anonymous": True} if anonymous else {}
+        if access_key:
+            opts.update(access_key=access_key, secret_key=secret_key or "")
+        if session_token:
+            opts["session_token"] = session_token
+        if endpoint:
+            opts["endpoint_override"] = endpoint
+        if region:
+            opts["region"] = region
+        backend = pafs.S3FileSystem(**opts)
+    elif scheme == "gs":
+        backend = pafs.GcsFileSystem(anonymous=anonymous)
+    else:
+        raise ValueError(
+            f"configure_object_store supports s3:// and gs:// roots, got "
+            f"{scheme!r} — hdfs/abfs resolve via from_uri + cluster config"
+        )
+    _CACHE[f"{scheme}://{bucket}"] = ArrowMetaFS.from_filesystem(
+        backend, scheme, bucket, netloc_in_path=True,
+        atomic_dir_rename=False,
+    )
+
+    conf: dict[str, str] = {}
+    if scheme == "s3":
+        if anonymous:
+            conf["fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+            )
+        if access_key:
+            conf["fs.s3a.access.key"] = access_key
+            conf["fs.s3a.secret.key"] = secret_key or ""
+        if session_token:
+            conf["fs.s3a.session.token"] = session_token
+            conf["fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+            )
+        if endpoint:
+            conf["fs.s3a.endpoint"] = endpoint
+            # custom endpoints (MinIO, on-prem) are path-style
+            conf["fs.s3a.path.style.access"] = "true"
+        if region:
+            conf["fs.s3a.endpoint.region"] = region
+    if spark is not None:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in conf.items():
+            hconf.set(k, v)
+    return conf
 
 
 # ------------------------------------------------- directory publish protocol

@@ -255,6 +255,44 @@ def test_remove_published_dirs_pointers_drop_before_data(tmp_path):
     assert all(resolve_parquet_dir(fs, d) is None for d in dests)
 
 
+def test_configure_object_store_primes_both_halves():
+    """One call wires explicit credentials into the metadata seam (a
+    primed ArrowMetaFS under the root's scheme+bucket) AND produces the
+    matching s3a conf for the Spark data side. Construct-only — no
+    network is touched (explicit region skips bucket resolution)."""
+    import druid_hadoop_utils_spark.sources.fs as fsmod
+    from druid_hadoop_utils_spark.sources.fs import (
+        ArrowMetaFS,
+        configure_object_store,
+    )
+
+    key = "s3://unit-test-bucket"
+    try:
+        conf = configure_object_store(
+            "s3://unit-test-bucket/warehouse",
+            access_key="AK", secret_key="SK",
+            endpoint="http://localhost:9000", region="us-east-1",
+        )
+        fs = get_fs("s3://unit-test-bucket/warehouse/ds/_segments")
+        assert isinstance(fs, ArrowMetaFS)
+        assert fs is fsmod._CACHE[key]
+        assert fs.atomic_dir_rename is False
+        assert fs.spark_url("s3://unit-test-bucket/warehouse/x.parquet") \
+            == "s3a://unit-test-bucket/warehouse/x.parquet"
+        # backend paths keep the bucket (S3 'bucket/key' convention)
+        assert fs._p("s3://unit-test-bucket/warehouse/x") \
+            == "unit-test-bucket/warehouse/x"
+        assert conf["fs.s3a.access.key"] == "AK"
+        assert conf["fs.s3a.secret.key"] == "SK"
+        assert conf["fs.s3a.endpoint"] == "http://localhost:9000"
+        assert conf["fs.s3a.path.style.access"] == "true"
+        assert conf["fs.s3a.endpoint.region"] == "us-east-1"
+        with pytest.raises(ValueError, match="s3:// and gs://"):
+            configure_object_store("wasb://x/y", region="r")
+    finally:
+        fsmod._CACHE.pop(key, None)
+
+
 # ------------------------------------------------------- managed lifecycle
 
 
