@@ -40,7 +40,10 @@ from druid_hadoop_utils_spark.functions.aggregators import (
 )
 from druid_hadoop_utils_spark.sources.segments import (
     compact_manifests,
+    history_horizon,
     SegmentManifest,
+    table_history,
+    timeline_version,
     write_segment,
     list_manifests,
     resolve_visible_windows,
@@ -85,6 +88,9 @@ __all__ = [
     "post_agg_expr",
     "SegmentManifest",
     "write_segment",
+    "table_history",
+    "timeline_version",
+    "history_horizon",
     "list_manifests",
     "compact_manifests",
     "resolve_visible_windows",

@@ -384,7 +384,8 @@ def druid_query(
                     # through to the contributes-nothing branch below
                     parts.append(_scan_segments(
                         spark, source, n, span,
-                        dim_filter=q.get("filter")))
+                        dim_filter=q.get("filter"),
+                        as_of=q.get("asOf")))
                 except FileNotFoundError:
                     # Druid union semantics: an EXISTING member with no
                     # visible segments in the interval contributes
@@ -472,6 +473,7 @@ def druid_query(
         "dimensions": dims,
         "metrics": needed,
         "filter": q.get("filter"),
+        "asOf": q.get("asOf"),
     }, data_source=ds, interval=interval)
 
     if qtype in {"select", "scan"}:
@@ -501,6 +503,7 @@ def druid_query(
             "dimensions": search_dims,
             "metrics": [],
             "filter": q.get("filter"),
+            "asOf": q.get("asOf"),
         }, data_source=ds, interval=interval)
         df = load(spark, source, scan_spec, interval=interval, data_source=ds,
                   time_column=time_column)
@@ -578,7 +581,7 @@ def druid_query(
             )
 
             span = Interval(interval[0].start, interval[-1].end)
-            df = _scan_segments(spark, source, ds, span)
+            df = _scan_segments(spark, source, ds, span, as_of=q.get("asOf"))
             # normalize the stored time column exactly as load() does
             # before comparing against timestamp literals (epoch-nanos
             # bigint from imported segments, or TIMESTAMP_NTZ)
@@ -622,7 +625,7 @@ def druid_query(
                 for c in cols
             ]
             return spark.createDataFrame(out_rows, schema_str)
-        manifests = list_manifests(source, ds)
+        manifests = list_manifests(source, ds, as_of=q.get("asOf"))
         visible = {
             w.manifest
             for iv in interval
@@ -671,6 +674,9 @@ def druid_query(
         # name — rewrite_groupby_from_states returns columns under raw
         # dimension names) and not the __time pseudo-column.
         if (use_mat and isinstance(source, str) and isinstance(ds, str)
+                and q.get("asOf") is None  # states reflect the CURRENT
+                # timeline; a time-travel query must re-resolve from the
+                # as-of manifests, so it always takes the raw path
                 and all(d["extractionFn"] is None
                         and d["outputName"] == d["dimension"]
                         and d["dimension"] != "__time" for d in dim_specs)):
@@ -687,7 +693,8 @@ def druid_query(
         elif use_mat == "require":
             raise ValueError(
                 "useMaterialized=require needs a managed table root, a "
-                "plain dataSource, and default dimension specs"
+                "plain dataSource, default dimension specs, and no asOf "
+                "(materialized states cover only the current timeline)"
             )
         if out is None:
             out = groupby(spark, source, spec, raw_dims, aggs, posts,

@@ -2593,6 +2593,79 @@ def q_segment_table_load(spark, sf_dir):
     return out.withColumn("value", F.round("value", 2))
 
 
+_TT_TABLE_CACHE: dict[str, str] = {}
+
+
+def _tt_segment_table(spark, sf_dir: str) -> str:
+    """Two-version managed table for the time-travel gate: v1 = raw
+    events; v2 re-publishes [01-05, 01-07) with value doubled. Explicit
+    ``published_at`` stamps make the as_of instant deterministic."""
+    _prep(spark)
+    root = _TT_TABLE_CACHE.get(sf_dir)
+    if root:
+        return root
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = _tmp_table_root("ttravel_battery_")
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id")
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY", published_at="2024-06-01T00:00:00+00:00")
+    patch = ev.where(
+        (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-07"))
+    ).withColumn("value", F.col("value") * 2)
+    publish_segments(patch, root, "events", version="v2", time_column="ts",
+                     bucket="DAY", published_at="2024-06-02T00:00:00+00:00")
+    _TT_TABLE_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "q_time_travel",
+    """WITH base AS (
+         SELECT event_type, value, ts FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           AND ts < TIMESTAMP '2024-01-10 00:00:00'
+       ),
+       tt_old AS (
+         SELECT event_type, round(sum(value), 2) AS value_asof,
+                count(*) AS n_asof
+         FROM base GROUP BY 1
+       ),
+       cur AS (
+         SELECT event_type,
+                round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
+                                AND ts < TIMESTAMP '2024-01-07 00:00:00'
+                               THEN value * 2 ELSE value END), 2) AS value_now,
+                count(*) AS n_now
+         FROM base GROUP BY 1
+       )
+       SELECT tt_old.event_type, value_asof, n_asof, value_now, n_now
+       FROM tt_old JOIN cur ON tt_old.event_type = cur.event_type""",
+)
+def q_time_travel(spark, sf_dir):
+    # time-travel read (sources/segments.list_manifests as_of): the same
+    # table queried at two instants — between the publishes (v1 only) and
+    # now (v2 overshadows the doubled window). The oracle recomputes both
+    # views from raw rows, so the hash check proves BOTH the historical
+    # resolution and the current overshadow in one result.
+    root = _tt_segment_table(spark, sf_dir)
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    iv = "2024-01-03/2024-01-10"
+    old = load(spark, root, spec, interval=iv, data_source="events",
+               as_of="2024-06-01T12:00:00")
+    now = load(spark, root, spec, interval=iv, data_source="events")
+    a = old.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("value_asof"),
+        F.count("*").alias("n_asof"))
+    b = now.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("value_now"),
+        F.count("*").alias("n_now"))
+    return a.join(b, "event_type")
+
+
 _MATERIALIZED_CACHE: dict[str, str] = {}
 
 
@@ -4687,8 +4760,9 @@ _DRIVER_PRIORITY = [
     # driver-green row is r04, then the four oldest-r05 entries — after
     # the r07 snapshot nothing registered should be staler than r05.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
-    # q_media_segment_hashes is NEW in r7 (never driver-checked) — first.
-    "q_media_segment_hashes",
+    # q_media_segment_hashes and q_time_travel are NEW in r7 (never
+    # driver-checked) — first.
+    "q_media_segment_hashes", "q_time_travel",
     "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
     "q_agg_min_max", "q_bm25_search", "q_build_vocab",
     "q_cap_per_group", "q_cohort_retention", "q_encode_docs",

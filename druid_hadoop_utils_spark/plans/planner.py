@@ -59,7 +59,8 @@ def _interval_pred(iv: Interval, col, ntz: bool = False):
 
 
 def _scan_segments(spark: SparkSession, table_root: str, data_source: str,
-                   iv: Interval, dim_filter: dict | None = None) -> DataFrame:
+                   iv: Interval, dim_filter: dict | None = None,
+                   as_of=None) -> DataFrame:
     """Manifest → overshadow resolution → minimal parquet scan(s).
 
     ``dim_filter`` (the spec's DimFilter JSON) additionally drops visible
@@ -71,7 +72,7 @@ def _scan_segments(spark: SparkSession, table_root: str, data_source: str,
         segment_excluded,
     )
 
-    manifests = list_manifests(table_root, data_source)
+    manifests = list_manifests(table_root, data_source, as_of=as_of)
     visible = resolve_visible_windows(manifests, iv)
     if not visible:
         raise FileNotFoundError(
@@ -143,6 +144,7 @@ def load(
     rollup: bool = False,
     time_column: str = TIME_COL,
     ignore_when_no_segments: bool = True,
+    as_of=None,
 ) -> DataFrame:
     """Load a datasource through a LoadSpec, Druid-connector style.
 
@@ -155,9 +157,20 @@ def load(
     Matching reference behavior, granularity only TRUNCATES at read time;
     it does not merge rows (SURVEY.md §7.4) — pass ``rollup=True`` to also
     re-aggregate by (bucket, dims) with metric-type-aware merges.
+
+    ``as_of`` (or the spec's ``"asOf"`` JSON field) time-travels a
+    managed-table source: the timeline resolves over only the manifests
+    announced at or before that instant, reproducing the table exactly
+    as a reader then saw it (bounded by the last physical vacuum —
+    ``sources.segments.list_manifests``).
     """
     if not isinstance(spec, LoadSpec):
         spec = LoadSpec.from_json(spec, data_source=data_source, interval=interval)
+    if as_of is not None:
+        # explicit arg wins over the spec's "asOf" JSON field
+        import dataclasses as _dc
+
+        spec = _dc.replace(spec, as_of=as_of)
     ivs = parse_intervals(interval) if interval is not None else spec.intervals
 
     if isinstance(source, DataFrame):
@@ -177,7 +190,8 @@ def load(
                 # below equals resolving each interval separately
                 span = Interval(ivs[0].start, ivs[-1].end)
                 df = _scan_segments(spark, source, ds, span,
-                                    dim_filter=spec.filter)
+                                    dim_filter=spec.filter,
+                                    as_of=spec.as_of)
             except AllSegmentsPruned:
                 # a provably-empty result, not missing data
                 return _empty_result(spark, spec)

@@ -65,6 +65,12 @@ class LoadSpec:
     # condensed list. ``interval`` stays the single-interval convenience —
     # always intervals[0] when exactly one is set.
     intervals: list[Interval] = field(default_factory=list)
+    # time-travel read (engine extension, JSON key "asOf"): resolve the
+    # managed table's timeline as of this wall-clock instant (ISO string
+    # or datetime; naive = UTC) — see sources/segments.list_manifests.
+    # Ignored for plain-parquet / DataFrame sources, which have no
+    # timeline to rewind.
+    as_of: object | None = None
 
     def __post_init__(self) -> None:
         if self.intervals:
@@ -130,6 +136,7 @@ class LoadSpec:
             dimensions=list(obj.get("dimensions") or []),
             metrics=list(obj.get("metrics") or []),
             filter=obj.get("filter"),
+            as_of=obj.get("asOf"),
         )
 
 

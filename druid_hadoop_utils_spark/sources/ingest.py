@@ -55,6 +55,7 @@ def publish_segments(
     zorder: list[str] | None = None,
     stats_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    published_at: str | None = None,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -264,6 +265,12 @@ def publish_segments(
             fs.copy_tree(src, seg_dir)
 
     manifests: list[SegmentManifest] = []
+    # one stamp for the whole publish: every bucket of this version enters
+    # each as_of view atomically (callers pass an explicit stamp for
+    # deterministic fixtures; None → now, monotonic per process)
+    from druid_hadoop_utils_spark.sources.segments import publish_stamp
+
+    stamp = published_at or publish_stamp()
     for name in fs.ls(staging):
         if not name.startswith("__bucket="):
             continue
@@ -284,6 +291,7 @@ def publish_segments(
                     SegmentManifest(
                         data_source, iv, str(version), shard_num, seg_dir,
                         stats=stats_by_key.get((raw, shard_num)),
+                        published_at=stamp,
                     )
                 )
             register_manifest_group(table_root, bucket_manifests)
@@ -293,6 +301,7 @@ def publish_segments(
             manifest = SegmentManifest(
                 data_source, iv, str(version), 0, seg_dir,
                 stats=stats_by_key.get((raw, 0)),
+                published_at=stamp,
             )
             register_manifest(table_root, manifest)
             bucket_manifests.append(manifest)

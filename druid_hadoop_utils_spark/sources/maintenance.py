@@ -242,6 +242,17 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     # pool-parallel reclamation (fs.py bulk contract) — manifests are
     # already gone, so these dirs are unreferenced orphans at worst
     fs.delete_dirs(data_dirs)
+    if removed and not dry_run:
+        # physical history is gone: advance the time-travel horizon so
+        # list_manifests(as_of=<before now>) refuses loudly instead of
+        # resolving a timeline missing the segments just deleted
+        # (conservative: stamped "now", the instant after which every
+        # as_of view is still fully reconstructible)
+        from druid_hadoop_utils_spark.sources.segments import (
+            mark_history_horizon,
+        )
+
+        mark_history_horizon(table_root, data_source)
     # a crash-window duplicate (same entry in snapshot + standalone)
     # reports once
     seen: set = set()
@@ -347,7 +358,8 @@ def auto_compact(
 
         fs = get_fs(table_root)
         mdir = fs.join(table_root, data_source, MANIFEST_DIR)
-        n = len([x for x in fs.ls(mdir) if x.endswith(".json")])
+        n = len([x for x in fs.ls(mdir)
+                 if x.endswith(".json") and not x.startswith("_")])
         if n > compact_manifests_over:
             compact_manifests(table_root, data_source)
     return intervals

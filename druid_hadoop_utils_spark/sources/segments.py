@@ -56,6 +56,13 @@ class SegmentManifest:
     # the query's DimFilter — see plans/pruning.py. Advisory metadata;
     # excluded from identity.
     stats: dict | None = field(default=None, compare=False)
+    # wall-clock publish stamp (ISO-8601 UTC, microseconds) recorded when
+    # the manifest is announced — the basis for time-travel reads
+    # (``list_manifests(as_of=...)``): the table "as of T" is the
+    # timeline over exactly the manifests announced at or before T.
+    # Advisory metadata; excluded from identity (the same segment
+    # re-announced is the same segment).
+    published_at: str | None = field(default=None, compare=False)
 
     @property
     def identifier(self) -> str:
@@ -77,6 +84,8 @@ class SegmentManifest:
             out["tombstone"] = True
         if self.stats:
             out["stats"] = self.stats
+        if self.published_at:
+            out["publishedAt"] = self.published_at
         return out
 
     @classmethod
@@ -89,6 +98,7 @@ class SegmentManifest:
             path=obj["path"],
             tombstone=bool(obj.get("tombstone", False)),
             stats=obj.get("stats"),
+            published_at=obj.get("publishedAt"),
         )
 
 
@@ -111,6 +121,48 @@ class WindowedSegment:
 
 def _safe(s: str) -> str:
     return s.replace(":", "-").replace("/", "_").replace("+", "")
+
+
+_LAST_STAMP: list = [None]  # per-process monotonicity guard for publish stamps
+
+
+def publish_stamp() -> str:
+    """ISO-8601 UTC publish stamp, microsecond precision, strictly
+    increasing within a process: two back-to-back publishes always order
+    (a coarse clock could otherwise stamp them identically, making an
+    ``as_of`` between them ambiguous)."""
+    from datetime import datetime, timedelta, timezone
+
+    now = datetime.now(timezone.utc)
+    prev = _LAST_STAMP[0]
+    if prev is not None and now <= prev:
+        now = prev + timedelta(microseconds=1)
+    _LAST_STAMP[0] = now
+    return now.isoformat()
+
+
+def _parse_as_of(as_of) -> "object":
+    """Accept an ISO string or datetime; naive values are UTC (every
+    publish stamp is written timezone-aware UTC)."""
+    from datetime import datetime, timezone
+
+    if isinstance(as_of, str):
+        as_of = datetime.fromisoformat(as_of.replace("Z", "+00:00"))
+    if not isinstance(as_of, datetime):
+        raise TypeError(f"as_of must be an ISO string or datetime, got {as_of!r}")
+    if as_of.tzinfo is None:
+        as_of = as_of.replace(tzinfo=timezone.utc)
+    return as_of
+
+
+def _published_within(published_at: str | None, as_of) -> bool:
+    """True when a manifest announced at ``published_at`` is part of the
+    ``as_of`` view. Manifests with no stamp predate the feature — they
+    were on disk before any stamped publish, so every view includes
+    them."""
+    if published_at is None:
+        return True
+    return _parse_as_of(published_at) <= as_of
 
 
 #: Exact dtype names the stats/bloom pruner reasons about. Exact matches
@@ -164,6 +216,7 @@ def write_segment(
     partition_by_day: bool = False,
     enforce_interval: bool = True,
     stats_columns: list[str] | None = None,
+    published_at: str | None = None,
 ) -> SegmentManifest:
     """Publish ``df`` as one immutable segment of ``data_source``.
 
@@ -206,7 +259,8 @@ def write_segment(
         if stats_columns else None
     )
     manifest = SegmentManifest(data_source, iv, str(version), shard_num,
-                               seg_dir, stats=stats)
+                               seg_dir, stats=stats,
+                               published_at=published_at)
     register_manifest(table_root, manifest)
     return manifest
 
@@ -238,7 +292,11 @@ def register_manifest(table_root: str, manifest: SegmentManifest) -> None:
     plain PUT on object stores where the PUT itself is atomic."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
+    import dataclasses
+
     fs = get_fs(table_root)
+    if manifest.published_at is None:
+        manifest = dataclasses.replace(manifest, published_at=publish_stamp())
     mdir = fs.join(table_root, manifest.data_source, MANIFEST_DIR)
     fs.mkdirs(mdir)
     mpath = fs.join(mdir, f"{_safe(manifest.identifier)}.json")
@@ -275,10 +333,16 @@ def register_manifest_group(
         f"_{m0.interval.end.isoformat()}_{m0.version}"
     )
     mpath = fs.join(mdir, f"{_safe(group_id)}.json")
+    # one stamp for the whole group: all shards of one (interval, version)
+    # announce together, so they enter every as_of view together
+    stamp = next(
+        (m.published_at for m in manifests if m.published_at), None
+    ) or publish_stamp()
     obj = {
         "dataSource": m0.data_source,
         "interval": m0.interval.iso(),
         "version": m0.version,
+        "publishedAt": stamp,
         "shards": [
             {"shardNum": m.shard_num, "path": m.path,
              **({"stats": m.stats} if m.stats else {})}
@@ -310,6 +374,7 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
                 path=s["path"],
                 manifest_file=mpath,
                 stats=s.get("stats"),
+                published_at=obj.get("publishedAt"),
             )
             for s in obj["shards"]
         ]
@@ -318,16 +383,39 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
         SegmentManifest(
             m.data_source, m.interval, m.version, m.shard_num, m.path,
             manifest_file=mpath, tombstone=m.tombstone, stats=m.stats,
+            published_at=m.published_at,
         )
     ]
 
 
-def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
+def list_manifests(
+    table_root: str, data_source: str, as_of=None
+) -> list[SegmentManifest]:
     """Driver-side metadata listing (replaces the overlord HTTP hop). A
-    multi-shard group file expands to one entry per shard."""
+    multi-shard group file expands to one entry per shard.
+
+    ``as_of`` (ISO string or datetime; naive = UTC) restricts the listing
+    to manifests announced at or before that instant — the TIME-TRAVEL
+    view: resolving the overshadow timeline over this subset reproduces
+    exactly what a reader at that wall-clock moment saw (publishes,
+    compactions, and drop tombstones all announce through manifests, so
+    all three rewind together). History is reconstructible only back to
+    the last physical ``vacuum`` — an ``as_of`` earlier than the
+    recorded horizon raises rather than silently answering from the
+    segments that happen to survive."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
     fs = get_fs(table_root)
+    if as_of is not None:
+        as_of = _parse_as_of(as_of)
+        horizon = history_horizon(table_root, data_source)
+        if horizon is not None and as_of < horizon:
+            raise ValueError(
+                f"as_of={as_of.isoformat()} predates this table's history "
+                f"horizon {horizon.isoformat()}: a vacuum has physically "
+                "removed overshadowed segments, so the timeline at that "
+                "instant can no longer be reconstructed"
+            )
     mdir = fs.join(table_root, data_source, MANIFEST_DIR)
     names = fs.ls(mdir)
     if not names and not fs.isdir(mdir):
@@ -335,10 +423,16 @@ def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
     out = []
     seen: set = set()
     for name in names:
-        if name.endswith(".json") and not name.endswith(".tmp"):
+        # "_"-prefixed objects are table metadata (the history horizon),
+        # not manifests
+        if (name.endswith(".json") and not name.endswith(".tmp")
+                and not name.startswith("_")):
             mpath = fs.join(mdir, name)
             for m in _manifests_from_json(
                     json.loads(fs.read_text(mpath)), mpath):
+                if as_of is not None and not _published_within(
+                        m.published_at, as_of):
+                    continue
                 # dedup: a crash between a snapshot PUT and the deletion
                 # of the originals (compact_manifests) leaves the same
                 # entry in two files — identity-equal, keep the first
@@ -350,6 +444,74 @@ def list_manifests(table_root: str, data_source: str) -> list[SegmentManifest]:
                 seen.add(key)
                 out.append(m)
     return out
+
+
+HORIZON_FILE = "_horizon.json"
+
+
+def history_horizon(table_root: str, data_source: str):
+    """Earliest instant to which this table's timeline can still be
+    rewound (aware UTC datetime), or None when no vacuum has ever
+    physically removed segments. Written by ``maintenance.vacuum``."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    path = fs.join(table_root, data_source, MANIFEST_DIR, HORIZON_FILE)
+    try:
+        obj = json.loads(fs.read_text(path))
+    except (FileNotFoundError, OSError):
+        return None
+    return _parse_as_of(obj["asOfHorizon"])
+
+
+def mark_history_horizon(
+    table_root: str, data_source: str, stamp: str | None = None
+) -> str:
+    """Advance the time-travel horizon to ``stamp`` (default: now).
+    Called by ``vacuum`` after removing overshadowed segments: any
+    ``as_of`` before this instant might have needed a segment that no
+    longer exists, so such reads refuse loudly instead of silently
+    resolving to whatever survives. The horizon only moves forward."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    stamp = stamp or publish_stamp()
+    prev = history_horizon(table_root, data_source)
+    if prev is not None and _parse_as_of(stamp) <= prev:
+        return prev.isoformat()
+    path = fs.join(table_root, data_source, MANIFEST_DIR, HORIZON_FILE)
+    fs.put_text(path, json.dumps({"asOfHorizon": stamp}, indent=2))
+    return stamp
+
+
+def table_history(table_root: str, data_source: str) -> list[dict]:
+    """Publish log for a managed table (the DESCRIBE HISTORY analogue),
+    oldest first: one row per manifest entry with its announce stamp,
+    whether it is a tombstone, and whether the CURRENT timeline still
+    shows it. Driver-side metadata only — no data read."""
+    manifests = list_manifests(table_root, data_source)
+    if not manifests:
+        return []
+    lo = min(m.interval.start for m in manifests)
+    hi = max(m.interval.end for m in manifests)
+    visible = {
+        w.manifest for w in resolve_visible_windows(manifests, Interval(lo, hi))
+    }
+    rows = [
+        {
+            "identifier": m.identifier,
+            "interval": m.interval.iso(),
+            "version": m.version,
+            "shardNum": m.shard_num,
+            "tombstone": m.tombstone,
+            "publishedAt": m.published_at,
+            "visible": m in visible,
+            "path": m.path,
+        }
+        for m in manifests
+    ]
+    rows.sort(key=lambda r: (r["publishedAt"] or "", r["identifier"]))
+    return rows
 
 
 #: snapshot files sort BEFORE other manifest names (listing order makes
@@ -380,7 +542,8 @@ def compact_manifests(table_root: str, data_source: str) -> str | None:
     fs = get_fs(table_root)
     mdir = fs.join(table_root, data_source, MANIFEST_DIR)
     names = [n for n in fs.ls(mdir)
-             if n.endswith(".json") and not n.endswith(".tmp")]
+             if n.endswith(".json") and not n.endswith(".tmp")
+             and not n.startswith("_")]
     if not names:
         return None
     entries: list[dict] = []
@@ -402,7 +565,7 @@ def compact_manifests(table_root: str, data_source: str) -> str | None:
     return fs.join(mdir, snap_name)
 
 
-def timeline_version(table_root: str, data_source: str) -> str:
+def timeline_version(table_root: str, data_source: str, as_of=None) -> str:
     """Version stamp for a managed table's segment timeline: the md5 of
     the sorted manifest identifiers. Any publish, compaction, drop,
     retention sweep, or vacuum changes it — without scanning a single
@@ -415,7 +578,10 @@ def timeline_version(table_root: str, data_source: str) -> str:
     driver-side manifest planning."""
     import hashlib
 
-    idents = sorted(m.identifier for m in list_manifests(table_root, data_source))
+    idents = sorted(
+        m.identifier
+        for m in list_manifests(table_root, data_source, as_of=as_of)
+    )
     if not idents:
         raise FileNotFoundError(
             f"no segments for {data_source} under {table_root}"

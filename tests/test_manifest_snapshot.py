@@ -75,7 +75,7 @@ def test_compaction_preserves_listing_and_results(spark, root):
 
     snap = compact_manifests(root, "ev")
     fs, mdir = _mdir(root)
-    names = [n for n in fs.ls(mdir) if n.endswith(".json")]
+    names = [n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]
     assert names == [fs.name(snap)]
     assert names[0].startswith(SNAPSHOT_PREFIX)
 
@@ -96,11 +96,11 @@ def test_publish_after_snapshot_then_recompact(spark, root):
     publish_segments(_events(spark, [3]), root, "ev", version="v1",
                      time_column="ts", bucket="DAY")
     fs, mdir = _mdir(root)
-    assert len([n for n in fs.ls(mdir) if n.endswith(".json")]) == 2
+    assert len([n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]) == 2
     assert len(list_manifests(root, "ev")) == 3
     # re-compaction folds it in
     compact_manifests(root, "ev")
-    assert len([n for n in fs.ls(mdir) if n.endswith(".json")]) == 1
+    assert len([n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]) == 1
     assert len(list_manifests(root, "ev")) == 3
     out = load(spark, root, SPEC, interval="2024-01-01/2024-02-01",
                data_source="ev")
@@ -114,20 +114,20 @@ def test_crash_window_duplicates_dedup_and_cleanup(spark, root):
     publish_segments(_events(spark, [1, 2]), root, "ev", version="v1",
                      time_column="ts", bucket="DAY")
     fs, mdir = _mdir(root)
-    originals = [n for n in fs.ls(mdir) if n.endswith(".json")]
+    originals = [n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]
     # hand-write the snapshot the way compact_manifests would, keeping
     # the originals in place
     entries = [json.loads(fs.read_text(fs.join(mdir, n)))
                for n in originals]
     fs.put_text(fs.join(mdir, f"{SNAPSHOT_PREFIX}deadbeef.json"),
                 json.dumps({"snapshot": entries}))
-    assert len([n for n in fs.ls(mdir) if n.endswith(".json")]) == 3
+    assert len([n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]) == 3
     ms = list_manifests(root, "ev")
     assert len(ms) == 2  # deduped
     # the snapshot copy won (its file sorts first) — vacuum ownership
     assert all(SNAPSHOT_PREFIX in (m.manifest_file or "") for m in ms)
     compact_manifests(root, "ev")
-    assert len([n for n in fs.ls(mdir) if n.endswith(".json")]) == 1
+    assert len([n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]) == 1
     assert len(list_manifests(root, "ev")) == 2
 
 
@@ -148,7 +148,7 @@ def test_vacuum_rewrites_snapshot(spark, root):
     removed = vacuum(root, "ev")
     assert removed == [old_day2[0].identifier]
     fs, mdir = _mdir(root)
-    names = [n for n in fs.ls(mdir) if n.endswith(".json")]
+    names = [n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]
     assert len(names) == 1 and names[0].startswith(SNAPSHOT_PREFIX)
     left = list_manifests(root, "ev")
     assert sorted(m.version for m in left) == ["v1", "v2"]
@@ -173,7 +173,7 @@ def test_vacuum_deletes_snapshot_when_empty(spark, root):
     removed = vacuum(root, "ev")
     assert len(removed) == 1
     fs, mdir = _mdir(root)
-    names = [n for n in fs.ls(mdir) if n.endswith(".json")]
+    names = [n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]
     # the tombstone's own file remains (it is still visible); the
     # snapshot lost its only entry and was deleted
     assert len(names) == 1 and not names[0].startswith(SNAPSHOT_PREFIX)
@@ -189,8 +189,8 @@ def test_auto_compact_folds_manifests_over_threshold(spark, tmp_path):
                      time_column="ts", bucket="DAY")
     fs, mdir = _mdir(root)
     auto_compact(spark, root, "ev", compact_manifests_over=10)
-    assert len([n for n in fs.ls(mdir) if n.endswith(".json")]) == 3
+    assert len([n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]) == 3
     auto_compact(spark, root, "ev", compact_manifests_over=2)
-    names = [n for n in fs.ls(mdir) if n.endswith(".json")]
+    names = [n for n in fs.ls(mdir) if n.endswith(".json") and not n.startswith("_")]
     assert len(names) == 1 and names[0].startswith(SNAPSHOT_PREFIX)
     assert len(list_manifests(root, "ev")) == 3

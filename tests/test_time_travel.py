@@ -1,0 +1,277 @@
+"""Time-travel reads over the versioned segment timeline.
+
+Every manifest announce (publish, compaction, drop tombstone) carries a
+``publishedAt`` stamp; ``list_manifests(as_of=...)`` / ``load(as_of=...)``
+resolve the overshadow timeline over only the manifests announced by that
+instant — reproducing exactly what a reader then saw. History is bounded
+by physical ``vacuum``, which advances a horizon that makes earlier
+``as_of`` reads refuse loudly (the Delta/Iceberg VACUUM-retention shape;
+the reference's timeline is the live-only Druid 0.9 view —
+DruidInputFormat.java:98-110 — so this is an engine extension).
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark import load, table_history, timeline_version
+from druid_hadoop_utils_spark.api import druid_query
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.maintenance import (
+    drop_interval,
+    vacuum,
+)
+from druid_hadoop_utils_spark.sources.segments import (
+    compact_manifests,
+    history_horizon,
+    list_manifests,
+    mark_history_horizon,
+    publish_stamp,
+)
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+SPEC = {"granularity": "NONE", "dimensions": ["event_type"],
+        "metrics": [{"name": "value", "type": "double"}]}
+
+T1 = "2024-06-01T00:00:00+00:00"   # v1 publish
+T2 = "2024-06-02T00:00:00+00:00"   # v2 overshadow publish
+MID = "2024-06-01T12:00:00"        # between the two (naive = UTC)
+IV = "2024-01-03/2024-01-10"
+
+
+@pytest.fixture(scope="class")
+def root(tmp_path_factory, spark, sf_dir):
+    """v1 = raw events; v2 re-publishes [01-05, 01-07) with value doubled."""
+    root = str(tmp_path_factory.mktemp("ttravel"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id")
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY", published_at=T1)
+    patch = ev.where(
+        (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-07"))
+    ).withColumn("value", F.col("value") * 2)
+    publish_segments(patch, root, "events", version="v2", time_column="ts",
+                     bucket="DAY", published_at=T2)
+    return root
+
+
+def _sum(df):
+    return df.agg(F.round(F.sum("value"), 2)).first()[0]
+
+
+class TestAsOfLoad:
+    def test_as_of_between_sees_v1_only(self, spark, root):
+        old = load(spark, root, SPEC, interval=IV, data_source="events",
+                   as_of=MID)
+        now = load(spark, root, SPEC, interval=IV, data_source="events")
+        assert all("v=v1" in f for f in old.inputFiles())
+        assert any("v=v2" in f for f in now.inputFiles())
+        # the doubled window makes the sums provably differ
+        assert _sum(old) < _sum(now)
+
+    def test_as_of_after_equals_current(self, spark, root):
+        late = load(spark, root, SPEC, interval=IV, data_source="events",
+                    as_of="2024-06-03T00:00:00")
+        now = load(spark, root, SPEC, interval=IV, data_source="events")
+        assert _sum(late) == _sum(now)
+        assert sorted(late.inputFiles()) == sorted(now.inputFiles())
+
+    def test_as_of_before_first_publish_is_empty(self, spark, root):
+        df = load(spark, root, SPEC, interval=IV, data_source="events",
+                  as_of="2024-05-01T00:00:00")
+        assert df.count() == 0  # ignoreWhenNoSegments shape
+        with pytest.raises(FileNotFoundError):
+            load(spark, root, SPEC, interval=IV, data_source="events",
+                 as_of="2024-05-01T00:00:00", ignore_when_no_segments=False)
+
+    def test_spec_json_as_of_field(self, spark, root):
+        df = load(spark, root, dict(SPEC, asOf=MID), interval=IV,
+                  data_source="events")
+        assert all("v=v1" in f for f in df.inputFiles())
+
+    def test_as_of_datetime_and_naive_equivalent(self, spark, root):
+        aware = load(spark, root, SPEC, interval=IV, data_source="events",
+                     as_of=datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc))
+        naive = load(spark, root, SPEC, interval=IV, data_source="events",
+                     as_of=MID)
+        assert sorted(aware.inputFiles()) == sorted(naive.inputFiles())
+
+    def test_timeline_version_varies_with_as_of(self, spark, root):
+        v_old = timeline_version(root, "events", as_of=MID)
+        v_now = timeline_version(root, "events")
+        assert v_old != v_now
+        # stable: the as_of view is immutable
+        assert v_old == timeline_version(root, "events", as_of=MID)
+
+
+class TestTombstoneAndHistory:
+    def test_drop_rewinds(self, spark, root):
+        before_drop = publish_stamp()
+        drop_interval(root, "events", "2024-01-08/2024-01-09")
+        gone = load(spark, root, SPEC, interval="2024-01-08/2024-01-09",
+                    data_source="events")
+        assert gone.count() == 0
+        still = load(spark, root, SPEC, interval="2024-01-08/2024-01-09",
+                     data_source="events", as_of=before_drop)
+        assert still.count() > 0
+
+    def test_table_history_log(self, spark, root):
+        hist = table_history(root, "events")
+        stamps = [h["publishedAt"] for h in hist]
+        assert all(s is not None for s in stamps)
+        assert stamps == sorted(stamps)
+        versions = {h["version"] for h in hist}
+        assert {"v1", "v2"} <= versions
+        assert any(h["tombstone"] for h in hist)
+        # v1 days under the doubled window are overshadowed → not visible
+        hidden = [h for h in hist if h["version"] == "v1" and not h["visible"]]
+        assert hidden
+
+    def test_as_of_survives_manifest_compaction(self, spark, root):
+        old = sorted(load(spark, root, SPEC, interval=IV,
+                          data_source="events", as_of=MID).inputFiles())
+        compact_manifests(root, "events")
+        assert sorted(load(spark, root, SPEC, interval=IV,
+                           data_source="events", as_of=MID).inputFiles()) == old
+        # stamps survive the snapshot round-trip
+        assert all(m.published_at is not None
+                   for m in list_manifests(root, "events"))
+
+
+class TestDruidQueryAsOf:
+    def test_groupby_as_of(self, spark, root):
+        q = {"queryType": "groupBy", "dataSource": "events",
+             "granularity": "ALL", "dimensions": ["event_type"],
+             "intervals": ["2024-01-05/2024-01-07"],
+             "aggregations": [{"type": "doubleSum", "name": "value",
+                               "fieldName": "value"}]}
+        now = druid_query(spark, root, q)
+        old = druid_query(spark, root, dict(q, asOf=MID))
+        n = now.agg(F.sum("value")).first()[0]
+        o = old.agg(F.sum("value")).first()[0]
+        assert abs(n - 2 * o) < 1e-6  # the window was doubled in v2
+
+    def test_as_of_skips_materialized_rewrite(self, spark, root):
+        from druid_hadoop_utils_spark.sources.materialize import (
+            materialize_aggs,
+        )
+
+        materialize_aggs(
+            spark, root, "events", "tt_daily", ["event_type"],
+            [{"type": "doubleSum", "name": "value", "fieldName": "value"}],
+            granularity="DAY", time_column="__time",
+        )
+        q = {"queryType": "groupBy", "dataSource": "events",
+             "granularity": "DAY", "dimensions": ["event_type"],
+             "intervals": ["2024-01-05/2024-01-07"],
+             "aggregations": [{"type": "doubleSum", "name": "value",
+                               "fieldName": "value"}]}
+        # current view: states answer (require mode proves coverage)
+        req = druid_query(spark, root, dict(
+            q, context={"useMaterialized": "require"}))
+        assert all("_materialized" in f for f in req.inputFiles())
+        # as_of: the rewrite must NOT answer — and require must refuse
+        old = druid_query(spark, root, dict(q, asOf=MID))
+        assert all("_materialized" not in f for f in old.inputFiles())
+        with pytest.raises(ValueError, match="asOf"):
+            druid_query(spark, root, dict(
+                q, asOf=MID, context={"useMaterialized": "require"}))
+
+    def test_cache_key_distinguishes_as_of(self):
+        from druid_hadoop_utils_spark.sources.cache import query_cache_key
+
+        q = {"queryType": "groupBy", "dataSource": "events",
+             "granularity": "ALL", "dimensions": ["event_type"],
+             "intervals": [IV], "aggregations": []}
+        assert query_cache_key(q, "events") != query_cache_key(
+            dict(q, asOf=MID), "events")
+
+
+class TestVacuumHorizon:
+    def test_vacuum_advances_horizon_and_refuses_old_as_of(
+            self, spark, tmp_path, sf_dir):
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(ev.withColumn("value", F.col("value") + 1),
+                         root, "events", version="v2", time_column="ts",
+                         bucket="DAY", published_at=T2)
+        assert history_horizon(root, "events") is None
+        # dry-run must not advance the horizon
+        vacuum(root, "events", dry_run=True)
+        assert history_horizon(root, "events") is None
+        removed = vacuum(root, "events")
+        assert removed
+        horizon = history_horizon(root, "events")
+        assert horizon is not None
+        with pytest.raises(ValueError, match="horizon"):
+            list_manifests(root, "events", as_of=MID)
+        with pytest.raises(ValueError, match="horizon"):
+            load(spark, root, SPEC, interval=IV, data_source="events",
+                 as_of=MID)
+        # at/after the horizon still reads fine (current view)
+        df = load(spark, root, SPEC, interval=IV, data_source="events",
+                  as_of=horizon)
+        assert df.count() > 0
+        # a second vacuum with nothing to remove keeps the horizon put
+        assert vacuum(root, "events") == []
+        assert history_horizon(root, "events") == horizon
+
+    def test_horizon_only_moves_forward(self, tmp_path, spark, sf_dir):
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+        publish_segments(ev.limit(10), root, "events", version="v1",
+                         time_column="ts", bucket="DAY")
+        mark_history_horizon(root, "events", "2024-06-05T00:00:00+00:00")
+        mark_history_horizon(root, "events", "2024-06-01T00:00:00+00:00")
+        assert history_horizon(root, "events").isoformat() == (
+            "2024-06-05T00:00:00+00:00")
+
+
+class TestStampMechanics:
+    def test_publish_stamp_monotonic(self):
+        stamps = [publish_stamp() for _ in range(50)]
+        assert stamps == sorted(stamps) and len(set(stamps)) == 50
+
+    def test_unstamped_legacy_manifest_always_visible(self, tmp_path, spark,
+                                                      sf_dir):
+        import json
+        import os
+
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+        publish_segments(ev.limit(50), root, "events", version="v1",
+                         time_column="ts", bucket="DAY")
+        # strip the stamps (simulating pre-feature manifests)
+        mdir = os.path.join(root, "events", "_segments")
+        for name in os.listdir(mdir):
+            p = os.path.join(mdir, name)
+            obj = json.loads(open(p).read())
+            obj.pop("publishedAt", None)
+            open(p, "w").write(json.dumps(obj))
+        ms = list_manifests(root, "events", as_of="1990-01-01T00:00:00")
+        assert ms and all(m.published_at is None for m in ms)
+
+    def test_objectsim_backend_round_trip(self, spark, sf_dir, tmp_path):
+        # the horizon file + stamped manifests through the no-rename
+        # object-store simulation backend
+        root = "objectsim://" + str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(
+            ev.where(F.col("ts") < F.lit("2024-01-05")),
+            root, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        old = load(spark, root, SPEC, interval=IV, data_source="events",
+                   as_of=MID)
+        assert all("v=v1" in f for f in old.inputFiles())
+        assert vacuum(root, "events")
+        assert history_horizon(root, "events") is not None
+        with pytest.raises(ValueError, match="horizon"):
+            load(spark, root, SPEC, interval=IV, data_source="events",
+                 as_of=MID)
