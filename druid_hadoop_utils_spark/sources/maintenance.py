@@ -170,9 +170,25 @@ def apply_retention(
     return [drop_interval(table_root, data_source, iv) for iv in targets]
 
 
-def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str]:
+def vacuum(
+    table_root: str,
+    data_source: str,
+    dry_run: bool = False,
+    retain_history_s: float = 0.0,
+) -> list[str]:
     """Delete segments that are invisible for their ENTIRE interval (fully
     overshadowed). Returns the removed segment identifiers.
+
+    ``retain_history_s`` keeps time travel alive across vacuums (the
+    Delta ``VACUUM ... RETAIN N HOURS`` shape): a segment is reclaimed
+    only if it is invisible in EVERY ``as_of`` view from
+    ``now - retain_history_s`` forward — checked exactly, by resolving
+    the timeline at the cutoff and after each manifest announced since
+    (between announces the view is constant, so those instants cover all
+    of them). The history horizon then advances only to the cutoff, so
+    ``as_of`` reads within the retention window keep working. The
+    default (0) reclaims everything currently invisible and moves the
+    horizon to now — maximum reclamation, no history.
 
     The manifest is deleted first: if the process dies before the data
     directory is removed, the leftover parquet is unreferenced and harmless.
@@ -182,6 +198,9 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     from druid_hadoop_utils_spark.sources.fs import get_fs
     from druid_hadoop_utils_spark.sources.segments import (
         _manifests_from_json,
+        _parse_as_of,
+        _published_within,
+        history_horizon,
     )
 
     fs = get_fs(table_root)
@@ -190,7 +209,34 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
         return []
     lo = min(m.interval.start for m in manifests)
     hi = max(m.interval.end for m in manifests)
-    visible = {w.manifest for w in resolve_visible_windows(manifests, Interval(lo, hi))}
+    span = Interval(lo, hi)
+    # everything any surviving view still needs: the CURRENT timeline,
+    # plus (under retention) each distinct as_of view since the cutoff
+    visible = {w.manifest for w in resolve_visible_windows(manifests, span)}
+    cutoff = None
+    if retain_history_s > 0:
+        from datetime import timedelta
+
+        cutoff = datetime.now(timezone.utc) - timedelta(
+            seconds=retain_history_s)
+        prev_h = history_horizon(table_root, data_source)
+        if prev_h is not None and prev_h > cutoff:
+            # views before an existing horizon are already gone — no
+            # point retaining segments only they would need
+            cutoff = prev_h
+        stamps = sorted({
+            _parse_as_of(m.published_at) for m in manifests
+            if m.published_at is not None
+            and _parse_as_of(m.published_at) > cutoff
+        })
+        for t in [cutoff, *stamps]:
+            subset = [m for m in manifests
+                      if _published_within(m.published_at, t)]
+            if subset:
+                visible |= {
+                    w.manifest
+                    for w in resolve_visible_windows(subset, span)
+                }
     by_file: dict[str, list[SegmentManifest]] = {}
     for m in manifests:
         mfile = m.manifest_file or fs.join(
@@ -244,15 +290,17 @@ def vacuum(table_root: str, data_source: str, dry_run: bool = False) -> list[str
     fs.delete_dirs(data_dirs)
     if removed and not dry_run:
         # physical history is gone: advance the time-travel horizon so
-        # list_manifests(as_of=<before now>) refuses loudly instead of
-        # resolving a timeline missing the segments just deleted
-        # (conservative: stamped "now", the instant after which every
-        # as_of view is still fully reconstructible)
+        # list_manifests(as_of=<before it>) refuses loudly instead of
+        # resolving a timeline missing the segments just deleted. With
+        # retention the horizon moves only to the cutoff (everything at
+        # or after it was provably preserved above); without, to "now"
         from druid_hadoop_utils_spark.sources.segments import (
             mark_history_horizon,
         )
 
-        mark_history_horizon(table_root, data_source)
+        mark_history_horizon(
+            table_root, data_source,
+            stamp=cutoff.isoformat() if cutoff is not None else None)
     # a crash-window duplicate (same entry in snapshot + standalone)
     # reports once
     seen: set = set()

@@ -231,6 +231,66 @@ class TestVacuumHorizon:
             "2024-06-05T00:00:00+00:00")
 
 
+class TestRetentionVacuum:
+    """vacuum(retain_history_s=N): the Delta RETAIN shape — reclaim only
+    what NO as_of view since the cutoff needs; horizon moves to the
+    cutoff, so time travel within the window survives the vacuum."""
+
+    def _three_versions(self, spark, sf_dir, root):
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value").limit(200)
+        for i, (v, t) in enumerate([("v1", T1), ("v2", T2),
+                                    ("v3", "2024-06-03T00:00:00+00:00")]):
+            publish_segments(ev.withColumn("value", F.col("value") + i),
+                             root, "events", version=v, time_column="ts",
+                             bucket="DAY", published_at=t)
+
+    def test_window_covering_everything_reclaims_nothing(
+            self, spark, tmp_path, sf_dir):
+        root = str(tmp_path)
+        self._three_versions(spark, sf_dir, root)
+        # cutoff decades before T1: every historical view is retained
+        assert vacuum(root, "events", retain_history_s=2.0e9) == []
+        assert history_horizon(root, "events") is None
+
+    def test_cutoff_between_versions_keeps_intermediate(
+            self, spark, tmp_path, sf_dir):
+        root = str(tmp_path)
+        self._three_versions(spark, sf_dir, root)
+        # cutoff strictly between T2 and T3: the views since the cutoff
+        # are {v2 visible} and {v3 visible} — v1 is needed by none and
+        # reclaims; v2, though CURRENTLY overshadowed, must survive
+        cut = datetime(2024, 6, 2, 12, tzinfo=timezone.utc)
+        retain = (datetime.now(timezone.utc) - cut).total_seconds()
+        removed = vacuum(root, "events", retain_history_s=retain)
+        assert removed and all("_v1_" in r for r in removed)
+        left = {m.version for m in list_manifests(root, "events")}
+        assert left == {"v2", "v3"}
+        # time travel to the v2 era (at/after the cutoff) still works
+        # and sees v2 files
+        old = load(spark, root, SPEC, interval=IV, data_source="events",
+                   as_of="2024-06-02T18:00:00")
+        assert old.count() >= 0 and all(
+            "v=v2" in f for f in old.inputFiles())
+        # horizon landed at the cutoff, not "now"
+        h = history_horizon(root, "events")
+        assert abs((h - cut).total_seconds()) < 120
+        with pytest.raises(ValueError, match="horizon"):
+            load(spark, root, SPEC, interval=IV, data_source="events",
+                 as_of=MID)
+
+    def test_second_vacuum_without_retention_finishes_the_job(
+            self, spark, tmp_path, sf_dir):
+        root = str(tmp_path)
+        self._three_versions(spark, sf_dir, root)
+        cut = datetime(2024, 6, 2, 12, tzinfo=timezone.utc)
+        retain = (datetime.now(timezone.utc) - cut).total_seconds()
+        vacuum(root, "events", retain_history_s=retain)
+        removed = vacuum(root, "events")  # default: no retention
+        assert removed and all("_v2_" in r for r in removed)
+        assert {m.version for m in list_manifests(root, "events")} == {"v3"}
+
+
 class TestStampMechanics:
     def test_publish_stamp_monotonic(self):
         stamps = [publish_stamp() for _ in range(50)]
