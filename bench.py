@@ -90,6 +90,10 @@ HEADLINE = [
     "q_api_materialized_require",
     "q_cached_query",
     "q_corpus_shuffle",
+    # round 7: time-travel read — two timeline resolutions (as_of +
+    # current) over the same managed table, driver-side metadata only
+    # on top of two ordinary pruned scans
+    "q_time_travel",
 ]
 
 # run each query three times and report the min: run-to-run variance on a
