@@ -335,3 +335,75 @@ class TestStampMechanics:
         with pytest.raises(ValueError, match="horizon"):
             load(spark, root, SPEC, interval=IV, data_source="events",
                  as_of=MID)
+
+
+def test_streaming_publishes_are_time_travel_views(spark, tmp_path):
+    """Composition with streaming ingest: segment_publishing_writer goes
+    through write_segment, so every micro-batch publish is stamped — and
+    load(as_of=) reproduces the table exactly as it stood after any given
+    micro-batch. A streamed table's history is auditable, not a silent
+    latest-only view (the reference's Druid-0.9 timeline is live-only;
+    DruidInputFormat.java:98-110)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.streaming.ingest import (
+        segment_publishing_writer,
+        streaming_rollup,
+    )
+
+    src = str(tmp_path / "tt_stream_in")
+    table_root = str(tmp_path / "tt_stream_tables")
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"},
+                        {"name": "n", "type": "long"}]}
+    schema = "ts timestamp, event_type string, value double"
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        rolled = streaming_rollup(
+            stream, dims=["event_type"],
+            aggs=[F.sum("value").alias("value"), F.count("*").alias("n")])
+        q = segment_publishing_writer(
+            rolled, table_root, "sev",
+            checkpoint_dir=str(tmp_path / "tt_stream_ckpt"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    # micro-batch round 1: hour-0 events + a sentinel that closes hour 0
+    spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, 0, 5), event_type="a", value=1.0),
+         Row(ts=datetime(2024, 1, 1, 0, 25), event_type="a", value=2.0),
+         Row(ts=datetime(2024, 1, 1, 3, 30), event_type="sentinel",
+             value=9.0)],
+        schema).coalesce(1).write.parquet(src + "/c0")
+    run_stream()
+    hist1 = [h for h in table_history(table_root, "sev") if h["publishedAt"]]
+    assert hist1, "round 1 published nothing"
+    stamp1 = max(h["publishedAt"] for h in hist1)
+
+    # micro-batch round 2: hour-4 events (ahead of round 1's 03:20
+    # watermark — earlier events would be dropped as late) + a later
+    # sentinel that closes both hour 3 (round 1's sentinel) and hour 4
+    spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, 4, 10), event_type="b", value=5.0),
+         Row(ts=datetime(2024, 1, 1, 7, 0), event_type="sentinel2",
+             value=9.0)],
+        schema).coalesce(1).write.parquet(src + "/c1")
+    run_stream()
+
+    def rows(as_of=None):
+        df = load(spark, table_root, spec, interval="2024-01-01/2024-01-02",
+                  data_source="sev", as_of=as_of)
+        return {(r["event_type"], r["value"], r["n"])
+                for r in df.collect()}
+
+    # as of the round-1 stamp: exactly the hour-0 rollup round 1 published
+    assert rows(as_of=stamp1) == {("a", 3.0, 2)}
+    # current view: round 2 closed hour 3 (round 1's sentinel) and hour 4
+    assert rows() == {("a", 3.0, 2), ("sentinel", 9.0, 1), ("b", 5.0, 1)}
+    # streamed manifests are stamped monotonically (round 2 strictly later)
+    hist2 = [h for h in table_history(table_root, "sev") if h["publishedAt"]]
+    assert max(h["publishedAt"] for h in hist2) > stamp1
