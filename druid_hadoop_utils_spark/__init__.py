@@ -40,7 +40,11 @@ from druid_hadoop_utils_spark.functions.aggregators import (
 )
 from druid_hadoop_utils_spark.sources.segments import (
     compact_manifests,
+    create_tag,
+    delete_tag,
     history_horizon,
+    list_tags,
+    resolve_as_of,
     SegmentManifest,
     table_history,
     timeline_version,
@@ -93,6 +97,10 @@ __all__ = [
     "history_horizon",
     "list_manifests",
     "compact_manifests",
+    "create_tag",
+    "delete_tag",
+    "list_tags",
+    "resolve_as_of",
     "resolve_visible_windows",
     "publish_segments",
     "materialize_aggs",

@@ -108,6 +108,13 @@ def cached_druid_query(
     )
 
     fs = get_fs(table_root)
+    if isinstance(q.get("asOf"), str):
+        # a "tag:<name>" asOf resolves to its pinned instant BEFORE the
+        # fingerprint: a tag moved with replace=True changes the key, so
+        # a re-created tag can never serve the old view from the cache
+        from druid_hadoop_utils_spark.sources.segments import resolve_as_of
+
+        q["asOf"] = resolve_as_of(table_root, ds, q["asOf"])
     key = query_cache_key(q, ds)
     version = timeline_version(table_root, ds)
     entry = _entry_dir(table_root, ds, key, version)

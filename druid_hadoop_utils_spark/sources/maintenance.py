@@ -190,6 +190,11 @@ def vacuum(
     default (0) reclaims everything currently invisible and moves the
     horizon to now — maximum reclamation, no history.
 
+    Named tags (``segments.create_tag``) are standing retention floors
+    on top of either mode: the cutoff never passes the oldest tag's
+    pinned instant, so every tagged view survives any vacuum until its
+    tag is deleted.
+
     The manifest is deleted first: if the process dies before the data
     directory is removed, the leftover parquet is unreferenced and harmless.
     """
@@ -201,6 +206,7 @@ def vacuum(
         _parse_as_of,
         _published_within,
         history_horizon,
+        list_tags,
     )
 
     fs = get_fs(table_root)
@@ -219,6 +225,17 @@ def vacuum(
 
         cutoff = datetime.now(timezone.utc) - timedelta(
             seconds=retain_history_s)
+    # named tags (segments.create_tag) are STANDING retention floors:
+    # every view from the oldest tag forward survives, so tagged reads
+    # keep working and the horizon contract ("any as_of at or after the
+    # horizon still resolves exactly") stays honest
+    tag_floor = min(
+        (_parse_as_of(t["asOf"])
+         for t in list_tags(table_root, data_source)),
+        default=None)
+    if tag_floor is not None and (cutoff is None or tag_floor < cutoff):
+        cutoff = tag_floor
+    if cutoff is not None:
         prev_h = history_horizon(table_root, data_source)
         if prev_h is not None and prev_h > cutoff:
             # views before an existing horizon are already gone — no

@@ -407,7 +407,8 @@ def list_manifests(
 
     fs = get_fs(table_root)
     if as_of is not None:
-        as_of = _parse_as_of(as_of)
+        # "tag:<name>" resolves to the tag's pinned instant (create_tag)
+        as_of = _parse_as_of(resolve_as_of(table_root, data_source, as_of))
         horizon = history_horizon(table_root, data_source)
         if horizon is not None and as_of < horizon:
             raise ValueError(
@@ -512,6 +513,138 @@ def table_history(table_root: str, data_source: str) -> list[dict]:
     ]
     rows.sort(key=lambda r: (r["publishedAt"] or "", r["identifier"]))
     return rows
+
+
+#: named snapshot tags live under ``_segments/_tags/`` — the "_" prefix
+#: keeps the directory out of manifest listings, one file per tag keeps
+#: every create/delete an independent atomic put (no read-modify-write,
+#: object-store safe)
+TAGS_DIR = "_tags"
+
+#: ``as_of`` values with this prefix name a tag instead of an instant
+TAG_AS_OF_PREFIX = "tag:"
+
+
+def _tag_path(fs, table_root: str, data_source: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        raise ValueError(
+            f"invalid tag name {name!r} (letters/digits/._- only, must "
+            "start with a letter or digit)"
+        )
+    return fs.join(table_root, data_source, MANIFEST_DIR, TAGS_DIR,
+                   f"{name}.json")
+
+
+def create_tag(
+    table_root: str,
+    data_source: str,
+    name: str,
+    as_of=None,
+    replace: bool = False,
+) -> dict:
+    """Pin a named, immutable snapshot of the table's timeline (the
+    Iceberg-tag analogue): ``load(..., as_of="tag:<name>")`` resolves to
+    the pinned instant, and ``vacuum`` preserves every view from the
+    oldest tag forward (and never advances the history horizon past it),
+    so a tagged read keeps working until the tag is deleted. Metadata
+    only — one small JSON object per tag, no data copied: "which corpus
+    snapshot did this run train on" becomes (table_root, tag) instead of
+    a duplicated dataset.
+
+    ``as_of`` defaults to the latest announce stamp — the CURRENT view.
+    Tags are immutable unless ``replace=True``. Creating a tag below the
+    history horizon refuses (that view is already unreconstructible)."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    path = _tag_path(fs, table_root, data_source, name)
+    if as_of is None:
+        stamps = [m.published_at
+                  for m in list_manifests(table_root, data_source)
+                  if m.published_at is not None]
+        if not stamps:
+            raise ValueError(
+                f"cannot tag {data_source}: no stamped manifests (publish "
+                "at least one segment, or pass as_of= explicitly)"
+            )
+        stamp = max(stamps)
+        h = history_horizon(table_root, data_source)
+        if h is not None and h > _parse_as_of(stamp):
+            # a vacuum moved the horizon past the last publish; the
+            # CURRENT view is exactly the view at the horizon (reads AT
+            # the horizon are allowed), so pin there
+            stamp = h.isoformat()
+    else:
+        if isinstance(as_of, str) and as_of.startswith(TAG_AS_OF_PREFIX):
+            raise ValueError("create_tag takes an instant, not another tag")
+        stamp = _parse_as_of(as_of).isoformat()
+    horizon = history_horizon(table_root, data_source)
+    if horizon is not None and _parse_as_of(stamp) < horizon:
+        raise ValueError(
+            f"cannot tag as_of={stamp}: it predates the history horizon "
+            f"{horizon.isoformat()} (that view was physically vacuumed)"
+        )
+    if not replace and fs.exists(path):
+        raise ValueError(
+            f"tag {name!r} already exists on {data_source} (tags are "
+            "immutable; pass replace=True to move it)"
+        )
+    obj = {"name": name, "asOf": stamp, "createdAt": publish_stamp()}
+    fs.mkdirs(fs.parent(path))
+    fs.put_text(path, json.dumps(obj, indent=2))
+    return obj
+
+
+def delete_tag(table_root: str, data_source: str, name: str) -> bool:
+    """Remove a tag; returns False when it did not exist. The next
+    ``vacuum`` may then reclaim segments only that tagged view needed."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    path = _tag_path(fs, table_root, data_source, name)
+    if not fs.exists(path):
+        return False
+    fs.delete_file(path)
+    return True
+
+
+def list_tags(table_root: str, data_source: str) -> list[dict]:
+    """All tags on a table, oldest pinned instant first."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    tdir = fs.join(table_root, data_source, MANIFEST_DIR, TAGS_DIR)
+    if not fs.isdir(tdir):
+        return []
+    out = []
+    for fname in fs.ls(tdir):
+        if fname.endswith(".json") and not fname.endswith(".tmp"):
+            out.append(json.loads(fs.read_text(fs.join(tdir, fname))))
+    out.sort(key=lambda t: (t["asOf"], t["name"]))
+    return out
+
+
+def resolve_as_of(table_root: str, data_source: str, as_of):
+    """Map an ``as_of`` of the form ``"tag:<name>"`` to the tag's pinned
+    instant; any other value passes through unchanged. Callers that
+    fingerprint queries (the result cache) resolve BEFORE hashing, so a
+    replaced tag can never serve a stale cached view."""
+    if not (isinstance(as_of, str) and as_of.startswith(TAG_AS_OF_PREFIX)):
+        return as_of
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    name = as_of[len(TAG_AS_OF_PREFIX):]
+    fs = get_fs(table_root)
+    path = _tag_path(fs, table_root, data_source, name)
+    try:
+        return json.loads(fs.read_text(path))["asOf"]
+    except (FileNotFoundError, OSError):
+        known = [t["name"] for t in list_tags(table_root, data_source)]
+        raise ValueError(
+            f"unknown tag {name!r} on {data_source} (tags: {known})"
+        ) from None
 
 
 #: snapshot files sort BEFORE other manifest names (listing order makes

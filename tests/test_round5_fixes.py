@@ -153,10 +153,11 @@ class TestUnionMemberPruning:
         seen = []
         real = planner_mod._scan_segments
 
-        def spy(spark_, table_root, data_source, iv, dim_filter=None):
+        def spy(spark_, table_root, data_source, iv, dim_filter=None,
+                **kw):
             seen.append((data_source, dim_filter is not None))
             return real(spark_, table_root, data_source, iv,
-                        dim_filter=dim_filter)
+                        dim_filter=dim_filter, **kw)
 
         monkeypatch.setattr(planner_mod, "_scan_segments", spy)
         from druid_hadoop_utils_spark.api import druid_query

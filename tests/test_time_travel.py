@@ -407,3 +407,217 @@ def test_streaming_publishes_are_time_travel_views(spark, tmp_path):
     # streamed manifests are stamped monotonically (round 2 strictly later)
     hist2 = [h for h in table_history(table_root, "sev") if h["publishedAt"]]
     assert max(h["publishedAt"] for h in hist2) > stamp1
+
+
+class TestTags:
+    """Named snapshot tags (segments.create_tag): metadata-only pins of
+    an as_of view that load/druid_query resolve via as_of="tag:<name>",
+    that vacuum preserves until deleted, and that the result cache
+    fingerprints by RESOLVED instant (a moved tag can't serve staleness).
+    The lineage answer for training runs: (table_root, tag), not a
+    copied dataset."""
+
+    def test_create_list_delete_roundtrip(self, root):
+        from druid_hadoop_utils_spark.sources.segments import (
+            create_tag,
+            delete_tag,
+            list_tags,
+        )
+
+        t = create_tag(root, "events", "run-a")
+        assert t["asOf"] == T2  # default = latest announce stamp
+        t_old = create_tag(root, "events", "run-b", as_of=MID)
+        got = list_tags(root, "events")
+        assert [x["name"] for x in got] == ["run-b", "run-a"]  # oldest first
+        assert delete_tag(root, "events", "run-b") is True
+        assert delete_tag(root, "events", "run-b") is False
+        assert [x["name"] for x in list_tags(root, "events")] == ["run-a"]
+        assert t_old["asOf"].startswith("2024-06-01T12:00:00")
+
+    def test_tag_read_equals_stamp_read(self, spark, root):
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        create_tag(root, "events", "pre-fix", as_of=MID)
+        tagged = load(spark, root, SPEC, interval=IV, data_source="events",
+                      as_of="tag:pre-fix")
+        stamped = load(spark, root, SPEC, interval=IV, data_source="events",
+                       as_of=MID)
+        assert _sum(tagged) == _sum(stamped)
+        assert sorted(tagged.inputFiles()) == sorted(stamped.inputFiles())
+
+    def test_druid_query_json_tag_as_of(self, spark, root):
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        create_tag(root, "events", "q-tag", as_of=MID)
+        q = {"queryType": "timeseries", "dataSource": "events",
+             "granularity": "ALL", "intervals": [IV],
+             "aggregations": [{"type": "doubleSum", "name": "v",
+                               "fieldName": "value"}]}
+        via_tag = druid_query(spark, root, dict(q, asOf="tag:q-tag"))
+        via_stamp = druid_query(spark, root, dict(q, asOf=MID))
+        assert via_tag.collect() == via_stamp.collect()
+
+    def test_unknown_tag_and_bad_name_raise(self, root):
+        from druid_hadoop_utils_spark.sources.segments import (
+            create_tag,
+            resolve_as_of,
+        )
+
+        create_tag(root, "events", "known")
+        with pytest.raises(ValueError, match="unknown tag.*known"):
+            resolve_as_of(root, "events", "tag:nope")
+        with pytest.raises(ValueError, match="invalid tag name"):
+            create_tag(root, "events", "../escape")
+        with pytest.raises(ValueError, match="immutable"):
+            create_tag(root, "events", "known")
+        # replace=True moves it
+        moved = create_tag(root, "events", "known", as_of=MID, replace=True)
+        assert moved["asOf"].startswith("2024-06-01T12:00:00")
+        with pytest.raises(ValueError, match="instant, not another tag"):
+            create_tag(root, "events", "meta", as_of="tag:known")
+
+    def test_vacuum_preserves_tagged_view_until_deleted(self, spark, root):
+        from druid_hadoop_utils_spark.sources.segments import (
+            create_tag,
+            delete_tag,
+            list_tags,
+        )
+
+        # earlier tests in this class left tags on the shared root —
+        # each is a retention floor, so clear them to isolate this one
+        for t in list_tags(root, "events"):
+            delete_tag(root, "events", t["name"])
+        create_tag(root, "events", "train-run", as_of=MID)
+        v1_sum = _sum(load(spark, root, SPEC, interval=IV,
+                           data_source="events", as_of="tag:train-run"))
+        # the tag is a standing retention floor: every segment currently
+        # invisible is still needed by some view since MID, so NOTHING
+        # reclaims — and with no physical history lost, the horizon
+        # stays unset (every as_of still resolves exactly)
+        assert vacuum(root, "events") == []
+        assert history_horizon(root, "events") is None
+        assert _sum(load(spark, root, SPEC, interval=IV,
+                         data_source="events", as_of="tag:train-run")
+                    ) == v1_sum
+        # delete the tag: the next vacuum reclaims the overshadowed v1
+        # days and the horizon moves to now
+        assert delete_tag(root, "events", "train-run")
+        removed = vacuum(root, "events")
+        assert len(removed) == 2 and all("v1" in r for r in removed)
+        with pytest.raises(ValueError, match="horizon"):
+            load(spark, root, SPEC, interval=IV, data_source="events",
+                 as_of=MID)
+
+    def test_vacuum_reclaims_pre_tag_history_horizon_stops_at_tag(
+            self, spark, sf_dir, tmp_path):
+        """A tag pinned AFTER the overshadow: the v1 days the fix replaced
+        are invisible in every view from the tag forward, so vacuum
+        reclaims them — but the horizon advances only TO the tag, and the
+        tagged read keeps working."""
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value", "user_id")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(
+            ev.where((F.col("ts") >= F.lit("2024-01-05"))
+                     & (F.col("ts") < F.lit("2024-01-07"))
+                     ).withColumn("value", F.col("value") * 2),
+            root, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        post_fix = "2024-06-03T00:00:00+00:00"
+        create_tag(root, "events", "post-fix", as_of=post_fix)
+        want = _sum(load(spark, root, SPEC, interval=IV,
+                         data_source="events", as_of="tag:post-fix"))
+        removed = vacuum(root, "events")
+        assert len(removed) == 2 and all("v1" in r for r in removed)
+        # horizon stopped at the tag, not at now
+        assert history_horizon(root, "events").isoformat() == post_fix
+        assert _sum(load(spark, root, SPEC, interval=IV,
+                         data_source="events", as_of="tag:post-fix")
+                    ) == want
+        with pytest.raises(ValueError, match="horizon"):
+            load(spark, root, SPEC, interval=IV, data_source="events",
+                 as_of=MID)
+
+    def test_default_tag_after_full_vacuum_pins_current_view(
+            self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value", "user_id")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(
+            ev.where((F.col("ts") >= F.lit("2024-01-05"))
+                     & (F.col("ts") < F.lit("2024-01-07"))),
+            root, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        vacuum(root, "events")  # horizon -> now, past both stamps
+        # explicit as_of below the horizon refuses...
+        with pytest.raises(ValueError, match="predates the history horizon"):
+            create_tag(root, "events", "late", as_of=MID)
+        # ...but the DEFAULT pins the current view (stamp = horizon)
+        t = create_tag(root, "events", "current")
+        cur = _sum(load(spark, root, SPEC, interval=IV,
+                        data_source="events"))
+        assert _sum(load(spark, root, SPEC, interval=IV,
+                         data_source="events", as_of="tag:current")) == cur
+        assert t["asOf"] == history_horizon(root, "events").isoformat()
+
+    def test_cache_fingerprints_resolved_instant(self, spark, sf_dir,
+                                                 tmp_path):
+        from druid_hadoop_utils_spark.sources.cache import (
+            cached_druid_query,
+        )
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value", "user_id")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(
+            ev.where((F.col("ts") >= F.lit("2024-01-05"))
+                     & (F.col("ts") < F.lit("2024-01-07"))
+                     ).withColumn("value", F.col("value") * 2),
+            root, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        create_tag(root, "events", "corpus", as_of=MID)
+        q = {"queryType": "timeseries", "dataSource": "events",
+             "granularity": "ALL", "intervals": [IV], "asOf": "tag:corpus",
+             "aggregations": [{"type": "doubleSum", "name": "v",
+                               "fieldName": "value"}]}
+        v1_val = cached_druid_query(spark, root, "events", q).first()["v"]
+        # move the tag to the post-v2 instant: the SAME query JSON must
+        # re-fingerprint (resolved instant changed) — a hit on the old
+        # entry would serve the old view
+        create_tag(root, "events", "corpus", as_of=T2, replace=True)
+        v2_val = cached_druid_query(spark, root, "events", q).first()["v"]
+        direct = druid_query(spark, root, dict(q, asOf=T2)).first()["v"]
+        assert v2_val == direct and v2_val != v1_val
+
+    def test_objectsim_backend_tags(self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.segments import (
+            create_tag,
+            list_tags,
+        )
+
+        root = "objectsim://" + str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(
+            ev.where(F.col("ts") < F.lit("2024-01-05")),
+            root, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        create_tag(root, "events", "pin", as_of=MID)
+        assert [t["name"] for t in list_tags(root, "events")] == ["pin"]
+        assert vacuum(root, "events") == []  # the tagged view holds it
+        old = load(spark, root, SPEC, interval=IV, data_source="events",
+                   as_of="tag:pin")
+        assert all("v=v1" in f for f in old.inputFiles())
