@@ -2666,6 +2666,42 @@ def q_time_travel(spark, sf_dir):
     return a.join(b, "event_type")
 
 
+@register(
+    "q_snapshot_tag",
+    """SELECT event_type, round(sum(value), 2) AS value_asof,
+              count(*) AS n_asof
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND ts < TIMESTAMP '2024-01-10 00:00:00'
+       GROUP BY 1""",
+)
+def q_snapshot_tag(spark, sf_dir):
+    # named snapshot tag (segments.create_tag): pin the pre-fix view as
+    # "pre-fix" and read it via as_of="tag:pre-fix" — the lineage handle
+    # a training pipeline records instead of copying the corpus. The
+    # vacuum in the middle proves the tag is a STANDING retention floor:
+    # with the tagged view needing every currently-overshadowed v1 day,
+    # it must reclaim nothing (a non-empty removal raises, so the driver
+    # would record the soundness violation as an error).
+    from druid_hadoop_utils_spark.sources.maintenance import vacuum
+    from druid_hadoop_utils_spark.sources.segments import create_tag
+
+    root = _tt_segment_table(spark, sf_dir)
+    create_tag(root, "events", "pre-fix", as_of="2024-06-01T12:00:00",
+               replace=True)
+    removed = vacuum(root, "events")
+    if removed:
+        raise AssertionError(
+            f"tag retention floor violated: vacuum removed {removed}")
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    old = load(spark, root, spec, interval="2024-01-03/2024-01-10",
+               data_source="events", as_of="tag:pre-fix")
+    return old.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("value_asof"),
+        F.count("*").alias("n_asof"))
+
+
 _MATERIALIZED_CACHE: dict[str, str] = {}
 
 
@@ -4762,7 +4798,7 @@ _DRIVER_PRIORITY = [
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
     # q_media_segment_hashes and q_time_travel are NEW in r7 (never
     # driver-checked) — first.
-    "q_media_segment_hashes", "q_time_travel",
+    "q_media_segment_hashes", "q_time_travel", "q_snapshot_tag",
     "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
     "q_agg_min_max", "q_bm25_search", "q_build_vocab",
     "q_cap_per_group", "q_cohort_retention", "q_encode_docs",

@@ -31,6 +31,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from pyspark.sql import functions as F  # noqa: E402
 
 from druid_hadoop_utils_spark import (  # noqa: E402
+    create_tag,
+    delete_tag,
     history_horizon,
     load,
     table_history,
@@ -79,6 +81,16 @@ def main() -> None:
         print(f"  {h['publishedAt']}  {h['version']:<3} "
               f"{h['interval']}  visible={h['visible']}")
     print("  ...")
+
+    # 3b. named tags: pin the pre-fix view once, read it by name forever
+    #     (metadata only — the training-lineage handle: (root, tag));
+    #     a tag is a standing vacuum retention floor until deleted
+    create_tag(root, "events", "train-run-1", as_of="2024-06-01T12:00:00")
+    print(f"\ntag 'train-run-1' pinned: {total('tag:train-run-1')} "
+          f"(== as-of read above)")
+    print(f"vacuum with the tag in place: removed "
+          f"{len(vacuum(root, 'events'))} (the tagged view holds v1)")
+    delete_tag(root, "events", "train-run-1")
 
     # 4. retention vacuum: keep every view from 2024-06-01T06:00 on —
     #    v1 is still needed by the pre-v2 views, so nothing reclaims
