@@ -52,7 +52,7 @@ from druid_hadoop_utils_spark.sources.segments import (
     list_manifests,
     resolve_visible_windows,
 )
-from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.ingest import clone_view, publish_segments
 from druid_hadoop_utils_spark.sources.materialize import (
     materialize_aggs,
     query_materialized,
@@ -103,6 +103,7 @@ __all__ = [
     "resolve_as_of",
     "resolve_visible_windows",
     "publish_segments",
+    "clone_view",
     "materialize_aggs",
     "query_materialized",
     "vacuum_materialized",

@@ -308,3 +308,92 @@ def publish_segments(
         manifests.extend(bucket_manifests)
     fs.delete_dir(staging)  # rename backends: only _SUCCESS remains
     return manifests
+
+
+def clone_view(
+    spark,
+    table_root: str,
+    data_source: str,
+    dest_root: str,
+    dest_data_source: str | None = None,
+    as_of=None,
+    version: str = "v1",
+    bucket: str = "DAY",
+    interval=None,
+    **publish_kwargs,
+):
+    """Materialize one resolved VIEW of a managed table — current, an
+    instant, or a named tag (``as_of="tag:<name>"``) — as a FRESH
+    single-version managed table at ``dest_root``: the "ship this pinned
+    training corpus" step that completes the tag lineage story (pin with
+    ``create_tag``, clone the tag to wherever a run reads from, and the
+    clone records its provenance).
+
+    ONE distributed job: the overshadow-resolved scan (visibility windows
+    applied, so partially-overshadowed segments clone faithfully) feeds
+    ``publish_segments`` — no driver-side data movement, so it works
+    across metadata backends (local → ``objectsim://``/object store and
+    back) and at any scale the publisher handles. The destination is a
+    normal managed table: prunable, compactable, vacuum/tag/time-travel
+    capable on its own fresh history, fully independent of the source
+    (a later source vacuum cannot break it — unlike a shallow
+    manifest-reference clone, which is deliberately NOT offered).
+
+    ``interval`` optionally clips the clone to a sub-range; extra
+    ``publish_kwargs`` (sort_by/zorder/stats_columns/bloom_columns/
+    shards_per_bucket/...) pass through to ``publish_segments``.
+
+    Returns the destination manifests; a ``_clone.json`` provenance
+    marker (source root, dataSource, the RESOLVED instant plus the tag
+    name used to reach it, and the source timeline version) lands next
+    to the destination's ``_segments/``.
+    """
+    import json
+
+    from druid_hadoop_utils_spark.intervals import parse_intervals
+    from druid_hadoop_utils_spark.plans.planner import (
+        _interval_pred,
+        _scan_segments,
+    )
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        publish_stamp,
+        resolve_as_of,
+        timeline_version,
+    )
+
+    dest_ds = dest_data_source or data_source
+    resolved = resolve_as_of(table_root, data_source, as_of)
+    manifests = list_manifests(table_root, data_source, as_of=resolved)
+    if not manifests:
+        raise FileNotFoundError(
+            f"no segments for {data_source} under {table_root}")
+    span = Interval(min(m.interval.start for m in manifests),
+                    max(m.interval.end for m in manifests))
+    df = _scan_segments(spark, table_root, data_source, span,
+                        as_of=resolved)
+    if interval is not None:
+        ivs = parse_intervals(interval)
+        pred = _interval_pred(ivs[0], F.col("__time"))
+        for iv in ivs[1:]:
+            pred = pred | _interval_pred(iv, F.col("__time"))
+        df = df.where(pred)
+    out = publish_segments(df, dest_root, dest_ds, version=version,
+                           bucket=bucket, **publish_kwargs)
+    marker = {
+        "sourceRoot": table_root,
+        "sourceDataSource": data_source,
+        "asOf": (resolved.isoformat()
+                 if hasattr(resolved, "isoformat") else resolved),
+        "tag": (as_of[4:] if isinstance(as_of, str)
+                and as_of.startswith("tag:") else None),
+        "sourceTimelineVersion": timeline_version(
+            table_root, data_source, as_of=resolved),
+        "clonedAt": publish_stamp(),
+        "segments": len(out),
+    }
+    dfs = get_fs(dest_root)
+    dfs.put_text(dfs.join(dest_root, dest_ds, "_clone.json"),
+                 json.dumps(marker, indent=2))
+    return out

@@ -621,3 +621,117 @@ class TestTags:
         old = load(spark, root, SPEC, interval=IV, data_source="events",
                    as_of="tag:pin")
         assert all("v=v1" in f for f in old.inputFiles())
+
+
+class TestCloneView:
+    """clone_view (sources/ingest.py): materialize a resolved view —
+    current, instant, or tag — as a fresh independent managed table via
+    one distributed publish job."""
+
+    def _totals(self, spark, root, ds, as_of=None):
+        df = load(spark, root, SPEC, interval=IV, data_source=ds,
+                  as_of=as_of)
+        return (_sum(df), df.count())
+
+    def test_clone_tag_view_rows_equal_and_independent(self, spark, sf_dir,
+                                                       tmp_path):
+        from druid_hadoop_utils_spark.sources.ingest import clone_view
+        from druid_hadoop_utils_spark.sources.segments import (
+            create_tag,
+            delete_tag,
+        )
+
+        # own source root: this test vacuums it, which would advance the
+        # shared class fixture's horizon under later tests
+        src = str(tmp_path / "clone_src_root")
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value", "user_id")
+        publish_segments(ev, src, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        publish_segments(
+            ev.where((F.col("ts") >= F.lit("2024-01-05"))
+                     & (F.col("ts") < F.lit("2024-01-07"))
+                     ).withColumn("value", F.col("value") * 2),
+            src, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        create_tag(src, "events", "clone-src", as_of=MID)
+        dest = str(tmp_path / "clone_dest")
+        out = clone_view(spark, src, "events", dest, as_of="tag:clone-src")
+        assert out  # one manifest per day bucket
+        want = self._totals(spark, src, "events", as_of="tag:clone-src")
+        assert self._totals(spark, dest, "events") == want
+        # independence: deleting the tag and vacuuming the SOURCE cannot
+        # break the clone (it holds its own data, not references)
+        delete_tag(src, "events", "clone-src")
+        vacuum(src, "events")
+        assert self._totals(spark, dest, "events") == want
+
+    def test_clone_current_view_partial_overshadow_faithful(
+            self, spark, sf_dir, tmp_path):
+        """v2 re-publishes a HALF-day inside a v1 DAY segment: the clone
+        must reproduce the windowed view (v1 rows outside the patch +
+        doubled rows inside), not resurrect the overshadowed half."""
+        from druid_hadoop_utils_spark.sources.ingest import clone_view
+        from druid_hadoop_utils_spark.sources.segments import write_segment
+        from druid_hadoop_utils_spark.sources.tables import load_table
+
+        src = str(tmp_path / "partial_src")
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value", "user_id"
+        ).withColumnRenamed("ts", "__time")
+        day = ev.where((F.col("__time") >= F.lit("2024-01-03"))
+                       & (F.col("__time") < F.lit("2024-01-04")))
+        write_segment(day, src, "events", "2024-01-03/2024-01-04", "v1",
+                      published_at=T1)
+        patch = day.where(F.hour("__time") < 12).withColumn(
+            "value", F.col("value") * 2)
+        write_segment(patch, src, "events",
+                      "2024-01-03T00:00:00/2024-01-03T12:00:00", "v2",
+                      published_at=T2)
+        dest = str(tmp_path / "partial_dest")
+        clone_view(spark, src, "events", dest, bucket="DAY")
+        src_view = load(spark, src, SPEC, interval="2024-01-03/2024-01-04",
+                        data_source="events")
+        dest_view = load(spark, dest, SPEC,
+                         interval="2024-01-03/2024-01-04",
+                         data_source="events")
+        assert _sum(dest_view) == _sum(src_view)
+        assert dest_view.count() == src_view.count()
+        # the clone is SINGLE-version: no overshadow left to resolve
+        assert all("v=v1" in f for f in dest_view.inputFiles())
+
+    def test_clone_provenance_marker_and_cross_backend(self, spark, root,
+                                                       tmp_path):
+        import json
+        import os
+
+        from druid_hadoop_utils_spark.sources.ingest import clone_view
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        create_tag(root, "events", "ship", as_of=MID, replace=True)
+        dest = "objectsim://" + str(tmp_path / "obj_dest")
+        clone_view(spark, root, "events", dest, dest_data_source="ev2",
+                   as_of="tag:ship")
+        # reads back through the object-store-sim backend
+        want = self._totals(spark, root, "events", as_of="tag:ship")
+        assert self._totals(spark, dest, "ev2") == want
+        marker_path = os.path.join(str(tmp_path / "obj_dest"), "ev2",
+                                   "_clone.json")
+        marker = json.loads(open(marker_path).read())
+        assert marker["tag"] == "ship"
+        assert marker["sourceDataSource"] == "events"
+        assert marker["asOf"].startswith("2024-06-01T12:00:00")
+        assert marker["segments"] >= 1
+
+    def test_clone_interval_clip(self, spark, root, tmp_path):
+        from druid_hadoop_utils_spark.sources.ingest import clone_view
+
+        dest = str(tmp_path / "clip_dest")
+        clone_view(spark, root, "events", dest,
+                   interval="2024-01-04/2024-01-06")
+        full = load(spark, root, SPEC, interval="2024-01-04/2024-01-06",
+                    data_source="events")
+        clipped = load(spark, dest, SPEC, interval=IV,
+                       data_source="events")
+        assert clipped.count() == full.count()
+        assert _sum(clipped) == _sum(full)
