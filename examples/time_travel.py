@@ -31,6 +31,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from pyspark.sql import functions as F  # noqa: E402
 
 from druid_hadoop_utils_spark import (  # noqa: E402
+    clone_view,
     create_tag,
     delete_tag,
     history_horizon,
@@ -90,6 +91,14 @@ def main() -> None:
           f"(== as-of read above)")
     print(f"vacuum with the tag in place: removed "
           f"{len(vacuum(root, 'events'))} (the tagged view holds v1)")
+    #     ...and ship the pinned corpus: one distributed job clones the
+    #     tagged view to a fresh independent table (+_clone.json lineage)
+    dest = tempfile.mkdtemp(prefix="time_travel_clone_")
+    n_seg = len(clone_view(spark, root, "events", dest,
+                           as_of="tag:train-run-1"))
+    shipped = load(spark, dest, SPEC, interval=IV, data_source="events")
+    print(f"clone_view('tag:train-run-1') -> {n_seg} segments, sum "
+          f"{round(shipped.agg(F.sum('value')).first()[0], 2)}")
     delete_tag(root, "events", "train-run-1")
 
     # 4. retention vacuum: keep every view from 2024-06-01T06:00 on —
