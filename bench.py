@@ -94,6 +94,9 @@ HEADLINE = [
     # current) over the same managed table, driver-side metadata only
     # on top of two ordinary pruned scans
     "q_time_travel",
+    # round 7: named-tag read + the tag-as-retention-floor vacuum proof
+    # (driver metadata only on top of one pruned scan; ~0.4 s warm)
+    "q_snapshot_tag",
 ]
 
 # run each query three times and report the min: run-to-run variance on a
