@@ -60,19 +60,24 @@ def _interval_pred(iv: Interval, col, ntz: bool = False):
 
 def _scan_segments(spark: SparkSession, table_root: str, data_source: str,
                    iv: Interval, dim_filter: dict | None = None,
-                   as_of=None) -> DataFrame:
+                   as_of=None, manifests=None) -> DataFrame:
     """Manifest → overshadow resolution → minimal parquet scan(s).
 
     ``dim_filter`` (the spec's DimFilter JSON) additionally drops visible
     segments whose manifest column stats provably exclude the filter
     (plans/pruning.py) — Druid-style segment skipping on dimensions, on
-    top of the timeline's interval pruning."""
+    top of the timeline's interval pruning.
+
+    ``manifests`` lets a caller that already listed this (root,
+    datasource, as_of) reuse its listing — one metadata round-trip per
+    plan instead of two (clone_view)."""
     from druid_hadoop_utils_spark.plans.pruning import (
         filter_constraints,
         segment_excluded,
     )
 
-    manifests = list_manifests(table_root, data_source, as_of=as_of)
+    if manifests is None:
+        manifests = list_manifests(table_root, data_source, as_of=as_of)
     visible = resolve_visible_windows(manifests, iv)
     if not visible:
         raise FileNotFoundError(

@@ -348,6 +348,7 @@ def clone_view(
     name used to reach it, and the source timeline version) lands next
     to the destination's ``_segments/``.
     """
+    import hashlib
     import json
 
     from druid_hadoop_utils_spark.intervals import parse_intervals
@@ -360,27 +361,44 @@ def clone_view(
         list_manifests,
         publish_stamp,
         resolve_as_of,
-        timeline_version,
     )
 
     dest_ds = dest_data_source or data_source
     resolved = resolve_as_of(table_root, data_source, as_of)
+    # ONE metadata listing: it feeds the span, the scan, and the
+    # provenance timeline hash (a second/third list would multiply
+    # object-store round-trips per clone)
     manifests = list_manifests(table_root, data_source, as_of=resolved)
     if not manifests:
         raise FileNotFoundError(
             f"no segments for {data_source} under {table_root}")
     span = Interval(min(m.interval.start for m in manifests),
                     max(m.interval.end for m in manifests))
+    ivs = parse_intervals(interval) if interval is not None else None
+    if ivs:
+        # narrow the SCAN to the clip's hull so the timeline prunes
+        # segments before any data I/O; the row predicate below then
+        # handles gaps between intervals and partially-covered segments
+        lo = max(span.start, ivs[0].start)
+        hi = min(span.end, ivs[-1].end)
+        if lo >= hi:
+            raise FileNotFoundError(
+                f"clone interval {interval!r} does not intersect "
+                f"{data_source}'s segments")
+        span = Interval(lo, hi)
     df = _scan_segments(spark, table_root, data_source, span,
-                        as_of=resolved)
-    if interval is not None:
-        ivs = parse_intervals(interval)
+                        manifests=manifests)
+    if ivs:
         pred = _interval_pred(ivs[0], F.col("__time"))
         for iv in ivs[1:]:
             pred = pred | _interval_pred(iv, F.col("__time"))
         df = df.where(pred)
     out = publish_segments(df, dest_root, dest_ds, version=version,
                            bucket=bucket, **publish_kwargs)
+    # same construction as segments.timeline_version, over the listing
+    # already in hand
+    view_hash = hashlib.md5("\n".join(
+        sorted(m.identifier for m in manifests)).encode()).hexdigest()
     marker = {
         "sourceRoot": table_root,
         "sourceDataSource": data_source,
@@ -388,8 +406,7 @@ def clone_view(
                  if hasattr(resolved, "isoformat") else resolved),
         "tag": (as_of[4:] if isinstance(as_of, str)
                 and as_of.startswith("tag:") else None),
-        "sourceTimelineVersion": timeline_version(
-            table_root, data_source, as_of=resolved),
+        "sourceTimelineVersion": view_hash,
         "clonedAt": publish_stamp(),
         "segments": len(out),
     }

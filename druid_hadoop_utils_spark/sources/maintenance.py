@@ -235,6 +235,11 @@ def vacuum(
         default=None)
     if tag_floor is not None and (cutoff is None or tag_floor < cutoff):
         cutoff = tag_floor
+    if cutoff is not None and cutoff > datetime.now(timezone.utc):
+        # a future cutoff (a legacy future-dated tag; create_tag now
+        # refuses them) would preserve only the current view while
+        # writing a FUTURE horizon, bricking every as_of until then
+        cutoff = datetime.now(timezone.utc)
     if cutoff is not None:
         prev_h = history_horizon(table_root, data_source)
         if prev_h is not None and prev_h > cutoff:

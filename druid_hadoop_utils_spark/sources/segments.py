@@ -556,10 +556,20 @@ def create_tag(
     ``as_of`` defaults to the latest announce stamp — the CURRENT view.
     Tags are immutable unless ``replace=True``. Creating a tag below the
     history horizon refuses (that view is already unreconstructible)."""
+    from datetime import datetime, timezone
+
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
     fs = get_fs(table_root)
     path = _tag_path(fs, table_root, data_source, name)
+    if not fs.isdir(fs.join(table_root, data_source, MANIFEST_DIR)):
+        # a typo'd datasource must fail loudly, not leave a _tags dir
+        # that makes later manifest listings look like an empty table
+        raise FileNotFoundError(
+            f"no managed table {data_source!r} under {table_root} "
+            "(create_tag requires an existing _segments/ directory)"
+        )
+    horizon = history_horizon(table_root, data_source)
     if as_of is None:
         stamps = [m.published_at
                   for m in list_manifests(table_root, data_source)
@@ -569,18 +579,24 @@ def create_tag(
                 f"cannot tag {data_source}: no stamped manifests (publish "
                 "at least one segment, or pass as_of= explicitly)"
             )
-        stamp = max(stamps)
-        h = history_horizon(table_root, data_source)
-        if h is not None and h > _parse_as_of(stamp):
+        stamp = max(stamps, key=_parse_as_of)
+        if horizon is not None and horizon > _parse_as_of(stamp):
             # a vacuum moved the horizon past the last publish; the
             # CURRENT view is exactly the view at the horizon (reads AT
             # the horizon are allowed), so pin there
-            stamp = h.isoformat()
+            stamp = horizon.isoformat()
     else:
         if isinstance(as_of, str) and as_of.startswith(TAG_AS_OF_PREFIX):
             raise ValueError("create_tag takes an instant, not another tag")
         stamp = _parse_as_of(as_of).isoformat()
-    horizon = history_horizon(table_root, data_source)
+        if _parse_as_of(stamp) > datetime.now(timezone.utc):
+            # a future instant would become a standing vacuum retention
+            # floor that later drives the history horizon into the
+            # future, bricking every legitimate as_of until it passes
+            raise ValueError(
+                f"cannot tag as_of={stamp}: it is in the future (tags pin "
+                "views that exist; pin now and re-tag later instead)"
+            )
     if horizon is not None and _parse_as_of(stamp) < horizon:
         raise ValueError(
             f"cannot tag as_of={stamp}: it predates the history horizon "
@@ -640,7 +656,9 @@ def resolve_as_of(table_root: str, data_source: str, as_of):
     path = _tag_path(fs, table_root, data_source, name)
     try:
         return json.loads(fs.read_text(path))["asOf"]
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        # only a provably-missing file means "unknown tag" — transient
+        # backend I/O errors must propagate, not masquerade as missing
         known = [t["name"] for t in list_tags(table_root, data_source)]
         raise ValueError(
             f"unknown tag {name!r} on {data_source} (tags: {known})"

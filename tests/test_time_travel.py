@@ -735,3 +735,98 @@ class TestCloneView:
                        data_source="events")
         assert clipped.count() == full.count()
         assert _sum(clipped) == _sum(full)
+
+
+class TestTagReviewFixes:
+    """Regressions for the round-7 review findings on tags/clone."""
+
+    def _mk(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value").limit(200)
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        return root
+
+    def test_future_tag_refused(self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        with pytest.raises(ValueError, match="in the future"):
+            create_tag(root, "events", "oops", as_of="2099-01-01T00:00:00")
+
+    def test_legacy_future_tag_does_not_brick_horizon(self, spark, sf_dir,
+                                                      tmp_path):
+        """A future-dated tag written before create_tag validated (or by
+        hand) must not drive the vacuum horizon into the future."""
+        import json
+        import os
+
+        from druid_hadoop_utils_spark.sources.segments import (
+            list_manifests,
+        )
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        # overshadow a day so the vacuum has something to reclaim
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value").limit(200)
+        publish_segments(ev.where(F.col("ts") < F.lit("2024-01-02")),
+                         root, "events", version="v2", time_column="ts",
+                         bucket="DAY", published_at=T2)
+        tdir = os.path.join(root, "events", "_segments", "_tags")
+        os.makedirs(tdir)
+        open(os.path.join(tdir, "legacy.json"), "w").write(json.dumps(
+            {"name": "legacy", "asOf": "2099-01-01T00:00:00+00:00",
+             "createdAt": T2}))
+        removed = vacuum(root, "events")
+        assert removed  # the overshadowed v1 day reclaimed
+        h = history_horizon(root, "events")
+        from datetime import datetime, timezone
+
+        assert h is not None and h <= datetime.now(timezone.utc)
+        # recent as_of views still resolve
+        assert list_manifests(root, "events", as_of=h.isoformat())
+
+    def test_typod_datasource_refused_and_no_tags_dir_left(
+            self, spark, sf_dir, tmp_path):
+        import os
+
+        from druid_hadoop_utils_spark.sources.segments import (
+            create_tag,
+            list_manifests,
+        )
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        with pytest.raises(FileNotFoundError, match="evnets"):
+            create_tag(root, "evnets", "t1", as_of=MID)
+        assert not os.path.exists(os.path.join(root, "evnets"))
+        # the missing-table error stays loud
+        with pytest.raises(FileNotFoundError):
+            list_manifests(root, "evnets")
+
+    def test_default_stamp_is_chronological_not_lexicographic(
+            self, spark, sf_dir, tmp_path):
+        """'...00Z' sorts lexicographically AFTER '...00.500000+00:00'
+        though it is chronologically earlier — the default tag must pin
+        the chronologically latest announce."""
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        root = str(tmp_path)
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value").limit(50)
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY",
+                         published_at="2024-06-01T12:00:00Z")
+        publish_segments(ev, root, "events", version="v2", time_column="ts",
+                         bucket="DAY",
+                         published_at="2024-06-01T12:00:00.500000+00:00")
+        t = create_tag(root, "events", "latest")
+        assert t["asOf"] == "2024-06-01T12:00:00.500000+00:00"
+
+    def test_clone_disjoint_interval_refuses(self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.ingest import clone_view
+
+        root = self._mk(spark, sf_dir, tmp_path / "src")
+        with pytest.raises(FileNotFoundError, match="does not intersect"):
+            clone_view(spark, root, "events", str(tmp_path / "dst"),
+                       interval="1990-01-01/1990-01-02")
