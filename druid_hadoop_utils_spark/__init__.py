@@ -53,6 +53,7 @@ from druid_hadoop_utils_spark.sources.segments import (
     resolve_visible_windows,
 )
 from druid_hadoop_utils_spark.sources.ingest import clone_view, publish_segments
+from druid_hadoop_utils_spark.sources.maintenance import restore_to
 from druid_hadoop_utils_spark.sources.materialize import (
     materialize_aggs,
     query_materialized,
@@ -104,6 +105,7 @@ __all__ = [
     "resolve_visible_windows",
     "publish_segments",
     "clone_view",
+    "restore_to",
     "materialize_aggs",
     "query_materialized",
     "vacuum_materialized",

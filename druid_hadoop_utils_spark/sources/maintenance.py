@@ -308,8 +308,14 @@ def vacuum(
         fs.delete_file(mfile)
         data_dirs.extend(m.path for m in members if m.path)
     # pool-parallel reclamation (fs.py bulk contract) — manifests are
-    # already gone, so these dirs are unreferenced orphans at worst
-    fs.delete_dirs(data_dirs)
+    # already gone, so these dirs are unreferenced orphans at worst.
+    # restore_to re-announces OLD segment dirs under a fresh version, so
+    # one data dir can be referenced by several manifests: never delete
+    # a dir a SURVIVING manifest still points at
+    removed_ids = set(removed)
+    surviving_paths = {m.path for m in manifests
+                       if m.path and m.identifier not in removed_ids}
+    fs.delete_dirs([p for p in data_dirs if p not in surviving_paths])
     if removed and not dry_run:
         # physical history is gone: advance the time-travel horizon so
         # list_manifests(as_of=<before it>) refuses loudly instead of
@@ -471,3 +477,126 @@ def table_stats(table_root: str, data_source: str) -> dict:
         "time_min": min(s.start for s in spans).isoformat() if spans else None,
         "time_max": max(s.end for s in spans).isoformat() if spans else None,
     }
+
+
+def _subtract_intervals(iv: Interval, covers: list[Interval]) -> list[Interval]:
+    """Pieces of ``iv`` not covered by ``covers`` (sorted, merged)."""
+    out: list[Interval] = []
+    s = iv.start
+    for c in covers:
+        if c.end <= s or c.start >= iv.end:
+            continue
+        if c.start > s:
+            out.append(Interval(s, min(c.start, iv.end)))
+        s = max(s, c.end)
+        if s >= iv.end:
+            break
+    if s < iv.end:
+        out.append(Interval(s, iv.end))
+    return out
+
+
+def restore_to(
+    table_root: str,
+    data_source: str,
+    as_of,
+    dry_run: bool = False,
+) -> list[SegmentManifest]:
+    """Make the CURRENT view equal the view at ``as_of`` (an instant or a
+    named tag) — the Delta ``RESTORE`` analogue, metadata-only: the old
+    view's segments are RE-ANNOUNCED under a fresh highest version
+    pointing at their EXISTING data dirs (no data copied, O(manifests)
+    regardless of data size), and intervals that only gained data after
+    the instant are tombstoned at the same version. Undo for a bad
+    publish, compaction, or drop — instant at any scale.
+
+    The restore is itself a stamped announce, so it composes with the
+    rest of the MVCC story: time travel to just before the restore still
+    shows the bad state (auditable), the result cache and materialized
+    states invalidate via the timeline version, and a later ``vacuum``
+    reclaims what the restore hid — without touching re-announced data
+    dirs, which more than one manifest now references (the vacuum keeps
+    any dir a surviving manifest still points at).
+
+    Refuses when the ``as_of`` view contains a PARTIALLY overshadowed
+    segment (re-announcing it whole would resurrect rows hidden at that
+    instant — use ``clone_view`` to materialize such a view exactly), or
+    when the instant predates the vacuum horizon (that history is gone).
+
+    Returns the manifests announced (re-announces + tombstones); with
+    ``dry_run`` they are returned unregistered.
+    """
+    from druid_hadoop_utils_spark.intervals import merge_adjacent
+    from druid_hadoop_utils_spark.sources.segments import (
+        publish_stamp,
+        register_manifest,
+        register_manifest_group,
+        resolve_as_of,
+    )
+
+    resolved = resolve_as_of(table_root, data_source, as_of)
+    current = list_manifests(table_root, data_source)
+    old = list_manifests(table_root, data_source, as_of=resolved)
+    if not current:
+        raise FileNotFoundError(
+            f"no segments for {data_source} under {table_root}")
+    lo = min(m.interval.start for m in current)
+    hi = max(m.interval.end for m in current)
+    span = Interval(lo, hi)
+    old_vis = [w for w in resolve_visible_windows(old, span)
+               if not w.manifest.tombstone]
+    cur_vis = [w for w in resolve_visible_windows(current, span)
+               if not w.manifest.tombstone]
+    # no-op when the views already coincide — compared by (data dir,
+    # visibility windows), the view's CONTENT identity, so a restore to
+    # an already-restored instant (new manifest ids, same data) and a
+    # "restore to now" are both clean no-ops. Checked BEFORE the
+    # partial-refusal for the same reason.
+    old_sig = {(w.manifest.path, w.windows) for w in old_vis}
+    cur_sig = {(w.manifest.path, w.windows) for w in cur_vis}
+    if old_sig == cur_sig:
+        return []
+    partial = [w.manifest.identifier for w in old_vis
+               if not w.is_fully_visible(span)]
+    if partial:
+        raise ValueError(
+            f"cannot restore {data_source} to {as_of!r}: segment(s) "
+            f"{partial} were only PARTIALLY visible at that instant — "
+            "re-announcing them whole would resurrect overshadowed rows; "
+            "clone_view the as_of view instead"
+        )
+    version = next_version(table_root, data_source, prefix="restore")
+    stamp = publish_stamp()
+    announced: list[SegmentManifest] = []
+    # re-announce the old view's segments, keeping shard groups atomic
+    groups: dict[tuple, list[SegmentManifest]] = {}
+    for w in old_vis:
+        m = w.manifest
+        groups.setdefault((m.interval.iso(), m.version), []).append(
+            SegmentManifest(data_source, m.interval, version, m.shard_num,
+                            m.path, stats=m.stats, published_at=stamp))
+    # intervals where the CURRENT view has rows but the old view had
+    # none: tombstone them at the same restore version
+    old_cover = merge_adjacent(sorted(
+        {w.manifest.interval for w in old_vis}, key=lambda i: i.start))
+    to_hide: list[Interval] = []
+    for w in cur_vis:
+        for piece in w.windows:
+            to_hide.extend(_subtract_intervals(piece, old_cover))
+    to_hide = merge_adjacent(sorted(set(to_hide), key=lambda i: i.start))
+    tombstones = [
+        SegmentManifest(data_source, iv, version, 0, "", tombstone=True,
+                        published_at=stamp)
+        for iv in to_hide
+    ]
+    planned = [m for ms in groups.values() for m in ms] + tombstones
+    if dry_run:
+        return planned
+    for ms in groups.values():
+        if len(ms) > 1:
+            register_manifest_group(table_root, ms)
+        else:
+            register_manifest(table_root, ms[0])
+    for t in tombstones:
+        register_manifest(table_root, t)
+    return planned

@@ -830,3 +830,124 @@ class TestTagReviewFixes:
         with pytest.raises(FileNotFoundError, match="does not intersect"):
             clone_view(spark, root, "events", str(tmp_path / "dst"),
                        interval="1990-01-01/1990-01-02")
+
+
+class TestRestore:
+    """restore_to (sources/maintenance.py): the Delta-RESTORE analogue —
+    re-announce a historical view as the CURRENT view, metadata-only."""
+
+    T3 = "2024-06-03T00:00:00+00:00"
+
+    def _mk(self, spark, sf_dir, tmp_path, with_new_interval=True):
+        """v1 all days (T1); v2 doubles [01-05,01-07) (T2); optional v3
+        adds a brand-new month of data (T3)."""
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        root = str(tmp_path / "restore_root")
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value", "user_id")
+        publish_segments(ev, root, "events", version="v1", time_column="ts",
+                         bucket="DAY", published_at=T1)
+        create_tag(root, "events", "good", as_of=MID)
+        publish_segments(
+            ev.where((F.col("ts") >= F.lit("2024-01-05"))
+                     & (F.col("ts") < F.lit("2024-01-07"))
+                     ).withColumn("value", F.col("value") * 2),
+            root, "events", version="v2", time_column="ts", bucket="DAY",
+            published_at=T2)
+        if with_new_interval:
+            feb = ev.limit(40).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 31 DAYS"))
+            publish_segments(feb, root, "events", version="v3",
+                             time_column="ts", bucket="DAY",
+                             published_at=self.T3)
+        return root
+
+    def _read(self, spark, root, interval=IV, as_of=None):
+        return load(spark, root, SPEC, interval=interval,
+                    data_source="events", as_of=as_of)
+
+    def test_restore_makes_current_equal_old_view(self, spark, sf_dir,
+                                                  tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import restore_to
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        want = (_sum(self._read(spark, root, as_of="tag:good")),
+                self._read(spark, root, as_of="tag:good").count())
+        out = restore_to(root, "events", "tag:good")
+        assert out  # re-announces + at least the feb tombstone
+        got = self._read(spark, root)
+        assert (_sum(got), got.count()) == want
+        # the interval that only existed AFTER the tag reads empty now
+        feb = self._read(spark, root, interval="2024-02-01/2024-03-01")
+        assert feb.count() == 0
+        # idempotent: a second restore to the same instant is a no-op
+        assert restore_to(root, "events", "tag:good") == []
+
+    def test_restore_is_itself_time_travelable(self, spark, sf_dir,
+                                               tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import restore_to
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        bad_sum = _sum(self._read(spark, root))  # doubled window visible
+        restore_to(root, "events", "tag:good")
+        # just before the restore the bad state is still auditable
+        pre_restore = self.T3  # after v3, before the restore announce
+        assert _sum(self._read(spark, root, as_of=pre_restore)) == bad_sum
+        feb_then = self._read(spark, root,
+                              interval="2024-02-01/2024-03-01",
+                              as_of=pre_restore)
+        assert feb_then.count() > 0
+
+    def test_vacuum_after_restore_keeps_shared_dirs(self, spark, sf_dir,
+                                                    tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import restore_to
+        from druid_hadoop_utils_spark.sources.segments import delete_tag
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        want = (_sum(self._read(spark, root, as_of="tag:good")),
+                self._read(spark, root, as_of="tag:good").count())
+        restore_to(root, "events", "tag:good")
+        delete_tag(root, "events", "good")  # drop the retention floor
+        removed = vacuum(root, "events")
+        # the original-v1 manifests (overshadowed by the re-announce),
+        # the v2 overshadow, and the tombstoned v3 all reclaim...
+        assert any("v1" in r for r in removed)
+        assert any("v2" in r for r in removed)
+        assert any("v3" in r for r in removed)
+        # ...but the re-announced segments still read: their data dirs
+        # were shared with the removed v1 manifests and must survive
+        got = self._read(spark, root)
+        assert (_sum(got), got.count()) == want
+
+    def test_partial_overshadow_refuses_with_clone_hint(self, spark,
+                                                        sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import restore_to
+        from druid_hadoop_utils_spark.sources.segments import write_segment
+
+        root = str(tmp_path / "partial_root")
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value").withColumnRenamed("ts", "__time")
+        day = ev.where((F.col("__time") >= F.lit("2024-01-03"))
+                       & (F.col("__time") < F.lit("2024-01-04")))
+        write_segment(day, root, "events", "2024-01-03/2024-01-04", "v1",
+                      published_at=T1)
+        write_segment(day.where(F.hour("__time") < 12), root, "events",
+                      "2024-01-03T00:00:00/2024-01-03T12:00:00", "v2",
+                      published_at=T2)
+        # a later full-day re-publish makes the partial view historical
+        write_segment(day, root, "events", "2024-01-03/2024-01-04", "v3",
+                      published_at=self.T3)
+        with pytest.raises(ValueError, match="PARTIALLY.*clone_view"):
+            restore_to(root, "events", "2024-06-02T12:00:00")
+        # restoring to the CURRENT instant stays a clean no-op
+        assert restore_to(root, "events", "2024-06-04T00:00:00") == []
+
+    def test_dry_run_registers_nothing(self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import restore_to
+
+        root = self._mk(spark, sf_dir, tmp_path)
+        before = _sum(self._read(spark, root))
+        planned = restore_to(root, "events", "tag:good", dry_run=True)
+        assert planned and any(m.tombstone for m in planned)
+        assert _sum(self._read(spark, root)) == before  # unchanged
