@@ -31,11 +31,15 @@ from druid_hadoop_utils_spark.sources.segments import (
 )
 
 
-def next_version(table_root: str, data_source: str, prefix: str = "compact") -> str:
+def next_version(table_root: str, data_source: str, prefix: str = "compact",
+                 manifests=None) -> str:
     """A version string lexicographically above every existing one
-    (ISO-timestamp style, like Druid's publish versions)."""
+    (ISO-timestamp style, like Druid's publish versions). ``manifests``
+    reuses a listing the caller already holds (restore_to)."""
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
-    existing = max((m.version for m in list_manifests(table_root, data_source)), default="")
+    if manifests is None:
+        manifests = list_manifests(table_root, data_source)
+    existing = max((m.version for m in manifests), default="")
     # ISO stamps sort above "v1"-style versions; belt-and-braces for exotic
     # existing versions: prefix with 'z' padding if needed
     version = f"{stamp}-{prefix}"
@@ -520,8 +524,15 @@ def restore_to(
 
     Refuses when the ``as_of`` view contains a PARTIALLY overshadowed
     segment (re-announcing it whole would resurrect rows hidden at that
-    instant — use ``clone_view`` to materialize such a view exactly), or
-    when the instant predates the vacuum horizon (that history is gone).
+    instant — use ``clone_view`` to materialize such a view exactly),
+    when the instant predates the vacuum horizon (that history is gone),
+    and when no manifest was announced by the instant (an empty view —
+    restoring to it would tombstone the whole table behind a typo).
+
+    The restore version is an ISO-stamp string above every existing
+    version; publish LATER corrections with ``next_version()`` (or any
+    string above the restore's) — a manually-chosen ``"v3"``-style
+    version sorts below it and would be announced but never visible.
 
     Returns the manifests announced (re-announces + tombstones); with
     ``dry_run`` they are returned unregistered.
@@ -534,12 +545,37 @@ def restore_to(
         resolve_as_of,
     )
 
+    from druid_hadoop_utils_spark.sources.segments import (
+        _parse_as_of,
+        _published_within,
+        history_horizon,
+    )
+
     resolved = resolve_as_of(table_root, data_source, as_of)
+    # ONE metadata listing: the as_of view is a pure in-memory filter of
+    # it, and next_version derives from it too (clone_view's round-trip
+    # principle — a 10k-manifest object-store table must not pay 3x)
     current = list_manifests(table_root, data_source)
-    old = list_manifests(table_root, data_source, as_of=resolved)
     if not current:
         raise FileNotFoundError(
             f"no segments for {data_source} under {table_root}")
+    inst = _parse_as_of(resolved)
+    horizon = history_horizon(table_root, data_source)
+    if horizon is not None and inst < horizon:
+        raise ValueError(
+            f"cannot restore {data_source} to {as_of!r}: it predates the "
+            f"history horizon {horizon.isoformat()} (that view was "
+            "physically vacuumed)")
+    old = [m for m in current if _published_within(m.published_at, inst)]
+    if not old:
+        # an instant before the first stamped publish: the "view" is an
+        # EMPTY table — restoring to it would tombstone everything, an
+        # irreversible mass-delete hiding behind a typo'd year. Refuse,
+        # exactly as load(as_of=<pre-history>) refuses to read.
+        raise FileNotFoundError(
+            f"cannot restore {data_source} to {as_of!r}: no manifest was "
+            "announced by that instant (an empty historical view — use "
+            "drop_interval to intentionally empty a table)")
     lo = min(m.interval.start for m in current)
     hi = max(m.interval.end for m in current)
     span = Interval(lo, hi)
@@ -565,7 +601,8 @@ def restore_to(
             "re-announcing them whole would resurrect overshadowed rows; "
             "clone_view the as_of view instead"
         )
-    version = next_version(table_root, data_source, prefix="restore")
+    version = next_version(table_root, data_source, prefix="restore",
+                           manifests=current)
     stamp = publish_stamp()
     announced: list[SegmentManifest] = []
     # re-announce the old view's segments, keeping shard groups atomic

@@ -654,15 +654,17 @@ def resolve_as_of(table_root: str, data_source: str, as_of):
     name = as_of[len(TAG_AS_OF_PREFIX):]
     fs = get_fs(table_root)
     path = _tag_path(fs, table_root, data_source, name)
-    try:
-        return json.loads(fs.read_text(path))["asOf"]
-    except FileNotFoundError:
-        # only a provably-missing file means "unknown tag" — transient
-        # backend I/O errors must propagate, not masquerade as missing
+    # "missing" is decided by an explicit existence probe, not by
+    # guessing exception types: a provably-absent tag gets the helpful
+    # ValueError on every backend (some raise plain OSError for missing
+    # objects), while read errors on an EXISTING tag propagate as the
+    # transient I/O faults they are
+    if not fs.exists(path):
         known = [t["name"] for t in list_tags(table_root, data_source)]
         raise ValueError(
             f"unknown tag {name!r} on {data_source} (tags: {known})"
-        ) from None
+        )
+    return json.loads(fs.read_text(path))["asOf"]
 
 
 #: snapshot files sort BEFORE other manifest names (listing order makes

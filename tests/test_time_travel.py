@@ -951,3 +951,23 @@ class TestRestore:
         planned = restore_to(root, "events", "tag:good", dry_run=True)
         assert planned and any(m.tombstone for m in planned)
         assert _sum(self._read(spark, root)) == before  # unchanged
+
+
+def test_restore_to_pre_history_instant_refuses(spark, sf_dir, tmp_path):
+    """Review regression: an as_of before the first stamped publish is an
+    EMPTY view — restoring to it would tombstone the entire table behind
+    a typo'd year. It must refuse like reads do, not mass-delete."""
+    from druid_hadoop_utils_spark.sources.maintenance import restore_to
+
+    root = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value").limit(100)
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY", published_at=T1)
+    before = load(spark, root, SPEC, interval=IV,
+                  data_source="events").count()
+    with pytest.raises(FileNotFoundError, match="no manifest was announced"):
+        restore_to(root, "events", "2020-01-01T00:00:00")
+    # nothing was tombstoned
+    assert load(spark, root, SPEC, interval=IV,
+                data_source="events").count() == before
