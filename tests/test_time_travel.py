@@ -971,3 +971,39 @@ def test_restore_to_pre_history_instant_refuses(spark, sf_dir, tmp_path):
     # nothing was tombstoned
     assert load(spark, root, SPEC, interval=IV,
                 data_source="events").count() == before
+
+
+def test_restore_objectsim_backend_round_trip(spark, sf_dir, tmp_path):
+    """restore_to through the no-rename object-store simulation: the
+    re-announce manifests and tombstones publish via atomic puts, and
+    the refcounted vacuum keeps the shared dirs — same as local."""
+    from druid_hadoop_utils_spark.sources.maintenance import (
+        restore_to,
+        vacuum,
+    )
+    from druid_hadoop_utils_spark.sources.segments import (
+        create_tag,
+        delete_tag,
+    )
+
+    root = "objectsim://" + str(tmp_path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value").limit(300)
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY", published_at=T1)
+    create_tag(root, "events", "good")
+    publish_segments(ev.withColumn("value", F.col("value") * 100),
+                     root, "events", version="v2", time_column="ts",
+                     bucket="DAY", published_at=T2)
+
+    def total():
+        return _sum(load(spark, root, SPEC, interval=IV,
+                         data_source="events"))
+
+    want = _sum(load(spark, root, SPEC, interval=IV, data_source="events",
+                     as_of="tag:good"))
+    assert restore_to(root, "events", "tag:good")
+    assert total() == want
+    delete_tag(root, "events", "good")
+    assert vacuum(root, "events")  # reclaims v2 + overshadowed originals
+    assert total() == want  # shared dirs survived through objectsim://
