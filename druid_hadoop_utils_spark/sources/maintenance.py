@@ -449,8 +449,13 @@ def table_stats(table_root: str, data_source: str) -> dict:
     """Ops summary of a managed table — the coordinator-view numbers,
     driver-side metadata + directory stats only (no data read): visible /
     overshadowed / tombstone segment counts, file count and bytes of the
-    VISIBLE set, distinct versions, and the covered time span."""
+    VISIBLE set, distinct versions, the covered time span, the time-travel
+    horizon, and the named tags (with their pinned instants)."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.segments import (
+        history_horizon,
+        list_tags,
+    )
 
     fs = get_fs(table_root)
     manifests = list_manifests(table_root, data_source)
@@ -480,6 +485,10 @@ def table_stats(table_root: str, data_source: str) -> dict:
         "visible_bytes": n_bytes,
         "time_min": min(s.start for s in spans).isoformat() if spans else None,
         "time_max": max(s.end for s in spans).isoformat() if spans else None,
+        "history_horizon": (lambda h: h.isoformat() if h else None)(
+            history_horizon(table_root, data_source)),
+        "tags": {t["name"]: t["asOf"]
+                 for t in list_tags(table_root, data_source)},
     }
 
 

@@ -377,3 +377,16 @@ class TestAutoCompactAndStats:
         assert st2["visible_files"] == 1
         assert st2["segments_overshadowed"] >= 1  # the v1 original
         assert st2["segments_visible"] == 1
+        # round 7: horizon + tags surface in the ops summary
+        assert st2["history_horizon"] is None and st2["tags"] == {}
+        from druid_hadoop_utils_spark.sources.maintenance import vacuum
+        from druid_hadoop_utils_spark.sources.segments import create_tag
+
+        # a tag at the CURRENT view: the pre-compaction original is
+        # invisible in every view since it, so vacuum reclaims it and
+        # the horizon lands exactly on the tag's pinned instant
+        pinned = create_tag(root, "ev", "pin")["asOf"]
+        assert vacuum(root, "ev")
+        st3 = table_stats(root, "ev")
+        assert st3["tags"] == {"pin": pinned}
+        assert st3["history_horizon"] == pinned
