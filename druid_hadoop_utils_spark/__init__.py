@@ -42,6 +42,7 @@ from druid_hadoop_utils_spark.sources.segments import (
     compact_manifests,
     create_tag,
     delete_tag,
+    diff_views,
     history_horizon,
     list_tags,
     resolve_as_of,
@@ -100,6 +101,7 @@ __all__ = [
     "compact_manifests",
     "create_tag",
     "delete_tag",
+    "diff_views",
     "list_tags",
     "resolve_as_of",
     "resolve_visible_windows",

@@ -818,3 +818,53 @@ def resolve_visible_windows(
         out.append(WindowedSegment(m, tuple(merge_adjacent(cells))))
     out.sort(key=lambda w: (w.manifest.interval.start, w.manifest.version, w.manifest.shard_num))
     return out
+
+
+def diff_views(table_root: str, data_source: str, as_of_a,
+               as_of_b=None) -> dict:
+    """What changed between two views of a managed table — instants or
+    ``"tag:<name>"``s; ``as_of_b=None`` means the CURRENT view. The
+    audit companion to ``table_history``: "what did the corpus gain or
+    lose between training run A and run B" as three lists of segment
+    descriptors, keyed by DATA identity (path), so a ``restore_to``
+    re-announce of the same bytes does not read as a change:
+
+    - ``added``   — data visible in B but not in A
+    - ``removed`` — data visible in A but not in B
+    - ``rewindowed`` — same data dir, different visibility windows
+      (a partial overshadow appeared or went away)
+
+    Driver-side metadata only (two timeline resolutions, no data read).
+    Both instants must be at or after the vacuum horizon."""
+    def _view(as_of):
+        ms = list_manifests(table_root, data_source, as_of=as_of)
+        if not ms:
+            return {}
+        lo = min(m.interval.start for m in ms)
+        hi = max(m.interval.end for m in ms)
+        return {
+            w.manifest.path: w
+            for w in resolve_visible_windows(ms, Interval(lo, hi))
+            if not w.manifest.tombstone
+        }
+
+    def _desc(w):
+        return {
+            "identifier": w.manifest.identifier,
+            "interval": w.manifest.interval.iso(),
+            "version": w.manifest.version,
+            "path": w.manifest.path,
+            "windows": [win.iso() for win in w.windows],
+        }
+
+    a = _view(as_of_a)
+    b = _view(as_of_b) if as_of_b is not None else _view(None)
+    return {
+        "added": [_desc(w) for p, w in sorted(b.items()) if p not in a],
+        "removed": [_desc(w) for p, w in sorted(a.items()) if p not in b],
+        "rewindowed": [
+            {"a": _desc(a[p]), "b": _desc(b[p])}
+            for p in sorted(set(a) & set(b))
+            if a[p].windows != b[p].windows
+        ],
+    }

@@ -1007,3 +1007,102 @@ def test_restore_objectsim_backend_round_trip(spark, sf_dir, tmp_path):
     delete_tag(root, "events", "good")
     assert vacuum(root, "events")  # reclaims v2 + overshadowed originals
     assert total() == want  # shared dirs survived through objectsim://
+
+
+def test_restore_randomized_soundness_sweep(spark, sf_dir, tmp_path):
+    """Randomized soundness: for random publish histories (full-day
+    segments, so no partial-overshadow refusals) and a random historical
+    instant, the rows AFTER restore_to(instant) must equal the rows
+    load(as_of=instant) returned BEFORE the restore — for every seed."""
+    import random
+
+    from druid_hadoop_utils_spark.sources.maintenance import restore_to
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value").where(
+        (F.col("ts") >= F.lit("2024-01-03")) & (F.col("ts") < F.lit("2024-01-07")))
+    days = ["2024-01-03", "2024-01-04", "2024-01-05", "2024-01-06"]
+
+    def rows(root, as_of=None):
+        df = load(spark, root, SPEC, interval="2024-01-03/2024-01-07",
+                  data_source="events", as_of=as_of)
+        return sorted((r["event_type"], round(r["value"], 3),
+                       str(r["__time"])) for r in df.collect())
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"rr{seed}")
+        stamps = []
+        for k in range(4):  # 4 publish generations of random day subsets
+            stamp = f"2024-06-0{k + 1}T00:00:00+00:00"
+            chosen = [d for d in days if rng.random() < 0.7]
+            if not chosen and k == 0:
+                chosen = days[:1]
+            factor = float(k + 1)
+            for d in chosen:
+                end = days[days.index(d) + 1] if days.index(d) + 1 < len(
+                    days) else "2024-01-07"
+                part = ev.where((F.col("ts") >= F.lit(d))
+                                & (F.col("ts") < F.lit(end))).withColumn(
+                    "value", F.col("value") * factor
+                ).withColumnRenamed("ts", "__time")
+                from druid_hadoop_utils_spark.sources.segments import (
+                    write_segment,
+                )
+
+                write_segment(part, root, "events", f"{d}/{end}",
+                              f"v{k + 1}", published_at=stamp)
+            if chosen:
+                stamps.append(stamp)
+        target = rng.choice(stamps)
+        want = rows(root, as_of=target)
+        restore_to(root, "events", target)
+        assert rows(root) == want, f"seed {seed} as_of {target}"
+
+
+def test_diff_views_added_removed_rewindowed(spark, sf_dir, tmp_path):
+    """diff_views: the audit answer to 'what changed between run A and
+    run B' — keyed by DATA identity (path), so a restore's re-announce
+    of the same bytes is not a change, while a partial overshadow shows
+    up as a rewindow."""
+    from druid_hadoop_utils_spark.sources.maintenance import restore_to
+    from druid_hadoop_utils_spark.sources.segments import (
+        diff_views,
+        write_segment,
+    )
+
+    root = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value").withColumnRenamed("ts", "__time")
+    d3 = ev.where((F.col("__time") >= F.lit("2024-01-03"))
+                  & (F.col("__time") < F.lit("2024-01-04")))
+    d4 = ev.where((F.col("__time") >= F.lit("2024-01-04"))
+                  & (F.col("__time") < F.lit("2024-01-05")))
+    write_segment(d3, root, "events", "2024-01-03/2024-01-04", "v1",
+                  published_at=T1)
+    # B adds day 4, half-overshadows day 3 (rewindow), at T2
+    write_segment(d4, root, "events", "2024-01-04/2024-01-05", "v2",
+                  published_at=T2)
+    write_segment(d3.where(F.hour("__time") < 12), root, "events",
+                  "2024-01-03T00:00:00/2024-01-03T12:00:00", "v2",
+                  published_at=T2)
+
+    d = diff_views(root, "events", MID)  # A = v1-only view, B = current
+    assert [x["interval"] for x in d["added"]] == [
+        "2024-01-03T00:00:00+00:00/2024-01-03T12:00:00+00:00",
+        "2024-01-04T00:00:00+00:00/2024-01-05T00:00:00+00:00"]
+    assert d["removed"] == []
+    assert len(d["rewindowed"]) == 1
+    rw = d["rewindowed"][0]
+    assert rw["a"]["windows"] == [
+        "2024-01-03T00:00:00+00:00/2024-01-04T00:00:00+00:00"]
+    assert rw["b"]["windows"] == [
+        "2024-01-03T12:00:00+00:00/2024-01-04T00:00:00+00:00"]
+    # identical instants diff empty; tag names resolve
+    assert diff_views(root, "events", MID, MID) == {
+        "added": [], "removed": [], "rewindowed": []}
+    from druid_hadoop_utils_spark.sources.segments import create_tag
+
+    create_tag(root, "events", "a", as_of=MID)
+    assert diff_views(root, "events", "tag:a", MID) == {
+        "added": [], "removed": [], "rewindowed": []}
