@@ -452,3 +452,58 @@ def test_republish_same_version_does_not_duplicate(spark, objroot):
     out = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
                data_source="ev")
     assert out.count() == 6  # not 12
+
+
+def test_tag_restore_clone_lifecycle_no_rename(spark, objroot, tmp_path):
+    """Round-7 timeline surface through BOTH no-rename backends: tag the
+    good view, overshadow it, diff the views, restore, refcounted
+    vacuum, and clone the restored view out — every metadata write an
+    atomic put, no directory rename anywhere (module-level spy)."""
+    from pyspark.sql import functions as F
+
+    from druid_hadoop_utils_spark import load
+    from druid_hadoop_utils_spark.sources.ingest import (
+        clone_view,
+        publish_segments,
+    )
+    from druid_hadoop_utils_spark.sources.maintenance import (
+        restore_to,
+        vacuum,
+    )
+    from druid_hadoop_utils_spark.sources.segments import (
+        create_tag,
+        delete_tag,
+        diff_views,
+    )
+
+    spec = {"granularity": "NONE", "dimensions": ["event_type"],
+            "metrics": [{"name": "value", "type": "double"}]}
+    iv = "2024-01-01/2024-02-01"
+
+    publish_segments(_events(spark, [1, 2]), objroot, "ev", version="v1",
+                     time_column="ts",
+                     published_at="2024-06-01T00:00:00+00:00")
+    create_tag(objroot, "ev", "good")
+    publish_segments(
+        _events(spark, [1, 2]).withColumn("value", F.col("value") * 100),
+        objroot, "ev", version="v2", time_column="ts",
+        published_at="2024-06-02T00:00:00+00:00")
+
+    def total(as_of=None):
+        df = load(spark, objroot, spec, interval=iv, data_source="ev",
+                  as_of=as_of)
+        return round(df.agg(F.sum("value")).first()[0], 2)
+
+    want = total("tag:good")
+    assert total() == want * 100
+    d = diff_views(objroot, "ev", "tag:good")
+    assert len(d["added"]) == 2 and len(d["removed"]) == 2
+    assert restore_to(objroot, "ev", "tag:good")
+    assert total() == want
+    delete_tag(objroot, "ev", "good")
+    assert vacuum(objroot, "ev")  # v2 + overshadowed originals
+    assert total() == want       # shared dirs survived the refcount
+    dest = str(tmp_path / "clone_out")
+    clone_view(spark, objroot, "ev", dest)
+    got = load(spark, dest, spec, interval=iv, data_source="ev")
+    assert round(got.agg(F.sum("value")).first()[0], 2) == want
