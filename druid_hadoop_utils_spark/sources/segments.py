@@ -493,11 +493,7 @@ def table_history(table_root: str, data_source: str) -> list[dict]:
     manifests = list_manifests(table_root, data_source)
     if not manifests:
         return []
-    lo = min(m.interval.start for m in manifests)
-    hi = max(m.interval.end for m in manifests)
-    visible = {
-        w.manifest for w in resolve_visible_windows(manifests, Interval(lo, hi))
-    }
+    visible = {w.manifest for w in _resolve_full_span(manifests)}
     rows = [
         {
             "identifier": m.identifier,
@@ -820,6 +816,14 @@ def resolve_visible_windows(
     return out
 
 
+def _resolve_full_span(manifests: list[SegmentManifest]):
+    """Visible windows of ``manifests`` over their full covered span —
+    the recurring idiom behind table_history/diff_views/restore_to."""
+    lo = min(m.interval.start for m in manifests)
+    hi = max(m.interval.end for m in manifests)
+    return resolve_visible_windows(manifests, Interval(lo, hi))
+
+
 def diff_views(table_root: str, data_source: str, as_of_a,
                as_of_b=None) -> dict:
     """What changed between two views of a managed table — instants or
@@ -834,17 +838,29 @@ def diff_views(table_root: str, data_source: str, as_of_a,
     - ``rewindowed`` — same data dir, different visibility windows
       (a partial overshadow appeared or went away)
 
-    Driver-side metadata only (two timeline resolutions, no data read).
-    Both instants must be at or after the vacuum horizon."""
+    Driver-side metadata only: ONE manifest listing (each view is an
+    in-memory filter of it — the restore_to round-trip principle), two
+    timeline resolutions, no data read. Both instants must be at or
+    after the vacuum horizon."""
+    manifests = list_manifests(table_root, data_source)
+    horizon = history_horizon(table_root, data_source)
+
     def _view(as_of):
-        ms = list_manifests(table_root, data_source, as_of=as_of)
+        ms = manifests
+        if as_of is not None:
+            inst = _parse_as_of(resolve_as_of(table_root, data_source,
+                                              as_of))
+            if horizon is not None and inst < horizon:
+                raise ValueError(
+                    f"as_of={inst.isoformat()} predates this table's "
+                    f"history horizon {horizon.isoformat()}")
+            ms = [m for m in manifests
+                  if _published_within(m.published_at, inst)]
         if not ms:
             return {}
-        lo = min(m.interval.start for m in ms)
-        hi = max(m.interval.end for m in ms)
         return {
             w.manifest.path: w
-            for w in resolve_visible_windows(ms, Interval(lo, hi))
+            for w in _resolve_full_span(ms)
             if not w.manifest.tombstone
         }
 
@@ -858,7 +874,7 @@ def diff_views(table_root: str, data_source: str, as_of_a,
         }
 
     a = _view(as_of_a)
-    b = _view(as_of_b) if as_of_b is not None else _view(None)
+    b = _view(as_of_b)
     return {
         "added": [_desc(w) for p, w in sorted(b.items()) if p not in a],
         "removed": [_desc(w) for p, w in sorted(a.items()) if p not in b],
