@@ -302,6 +302,21 @@ ANNOTATED = {
         "salt columns never escape; the aggregate output is provably "
         "salt-invariant (hash-checked against the plain-join oracle)."
     ),
+    "q_time_travel": (
+        "Time-travel read (round 7): the as_of timeline resolution is "
+        "DRIVER-side metadata — the physical plan is just two ordinary "
+        "pruned parquet scans (the as_of-visible file set and the "
+        "current one) joined on the group key. No timeline operator, "
+        "no UDF, zero per-row cost for historical reads."
+    ),
+    "q_snapshot_tag": (
+        "Named-tag read (round 7): the tag resolves to its pinned "
+        "instant before planning, so the plan is ONE pruned parquet "
+        "scan over exactly the tagged view's files plus a partial/final "
+        "hash aggregate — a tagged corpus read costs the same as a "
+        "current read. The in-query vacuum (tag-as-retention-floor "
+        "proof) is driver metadata and never appears in the plan."
+    ),
 }
 
 
