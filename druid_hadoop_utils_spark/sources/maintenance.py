@@ -543,14 +543,16 @@ def restore_to(
     string above the restore's) — a manually-chosen ``"v3"``-style
     version sorts below it and would be announced but never visible.
 
+    The whole restore is announced in ONE snapshot-shaped manifest
+    file — a single atomic put on every backend, so a crash can never
+    leave a half-restored view.
+
     Returns the manifests announced (re-announces + tombstones); with
     ``dry_run`` they are returned unregistered.
     """
     from druid_hadoop_utils_spark.intervals import merge_adjacent
     from druid_hadoop_utils_spark.sources.segments import (
         publish_stamp,
-        register_manifest,
-        register_manifest_group,
         resolve_as_of,
     )
 
@@ -638,11 +640,41 @@ def restore_to(
     planned = [m for ms in groups.values() for m in ms] + tombstones
     if dry_run:
         return planned
-    for ms in groups.values():
+    # ONE snapshot-shaped manifest file holds every announce, so the
+    # whole restore flips in a single atomic put on every backend — a
+    # crash can never leave a mixed half-restored view (per-file
+    # registration would). vacuum/compact_manifests already speak the
+    # snapshot shape per-entry.
+    import json as _json
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.segments import (
+        SNAPSHOT_PREFIX,
+        _safe,
+    )
+
+    entries: list[dict] = []
+    for ms in sorted(groups.values(),
+                     key=lambda g: g[0].interval.start):
         if len(ms) > 1:
-            register_manifest_group(table_root, ms)
+            entries.append({
+                "dataSource": data_source,
+                "interval": ms[0].interval.iso(),
+                "version": version,
+                "publishedAt": stamp,
+                "shards": [
+                    {"shardNum": m.shard_num, "path": m.path,
+                     **({"stats": m.stats} if m.stats else {})}
+                    for m in sorted(ms, key=lambda m: m.shard_num)
+                ],
+            })
         else:
-            register_manifest(table_root, ms[0])
-    for t in tombstones:
-        register_manifest(table_root, t)
+            entries.append(ms[0].to_json())
+    entries.extend(t.to_json() for t in tombstones)
+    fs = get_fs(table_root)
+    mdir = fs.join(table_root, data_source, MANIFEST_DIR)
+    fs.mkdirs(mdir)
+    fs.put_text(
+        fs.join(mdir, f"{SNAPSHOT_PREFIX}restore-{_safe(stamp)}.json"),
+        _json.dumps({"snapshot": entries}, indent=1))
     return planned

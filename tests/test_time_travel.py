@@ -1106,3 +1106,34 @@ def test_diff_views_added_removed_rewindowed(spark, sf_dir, tmp_path):
     create_tag(root, "events", "a", as_of=MID)
     assert diff_views(root, "events", "tag:a", MID) == {
         "added": [], "removed": [], "rewindowed": []}
+
+
+def test_restore_is_one_atomic_manifest_put(spark, sf_dir, tmp_path):
+    """The whole restore lands as ONE snapshot-shaped manifest file (a
+    single atomic put) — a crash mid-restore can never leave a mixed
+    half-restored view."""
+    import os
+
+    from druid_hadoop_utils_spark.sources.maintenance import restore_to
+    from druid_hadoop_utils_spark.sources.segments import create_tag
+
+    root = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value")
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY", published_at=T1)
+    create_tag(root, "events", "good")
+    publish_segments(ev.withColumn("value", F.col("value") * 2),
+                     root, "events", version="v2", time_column="ts",
+                     bucket="DAY", published_at=T2)
+    mdir = os.path.join(root, "events", "_segments")
+    before = set(os.listdir(mdir))
+    announced = restore_to(root, "events", "tag:good")
+    assert len(announced) > 1  # many segments re-announced...
+    new_files = set(os.listdir(mdir)) - before
+    assert len(new_files) == 1  # ...through exactly one new file
+    assert next(iter(new_files)).startswith("0-snapshot-restore-")
+    want = _sum(load(spark, root, SPEC, interval=IV, data_source="events",
+                     as_of="tag:good"))
+    assert _sum(load(spark, root, SPEC, interval=IV,
+                     data_source="events")) == want
