@@ -646,6 +646,7 @@ def restore_to(
     # registration would). vacuum/compact_manifests already speak the
     # snapshot shape per-entry.
     import json as _json
+    import uuid as _uuid
 
     from druid_hadoop_utils_spark.sources.fs import get_fs
     from druid_hadoop_utils_spark.sources.segments import (
@@ -674,7 +675,11 @@ def restore_to(
     fs = get_fs(table_root)
     mdir = fs.join(table_root, data_source, MANIFEST_DIR)
     fs.mkdirs(mdir)
+    # uuid suffix: two restores stamped in the same microsecond by
+    # DIFFERENT processes must not collide on one filename (same
+    # convention as compact_manifests)
     fs.put_text(
-        fs.join(mdir, f"{SNAPSHOT_PREFIX}restore-{_safe(stamp)}.json"),
+        fs.join(mdir, f"{SNAPSHOT_PREFIX}restore-{_safe(stamp)}-"
+                      f"{_uuid.uuid4().hex[:8]}.json"),
         _json.dumps({"snapshot": entries}, indent=1))
     return planned
