@@ -1137,3 +1137,37 @@ def test_restore_is_one_atomic_manifest_put(spark, sf_dir, tmp_path):
                      as_of="tag:good"))
     assert _sum(load(spark, root, SPEC, interval=IV,
                      data_source="events")) == want
+
+
+def test_restore_multishard_group_inside_snapshot(spark, sf_dir, tmp_path):
+    """A sharded publish restores as a GROUP entry inside the restore
+    snapshot: all shards re-announce together (atomic flip), and the
+    timeline parses the group-inside-snapshot shape back correctly."""
+    from druid_hadoop_utils_spark.sources.maintenance import restore_to
+    from druid_hadoop_utils_spark.sources.segments import (
+        create_tag,
+        list_manifests,
+    )
+
+    root = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value").where(
+        (F.col("ts") >= F.lit("2024-01-03")) & (F.col("ts") < F.lit("2024-01-05")))
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY", shards_per_bucket=3, published_at=T1)
+    create_tag(root, "events", "good")
+    publish_segments(ev.withColumn("value", F.col("value") * 9),
+                     root, "events", version="v2", time_column="ts",
+                     bucket="DAY", shards_per_bucket=3, published_at=T2)
+    want = _sum(load(spark, root, SPEC, interval=IV, data_source="events",
+                     as_of="tag:good"))
+    announced = restore_to(root, "events", "tag:good")
+    # 2 day buckets x 3 shards re-announced
+    assert len([m for m in announced if not m.tombstone]) == 6
+    assert _sum(load(spark, root, SPEC, interval=IV,
+                     data_source="events")) == want
+    # every re-announced shard parses back with the restore version
+    restored = [m for m in list_manifests(root, "events")
+                if m.version.endswith("-restore")]
+    assert sorted(m.shard_num for m in restored
+                  if m.interval.start.day == 3) == [0, 1, 2]
