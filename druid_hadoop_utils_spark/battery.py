@@ -54,6 +54,39 @@ def _tmp_table_root(prefix: str) -> str:
     return root
 
 
+#: per-user parent for DETERMINISTIC battery fixture paths (paths that
+#: must be known at registration time, so mkdtemp can't provide them).
+#: Path computed at import; created 0700 + ownership-verified at first
+#: use (_private_tmp).
+_PRIVATE_TMP = os.path.join(
+    tempfile.gettempdir(),
+    f"spark_graft_private_u{os.getuid() if hasattr(os, 'getuid') else 0}",
+)
+
+
+def _private_tmp() -> str:
+    """Create-and-verify the per-user 0700 fixture parent (ADVICE r8): a
+    fixed, predictable name in world-writable /tmp can be PRE-CREATED by
+    another local user — embedding the uid in the name does not stop
+    them — letting them block the battery or feed it attacker-controlled
+    parquet that the oracle would then hash-confirm. mode=0700 plus an
+    ownership check refuses a squatted directory loudly."""
+    os.makedirs(_PRIVATE_TMP, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid"):
+        st = os.stat(_PRIVATE_TMP)
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"{_PRIVATE_TMP} is owned by uid {st.st_uid}, not "
+                f"{os.getuid()} — another local user squatted the "
+                "battery fixture root; remove it or point TMPDIR at a "
+                "private location"
+            )
+        # exist_ok swallows the mode for a pre-existing dir of OUR OWN
+        # from an older build — re-tighten
+        os.chmod(_PRIVATE_TMP, 0o700)
+    return _PRIVATE_TMP
+
+
 def _prep(spark: SparkSession) -> None:
     # the driver may hand us a session without our session.py defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1644,12 +1677,10 @@ _MEDIA_SEGMENT_CACHE: dict[str, str] = {}
 #: below), so the path must be known AT REGISTRATION TIME, not an
 #: mkdtemp. A token in the name versions the synthetic content — bump
 #: it if synthetic_media_df ever changes, so a stale root from an older
-#: build is never reused. The uid in the name keeps users on a shared
-#: host from squatting/colliding on each other's path.
-_MEDIA_SEGMENT_ROOT = os.path.join(
-    tempfile.gettempdir(),
-    f"spark_graft_media_segment_c1_u{os.getuid() if hasattr(os, 'getuid') else 0}",
-)
+#: build is never reused. Lives under the per-user 0700 parent
+#: (_private_tmp, ADVICE r8) so another local user can neither block it
+#: nor feed the oracle attacker-controlled parquet.
+_MEDIA_SEGMENT_ROOT = os.path.join(_PRIVATE_TMP, "media_segment_c1")
 
 
 def _media_segment_table(spark, sf_dir: str) -> str:
@@ -1670,6 +1701,7 @@ def _media_segment_table(spark, sf_dir: str) -> str:
     import shutil
     import time
 
+    _private_tmp()  # create + ownership-verify the 0700 parent
     root = _MEDIA_SEGMENT_ROOT
     mdir = os.path.join(root, "media", "_segments")
 
@@ -1991,9 +2023,11 @@ def _ann_index(spark, sf_dir) -> dict:
         return _ANN_INDEX_CACHE[key]
     emb = _t(spark, sf_dir, "embeddings")
     version = str(emb.count())
+    # under the per-user 0700 parent (ADVICE r8): a squatted fixed /tmp
+    # name could feed the `_prod` ANN entries an attacker-built index
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ann_index_{hashlib.md5(key.encode()).hexdigest()[:12]}.json",
+        _private_tmp(),
+        f"ann_index_{hashlib.md5(key.encode()).hexdigest()[:12]}.json",
     )
     try:
         idx = SIM.load_ann_index(path, expect_corpus_version=version)
@@ -4792,31 +4826,36 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # round-7 rotation (VERDICT r6 item 3): the 48 queries whose newest
-    # driver-green row is r04, then the four oldest-r05 entries — after
-    # the r07 snapshot nothing registered should be staler than r05.
-    # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
-    # q_media_segment_hashes and q_time_travel are NEW in r7 (never
-    # driver-checked) — first.
-    "q_media_segment_hashes", "q_time_travel", "q_snapshot_tag",
-    "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
-    "q_agg_min_max", "q_bm25_search", "q_build_vocab",
-    "q_cap_per_group", "q_cohort_retention", "q_encode_docs",
-    "q_event_transitions", "q_forward_fill", "q_funnel",
-    "q_granularity_all", "q_granularity_day_tz", "q_granularity_fifteen_minute",
-    "q_granularity_week", "q_hybrid_search", "q_incremental_dedup",
-    "q_join_5way_star", "q_join_broadcast_dim", "q_leakage_safe_split",
-    "q_mix_sources", "q_pack_documents", "q_post_agg_arithmetic",
-    "q_quantize_embeddings", "q_segment_metadata_analysis", "q_segment_table_multivalue",
-    "q_segment_table_zorder", "q_stickiness", "q_strip_dup_ngrams",
-    "q_text_lm_score", "q_theta_set_ops", "q_timeseries_mad",
-    "q_timeseries_smooth", "q_tpch_q12_priority_lines", "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue", "q_tpch_q15_top_supplier", "q_tpch_q17_small_quantity",
-    "q_tpch_q19_discounted_revenue", "q_tpch_q1_pricing_summary", "q_tpch_q21_suppliers_kept_waiting",
-    "q_tpch_q22_sales_opportunity", "q_tpch_q4_order_priority", "q_tpch_q7_volume_shipping",
-    "q_tpch_q8_market_share", "q_two_phase_hll", "q_union_datasource",
+    # round-8 rotation (VERDICT r7 item 3): recomputed from
+    # CORRECTNESS_r01..r07 — newest-green distribution r07:50 r06:49
+    # r05:44 r04:1. Front the one r04 straggler (q_union_datasource),
+    # then all 44 r05-stale entries, then the ten oldest-r06 entries to
+    # fill the ~50-query driver cap. After the r08 snapshot nothing
+    # registered should be staler than r06. Recomputed each round from
+    # CORRECTNESS_r01..rNN (NOTES.md).
+    "q_union_datasource",
+    # the 44 queries whose newest driver-green row is r05
     "q_anti_join", "q_corpus_report", "q_correlated_subquery",
-    "q_dedup_clusters",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_keep_best",
+    "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_distinct", "q_embedding_mean_pool", "q_embedding_neardup",
+    "q_filter_bound_numeric", "q_filter_in", "q_filter_selector",
+    "q_frame_sample_plan", "q_json_props_extract", "q_materialized_rollup",
+    "q_mix_temperature", "q_multivalue_explode_groupby", "q_oov_rate",
+    "q_orderby_limit_topk", "q_percentile", "q_rollup_grouping_sets",
+    "q_salted_join", "q_sample_split", "q_scalar_functions",
+    "q_semi_join", "q_set_ops", "q_similarity_lsh_topk",
+    "q_similarity_topk", "q_text_analysis", "q_text_chunking",
+    "q_text_langid", "q_text_tfidf_topk", "q_topn_druid_style",
+    "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
+    "q_tpch_q20_potential_promotion", "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q9_product_type_profit", "q_window_running_lag",
+    "q_window_time_range", "q_window_topn_per_group",
+    # ten r06-green fillers (oldest alphabetical slice of the r06 set)
+    "q_agg_first_last", "q_api_datasource_metadata", "q_api_groupby",
+    "q_api_groupby_having_limit", "q_api_materialized_require",
+    "q_api_timeseries", "q_api_topn", "q_api_topn_lexicographic",
+    "q_asof_join", "q_cached_query",
 ]
 
 

@@ -286,6 +286,14 @@ def _complex_column(values: list, type_name: str) -> bytes:
 # ------------------------------------------------------------ assembly
 
 
+def _druid_ts(dt) -> str:
+    """Druid SegmentId timestamp convention: ISO-8601 UTC, millisecond
+    precision, 'Z' suffix (e.g. 2014-10-22T00:00:00.000Z — golden
+    descriptor.json)."""
+    dt = dt.astimezone(timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+
+
 def write_v9_segment(
     columns: dict[str, dict],
     out_dir: str,
@@ -352,8 +360,23 @@ def write_v9_segment(
         zf.writestr("meta.smoosh", meta)
         zf.writestr("00000.smoosh", bytes(chunk))
 
-    identifier = f"{data_source}_{interval.replace('/', '_')}_{version}" + (
-        f"_{shard_num}" if shard_num else "")
+    # Druid's canonical SegmentId format (ADVICE r8): ISO-8601 UTC
+    # millisecond timestamps with a 'Z' suffix, exactly as the golden
+    # segment's own descriptor renders them — inserting this identifier
+    # into Druid metadata must not diverge from real segment ids
+    from druid_hadoop_utils_spark.intervals import Interval as _Iv
+
+    try:
+        _ivo = _Iv.parse(interval)
+        _span = f"{_druid_ts(_ivo.start)}_{_druid_ts(_ivo.end)}"
+    except ValueError:
+        # shorthand interval ("1970/1971") from the low-level API:
+        # keep the legacy rendering rather than refuse the write
+        _span = interval.replace("/", "_")
+    identifier = (
+        f"{data_source}_{_span}_{version}"
+        + (f"_{shard_num}" if shard_num else "")
+    )
     descriptor = {
         "binaryVersion": 9,
         "dataSource": data_source,
@@ -443,6 +466,7 @@ def export_druid_segments(
     interval: str | None = None,
     complex_types: dict[str, str] | None = None,
     allow_lossy: bool = False,
+    max_rows: int = 5_000_000,
 ) -> list[str]:
     """Export every VISIBLE segment of a managed table (optionally
     restricted to ``interval``) as a v9 segment directory under
@@ -452,6 +476,13 @@ def export_druid_segments(
     Segments only partially visible in the timeline are refused
     (compact first): an exported segment must equal what a Druid
     deployment would serve for its whole interval.
+
+    Building the v9 dictionary/bitmap codecs is inherently driver-side
+    pure Python, so each segment is collected to the driver — bounded by
+    ``max_rows`` (default 5M, Druid's own recommended segment size).
+    An oversized segment is REFUSED with a cheap count() BEFORE the
+    collect, never an OOM: re-publish it with more ``shards_per_bucket``
+    or a finer bucket (``compact_segments``) and re-export.
     """
     from druid_hadoop_utils_spark.intervals import Interval
     from druid_hadoop_utils_spark.sources.segments import (
@@ -482,6 +513,18 @@ def export_druid_segments(
                 "compact the interval, then export"
             )
         df = spark.read.parquet(m.path).orderBy("__time")
+        # metadata-cheap parquet row count, BEFORE the collect: refuse an
+        # oversized segment loudly instead of OOMing the driver
+        n = spark.read.parquet(m.path).count()
+        if n > max_rows:
+            raise ValueError(
+                f"segment {m.identifier} has {n} rows, above the "
+                f"max_rows={max_rows} driver-collect bound for v9 "
+                "export — re-publish the interval with more "
+                "shards_per_bucket or a finer bucket "
+                "(maintenance.compact_segments), then re-export; or "
+                "raise max_rows if the driver has the memory"
+            )
         rows = df.collect()
         cols, dims, metrics = _df_to_columns(
             rows, df.schema, complex_types or {}, allow_lossy)

@@ -120,6 +120,20 @@ class MetaFS:
         """ATOMIC single-object publish (see module docstring)."""
         raise NotImplementedError
 
+    #: True when ``put_text_if_absent`` is a REAL compare-and-swap
+    #: (POSIX O_EXCL). Object stores generally lack one — callers
+    #: (sources/lease.py) fall back to a put-settle-verify dance.
+    supports_put_if_absent: bool = False
+
+    def put_text_if_absent(self, path: str, text: str) -> bool:
+        """Create ``path`` with ``text`` ONLY if it does not exist;
+        returns whether this call created it. Exactly one of N
+        concurrent callers wins. Only valid when
+        ``supports_put_if_absent``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no atomic create-if-absent"
+        )
+
     def delete_file(self, path: str) -> None:
         """Remove one file; missing is not an error."""
         raise NotImplementedError
@@ -236,6 +250,20 @@ class LocalMetaFS(MetaFS):
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    supports_put_if_absent = True
+
+    def put_text_if_absent(self, path: str, text: str) -> bool:
+        # O_EXCL: the kernel arbitrates — exactly one concurrent creator
+        # wins, which makes the maintenance lease a true mutex locally
+        self.mkdirs(os.path.dirname(path))
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
 
     def delete_file(self, path: str) -> None:
         try:

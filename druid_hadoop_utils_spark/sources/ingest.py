@@ -56,6 +56,7 @@ def publish_segments(
     stats_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
     published_at: str | None = None,
+    overwrite: bool = False,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -242,6 +243,30 @@ def publish_segments(
             "assign a timestamp before publishing (Druid likewise "
             "rejects rows without a parseable timestamp at ingestion)"
         )
+    # the set of data dirs LIVE manifests point at right now, read once:
+    # clearing one of these mid-promote would give concurrent readers a
+    # missing-dir window (long on copy backends) and, on a crash between
+    # delete and promote, leave a dangling manifest that breaks every
+    # read until the publish is retried. A destination that exists but is
+    # NOT in this set is provably a crashed earlier attempt's leftover
+    # (its manifest never landed — manifests land last), safe to clear.
+    from druid_hadoop_utils_spark.sources.segments import (
+        _parse_as_of,
+        list_manifests,
+    )
+
+    _stamp_floor = None  # table's max existing publishedAt (same listing)
+    try:
+        _existing = list_manifests(table_root, data_source)
+    except FileNotFoundError:
+        _existing = []
+    _referenced = {
+        m.path.rstrip("/") for m in _existing if not m.tombstone
+    }
+    _stamps = [m.published_at for m in _existing if m.published_at]
+    if _stamps:
+        _stamp_floor = max(_stamps, key=_parse_as_of)
+
     def _promote(src: str, seg_dir: str) -> None:
         # rename backends: one metadata move (no second data pass).
         # No-rename backends (object stores): per-file copy into the
@@ -249,14 +274,25 @@ def publish_segments(
         # on real object stores; the data stays INVISIBLE either way
         # until the manifest (a single atomic PUT) lands below, so a
         # crash mid-copy leaves only unreferenced orphans.
-        # An EXISTING destination is cleared first: it is either a
+        # An EXISTING destination is cleared first ONLY when it is a
         # crashed earlier attempt's partial promotion (unreferenced —
-        # promoting must be retryable) or a re-publish of the same
-        # (interval, version) (segment identity says same logical data;
-        # merging two runs' differently-named part files would silently
-        # DUPLICATE rows — the copy path's analogue of the loud
-        # ENOTEMPTY a bare rename would raise).
+        # promoting must be retryable; merging two runs' differently-
+        # named part files would silently DUPLICATE rows). Re-publishing
+        # over a LIVE, manifest-referenced segment requires the explicit
+        # overwrite flag: the old in-place os.replace failed loudly here
+        # (ENOTEMPTY), and silent clearing opens a reader-visible
+        # missing-dir window plus a crash-window dangling manifest.
         if fs.isdir(seg_dir):
+            if seg_dir.rstrip("/") in _referenced and not overwrite:
+                raise FileExistsError(
+                    f"publish_segments: destination {seg_dir} is "
+                    "referenced by a live manifest — re-publishing the "
+                    "same (interval, version) over a live segment needs "
+                    "overwrite=True (readers racing the replace may see "
+                    "a missing-dir window), or publish under a new "
+                    "version (next_version()) and let overshadowing "
+                    "flip readers atomically"
+                )
             fs.delete_dir(seg_dir)
         if fs.atomic_dir_rename:
             fs.mkdirs(fs.parent(seg_dir))
@@ -270,7 +306,9 @@ def publish_segments(
     # deterministic fixtures; None → now, monotonic per process)
     from druid_hadoop_utils_spark.sources.segments import publish_stamp
 
-    stamp = published_at or publish_stamp()
+    # floor = the table's max existing stamp (computed from the listing
+    # above): cross-process publishes announce in stamp order (ADVICE r8)
+    stamp = published_at or publish_stamp(floor=_stamp_floor)
     for name in fs.ls(staging):
         if not name.startswith("__bucket="):
             continue

@@ -183,6 +183,13 @@ def vacuum(
     """Delete segments that are invisible for their ENTIRE interval (fully
     overshadowed). Returns the removed segment identifiers.
 
+    Destructive maintenance SERIALIZES per table: the sweep runs under
+    the table's maintenance lease (``sources/lease.py``) and refuses
+    loudly (``MaintenanceLockHeld``) when a concurrent ``vacuum`` /
+    ``compact_manifests`` / ``restore_to`` holds it — interleaved snapshot
+    rewrites could otherwise resurrect manifests whose data dirs this
+    sweep just deleted. ``dry_run`` is read-only and takes no lease.
+
     ``retain_history_s`` keeps time travel alive across vacuums (the
     Delta ``VACUUM ... RETAIN N HOURS`` shape): a segment is reclaimed
     only if it is invisible in EVERY ``as_of`` view from
@@ -202,6 +209,21 @@ def vacuum(
     The manifest is deleted first: if the process dies before the data
     directory is removed, the leftover parquet is unreferenced and harmless.
     """
+    if dry_run:
+        return _vacuum_sweep(table_root, data_source, True, retain_history_s)
+    from druid_hadoop_utils_spark.sources.lease import maintenance_lease
+
+    with maintenance_lease(table_root, data_source, "vacuum"):
+        return _vacuum_sweep(table_root, data_source, False,
+                             retain_history_s)
+
+
+def _vacuum_sweep(
+    table_root: str,
+    data_source: str,
+    dry_run: bool,
+    retain_history_s: float,
+) -> list[str]:
     import json as _json
 
     from druid_hadoop_utils_spark.sources.fs import get_fs
@@ -549,7 +571,26 @@ def restore_to(
 
     Returns the manifests announced (re-announces + tombstones); with
     ``dry_run`` they are returned unregistered.
+
+    A real restore runs under the table's maintenance lease
+    (``sources/lease.py``) — racing a vacuum/compaction sweep could
+    re-announce data dirs the sweep is concurrently deleting. ``dry_run``
+    is read-only and takes no lease.
     """
+    if dry_run:
+        return _restore_to_locked(table_root, data_source, as_of, True)
+    from druid_hadoop_utils_spark.sources.lease import maintenance_lease
+
+    with maintenance_lease(table_root, data_source, "restore_to"):
+        return _restore_to_locked(table_root, data_source, as_of, False)
+
+
+def _restore_to_locked(
+    table_root: str,
+    data_source: str,
+    as_of,
+    dry_run: bool,
+) -> list[SegmentManifest]:
     from druid_hadoop_utils_spark.intervals import merge_adjacent
     from druid_hadoop_utils_spark.sources.segments import (
         publish_stamp,

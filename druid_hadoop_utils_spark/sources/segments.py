@@ -126,19 +126,43 @@ def _safe(s: str) -> str:
 _LAST_STAMP: list = [None]  # per-process monotonicity guard for publish stamps
 
 
-def publish_stamp() -> str:
+def publish_stamp(floor=None) -> str:
     """ISO-8601 UTC publish stamp, microsecond precision, strictly
     increasing within a process: two back-to-back publishes always order
     (a coarse clock could otherwise stamp them identically, making an
-    ``as_of`` between them ambiguous)."""
+    ``as_of`` between them ambiguous).
+
+    ``floor`` (ISO stamp or datetime) additionally clamps the result to
+    at least floor + 1 µs. The register paths pass the table's current
+    max publishedAt so MULTI-WRITER publishes (several processes/hosts
+    with skewed clocks) still stamp in actual announce order — without
+    the clamp, as_of views and vacuum's retention view-enumeration could
+    order differently from what readers actually observed."""
     from datetime import datetime, timedelta, timezone
 
     now = datetime.now(timezone.utc)
     prev = _LAST_STAMP[0]
     if prev is not None and now <= prev:
         now = prev + timedelta(microseconds=1)
+    if floor is not None:
+        f = _parse_as_of(floor)
+        if now <= f:
+            now = f + timedelta(microseconds=1)
     _LAST_STAMP[0] = now
     return now.isoformat()
+
+
+def max_published_stamp(table_root: str, data_source: str):
+    """Largest ``publishedAt`` across the table's current manifests (None
+    for a new/unstamped table) — the cross-process clamp floor for
+    ``publish_stamp``. One metadata listing (a single snapshot read
+    after ``compact_manifests``)."""
+    try:
+        ms = list_manifests(table_root, data_source)
+    except FileNotFoundError:
+        return None
+    stamps = [m.published_at for m in ms if m.published_at is not None]
+    return max(stamps, key=_parse_as_of) if stamps else None
 
 
 def _parse_as_of(as_of) -> "object":
@@ -296,7 +320,14 @@ def register_manifest(table_root: str, manifest: SegmentManifest) -> None:
 
     fs = get_fs(table_root)
     if manifest.published_at is None:
-        manifest = dataclasses.replace(manifest, published_at=publish_stamp())
+        # clamp to the table's max existing stamp: multi-writer publishes
+        # announce in stamp order even across skewed clocks (ADVICE r8)
+        manifest = dataclasses.replace(
+            manifest,
+            published_at=publish_stamp(
+                floor=max_published_stamp(table_root, manifest.data_source)
+            ),
+        )
     mdir = fs.join(table_root, manifest.data_source, MANIFEST_DIR)
     fs.mkdirs(mdir)
     mpath = fs.join(mdir, f"{_safe(manifest.identifier)}.json")
@@ -334,10 +365,14 @@ def register_manifest_group(
     )
     mpath = fs.join(mdir, f"{_safe(group_id)}.json")
     # one stamp for the whole group: all shards of one (interval, version)
-    # announce together, so they enter every as_of view together
+    # announce together, so they enter every as_of view together. When
+    # defaulting, clamp to the table's max existing stamp (ADVICE r8:
+    # multi-writer announce order).
     stamp = next(
         (m.published_at for m in manifests if m.published_at), None
-    ) or publish_stamp()
+    ) or publish_stamp(
+        floor=max_published_stamp(table_root, m0.data_source)
+    )
     obj = {
         "dataSource": m0.data_source,
         "interval": m0.interval.iso(),
@@ -606,6 +641,42 @@ def create_tag(
     obj = {"name": name, "asOf": stamp, "createdAt": publish_stamp()}
     fs.mkdirs(fs.parent(path))
     fs.put_text(path, json.dumps(obj, indent=2))
+    # TOCTOU vs a concurrent vacuum (ADVICE r8): a vacuum sweep already
+    # past its list_tags when this tag landed does not see it as a
+    # retention floor, so the just-tagged view may be reclaimed and the
+    # horizon advanced past the pin immediately after this put. Re-read
+    # the horizon AFTER the tag is durable: if it moved past the pinned
+    # instant, the tag is dangling — delete it and fail loudly rather
+    # than hand back a tag whose view is gone.
+    # An IN-FLIGHT vacuum may have enumerated tags before this one landed
+    # and not yet advanced the horizon — its sweep can still reclaim the
+    # just-pinned view. The maintenance lease makes that state visible:
+    # refuse (removing the tag) rather than return a pin the running
+    # sweep does not honor. Checked BEFORE the horizon re-read: a vacuum
+    # that misses this tag either still holds the lease here (caught
+    # below) or has already written its horizon (caught by the re-read)
+    # — a vacuum acquiring AFTER this check necessarily lists the tag.
+    from druid_hadoop_utils_spark.sources.lease import read_lease
+
+    live = read_lease(table_root, data_source)
+    if live is not None and live.get("op") == "vacuum":
+        fs.delete_file(path)
+        raise ValueError(
+            f"cannot tag {data_source} while a vacuum is running (lease "
+            f"held by pid {live.get('pid')} on {live.get('host')}): the "
+            "sweep may not see the new tag as a retention floor — retry "
+            "after it finishes"
+        )
+    post_horizon = history_horizon(table_root, data_source)
+    if post_horizon is not None and _parse_as_of(stamp) < post_horizon:
+        fs.delete_file(path)
+        raise ValueError(
+            f"tag {name!r} lost a race with a concurrent vacuum: the "
+            f"history horizon advanced to {post_horizon.isoformat()} "
+            f"past the pinned instant {stamp} while the tag was being "
+            "written — the tagged view has been physically reclaimed; "
+            "re-tag the current view"
+        )
     return obj
 
 
@@ -682,8 +753,20 @@ def compact_manifests(table_root: str, data_source: str) -> str | None:
     re-compaction folds them in — the same accumulate-then-compact
     rhythm the segment data itself uses.
 
+    Runs under the table's maintenance lease (``sources/lease.py``):
+    racing a concurrent ``vacuum`` could rebuild the snapshot from a
+    pre-vacuum listing and resurrect entries whose data dirs the vacuum
+    just deleted. Raises ``MaintenanceLockHeld`` instead.
+
     Returns the snapshot path (None when there is nothing to compact).
     """
+    from druid_hadoop_utils_spark.sources.lease import maintenance_lease
+
+    with maintenance_lease(table_root, data_source, "compact_manifests"):
+        return _compact_manifests_locked(table_root, data_source)
+
+
+def _compact_manifests_locked(table_root: str, data_source: str) -> str | None:
     import uuid
 
     from druid_hadoop_utils_spark.sources.fs import get_fs

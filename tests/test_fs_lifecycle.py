@@ -440,13 +440,21 @@ def test_ann_index_roundtrip_on_object_store(tmp_path):
 
 
 def test_republish_same_version_does_not_duplicate(spark, objroot):
-    """Review r7: on no-rename backends the copy promotion must CLEAR an
-    existing destination — a retried publish of the same version must
+    """Review r7 + ADVICE r8: re-publishing the same (interval, version)
+    over a LIVE manifest-referenced segment refuses loudly by default
+    (clearing it opens a reader-visible missing-dir window and a
+    crash-window dangling manifest); with overwrite=True the copy
+    promotion CLEARS the destination first, so a retried publish must
     not merge two runs' part files into doubled rows."""
+    import pytest
+
     publish_segments(_events(spark, [1]), objroot, "ev", version="v1",
                      time_column="ts", bucket="DAY")
+    with pytest.raises(FileExistsError, match="overwrite=True"):
+        publish_segments(_events(spark, [1]), objroot, "ev", version="v1",
+                         time_column="ts", bucket="DAY")
     publish_segments(_events(spark, [1]), objroot, "ev", version="v1",
-                     time_column="ts", bucket="DAY")
+                     time_column="ts", bucket="DAY", overwrite=True)
     spec = {"granularity": "NONE", "dimensions": ["event_type"],
             "metrics": [{"name": "value", "type": "doubleSum"}]}
     out = load(spark, objroot, spec, interval="2024-01-01/2024-02-01",
