@@ -236,7 +236,8 @@ def _vacuum_sweep(
     )
 
     fs = get_fs(table_root)
-    manifests = list_manifests(table_root, data_source)
+    raw_objs: dict = {}  # mfile -> parsed JSON, captured by the listing
+    manifests = list_manifests(table_root, data_source, _raw_out=raw_objs)
     if not manifests:
         return []
     lo = min(m.interval.start for m in manifests)
@@ -294,16 +295,22 @@ def _vacuum_sweep(
     removed = []
     data_dirs: list[str] = []
     for mfile, members in by_file.items():
-        # re-read the file to process its actual shape — a snapshot
+        # process the file's actual shape — a snapshot
         # (compact_manifests) holds many independent entries; simple and
         # group files are all-or-nothing as before (a multi-shard group
         # is removed only once EVERY shard it carries is invisible: the
         # shards share (interval, version), so the timeline makes them
-        # visible or invisible together — belt and braces)
-        try:
-            obj = _json.loads(fs.read_text(mfile))
-        except FileNotFoundError:
-            continue
+        # visible or invisible together — belt and braces). The parsed
+        # object comes from the LISTING pass above (raw_objs): re-reading
+        # every file here doubled the sweep's GET count on object stores
+        # (tools/delay_probe.py), and the lease guarantees nothing
+        # rewrote them since.
+        obj = raw_objs.get(mfile)
+        if obj is None:
+            try:
+                obj = _json.loads(fs.read_text(mfile))
+            except FileNotFoundError:
+                continue
         if "snapshot" in obj:
             keep, drop = [], []
             for entry in obj["snapshot"]:

@@ -125,6 +125,11 @@ def _safe(s: str) -> str:
 
 _LAST_STAMP: list = [None]  # per-process monotonicity guard for publish stamps
 
+#: per-(table_root, data_source) max stamp this process has SEEN or
+#: WRITTEN — seeds the cross-process clamp with ONE listing per table
+#: per process (see register_manifest)
+_STAMP_MEMO: dict = {}
+
 
 def publish_stamp(floor=None) -> str:
     """ISO-8601 UTC publish stamp, microsecond precision, strictly
@@ -319,15 +324,24 @@ def register_manifest(table_root: str, manifest: SegmentManifest) -> None:
     import dataclasses
 
     fs = get_fs(table_root)
+    key = (table_root, manifest.data_source)
     if manifest.published_at is None:
         # clamp to the table's max existing stamp: multi-writer publishes
-        # announce in stamp order even across skewed clocks (ADVICE r8)
+        # announce in stamp order even across skewed clocks (ADVICE r8).
+        # The listing happens ONCE per (table, process) — later registers
+        # clamp against the memo + the per-process monotonic guard, which
+        # is the same guarantee (stamps of writers racing WITHIN each
+        # other's lifetime are unordered under any read-then-write
+        # scheme; the clamp fixes sequential cross-process skew) without
+        # an O(manifests) listing on every streaming micro-batch write.
+        floor = _STAMP_MEMO.get(key)
+        if floor is None:
+            floor = max_published_stamp(table_root, manifest.data_source)
         manifest = dataclasses.replace(
-            manifest,
-            published_at=publish_stamp(
-                floor=max_published_stamp(table_root, manifest.data_source)
-            ),
-        )
+            manifest, published_at=publish_stamp(floor=floor))
+    prev = _STAMP_MEMO.get(key)
+    if prev is None or _parse_as_of(manifest.published_at) > _parse_as_of(prev):
+        _STAMP_MEMO[key] = manifest.published_at
     mdir = fs.join(table_root, manifest.data_source, MANIFEST_DIR)
     fs.mkdirs(mdir)
     mpath = fs.join(mdir, f"{_safe(manifest.identifier)}.json")
@@ -367,12 +381,20 @@ def register_manifest_group(
     # one stamp for the whole group: all shards of one (interval, version)
     # announce together, so they enter every as_of view together. When
     # defaulting, clamp to the table's max existing stamp (ADVICE r8:
-    # multi-writer announce order).
+    # multi-writer announce order; memoized per process like
+    # register_manifest).
+    key = (table_root, m0.data_source)
     stamp = next(
         (m.published_at for m in manifests if m.published_at), None
-    ) or publish_stamp(
-        floor=max_published_stamp(table_root, m0.data_source)
     )
+    if stamp is None:
+        floor = _STAMP_MEMO.get(key)
+        if floor is None:
+            floor = max_published_stamp(table_root, m0.data_source)
+        stamp = publish_stamp(floor=floor)
+    prev = _STAMP_MEMO.get(key)
+    if prev is None or _parse_as_of(stamp) > _parse_as_of(prev):
+        _STAMP_MEMO[key] = stamp
     obj = {
         "dataSource": m0.data_source,
         "interval": m0.interval.iso(),
@@ -424,7 +446,7 @@ def _manifests_from_json(obj: dict, mpath: str) -> list[SegmentManifest]:
 
 
 def list_manifests(
-    table_root: str, data_source: str, as_of=None
+    table_root: str, data_source: str, as_of=None, _raw_out: dict | None = None
 ) -> list[SegmentManifest]:
     """Driver-side metadata listing (replaces the overlord HTTP hop). A
     multi-shard group file expands to one entry per shard.
@@ -464,8 +486,14 @@ def list_manifests(
         if (name.endswith(".json") and not name.endswith(".tmp")
                 and not name.startswith("_")):
             mpath = fs.join(mdir, name)
-            for m in _manifests_from_json(
-                    json.loads(fs.read_text(mpath)), mpath):
+            obj = json.loads(fs.read_text(mpath))
+            if _raw_out is not None:
+                # hand the parsed objects back to callers that would
+                # otherwise RE-READ every file (vacuum's shape-aware
+                # rewrite) — on an object store that re-read doubles the
+                # sweep's GET count (measured: tools/delay_probe.py)
+                _raw_out[mpath] = obj
+            for m in _manifests_from_json(obj, mpath):
                 if as_of is not None and not _published_within(
                         m.published_at, as_of):
                     continue
