@@ -1,0 +1,142 @@
+"""Real-object-store smoke suite (VERDICT r7 item 8, stretch).
+
+Runs the metadata-plane lifecycle against a REAL bucket when
+``S3_TEST_ROOT`` is set (e.g. ``s3://my-bucket/spark-graft-smoke`` —
+any scheme pyarrow's ``FileSystem.from_uri`` resolves works: s3, gs,
+hdfs). Skips cleanly otherwise, so the day a bucket is available the
+proof is exactly::
+
+    S3_TEST_ROOT=s3://bucket/prefix python -m pytest tests/test_s3_smoke.py
+
+Scope is the METADATA plane on purpose: manifest register/list,
+snapshot compaction, tags, lease, vacuum, and the no-rename pointer
+protocol — everything the fs seam (sources/fs.py, ArrowMetaFS) claims
+about real stores. The DATA plane (Spark writing parquet to s3a://)
+additionally needs hadoop-aws jars on the Spark classpath and is
+exercised by the objectsim:// lifecycle suite locally; credentials for
+BOTH halves wire through ``configure_object_store``.
+
+Each run works under a fresh uuid subprefix and deletes it afterward,
+so repeated smokes don't accumulate objects.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+S3_TEST_ROOT = os.environ.get("S3_TEST_ROOT", "").rstrip("/")
+
+pytestmark = pytest.mark.skipif(
+    not S3_TEST_ROOT,
+    reason="S3_TEST_ROOT not set — real-object-store smoke suite "
+           "(set it to e.g. s3://bucket/prefix to run)",
+)
+
+
+@pytest.fixture()
+def root():
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    r = f"{S3_TEST_ROOT}/smoke-{uuid.uuid4().hex[:12]}"
+    yield r
+    get_fs(r).delete_dir(r)
+
+
+def test_metafs_contract(root):
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(root)
+    p = fs.join(root, "a", "b.json")
+    fs.mkdirs(fs.parent(p))
+    fs.put_text(p, '{"k": 1}')
+    assert fs.exists(p)
+    assert fs.read_text(p) == '{"k": 1}'
+    assert "b.json" in fs.ls(fs.join(root, "a"))
+    files = fs.list_files(fs.join(root, "a"), suffix=".json")
+    assert any(name.endswith("b.json") for name, _sz in files)
+    fs.delete_file(p)
+    assert not fs.exists(p)
+    # bulk deletes overlap round-trips — correctness check here,
+    # latency characterization lives in tools/delay_probe.py
+    many = [fs.join(root, "bulk", f"f{i}.json") for i in range(32)]
+    for q in many:
+        fs.put_text(q, "x")
+    fs.delete_files(many)
+    assert fs.ls(fs.join(root, "bulk")) == []
+
+
+def test_manifest_lifecycle_and_snapshot(root):
+    from datetime import datetime, timedelta, timezone
+
+    from druid_hadoop_utils_spark.intervals import Interval
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.maintenance import vacuum
+    from druid_hadoop_utils_spark.sources.segments import (
+        SegmentManifest,
+        compact_manifests,
+        create_tag,
+        list_manifests,
+        register_manifest,
+    )
+
+    fs = get_fs(root)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    for i in range(5):
+        start = t0 + timedelta(days=i)
+        iv = Interval(start, start + timedelta(days=1))
+        for v in ("v1", "v2"):
+            p = fs.join(root, "ds", f"d{i}_{v}")
+            fs.put_text(fs.join(p, "part-0.parquet"), "x")
+            register_manifest(root, SegmentManifest("ds", iv, v, 0, p))
+    assert len(list_manifests(root, "ds")) == 10
+    assert compact_manifests(root, "ds") is not None
+    assert len(list_manifests(root, "ds")) == 10  # one snapshot GET now
+    create_tag(root, "ds", "pin")
+    removed = vacuum(root, "ds")  # tag floors retention; v1 still dies
+    assert len(removed) == 5
+    vis = [m for m in list_manifests(root, "ds") if not m.tombstone]
+    assert {m.version for m in vis} == {"v2"}
+
+
+def test_lease_on_real_store(root):
+    from druid_hadoop_utils_spark.sources.lease import (
+        MaintenanceLockHeld,
+        maintenance_lease,
+        read_lease,
+    )
+
+    with maintenance_lease(root, "ds", "vacuum"):
+        assert read_lease(root, "ds")["op"] == "vacuum"
+        with pytest.raises(MaintenanceLockHeld):
+            with maintenance_lease(root, "ds", "compact_manifests"):
+                pass
+    assert read_lease(root, "ds") is None
+
+
+def test_pointer_protocol_dir_publish(root):
+    """publish_parquet_dir on a no-rename backend: unique token dir +
+    tiny pointer object; the reader resolves a COMPLETE dir or None."""
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        publish_parquet_dir,
+        resolve_parquet_dir,
+    )
+
+    fs = get_fs(root)
+    dest = fs.join(root, "mat", "states")
+    assert resolve_parquet_dir(fs, dest) is None
+
+    def write_fn(url):
+        # stand-in for df.write.parquet(url): the protocol only needs a
+        # complete directory to appear at the given physical location
+        # (the seam's _p() accepts its own spark_url output back)
+        fs.put_text(fs.join(url, "part-0.parquet"), "rows")
+
+    got = publish_parquet_dir(fs, write_fn, dest)
+    resolved = resolve_parquet_dir(fs, dest)
+    assert resolved is not None
+    assert fs.ls(resolved) == ["part-0.parquet"]
+    assert got
