@@ -97,6 +97,10 @@ HEADLINE = [
     # round 7: named-tag read + the tag-as-retention-floor vacuum proof
     # (driver metadata only on top of one pruned scan; ~0.4 s warm)
     "q_snapshot_tag",
+    # round 8: read of the DML-mutated table (merge upsert + row-level
+    # delete applied once by the builder; the query itself is an
+    # ordinary pruned scan + rollup over the final state)
+    "q_merge_upsert",
 ]
 
 # run each query three times and report the min: run-to-run variance on a

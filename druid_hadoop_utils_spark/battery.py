@@ -2736,6 +2736,125 @@ def q_snapshot_tag(spark, sf_dir):
         F.count("*").alias("n_asof"))
 
 
+_DML_TABLE_CACHE: dict[str, str] = {}
+
+#: the three DML mutations the battery table receives, shared verbatim
+#: by both oracle CTEs below (DuckDB replays them in SQL):
+#: 1. MERGE upsert: every event with event_id % 97 == 0 is REPLACED by a
+#:    corrected row (same key + bucket, event_type='corrected', value=-1)
+#: 2. MERGE insert: one 'backfill' row per distinct user on 2024-02-01
+#:    (a brand-new bucket — pure insert path)
+#: 3. DELETE WHERE event_type = 'error' (row-level delete across buckets)
+_DML_ORACLE_CTE = """
+  WITH base AS (
+    SELECT ts, event_id, event_type, value, user_id FROM events),
+  upd AS (
+    SELECT ts, event_id, 'corrected' AS event_type, -1.0 AS value, user_id
+    FROM events WHERE event_id % 97 = 0
+    UNION ALL
+    SELECT DISTINCT TIMESTAMP '2024-02-01 00:00:00', 1000000 + user_id,
+           'backfill', 0.5, user_id
+    FROM events),
+  merged AS (
+    SELECT * FROM base b WHERE NOT EXISTS (
+      SELECT 1 FROM upd u
+      WHERE u.event_id = b.event_id
+        AND date_trunc('day', u.ts) = date_trunc('day', b.ts))
+    UNION ALL SELECT * FROM upd),
+  final AS (SELECT * FROM merged WHERE event_type <> 'error')
+"""
+
+
+def _dml_table(spark, sf_dir: str) -> str:
+    """Managed table that has LIVED through the row-level DML surface
+    (sources/dml.py): publish -> merge_into (update + insert + new
+    bucket) -> delete_where. Built once per process; the queries below
+    read the FINAL state and the oracle replays the same mutations in
+    SQL, so the driver hash check verifies merge and delete semantics
+    end-to-end."""
+    _prep(spark)
+    root = _DML_TABLE_CACHE.get(sf_dir)
+    if root:
+        return root
+
+    from druid_hadoop_utils_spark.sources.dml import delete_where, merge_into
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = _tmp_table_root("dml_battery_")
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value", "user_id")
+    publish_segments(ev, root, "events", version="v1", time_column="ts",
+                     bucket="DAY")
+    corrections = (
+        ev.where(F.col("event_id") % 97 == 0)
+        .select(F.col("ts").alias("__time"), "event_id",
+                F.lit("corrected").alias("event_type"),
+                F.lit(-1.0).alias("value"), "user_id"))
+    backfill = (
+        ev.select("user_id").distinct()
+        .select(F.expr("timestamp'2024-02-01 00:00:00'").alias("__time"),
+                (F.lit(1000000) + F.col("user_id")).alias("event_id"),
+                F.lit("backfill").alias("event_type"),
+                F.lit(0.5).alias("value"), "user_id"))
+    merge_into(spark, root, "events",
+               corrections.unionByName(backfill), ["event_id"])
+    delete_where(spark, root, "events",
+                 {"type": "selector", "dimension": "event_type",
+                  "value": "error"})
+    _DML_TABLE_CACHE[sf_dir] = root
+    return root
+
+
+_DML_SPEC = {"granularity": "NONE",
+             "dimensions": ["event_id", "event_type", "user_id"],
+             "metrics": [{"name": "value", "type": "double"}]}
+
+
+@register(
+    "q_merge_upsert",
+    _DML_ORACLE_CTE + """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 3) AS sum_v,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
+    FROM final GROUP BY event_type""",
+)
+def q_merge_upsert(spark, sf_dir):
+    # MERGE INTO on a managed segment table (sources/dml.py): replaced
+    # keys, pure inserts, and a brand-new bucket, all under one stamped
+    # version flip — the oracle replays the upsert relationally
+    # (anti-join + union), so the hash check pins bucket-scoped key
+    # matching, whole-row replacement, and untouched-bucket preservation.
+    root = _dml_table(spark, sf_dir)
+    df = load(spark, root, _DML_SPEC, interval="2024-01-01/2024-03-01",
+              data_source="events")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_v"),
+        F.countDistinct("event_id").alias("n_keys"))
+
+
+@register(
+    "q_delete_where",
+    _DML_ORACLE_CTE + """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM final GROUP BY 1""",
+)
+def q_delete_where(spark, sf_dir):
+    # row-level DELETE WHERE through the engine's native filter grammar:
+    # only buckets containing matches were rewritten (the builder's
+    # delete), deleted rows are gone from every bucket, survivors and
+    # the merge's backfill bucket intact — per-day counts make a row
+    # vanish from the result if any bucket was dropped or duplicated.
+    root = _dml_table(spark, sf_dir)
+    df = load(spark, root, _DML_SPEC, interval="2024-01-01/2024-03-01",
+              data_source="events")
+    return (df.groupBy(F.date_trunc("day", F.col("__time")).alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
 _MATERIALIZED_CACHE: dict[str, str] = {}
 
 
@@ -4833,6 +4952,8 @@ _DRIVER_PRIORITY = [
     # fill the ~50-query driver cap. After the r08 snapshot nothing
     # registered should be staler than r06. Recomputed each round from
     # CORRECTNESS_r01..rNN (NOTES.md).
+    # NEW in r8 (never driver-checked) — first:
+    "q_merge_upsert", "q_delete_where",
     "q_union_datasource",
     # the 44 queries whose newest driver-green row is r05
     "q_anti_join", "q_corpus_report", "q_correlated_subquery",

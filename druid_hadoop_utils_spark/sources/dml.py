@@ -1,0 +1,267 @@
+"""Row-level DML over managed segment tables: MERGE (upsert) and
+DELETE WHERE — the Delta/Iceberg-style mutations, expressed in the
+segment model the reference's data layout implies (DruidStorage.java
+writes immutable interval/version segments; Druid mutates by
+re-ingesting an interval under a higher version).
+
+Both operations rewrite ONLY the affected time buckets under a fresh
+highest version: readers flip atomically via the overshadow timeline,
+untouched buckets' segments are never rewritten or even read, and a
+crash mid-publish leaves invisible orphans (manifests land last). At
+100 TB this is the property that matters — a merge touching one hot day
+costs one day's rewrite, not a table scan, and the planning inputs
+(which buckets are affected) are the only driver-side state.
+
+Identity contract: a row's identity is (time bucket, key columns).
+Matching is scoped WITHIN the row's bucket — moving a row across
+buckets is an insert in one bucket plus a delete in the other, exactly
+as it would be in Druid re-ingestion. Updates rows must carry the time
+column for this reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.intervals import Interval
+from druid_hadoop_utils_spark.sources.segments import (
+    SegmentManifest,
+    list_manifests,
+    publish_stamp,
+    register_manifest,
+    resolve_visible_windows,
+)
+
+_BUCKETS = {"HOUR", "DAY", "MONTH"}
+
+
+def _affected_intervals(df: DataFrame, time_column: str,
+                        bucket: str) -> list[Interval]:
+    """Distinct time-bucket intervals present in ``df`` — the bounded
+    driver-side planning input (one distinct job over the bucket key)."""
+    from datetime import timezone
+
+    from druid_hadoop_utils_spark.functions.granularity import (
+        granularity_expr,
+    )
+    from druid_hadoop_utils_spark.sources.ingest import _bucket_end
+
+    rows = (
+        df.select(granularity_expr(bucket, F.col(time_column))
+                  .alias("__bucket"))
+        .distinct()
+        .collect()
+    )
+    if any(r["__bucket"] is None for r in rows):
+        raise ValueError(
+            f"rows with NULL {time_column!r} cannot be merged/deleted — "
+            "segment identity is (time bucket, keys); filter them out"
+        )
+    out = []
+    for r in rows:
+        start = r["__bucket"].replace(tzinfo=timezone.utc)
+        out.append(Interval(start, _bucket_end(start, bucket)))
+    return sorted(out, key=lambda iv: iv.start)
+
+
+def _span_pred(ivs: list[Interval], col):
+    from druid_hadoop_utils_spark.plans.planner import _interval_pred
+
+    pred = _interval_pred(ivs[0], col)
+    for iv in ivs[1:]:
+        pred = pred | _interval_pred(iv, col)
+    return pred
+
+
+def merge_into(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    when_matched: str = "update",
+    time_column: str = "__time",
+    bucket: str = "DAY",
+    **publish_kwargs,
+):
+    """Upsert ``updates`` into a managed table: rows matching an
+    existing row on ``key_cols`` (within the same time bucket) REPLACE
+    it; non-matching rows INSERT. ``when_matched="delete"`` instead
+    drops the matched rows and inserts nothing (``updates`` then only
+    needs the key columns plus the time column).
+
+    One distributed pass per call: the affected buckets' visible rows
+    are scanned (interval predicates push down to the parquet scan),
+    matched rows are removed with a bucket-scoped ANTI JOIN on the keys,
+    the survivors union the updates, and the result publishes through
+    ``publish_segments`` under a fresh highest version — the same
+    atomic-flip, crash-safe path every other write takes. Buckets whose
+    every row was deleted are tombstoned at the same version (and the
+    same publish stamp, so the whole merge enters every as_of view
+    atomically).
+
+    Returns the manifests announced (segments + tombstones).
+    """
+    from druid_hadoop_utils_spark.plans.planner import _scan_segments
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.maintenance import next_version
+
+    if bucket not in _BUCKETS:
+        raise ValueError(f"unsupported merge bucket: {bucket!r} ({_BUCKETS})")
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    if not key_cols:
+        raise ValueError("merge_into needs at least one key column")
+    if time_column not in updates.columns:
+        raise ValueError(
+            f"updates must carry the time column {time_column!r}: matching "
+            "is scoped to the row's time bucket (segment identity)")
+    missing = [k for k in key_cols if k not in updates.columns]
+    if missing:
+        raise ValueError(f"updates is missing key column(s) {missing}")
+    if time_column != "__time":
+        updates = updates.withColumnRenamed(time_column, "__time")
+
+    manifests = list_manifests(table_root, data_source)
+    affected = _affected_intervals(updates, "__time", bucket)
+    span = Interval(affected[0].start, affected[-1].end)
+
+    # which affected buckets actually hold visible data (new buckets are
+    # pure inserts — nothing to scan or anti-join there)
+    visible = [w for w in resolve_visible_windows(manifests, span)
+               if not w.manifest.tombstone]
+    existing = [iv for iv in affected
+                if any(w.manifest.interval.intersect(iv) is not None
+                       for w in visible)]
+
+    from druid_hadoop_utils_spark.functions.granularity import (
+        granularity_expr,
+    )
+
+    bkey = granularity_expr(bucket, F.col("__time"))
+    if existing:
+        base = _scan_segments(spark, table_root, data_source,
+                              Interval(existing[0].start, existing[-1].end),
+                              manifests=manifests)
+        base = base.where(_span_pred(existing, F.col("__time")))
+        if when_matched == "update":
+            cols = set(base.columns)
+            extra = [c for c in updates.columns if c not in cols]
+            lacking = [c for c in base.columns if c not in updates.columns]
+            if extra or lacking:
+                raise ValueError(
+                    "merge_into(update): updates schema must match the "
+                    f"table's (updates has extra {extra}, lacks {lacking}) "
+                    "— replaced rows take the update row WHOLE"
+                )
+        # bucket-scoped key match: anti-join on (bucket, keys). The keys
+        # side is DISTINCT and usually small per merge — Catalyst/AQE
+        # broadcasts it; at worst this is one hash shuffle on the keys.
+        keys = (updates.select(bkey.alias("__mb"),
+                               *[F.col(k) for k in key_cols])
+                .distinct())
+        joined = base.withColumn("__mb", bkey)
+        cond = [joined["__mb"].eqNullSafe(keys["__mb"])] + [
+            joined[k].eqNullSafe(keys[k]) for k in key_cols]
+        survivors = (
+            joined.join(keys, on=cond, how="left_anti").drop("__mb"))
+    else:
+        survivors = None
+
+    if when_matched == "update":
+        final = (survivors.unionByName(updates.select(*survivors.columns))
+                 if survivors is not None else updates)
+    else:
+        final = survivors
+
+    version = next_version(table_root, data_source, prefix="merge",
+                           manifests=manifests)
+    stamp = publish_stamp()
+    announced = []
+    if final is not None:
+        # publish ONLY the affected buckets' rows (final already is);
+        # untouched buckets keep their current segments
+        announced = publish_segments(
+            final, table_root, data_source, version=version,
+            bucket=bucket, published_at=stamp, **publish_kwargs)
+    # tombstone affected EXISTING buckets the rewrite left empty — the
+    # old segment would otherwise stay visible (delete-all-rows case)
+    published_ivs = {m.interval.iso() for m in announced}
+    for iv in existing:
+        if iv.iso() not in published_ivs:
+            t = SegmentManifest(data_source, iv, version, 0, "",
+                                tombstone=True, published_at=stamp)
+            register_manifest(table_root, t)
+            announced.append(t)
+    return announced
+
+
+def delete_where(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    dim_filter: dict,
+    interval: str | Interval | None = None,
+    time_column: str = "__time",
+    bucket: str = "DAY",
+    **publish_kwargs,
+):
+    """Row-level DELETE: remove every visible row matching ``dim_filter``
+    (the engine's native Druid filter grammar — selector/in/bound/regex/
+    and/or/not/...), optionally restricted to ``interval``.
+
+    Only buckets that actually CONTAIN matching rows are rewritten
+    (found with one filtered scan whose predicate pushes down); buckets
+    left empty by the delete are tombstoned at the same version and
+    stamp. Whole-interval deletes should use ``drop_interval`` instead —
+    it is metadata-only.
+
+    Returns ``{"announced": [...], "deleted_buckets": [...]}``.
+    """
+    from druid_hadoop_utils_spark.functions.filters import filter_to_column
+    from druid_hadoop_utils_spark.plans.planner import _scan_segments
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.maintenance import next_version
+
+    if bucket not in _BUCKETS:
+        raise ValueError(f"unsupported delete bucket: {bucket!r} ({_BUCKETS})")
+    manifests = list_manifests(table_root, data_source)
+    if interval is None:
+        datas = [m for m in manifests if not m.tombstone]
+        if not datas:
+            return {"announced": [], "deleted_buckets": []}
+        iv = Interval(min(m.interval.start for m in datas),
+                      max(m.interval.end for m in datas))
+    else:
+        iv = Interval.parse(interval)
+
+    base = _scan_segments(spark, table_root, data_source, iv,
+                          dim_filter=dim_filter, manifests=manifests)
+    from druid_hadoop_utils_spark.plans.planner import _interval_pred
+
+    base = base.where(_interval_pred(iv, F.col("__time")))
+    pred = filter_to_column(dim_filter, base)
+    affected = _affected_intervals(base.where(pred), "__time", bucket)
+    if not affected:
+        return {"announced": [], "deleted_buckets": []}
+
+    survivors = base.where(_span_pred(affected, F.col("__time"))).where(
+        ~pred | pred.isNull())
+    version = next_version(table_root, data_source, prefix="delete",
+                           manifests=manifests)
+    stamp = publish_stamp()
+    announced = publish_segments(
+        survivors, table_root, data_source, version=version,
+        bucket=bucket, published_at=stamp, **publish_kwargs)
+    published_ivs = {m.interval.iso() for m in announced}
+    deleted = []
+    for aiv in affected:
+        if aiv.iso() not in published_ivs:
+            t = SegmentManifest(data_source, aiv, version, 0, "",
+                                tombstone=True, published_at=stamp)
+            register_manifest(table_root, t)
+            announced.append(t)
+            deleted.append(aiv.iso())
+    return {"announced": announced, "deleted_buckets": deleted}
