@@ -149,11 +149,15 @@ def publish_stamp(floor=None) -> str:
     prev = _LAST_STAMP[0]
     if prev is not None and now <= prev:
         now = prev + timedelta(microseconds=1)
+    # the monotonic guard tracks ONLY the unfloored clock: the floor is
+    # per-table state (one table carrying a future-dated stamp must not
+    # poison every other table's stamps through this process-global) —
+    # per-table ordering across floored calls is the _STAMP_MEMO's job
+    _LAST_STAMP[0] = now
     if floor is not None:
         f = _parse_as_of(floor)
         if now <= f:
             now = f + timedelta(microseconds=1)
-    _LAST_STAMP[0] = now
     return now.isoformat()
 
 

@@ -287,3 +287,13 @@ def test_multiwriter_publish_stamp_clamps_to_existing_max(root):
            if x.interval.start.day == 2][0]
     assert _parse_as_of(got.published_at) > _parse_as_of(future)
     assert max_published_stamp(root, "ds") == got.published_at
+    # the clamp is PER-TABLE state: an unrelated table's next stamp must
+    # stay at wall-clock, not inherit this table's future floor through
+    # the process-global monotonic guard (r8 regression: a future-dated
+    # fixture poisoned every later table's retention math)
+    from datetime import datetime, timedelta, timezone
+
+    from druid_hadoop_utils_spark.sources.segments import publish_stamp
+
+    other = _parse_as_of(publish_stamp())
+    assert other < datetime.now(timezone.utc) + timedelta(minutes=1)
