@@ -54,7 +54,11 @@ from druid_hadoop_utils_spark.sources.segments import (
     resolve_visible_windows,
 )
 from druid_hadoop_utils_spark.sources.ingest import clone_view, publish_segments
-from druid_hadoop_utils_spark.sources.dml import delete_where, merge_into
+from druid_hadoop_utils_spark.sources.dml import (
+    delete_where,
+    merge_into,
+    update_where,
+)
 from druid_hadoop_utils_spark.sources.maintenance import restore_to
 from druid_hadoop_utils_spark.sources.materialize import (
     materialize_aggs,
@@ -111,6 +115,7 @@ __all__ = [
     "restore_to",
     "merge_into",
     "delete_where",
+    "update_where",
     "materialize_aggs",
     "query_materialized",
     "vacuum_materialized",

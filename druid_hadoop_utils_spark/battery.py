@@ -2771,6 +2771,8 @@ _DML_TABLE_CACHE: dict[str, str] = {}
 #: 2. MERGE insert: one 'backfill' row per distinct user on 2024-02-01
 #:    (a brand-new bucket — pure insert path)
 #: 3. DELETE WHERE event_type = 'error' (row-level delete across buckets)
+#: 4. UPDATE WHERE event_type = 'view' SET value = value * 2 + 1
+#:    (row-level update; non-matching rows pass through bit-identical)
 _DML_ORACLE_CTE = """
   WITH base AS (
     SELECT ts, event_id, event_type, value, user_id FROM events),
@@ -2787,7 +2789,13 @@ _DML_ORACLE_CTE = """
       WHERE u.event_id = b.event_id
         AND date_trunc('day', u.ts) = date_trunc('day', b.ts))
     UNION ALL SELECT * FROM upd),
-  final AS (SELECT * FROM merged WHERE event_type <> 'error')
+  deleted AS (SELECT * FROM merged WHERE event_type <> 'error'),
+  final AS (
+    SELECT ts, event_id, event_type,
+           CASE WHEN event_type = 'view' THEN value * 2 + 1
+                ELSE value END AS value,
+           user_id
+    FROM deleted)
 """
 
 
@@ -2803,7 +2811,11 @@ def _dml_table(spark, sf_dir: str) -> str:
     if root:
         return root
 
-    from druid_hadoop_utils_spark.sources.dml import delete_where, merge_into
+    from druid_hadoop_utils_spark.sources.dml import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
     from druid_hadoop_utils_spark.sources.ingest import publish_segments
 
     root = _tmp_table_root("dml_battery_")
@@ -2827,6 +2839,10 @@ def _dml_table(spark, sf_dir: str) -> str:
     delete_where(spark, root, "events",
                  {"type": "selector", "dimension": "event_type",
                   "value": "error"})
+    update_where(spark, root, "events",
+                 {"type": "selector", "dimension": "event_type",
+                  "value": "view"},
+                 set={"value": "value * 2 + 1"})
     _DML_TABLE_CACHE[sf_dir] = root
     return root
 
@@ -2857,6 +2873,30 @@ def q_merge_upsert(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("value"), 3).alias("sum_v"),
         F.countDistinct("event_id").alias("n_keys"))
+
+
+@register(
+    "q_update_where",
+    _DML_ORACLE_CTE + """
+    SELECT event_type,
+           round(sum(value), 3) AS sum_v,
+           round(min(value), 3) AS min_v,
+           round(max(value), 3) AS max_v
+    FROM final GROUP BY event_type""",
+)
+def q_update_where(spark, sf_dir):
+    # row-level UPDATE through the DimFilter grammar (SQL UPDATE ... SET
+    # ... WHERE in the segment model): matched rows get the expression,
+    # non-matching rows in the SAME rewritten buckets pass through
+    # bit-identical (min/max would catch any drift), untouched buckets
+    # keep their exact files. The oracle applies the same CASE.
+    root = _dml_table(spark, sf_dir)
+    df = load(spark, root, _DML_SPEC, interval="2024-01-01/2024-03-01",
+              data_source="events")
+    return df.groupBy("event_type").agg(
+        F.round(F.sum("value"), 3).alias("sum_v"),
+        F.round(F.min("value"), 3).alias("min_v"),
+        F.round(F.max("value"), 3).alias("max_v"))
 
 
 @register(
@@ -4979,7 +5019,7 @@ _DRIVER_PRIORITY = [
     # registered should be staler than r06. Recomputed each round from
     # CORRECTNESS_r01..rNN (NOTES.md).
     # NEW in r8 (never driver-checked) — first:
-    "q_merge_upsert", "q_delete_where", "q_bpe_encode",
+    "q_merge_upsert", "q_delete_where", "q_update_where", "q_bpe_encode",
     "q_union_datasource",
     # the 44 queries whose newest driver-green row is r05
     "q_anti_join", "q_corpus_report", "q_correlated_subquery",

@@ -198,6 +198,94 @@ def merge_into(
     return announced
 
 
+def update_where(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    dim_filter: dict,
+    set: dict,
+    interval: str | Interval | None = None,
+    bucket: str = "DAY",
+    **publish_kwargs,
+):
+    """Row-level UPDATE: apply ``set`` (column -> SQL expression string
+    or Column) to every visible row matching ``dim_filter``, optionally
+    restricted to ``interval`` — SQL ``UPDATE t SET ... WHERE ...`` in
+    the segment model.
+
+    Same bucket-rewrite machinery as ``delete_where``: one pushed-down
+    filtered scan finds the buckets containing matches, those buckets'
+    rows republish with the expressions applied under the predicate
+    (non-matching rows pass through untouched), one fresh version + one
+    stamp flips readers atomically. Rows never appear or vanish, so no
+    tombstones and the time column may not be assigned (moving a row
+    across buckets is delete + insert by design — use merge_into).
+
+    Returns ``{"announced": [...], "updated_buckets": [...]}``.
+    """
+    from druid_hadoop_utils_spark.functions.filters import filter_to_column
+    from druid_hadoop_utils_spark.plans.planner import (
+        _interval_pred,
+        _scan_segments,
+    )
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.maintenance import next_version
+
+    if bucket not in _BUCKETS:
+        raise ValueError(f"unsupported update bucket: {bucket!r} ({_BUCKETS})")
+    if not set:
+        raise ValueError("update_where needs at least one SET column")
+    if "__time" in set:
+        raise ValueError(
+            "update_where cannot assign __time: segment identity is the "
+            "row's time bucket — move rows across buckets with "
+            "merge_into (insert) + delete_where/merge delete instead")
+    manifests = list_manifests(table_root, data_source)
+    if interval is None:
+        datas = [m for m in manifests if not m.tombstone]
+        if not datas:
+            return {"announced": [], "updated_buckets": []}
+        iv = Interval(min(m.interval.start for m in datas),
+                      max(m.interval.end for m in datas))
+    else:
+        iv = Interval.parse(interval)
+
+    base = _scan_segments(spark, table_root, data_source, iv,
+                          dim_filter=dim_filter, manifests=manifests)
+    base = base.where(_interval_pred(iv, F.col("__time")))
+    missing = [c for c in set if c not in base.columns]
+    if missing:
+        raise ValueError(f"update_where SET targets unknown column(s) "
+                         f"{missing} (table has {base.columns})")
+    pred = filter_to_column(dim_filter, base)
+    affected = _affected_intervals(base.where(pred), "__time", bucket)
+    if not affected:
+        return {"announced": [], "updated_buckets": []}
+
+    rows = base.where(_span_pred(affected, F.col("__time")))
+    # ONE select so every SET expression evaluates against the ORIGINAL
+    # row (SQL UPDATE's simultaneous-assignment semantics: SET a=b, b=a
+    # swaps) — chained withColumn would leak earlier assignments in
+    dtypes = dict(base.dtypes)
+    out_cols = []
+    for c in rows.columns:
+        if c in set:
+            new = F.expr(set[c]) if isinstance(set[c], str) else set[c]
+            out_cols.append(
+                F.when(pred, new.cast(dtypes[c]))
+                .otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    rows = rows.select(*out_cols)
+    version = next_version(table_root, data_source, prefix="update",
+                           manifests=manifests)
+    announced = publish_segments(
+        rows, table_root, data_source, version=version,
+        bucket=bucket, published_at=publish_stamp(), **publish_kwargs)
+    return {"announced": announced,
+            "updated_buckets": [a.interval.iso() for a in announced]}
+
+
 def delete_where(
     spark: SparkSession,
     table_root: str,

@@ -168,6 +168,79 @@ def test_delete_where_empties_whole_bucket_tombstones(spark, root):
     assert not any(t.startswith("2024-01-02") for t, _k, _v in got)
 
 
+def test_update_where_expression(spark, root):
+    from druid_hadoop_utils_spark.sources.dml import update_where
+
+    res = update_where(
+        spark, root, "t",
+        {"type": "selector", "dimension": "k", "value": "k2"},
+        set={"v": "v * 10 + 1"})
+    assert res["announced"]
+    got = dict(((t, k), v) for t, k, v in _rows(spark, root))
+    assert got[("2024-01-01T02:00:00", "k2")] == 21.0   # 2*10+1
+    assert got[("2024-01-02T02:00:00", "k2")] == 121.0  # 12*10+1
+    assert got[("2024-01-01T01:00:00", "k1")] == 1.0    # untouched
+    assert len(got) == 9  # rows never appear or vanish
+
+
+def test_update_where_simultaneous_assignment(spark, tmp_path):
+    """SQL UPDATE semantics: SET a=b, b=a swaps via the ORIGINAL row."""
+    from druid_hadoop_utils_spark.sources.dml import update_where
+
+    r = str(tmp_path / "swap")
+    publish_segments(spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, 1), k="x", a=1.0, b=2.0)]),
+        r, "t", version="v1", time_column="ts", bucket="DAY")
+    update_where(spark, r, "t",
+                 {"type": "selector", "dimension": "k", "value": "x"},
+                 set={"a": "b", "b": "a"})
+    spec = {"granularity": "NONE", "dimensions": ["k"],
+            "metrics": [{"name": "a", "type": "double"},
+                        {"name": "b", "type": "double"}]}
+    row = load(spark, r, spec, interval="2024-01-01/2024-01-02",
+               data_source="t").collect()[0]
+    assert (row["a"], row["b"]) == (2.0, 1.0)  # swapped, not doubled
+
+
+def test_update_where_refusals_and_noop(spark, root):
+    import pytest as _pytest
+
+    from druid_hadoop_utils_spark.sources.dml import update_where
+
+    with _pytest.raises(ValueError, match="__time"):
+        update_where(spark, root, "t",
+                     {"type": "selector", "dimension": "k", "value": "k1"},
+                     set={"__time": "current_timestamp()"})
+    with _pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, root, "t",
+                     {"type": "selector", "dimension": "k", "value": "k1"},
+                     set={"zz": "1"})
+    ms_before = {m.identifier for m in list_manifests(root, "t")}
+    res = update_where(spark, root, "t",
+                       {"type": "selector", "dimension": "k", "value": "zz"},
+                       set={"v": "0"})
+    assert res == {"announced": [], "updated_buckets": []}
+    assert {m.identifier for m in list_manifests(root, "t")} == ms_before
+
+
+def test_update_where_only_affected_buckets_rewrite(spark, root):
+    from druid_hadoop_utils_spark.sources.dml import update_where
+
+    before = {m.identifier: m.path for m in list_manifests(root, "t")
+              if m.interval.start.day != 2}
+    update_where(
+        spark, root, "t",
+        {"type": "bound", "dimension": "v", "lower": "11", "upper": "13",
+         "ordering": "numeric"},  # matches only day-2 rows (11,12,13)
+        set={"v": "v + 1000"})
+    after = {m.identifier: m.path for m in list_manifests(root, "t")
+             if m.interval.start.day != 2}
+    assert after == before  # days 1 and 3 untouched
+    got = dict(((t, k), v) for t, k, v in _rows(spark, root))
+    assert got[("2024-01-02T01:00:00", "k1")] == 1011.0
+    assert got[("2024-01-03T01:00:00", "k1")] == 21.0
+
+
 def test_delete_where_invalidates_result_cache(spark, root):
     """DML is a stamped announce like every publish: the timeline version
     changes, so a cached result built before the delete must refill, not

@@ -317,6 +317,22 @@ ANNOTATED = {
         "current read. The in-query vacuum (tag-as-retention-floor "
         "proof) is driver metadata and never appears in the plan."
     ),
+    "q_merge_upsert": (
+        "Read AFTER row-level DML (round 8): the merge/delete happened "
+        "at publish time (affected buckets rewritten under a new "
+        "version), so the query plan is indistinguishable from any "
+        "other managed-table read — one pruned scan over the visible "
+        "file set + partial/final hash aggregate. DML costs nothing at "
+        "read time; there is no merge-on-read operator to drag through "
+        "every query."
+    ),
+    "q_bpe_encode": (
+        "BPE encode (round 8): exactly ONE Python crossing — a single "
+        "MapInPandas node (Arrow-batched, merge ranks broadcast as a "
+        "plain dict) directly over the pruned document scan, then a "
+        "pure-JVM projection (xxhash64 checksum). No join against the "
+        "merge table, no per-row UDF, no shuffle at all."
+    ),
 }
 
 
