@@ -17,9 +17,26 @@ Matching is scoped WITHIN the row's bucket — moving a row across
 buckets is an insert in one bucket plus a delete in the other, exactly
 as it would be in Druid re-ingestion. Updates rows must carry the time
 column for this reason.
+
+Concurrency (round 9): every op is OPTIMISTICALLY CONCURRENT — the
+Delta/Iceberg commit check expressed over the segment timeline. The
+heavy rewrite stages data unregistered (invisible); the commit takes the
+table's short commit lease, re-reads the affected buckets' visible
+fingerprint, and registers only if it matches the entry read — any
+intervening publish into an affected bucket (another DML, an ingest, a
+compaction, a retention tombstone) raises ``ConcurrentWriteConflict``
+with nothing announced. Non-overlapping writers never conflict (the
+fingerprint is per-affected-bucket); same-bucket racers resolve to
+exactly one winner because the check+register section is serialized by
+the lease. The reference's own model covers concurrent INGEST via
+versioned atomic replacement (DruidInputFormat.java:98-110); DML is
+read-modify-write, which that model alone does not protect — this check
+closes it.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,10 +47,112 @@ from druid_hadoop_utils_spark.sources.segments import (
     list_manifests,
     publish_stamp,
     register_manifest,
+    register_manifest_group,
     resolve_visible_windows,
+    visible_fingerprint,
 )
 
 _BUCKETS = {"HOUR", "DAY", "MONTH"}
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """The affected buckets' visible timeline changed between this DML
+    op's entry read and its commit: the rewrite was computed from rows
+    that are no longer the visible truth, and announcing it would
+    silently drop the intervening writer's changes (the classic lost
+    update). Nothing was announced — the op's staged data was reclaimed
+    — so the table is exactly as the other writer left it; re-run the
+    operation against the current state."""
+
+
+def _unique_prefix(kind: str) -> str:
+    """Version prefix with a random suffix: two writers racing in the
+    same microsecond must never mint the SAME version string — colliding
+    versions would collide segment DIRECTORIES, and the loser's promote
+    would clear the winner's just-promoted (still unregistered) data."""
+    return f"{kind}-{uuid.uuid4().hex[:8]}"
+
+
+def _entry_state(manifests, affected):
+    """(fingerprint, stamp-floor) captured from the entry listing: the
+    fingerprint is re-checked at commit; the floor keeps this writer's
+    stamp above everything already announced (multi-writer as_of order)."""
+    from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+    stamps = [m.published_at for m in manifests if m.published_at]
+    floor = max(stamps, key=_parse_as_of) if stamps else None
+    return visible_fingerprint(manifests, affected), floor
+
+
+def _commit_announced(
+    table_root: str,
+    data_source: str,
+    op: str,
+    affected: list[Interval],
+    entry_fp: dict,
+    announced: list[SegmentManifest],
+    pre_commit_hook=None,
+) -> None:
+    """The optimistic-concurrency commit (Delta/Iceberg-style, expressed
+    over the segment timeline): under the table's commit lease, re-read
+    the manifests, recompute the affected buckets' visible fingerprint,
+    and register ONLY if nothing changed since the entry read. On
+    conflict the staged (never-visible) segment dirs are reclaimed
+    best-effort and ``ConcurrentWriteConflict`` raises — both-succeed
+    with silent loss is impossible because the check+register section is
+    serialized per table by the lease, so the second committer always
+    sees the first's registrations. Cheap: metadata-only (one listing),
+    no Spark work, held for milliseconds.
+
+    ``pre_commit_hook`` is a test seam: called BEFORE the lease is taken
+    so concurrency tests can line two writers up at the commit point.
+    """
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.lease import commit_lease
+
+    if pre_commit_hook is not None:
+        pre_commit_hook()
+    with commit_lease(table_root, data_source, op):
+        try:
+            fresh = list_manifests(table_root, data_source)
+        except FileNotFoundError:
+            fresh = []
+        now_fp = visible_fingerprint(fresh, affected)
+        if now_fp != entry_fp:
+            # best-effort reclaim of the staged (never-visible) dirs:
+            # the VERSION-level dir is entirely this writer's (versions
+            # are minted unique per op), so removing it takes every
+            # shard with it and leaves no empty parents behind
+            fs = get_fs(table_root)
+            for d in {fs.parent(m.path) for m in announced if m.path}:
+                try:
+                    fs.delete_dir(d)
+                except (FileNotFoundError, OSError):
+                    pass
+            changed = sorted(k for k in now_fp
+                             if now_fp[k] != entry_fp.get(k))
+            entry_vs = {t[2] for v in entry_fp.values() for t in v}
+            new_vs = sorted({t[2] for k in changed for t in now_fp[k]}
+                            - entry_vs)
+            raise ConcurrentWriteConflict(
+                f"{data_source}: affected bucket(s) {changed} changed "
+                f"between this {op}'s entry read and its commit "
+                f"(intervening version(s): {new_vs or 'segments removed'})"
+                " — announcing the rewrite would silently drop those "
+                "changes. Nothing was announced; re-run the operation "
+                "against the current table state."
+            )
+        # register inside the lease: all shards of one (interval, version)
+        # announce in ONE group file (atomic flip per bucket)
+        groups: dict[tuple, list[SegmentManifest]] = {}
+        for m in announced:
+            groups.setdefault((m.interval.iso(), m.version), []).append(m)
+        for _k in sorted(groups):
+            group = groups[_k]
+            if len(group) == 1:
+                register_manifest(table_root, group[0])
+            else:
+                register_manifest_group(table_root, group)
 
 
 def _affected_intervals(df: DataFrame, time_column: str,
@@ -83,6 +202,7 @@ def merge_into(
     when_matched: str = "update",
     time_column: str = "__time",
     bucket: str = "DAY",
+    _pre_commit_hook=None,
     **publish_kwargs,
 ):
     """Upsert ``updates`` into a managed table: rows matching an
@@ -126,6 +246,7 @@ def merge_into(
 
     manifests = list_manifests(table_root, data_source)
     affected = _affected_intervals(updates, "__time", bucket)
+    entry_fp, stamp_floor = _entry_state(manifests, affected)
     span = Interval(affected[0].start, affected[-1].end)
 
     # which affected buckets actually hold visible data (new buckets are
@@ -176,25 +297,29 @@ def merge_into(
     else:
         final = survivors
 
-    version = next_version(table_root, data_source, prefix="merge",
+    version = next_version(table_root, data_source,
+                           prefix=_unique_prefix("merge"),
                            manifests=manifests)
-    stamp = publish_stamp()
+    stamp = publish_stamp(floor=stamp_floor)
     announced = []
     if final is not None:
-        # publish ONLY the affected buckets' rows (final already is);
-        # untouched buckets keep their current segments
+        # stage ONLY the affected buckets' rows (final already is);
+        # untouched buckets keep their current segments. register=False:
+        # the data promotes but stays invisible until the commit below
         announced = publish_segments(
             final, table_root, data_source, version=version,
-            bucket=bucket, published_at=stamp, **publish_kwargs)
+            bucket=bucket, published_at=stamp, register=False,
+            **publish_kwargs)
     # tombstone affected EXISTING buckets the rewrite left empty — the
     # old segment would otherwise stay visible (delete-all-rows case)
     published_ivs = {m.interval.iso() for m in announced}
     for iv in existing:
         if iv.iso() not in published_ivs:
-            t = SegmentManifest(data_source, iv, version, 0, "",
-                                tombstone=True, published_at=stamp)
-            register_manifest(table_root, t)
-            announced.append(t)
+            announced.append(
+                SegmentManifest(data_source, iv, version, 0, "",
+                                tombstone=True, published_at=stamp))
+    _commit_announced(table_root, data_source, "merge_into", affected,
+                      entry_fp, announced, _pre_commit_hook)
     return announced
 
 
@@ -206,6 +331,7 @@ def update_where(
     set: dict,
     interval: str | Interval | None = None,
     bucket: str = "DAY",
+    _pre_commit_hook=None,
     **publish_kwargs,
 ):
     """Row-level UPDATE: apply ``set`` (column -> SQL expression string
@@ -277,11 +403,16 @@ def update_where(
         else:
             out_cols.append(F.col(c))
     rows = rows.select(*out_cols)
-    version = next_version(table_root, data_source, prefix="update",
+    entry_fp, stamp_floor = _entry_state(manifests, affected)
+    version = next_version(table_root, data_source,
+                           prefix=_unique_prefix("update"),
                            manifests=manifests)
     announced = publish_segments(
         rows, table_root, data_source, version=version,
-        bucket=bucket, published_at=publish_stamp(), **publish_kwargs)
+        bucket=bucket, published_at=publish_stamp(floor=stamp_floor),
+        register=False, **publish_kwargs)
+    _commit_announced(table_root, data_source, "update_where", affected,
+                      entry_fp, announced, _pre_commit_hook)
     return {"announced": announced,
             "updated_buckets": [a.interval.iso() for a in announced]}
 
@@ -294,6 +425,7 @@ def delete_where(
     interval: str | Interval | None = None,
     time_column: str = "__time",
     bucket: str = "DAY",
+    _pre_commit_hook=None,
     **publish_kwargs,
 ):
     """Row-level DELETE: remove every visible row matching ``dim_filter``
@@ -337,19 +469,23 @@ def delete_where(
 
     survivors = base.where(_span_pred(affected, F.col("__time"))).where(
         ~pred | pred.isNull())
-    version = next_version(table_root, data_source, prefix="delete",
+    entry_fp, stamp_floor = _entry_state(manifests, affected)
+    version = next_version(table_root, data_source,
+                           prefix=_unique_prefix("delete"),
                            manifests=manifests)
-    stamp = publish_stamp()
+    stamp = publish_stamp(floor=stamp_floor)
     announced = publish_segments(
         survivors, table_root, data_source, version=version,
-        bucket=bucket, published_at=stamp, **publish_kwargs)
+        bucket=bucket, published_at=stamp, register=False,
+        **publish_kwargs)
     published_ivs = {m.interval.iso() for m in announced}
     deleted = []
     for aiv in affected:
         if aiv.iso() not in published_ivs:
-            t = SegmentManifest(data_source, aiv, version, 0, "",
-                                tombstone=True, published_at=stamp)
-            register_manifest(table_root, t)
-            announced.append(t)
+            announced.append(
+                SegmentManifest(data_source, aiv, version, 0, "",
+                                tombstone=True, published_at=stamp))
             deleted.append(aiv.iso())
+    _commit_announced(table_root, data_source, "delete_where", affected,
+                      entry_fp, announced, _pre_commit_hook)
     return {"announced": announced, "deleted_buckets": deleted}

@@ -57,6 +57,7 @@ def publish_segments(
     bloom_columns: list[str] | None = None,
     published_at: str | None = None,
     overwrite: bool = False,
+    register: bool = True,
 ) -> list[SegmentManifest]:
     """Publish ``df`` as one segment per time bucket at ``version``.
 
@@ -90,6 +91,13 @@ def publish_segments(
     records a 1 KiB per-segment Bloom filter for EQUALITY pruning on
     high-cardinality dimensions whose ranges overlap across segments —
     the Druid dimension-index analogue where min/max can't discriminate.
+
+    ``register=False`` writes and promotes the data but announces
+    NOTHING: the returned manifests are built but unregistered (the data
+    stays invisible — manifests land last is the crash contract), and the
+    caller owns registration. Row-level DML uses this to split the heavy
+    write from the commit: re-validate the affected timeline under the
+    commit lease, then register (sources/dml.py).
     """
     if bucket not in {"HOUR", "DAY", "MONTH"}:
         raise ValueError(f"unsupported ingest bucket: {bucket!r} (HOUR/DAY/MONTH)")
@@ -332,7 +340,8 @@ def publish_segments(
                         published_at=stamp,
                     )
                 )
-            register_manifest_group(table_root, bucket_manifests)
+            if register:
+                register_manifest_group(table_root, bucket_manifests)
         else:
             seg_dir = segment_dir(table_root, data_source, iv, version)
             _promote(fs.join(staging, name), seg_dir)
@@ -341,7 +350,8 @@ def publish_segments(
                 stats=stats_by_key.get((raw, 0)),
                 published_at=stamp,
             )
-            register_manifest(table_root, manifest)
+            if register:
+                register_manifest(table_root, manifest)
             bucket_manifests.append(manifest)
         manifests.extend(bucket_manifests)
     fs.delete_dir(staging)  # rename backends: only _SUCCESS remains

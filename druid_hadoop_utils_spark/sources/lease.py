@@ -47,18 +47,22 @@ from contextlib import contextmanager
 from datetime import datetime, timezone
 
 LEASE_FILE = "_lease.json"
+COMMIT_LEASE_FILE = "_commit.json"
 DEFAULT_TTL_S = 900.0
 DEFAULT_SETTLE_S = 0.05
+COMMIT_TTL_S = 60.0
+COMMIT_WAIT_S = 30.0
 
 
 class MaintenanceLockHeld(RuntimeError):
     """Another maintenance op holds (or just won) this table's lease."""
 
 
-def _lease_path(fs, table_root: str, data_source: str) -> str:
+def _lease_path(fs, table_root: str, data_source: str,
+                name: str = LEASE_FILE) -> str:
     from druid_hadoop_utils_spark.sources.segments import MANIFEST_DIR
 
-    return fs.join(table_root, data_source, MANIFEST_DIR, LEASE_FILE)
+    return fs.join(table_root, data_source, MANIFEST_DIR, name)
 
 
 def _read(fs, path: str) -> dict | None:
@@ -129,24 +133,11 @@ def _lease_obj(token: str, op: str, ttl_s: float) -> dict:
     }
 
 
-@contextmanager
-def maintenance_lease(
-    table_root: str,
-    data_source: str,
-    op: str,
-    ttl_s: float = DEFAULT_TTL_S,
-    settle_s: float = DEFAULT_SETTLE_S,
-):
-    """Hold the table's maintenance lease for the duration of ``op``.
-
-    Refuses loudly (``MaintenanceLockHeld``) when another op holds it —
-    callers retry on their own schedule (maintenance is cron-shaped).
-    Yields a handle with ``renew()`` for sweeps that may outlive the TTL.
-    """
-    from druid_hadoop_utils_spark.sources.fs import get_fs
-
-    fs = get_fs(table_root)
-    path = _lease_path(fs, table_root, data_source)
+def _try_acquire(fs, path: str, data_source: str, op: str,
+                 ttl_s: float, settle_s: float) -> "_Lease":
+    """One acquisition attempt on the lease file at ``path``; raises
+    ``MaintenanceLockHeld`` when held or lost. Shared by the maintenance
+    lease and the (short-TTL, separate-file) DML commit lease."""
     fs.mkdirs(fs.parent(path))
     now = time.time()
     cur = _read(fs, path)
@@ -192,13 +183,78 @@ def maintenance_lease(
                 f"{cur.get('op') if cur else '?'} while acquiring for "
                 f"{op!r}; retry after it finishes"
             )
-    handle = _Lease(fs, path, token, op, ttl_s)
+    return _Lease(fs, path, token, op, ttl_s)
+
+
+def _release(fs, path: str, token: str) -> None:
+    cur = _read(fs, path)
+    if cur and cur.get("owner") == token:
+        try:
+            fs.delete_file(path)
+        except (FileNotFoundError, OSError):
+            pass
+
+
+@contextmanager
+def maintenance_lease(
+    table_root: str,
+    data_source: str,
+    op: str,
+    ttl_s: float = DEFAULT_TTL_S,
+    settle_s: float = DEFAULT_SETTLE_S,
+):
+    """Hold the table's maintenance lease for the duration of ``op``.
+
+    Refuses loudly (``MaintenanceLockHeld``) when another op holds it —
+    callers retry on their own schedule (maintenance is cron-shaped).
+    Yields a handle with ``renew()`` for sweeps that may outlive the TTL.
+    """
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    path = _lease_path(fs, table_root, data_source)
+    handle = _try_acquire(fs, path, data_source, op, ttl_s, settle_s)
     try:
         yield handle
     finally:
-        cur = _read(fs, path)
-        if cur and cur.get("owner") == token:
-            try:
-                fs.delete_file(path)
-            except (FileNotFoundError, OSError):
-                pass
+        _release(fs, path, handle.token)
+
+
+@contextmanager
+def commit_lease(
+    table_root: str,
+    data_source: str,
+    op: str,
+    ttl_s: float = COMMIT_TTL_S,
+    settle_s: float = DEFAULT_SETTLE_S,
+    wait_s: float = COMMIT_WAIT_S,
+):
+    """Serialize the DML commit critical section (re-validate the affected
+    buckets' timeline, then register) per (table_root, data_source).
+
+    Unlike the maintenance lease this WAITS: commits are metadata-only and
+    sub-second, so a contending writer polls until ``wait_s`` elapses
+    before refusing. It also lives in its OWN file (``_commit.json``):
+    DML commits must not block behind a 15-minute maintenance sweep —
+    a concurrent compaction is detected by the caller's timeline
+    re-validation, not by this lock. Same backend semantics as the
+    maintenance lease (POSIX O_EXCL = true mutex; object stores =
+    put-settle-verify with the documented put-visibility residual).
+    """
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    path = _lease_path(fs, table_root, data_source, COMMIT_LEASE_FILE)
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            handle = _try_acquire(fs, path, data_source, op, ttl_s, settle_s)
+            break
+        except MaintenanceLockHeld:
+            if time.time() >= deadline:
+                raise
+            time.sleep(0.05)
+    try:
+        yield handle
+    finally:
+        _release(fs, path, handle.token)

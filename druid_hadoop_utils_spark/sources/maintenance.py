@@ -66,15 +66,46 @@ def compact_segments(
     ``stats_columns``/``bloom_columns`` default to the UNION of the input
     segments' recorded stats/bloom columns, so manifest pruning metadata
     survives compaction (recomputed on the compacted buckets) without the
-    caller re-stating it."""
+    caller re-stating it.
+
+    Concurrency (round 9): compaction is read-modify-write — the same
+    lost-update shape as row-level DML — so it runs under BOTH guards:
+    the table's maintenance lease for its whole duration (a concurrent
+    vacuum's snapshot rewrite could otherwise interleave with the
+    rewrite, VERDICT r8 item 3) and the optimistic commit check at
+    announce time (``ConcurrentWriteConflict`` if anything published
+    into the interval between the entry read and the commit — without
+    it, a merge landing mid-compaction would be silently erased by the
+    compacted rewrite of the pre-merge rows)."""
+    from druid_hadoop_utils_spark.sources.lease import maintenance_lease
+
+    with maintenance_lease(table_root, data_source,
+                           "compact_segments") as lease:
+        return _compact_segments_locked(
+            spark, table_root, data_source, interval, bucket,
+            files_per_bucket, sort_by, shards_per_bucket, stats_columns,
+            bloom_columns, lease)
+
+
+def _compact_segments_locked(
+    spark, table_root, data_source, interval, bucket, files_per_bucket,
+    sort_by, shards_per_bucket, stats_columns, bloom_columns, lease,
+) -> list[SegmentManifest]:
     from druid_hadoop_utils_spark.plans.planner import _interval_pred, _scan_segments
+    from druid_hadoop_utils_spark.sources.dml import (
+        _commit_announced,
+        _entry_state,
+        _unique_prefix,
+    )
     from druid_hadoop_utils_spark.sources.segments import list_manifests
 
     iv = Interval.parse(interval)
+    manifests = list_manifests(table_root, data_source)
+    entry_fp, stamp_floor = _entry_state(manifests, [iv])
     if stats_columns is None or bloom_columns is None:
         seen_stats: list[str] = []
         seen_bloom: list[str] = []
-        for m in list_manifests(table_root, data_source):
+        for m in manifests:
             for c, entry in (m.stats or {}).items():
                 if "min" in entry and c not in seen_stats:
                     seen_stats.append(c)
@@ -84,19 +115,30 @@ def compact_segments(
             stats_columns = seen_stats
         if bloom_columns is None:
             bloom_columns = seen_bloom
-    df = _scan_segments(spark, table_root, data_source, iv)
+    df = _scan_segments(spark, table_root, data_source, iv,
+                        manifests=manifests)
     # Clip to the compaction interval: a segment that is fully visible
     # WITHIN the interval may still hold rows outside it, and republishing
     # those under the new (highest) version would resurrect data that a
     # newer version had overshadowed elsewhere.
     df = df.where(_interval_pred(iv, F.col("__time")))
-    version = next_version(table_root, data_source)
-    return publish_segments(
+    from druid_hadoop_utils_spark.sources.segments import publish_stamp
+
+    version = next_version(table_root, data_source,
+                           prefix=_unique_prefix("compact"),
+                           manifests=manifests)
+    announced = publish_segments(
         df, table_root, data_source, version=version,
         bucket=bucket, files_per_bucket=files_per_bucket, sort_by=sort_by,
         shards_per_bucket=shards_per_bucket, stats_columns=stats_columns,
-        bloom_columns=bloom_columns,
+        bloom_columns=bloom_columns, register=False,
+        published_at=publish_stamp(floor=stamp_floor),
     )
+    # the Spark job above can be long: re-arm the TTL before committing
+    lease.renew()
+    _commit_announced(table_root, data_source, "compact_segments", [iv],
+                      entry_fp, announced)
+    return announced
 
 
 def drop_interval(
@@ -135,7 +177,29 @@ def apply_retention(
     that ends at or before ``drop_before``. Metadata-only and idempotent —
     intervals already hidden by a tombstone are skipped; run ``vacuum``
     afterwards to reclaim the bytes. Returns the tombstones published
-    (or, under ``dry_run``, the ones that WOULD be)."""
+    (or, under ``dry_run``, the ones that WOULD be).
+
+    A real run holds the maintenance lease (VERDICT r8 item 3): the
+    which-intervals-are-already-dark decision reads the visible timeline,
+    and racing a ``restore_to`` through that window could tombstone
+    intervals the restore just re-announced (or vice versa). ``dry_run``
+    is read-only and takes no lease."""
+    if dry_run:
+        return _apply_retention_unlocked(table_root, data_source,
+                                         drop_before, True)
+    from druid_hadoop_utils_spark.sources.lease import maintenance_lease
+
+    with maintenance_lease(table_root, data_source, "apply_retention"):
+        return _apply_retention_unlocked(table_root, data_source,
+                                         drop_before, False)
+
+
+def _apply_retention_unlocked(
+    table_root: str,
+    data_source: str,
+    drop_before: datetime | str,
+    dry_run: bool,
+) -> list[SegmentManifest]:
     from druid_hadoop_utils_spark.intervals import merge_adjacent
 
     if isinstance(drop_before, str):

@@ -931,6 +931,38 @@ def resolve_visible_windows(
     return out
 
 
+def visible_fingerprint(
+    manifests: list[SegmentManifest], intervals: list[Interval]
+) -> dict[str, tuple]:
+    """Identity of each interval's VISIBLE timeline — the optimistic-
+    concurrency check behind row-level DML (the Delta/Iceberg commit
+    check, expressed over the segment timeline).
+
+    For each interval: a tuple of (window span, manifest interval,
+    version, shard, publishedAt, tombstone) for every window visible
+    inside it. Deliberately a function of the LOGICAL visible timeline,
+    not of manifest files or data paths, so it is insensitive to
+    maintenance that preserves visibility — ``compact_manifests``
+    (rewrites files, same entries) and ``vacuum`` (removes only
+    fully-overshadowed entries) — while ANY intervening publish into the
+    interval (ingest, compaction, another DML, retention tombstone)
+    changes it. Re-checked at DML commit time under the commit lease
+    (sources/dml.py): entry != commit ⇒ the base rows the rewrite was
+    computed from are no longer the visible truth ⇒ refuse.
+    """
+    out: dict[str, tuple] = {}
+    for iv in intervals:
+        wins = []
+        for w in resolve_visible_windows(manifests, iv):
+            m = w.manifest
+            for cell in w.windows:
+                wins.append((cell.iso(), m.interval.iso(), m.version,
+                             m.shard_num, m.published_at or "",
+                             m.tombstone))
+        out[iv.iso()] = tuple(sorted(wins))
+    return out
+
+
 def _resolve_full_span(manifests: list[SegmentManifest]):
     """Visible windows of ``manifests`` over their full covered span —
     the recurring idiom behind table_history/diff_views/restore_to."""
