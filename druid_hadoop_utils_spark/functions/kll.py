@@ -368,43 +368,6 @@ def kll_quantiles(
     if not quantiles:
         raise ValueError("kll_quantiles: need at least one quantile")
     gcols = list(group_cols)
-    pairs = F.flatten(
-        F.transform(
-            "__kll_levels",
-            lambda items, lvl: F.transform(
-                items,
-                lambda v: F.struct(
-                    v.alias("v"), F.pow(F.lit(2.0), lvl).alias("w")
-                ),
-            ),
-        )
-    )
-    # per-STATE total weight from level sizes — a fold over ~log(n/k)
-    # levels per state row, so the O(pairs) weight pass disappears into
-    # the same groupBy that gathers the pairs
-    state_w = F.aggregate(
-        F.transform(
-            "__kll_levels",
-            lambda items, lvl: F.size(items).cast("double")
-            * F.pow(F.lit(2.0), lvl),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    st = states.select(*gcols, pairs.alias("__pairs"), state_w.alias("__w"))
-    merged_pairs = F.array_sort(F.flatten(F.collect_list("__pairs")))
-    aggs = [merged_pairs.alias("__pairs"), F.sum("__w").alias("__n")]
-    agged = st.groupBy(*gcols).agg(*aggs) if gcols else st.agg(*aggs)
-
-    # ONE fold over the sorted pairs finds every quantile's lower-rank
-    # pick at ceil(q·W) — higher-order folds evaluate interpreted per
-    # element, so folding once for Q quantiles instead of Q+1 separate
-    # passes is a measured ~3× on the evaluation stage (round 6)
-    targets = [
-        F.greatest(F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
-        .cast("double")
-        for q in quantiles
-    ]
     names = [f"p{int(round(q * 100))}" for q in quantiles]
     if len(set(names)) != len(names):
         # the shared accumulator struct keys fields by label — colliding
@@ -413,21 +376,55 @@ def kll_quantiles(
             f"kll_quantiles: quantile labels collide: {names} — quantiles "
             "must round to distinct whole percents"
         )
-    acc0 = F.struct(
-        F.lit(0.0).alias("cum"),
-        *[F.lit(None).cast("double").alias(n) for n in names],
+
+    # All big expressions are built as ONE SQL string each (F.expr /
+    # selectExpr): constructing the same nested lambdas through the
+    # Column API costs hundreds of py4j round-trips — measured ~0.2 s of
+    # pure driver-side plan construction PER QUERY (round 11,
+    # BASELINE.md), which was most of the q_kll_quantiles_prod pair's
+    # gap vs percentile_approx at sf0.1. The JVM plan is identical.
+    def _q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    qg = [_q(c) for c in gcols]
+    pairs_sql = (
+        "flatten(transform(__kll_levels, (items, lvl) -> "
+        "transform(items, v -> struct(v AS v, "
+        "cast(pow(2.0, lvl) AS double) AS w))))"
     )
+    # per-STATE total weight from level sizes — a fold over ~log(n/k)
+    # levels per state row, so the O(pairs) weight pass disappears into
+    # the same groupBy that gathers the pairs
+    w_sql = (
+        "aggregate(transform(__kll_levels, (items, lvl) -> "
+        "cast(size(items) AS double) * pow(2.0, lvl)), "
+        "cast(0.0 AS double), (a, x) -> a + x)"
+    )
+    st = states.selectExpr(*qg, f"{pairs_sql} AS __pairs", f"{w_sql} AS __w")
+    aggs = [
+        F.expr("array_sort(flatten(collect_list(__pairs)))").alias("__pairs"),
+        F.expr("sum(__w)").alias("__n"),
+    ]
+    agged = st.groupBy(*gcols).agg(*aggs) if gcols else st.agg(*aggs)
 
-    def step(acc, x):
-        new_cum = acc["cum"] + x["w"]
-        fields = [new_cum.alias("cum")]
-        for n, tgt in zip(names, targets):
-            fields.append(
-                F.when(acc[n].isNull() & (new_cum >= tgt), x["v"])
-                .otherwise(acc[n]).alias(n)
-            )
-        return F.struct(*fields)
-
-    folded = F.aggregate("__pairs", acc0, step).alias("__q")
-    out = agged.select(*gcols, folded)
-    return out.select(*gcols, *[F.col("__q")[n].alias(n) for n in names])
+    # ONE fold over the sorted pairs finds every quantile's lower-rank
+    # pick at ceil(q·W) — higher-order folds evaluate interpreted per
+    # element, so folding once for Q quantiles instead of Q+1 separate
+    # passes is a measured ~3× on the evaluation stage (round 6)
+    acc0 = (
+        "named_struct('cum', cast(0.0 AS double), "
+        + ", ".join(f"'{n}', cast(null AS double)" for n in names)
+        + ")"
+    )
+    steps = ", ".join(
+        f"CASE WHEN acc.{n} IS NULL AND acc.cum + x.w >= "
+        f"greatest(cast(ceil({float(q)!r} * __n) AS double), 1.0) "
+        f"THEN x.v ELSE acc.{n} END AS {n}"
+        for q, n in zip(quantiles, names)
+    )
+    fold = (
+        f"aggregate(__pairs, {acc0}, "
+        f"(acc, x) -> struct(acc.cum + x.w AS cum, {steps}))"
+    )
+    out = agged.selectExpr(*qg, f"{fold} AS __q")
+    return out.selectExpr(*qg, *[f"__q.{n} AS {n}" for n in names])
