@@ -5011,38 +5011,41 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # round-8 rotation (VERDICT r7 item 3): recomputed from
-    # CORRECTNESS_r01..r07 — newest-green distribution r07:50 r06:49
-    # r05:44 r04:1. Front the one r04 straggler (q_union_datasource),
-    # then all 44 r05-stale entries, then the ten oldest-r06 entries to
-    # fill the ~50-query driver cap. After the r08 snapshot nothing
-    # registered should be staler than r06. Recomputed each round from
-    # CORRECTNESS_r01..rNN (NOTES.md).
-    # NEW in r8 (never driver-checked) — first:
-    "q_merge_upsert", "q_delete_where", "q_update_where", "q_bpe_encode",
-    "q_union_datasource",
-    # the 44 queries whose newest driver-green row is r05
-    "q_anti_join", "q_corpus_report", "q_correlated_subquery",
-    "q_dedup_clusters", "q_dedup_exact", "q_dedup_keep_best",
-    "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
-    "q_distinct", "q_embedding_mean_pool", "q_embedding_neardup",
-    "q_filter_bound_numeric", "q_filter_in", "q_filter_selector",
-    "q_frame_sample_plan", "q_json_props_extract", "q_materialized_rollup",
-    "q_mix_temperature", "q_multivalue_explode_groupby", "q_oov_rate",
-    "q_orderby_limit_topk", "q_percentile", "q_rollup_grouping_sets",
-    "q_salted_join", "q_sample_split", "q_scalar_functions",
-    "q_semi_join", "q_set_ops", "q_similarity_lsh_topk",
-    "q_similarity_topk", "q_text_analysis", "q_text_chunking",
-    "q_text_langid", "q_text_tfidf_topk", "q_topn_druid_style",
-    "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
-    "q_tpch_q20_potential_promotion", "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q9_product_type_profit", "q_window_running_lag",
-    "q_window_time_range", "q_window_topn_per_group",
-    # ten r06-green fillers (oldest alphabetical slice of the r06 set)
-    "q_agg_first_last", "q_api_datasource_metadata", "q_api_groupby",
+    # round-11 rotation (VERDICT r10 item 3): recomputed from
+    # CORRECTNESS_r01..r10 — newest-checked distribution r10:50 r07:50
+    # r06:49 r05:6 ("checked" = hash-green, or rows-only with err ==
+    # 'no_oracle' and rows >= 0). Front the six r05-stale entries (the
+    # rows-only `_prod` trio + media pair + q_kll_quantiles_prod, five
+    # rounds stale), then the full 49-entry r06 batch; the ~50-query
+    # driver cap truncates the alphabetical tail of the r06 set, which
+    # fronts next round. Everything r07/r10-green cycles to the back.
+    # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
+    # the 6 queries whose newest driver-checked row is r05:
+    "q_kll_quantiles_prod", "q_media_features", "q_media_resize",
+    "q_similarity_ivf_topk_prod", "q_similarity_lsh_topk_prod",
+    "q_similarity_pq_topk_prod",
+    # the 49 queries whose newest driver-checked row is r06:
+    "q_api_datasource_metadata", "q_api_groupby",
     "q_api_groupby_having_limit", "q_api_materialized_require",
     "q_api_timeseries", "q_api_topn", "q_api_topn_lexicographic",
-    "q_asof_join", "q_cached_query",
+    "q_asof_join", "q_cached_query", "q_contamination_check",
+    "q_corpus_shuffle", "q_dedup_minhash_lsh_prod",
+    "q_druid_native_query", "q_extraction_cascade_format",
+    "q_filter_and_or_not", "q_filter_extraction_time_format",
+    "q_filter_regex", "q_filter_registered_lookup", "q_filter_search",
+    "q_granularity_hour_rollup", "q_groupby_extraction_partial",
+    "q_heavy_hitters", "q_interval_overlap_join", "q_kll_quantiles",
+    "q_media_segment_roundtrip", "q_multi_interval",
+    "q_multimodal_features", "q_nested_groupby", "q_quantile_sketch",
+    "q_range_join", "q_rank_quantiles", "q_rank_quantiles_cont",
+    "q_scan_interval_project", "q_segment_table_load", "q_sessionize",
+    "q_similarity_ivf_topk", "q_similarity_pq_topk",
+    "q_text_normalize_repetition", "q_text_redact", "q_text_winnowing",
+    "q_theta_distinct", "q_timeseries_zero_fill",
+    "q_tpch_q10_returned_items", "q_tpch_q18_large_volume_customer",
+    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier_volume",
+    "q_tpch_q6_forecast_revenue", "q_weighted_sample",
+    "q_window_distribution",
 ]
 
 
