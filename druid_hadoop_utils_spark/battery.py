@@ -1192,6 +1192,48 @@ def q_bpe_encode(spark, sf_dir):
 
 
 @register(
+    "q_bpe_roundtrip",
+    """SELECT doc_id,
+              array_to_string(
+                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> ''), ' ') AS restored,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> ''))::BIGINT AS n_words
+       FROM documents""",
+)
+def q_bpe_roundtrip(spark, sf_dir):
+    # the HASH-CHECKED slice of the BPE surface (VERDICT r10 item 6):
+    # encoding is a lossless segmentation, so concatenating every doc's
+    # pieces and mapping the </w> end-of-word marker back to spaces must
+    # reconstruct the whitespace-normalized lowercased text EXACTLY, and
+    # the marker count must equal the oracle's independent token count.
+    # This routes the full distributed pipeline — train_bpe's corpus
+    # pass + driver merge loop, the broadcast rank table, the Arrow
+    # batched encoder — through a value-level DuckDB comparison; the
+    # learned segmentation itself (not SQL-expressible) stays pinned by
+    # tests/test_bpe.py's clean-room references and q_bpe_encode's
+    # rows-only checksum.
+    from druid_hadoop_utils_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = train_bpe(docs, vocab_size=300, min_count=2)
+        merges = spark.createDataFrame(merges.collect(), merges.schema)
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    enc = bpe_encode(docs, merges)
+    joined = F.concat_ws("", "pieces")
+    restored = F.rtrim(F.regexp_replace(joined, "</w>", " "))
+    n_words = ((F.length(joined)
+                - F.length(F.regexp_replace(joined, "</w>", ""))) / 4)
+    return enc.select(
+        "doc_id",
+        restored.alias("restored"),
+        n_words.cast("long").alias("n_words"),
+    )
+
+
+@register(
     "q_oov_rate",
     """WITH toks AS (
          SELECT doc_id,
@@ -5020,6 +5062,8 @@ _DRIVER_PRIORITY = [
     # driver cap truncates the alphabetical tail of the r06 set, which
     # fronts next round. Everything r07/r10-green cycles to the back.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
+    # NEW in r11 (never driver-checked) — first:
+    "q_bpe_roundtrip",
     # the 6 queries whose newest driver-checked row is r05:
     "q_kll_quantiles_prod", "q_media_features", "q_media_resize",
     "q_similarity_ivf_topk_prod", "q_similarity_lsh_topk_prod",
