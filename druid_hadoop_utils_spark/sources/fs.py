@@ -65,6 +65,44 @@ import uuid
 PTR_SUFFIX = ".ptr.json"
 
 
+def _local_delete_if_unchanged(local_path: str, expected_text: str) -> bool:
+    """Atomic compare-and-delete for local-disk-backed stores: a sidecar
+    O_EXCL lock makes the read-compare-remove one cross-process critical
+    section (the kernel arbitrates), so two racers can never both see a
+    match — the faithful local simulation of an ETag If-Match DELETE."""
+    lock = local_path + ".__caslock"
+    deadline = time.time() + 5.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                # a crashed locker's leftover: clear and retry (the
+                # window is microseconds; 5 s is decisively stale)
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+            time.sleep(0.005)
+    try:
+        os.close(fd)
+        try:
+            with open(local_path) as f:
+                cur = f.read()
+        except FileNotFoundError:
+            return False
+        if cur != expected_text:
+            return False
+        os.remove(local_path)
+        return True
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 class MetaFS:
     """Minimal filesystem surface the metadata lifecycle needs.
 
@@ -133,6 +171,26 @@ class MetaFS:
         ``supports_put_if_absent``."""
         raise NotImplementedError(
             f"{type(self).__name__} has no atomic create-if-absent"
+        )
+
+    #: True when ``delete_file_if_unchanged`` is a REAL atomic
+    #: compare-and-delete (POSIX via a sidecar O_EXCL lock; object
+    #: stores via ETag ``If-Match`` DELETE — public S3 behavior since
+    #: late 2024, GCS generation preconditions). With both conditional
+    #: primitives the lease protocol (sources/lease.py) upgrades its
+    #: expired-steal path from put-settle-verify to a true mutex.
+    supports_conditional_delete: bool = False
+
+    def delete_file_if_unchanged(self, path: str,
+                                 expected_text: str) -> bool:
+        """Delete ``path`` ONLY if its current content equals
+        ``expected_text`` (the If-Match shape, keyed by content — for
+        single-part object PUTs the ETag IS the content MD5, so a real
+        backend implements this with one conditional DELETE). Returns
+        whether this call deleted it; False when the object is missing
+        or changed. Only valid when ``supports_conditional_delete``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no atomic compare-and-delete"
         )
 
     def delete_file(self, path: str) -> None:
@@ -266,6 +324,12 @@ class LocalMetaFS(MetaFS):
             f.write(text)
         return True
 
+    supports_conditional_delete = True
+
+    def delete_file_if_unchanged(self, path: str,
+                                 expected_text: str) -> bool:
+        return _local_delete_if_unchanged(path, expected_text)
+
     def delete_file(self, path: str) -> None:
         try:
             os.remove(path)
@@ -362,6 +426,43 @@ class ObjectStoreSimFS(MetaFS):
     def copy_tree(self, src: str, dst: str) -> None:
         shutil.copytree(self._local(src), self._local(dst),
                         dirs_exist_ok=True)
+
+
+class ObjectStoreCasFS(ObjectStoreSimFS):
+    """``objectcas://`` — :class:`ObjectStoreSimFS` plus the CONDITIONAL
+    WRITE surface modern object stores expose publicly: S3 accepts
+    ``If-None-Match: *`` on PUT (create-if-absent, announced 2024) and
+    ETag ``If-Match`` on overwrite/DELETE (late 2024); GCS has had
+    generation preconditions for years. Same no-rename object semantics
+    as objectsim everywhere else, so the lifecycle suite's protocols are
+    unchanged — but the lease protocol (sources/lease.py) detects the
+    two conditional primitives and upgrades from put-settle-verify to a
+    TRUE mutex, closing the put-visibility residual documented there.
+
+    The simulation backs both primitives with kernel-arbitrated local
+    primitives (O_EXCL create; sidecar-locked compare-and-delete) —
+    faithful to the real store's atomicity, keyed by content where S3
+    keys by ETag (identical for single-part PUTs: the ETag is the
+    content MD5)."""
+
+    SCHEME = "objectcas://"
+    supports_put_if_absent = True
+    supports_conditional_delete = True
+
+    def put_text_if_absent(self, path: str, text: str) -> bool:
+        local = self._local(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+
+    def delete_file_if_unchanged(self, path: str,
+                                 expected_text: str) -> bool:
+        return _local_delete_if_unchanged(self._local(path), expected_text)
 
 
 class ArrowMetaFS(MetaFS):
@@ -584,6 +685,7 @@ class DelayFS(MetaFS):
         self._lock = threading.Lock()
         self.atomic_dir_rename = inner.atomic_dir_rename
         self.supports_put_if_absent = inner.supports_put_if_absent
+        self.supports_conditional_delete = inner.supports_conditional_delete
         # a latency-bound backend wants wide overlap, like ArrowMetaFS
         self.bulk_parallelism = 16
 
@@ -645,6 +747,10 @@ class DelayFS(MetaFS):
     def put_text_if_absent(self, path, text):
         self._rt("put_text_if_absent")
         return self.inner.put_text_if_absent(path, text)
+
+    def delete_file_if_unchanged(self, path, expected_text):
+        self._rt("delete_file_if_unchanged")
+        return self.inner.delete_file_if_unchanged(path, expected_text)
 
     def delete_file(self, path):
         self._rt("delete_file")
@@ -717,6 +823,8 @@ _local = LocalMetaFS()
 _objectsim = ObjectStoreSimFS()
 # probe scheme: object-store semantics + injected RTT (see DelaySimFS)
 _REGISTRY["delaysim"] = DelaySimFS
+# object-store semantics + conditional writes (S3 If-None-Match/If-Match)
+_REGISTRY["objectcas"] = ObjectStoreCasFS
 
 
 def configure_object_store(

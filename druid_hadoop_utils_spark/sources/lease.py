@@ -28,12 +28,19 @@ Protocol — object-store-compatible, no atomic create-if-absent assumed
    lease EXPIRED and was stolen never deletes the thief's lease.
 
 TTL expiry (default 15 min) unbricks a crashed holder; ``renew()``
-extends a long sweep. This is an advisory lease-file scheme, not a
-consensus protocol: with a put-visibility delay longer than the settle
-window two racers could both believe they won (S3 has been strongly
-read-after-write consistent since 2020, so the 50 ms default covers real
-backends). Every op stays individually crash-safe regardless — the lease
-removes the cross-op interleavings, not the per-op orderings.
+extends a long sweep. On backends exposing BOTH conditional-write
+primitives (``supports_put_if_absent`` + ``supports_conditional_delete``
+— POSIX; ``objectcas://``; real S3 since its 2024 conditional writes)
+acquisition AND expired-steal are true mutexes: create-if-absent for
+fresh leases, If-Match delete of exactly the expired object + create-
+if-absent for steals — two winners are impossible. The put-settle-verify
+dance below remains only as the fallback for stores without conditional
+writes, with its documented residual: a put-visibility delay longer than
+the settle window could let two racers both believe they won (S3 has
+been strongly read-after-write consistent since 2020, so the 50 ms
+default covers real backends). Every op stays individually crash-safe
+regardless — the lease removes the cross-op interleavings, not the
+per-op orderings.
 """
 
 from __future__ import annotations
@@ -163,15 +170,55 @@ def _try_acquire(fs, path: str, data_source: str, op: str,
                 f"{cur.get('op') if cur else '?'} while acquiring for "
                 f"{op!r}; retry after it finishes"
             )
+    elif (stealing and fs.supports_put_if_absent
+          and fs.supports_conditional_delete):
+        # conditional-write steal (S3 `If-Match` DELETE + `If-None-Match`
+        # PUT, public behavior since 2024; POSIX sidecar-locked CAD):
+        # delete EXACTLY the expired lease object we read, then
+        # create-if-absent. A concurrent stealer loses either the
+        # conditional delete (the object is already gone or replaced) or
+        # the create — two winners are impossible, and nothing here ever
+        # deletes unconditionally, so a loser can never yank the
+        # winner's fresh lease. This branch closes the put-visibility
+        # residual the settle protocol below documents.
+        try:
+            raw = fs.read_text(path)
+        except (FileNotFoundError, OSError):
+            raw = None  # another stealer's delete landed first
+        if raw is not None:
+            try:
+                live = float(json.loads(raw).get(
+                    "expiresEpoch", 0)) > time.time()
+            except ValueError:
+                live = False  # torn/corrupt object: _read vetted freshness
+            if live:
+                raise MaintenanceLockHeld(
+                    f"{data_source}: lease was re-acquired while stealing "
+                    f"for {op!r}; retry after it finishes or expires"
+                )
+            if not fs.delete_file_if_unchanged(path, raw):
+                raise MaintenanceLockHeld(
+                    f"{data_source}: lost the expired-lease steal race "
+                    f"while acquiring for {op!r}; retry after the winner "
+                    "finishes"
+                )
+        if not fs.put_text_if_absent(path, body):
+            cur = _read(fs, path)
+            raise MaintenanceLockHeld(
+                f"{data_source}: lost the lease race to op="
+                f"{cur.get('op') if cur else '?'} while acquiring for "
+                f"{op!r}; retry after it finishes"
+            )
     else:
-        # Object-store path (plain last-writer-wins PUT), and the
-        # expired-steal path on every backend (the delete+recreate has no
-        # CAS even with O_EXCL): put, wait a settle window, re-read — the
+        # Fallback for backends WITHOUT the conditional-write pair
+        # (plain objectsim; object stores predating S3's 2024
+        # conditional writes): put, wait a settle window, re-read — the
         # surviving owner is the winner. Concurrent stealers of one
         # expired lease thus resolve to exactly one winner as long as
         # their delete→put→verify spans overlap within settle_s; the
         # residual (a put-visibility delay longer than settle_s) is the
-        # known limit of lease files without compare-and-swap.
+        # known limit of lease files without compare-and-swap — the
+        # conditional branch above is exactly what removes it.
         if stealing:
             fs.delete_file(path)
         fs.put_text(path, body)
@@ -238,7 +285,8 @@ def commit_lease(
     DML commits must not block behind a 15-minute maintenance sweep —
     a concurrent compaction is detected by the caller's timeline
     re-validation, not by this lock. Same backend semantics as the
-    maintenance lease (POSIX O_EXCL = true mutex; object stores =
+    maintenance lease (POSIX and conditional-write object stores = true
+    mutex incl. expired-steal; stores without conditional writes =
     put-settle-verify with the documented put-visibility residual).
     """
     from druid_hadoop_utils_spark.sources.fs import get_fs

@@ -40,13 +40,16 @@ from druid_hadoop_utils_spark.sources.segments import (
 )
 
 
-@pytest.fixture(params=["local", "objectsim"])
+@pytest.fixture(params=["local", "objectsim", "objectcas"])
 def root(tmp_path, request):
-    """The table root on both lease arbitration paths: POSIX (O_EXCL
-    create-if-absent) and the object-store sim (put-settle-verify)."""
+    """The table root on all three lease arbitration paths: POSIX
+    (O_EXCL create-if-absent + sidecar-locked compare-and-delete), the
+    plain object-store sim (put-settle-verify fallback), and the
+    conditional-write object-store sim (If-None-Match PUT + If-Match
+    DELETE — the true-mutex branch)."""
     if request.param == "local":
         return str(tmp_path / "tbl")
-    return "objectsim://" + str(tmp_path / "tbl")
+    return request.param + "://" + str(tmp_path / "tbl")
 
 
 def _seg(root: str, iv: str, version: str, with_data: bool = True,
@@ -297,3 +300,127 @@ def test_multiwriter_publish_stamp_clamps_to_existing_max(root):
 
     other = _parse_as_of(publish_stamp())
     assert other < datetime.now(timezone.utc) + timedelta(minutes=1)
+
+
+# ---------------------------------------------------------------------
+# conditional-write backends (VERDICT r10 stretch item): objectcas://
+# simulates S3's public conditional writes (If-None-Match PUT since
+# 2024, ETag If-Match DELETE since late 2024) — both lease acquisition
+# AND expired-steal become true mutexes, closing the put-visibility
+# residual of the settle protocol
+# ---------------------------------------------------------------------
+
+
+def _cas_fs(tmp_path):
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    root = "objectcas://" + str(tmp_path / "cas")
+    return root, get_fs(root)
+
+
+def test_objectcas_put_if_absent_exactly_one_winner(tmp_path):
+    import threading
+
+    root, fs = _cas_fs(tmp_path)
+    assert fs.supports_put_if_absent and fs.supports_conditional_delete
+    path = fs.join(root, "obj.json")
+    fs.mkdirs(fs.parent(path))
+    wins = []
+    barrier = threading.Barrier(8)
+
+    def go(i):
+        barrier.wait()
+        if fs.put_text_if_absent(path, f"writer-{i}"):
+            wins.append(i)
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1
+    assert fs.read_text(path) == f"writer-{wins[0]}"
+
+
+def test_objectcas_conditional_delete_semantics(tmp_path):
+    root, fs = _cas_fs(tmp_path)
+    path = fs.join(root, "obj.json")
+    fs.put_text(path, "v1")
+    # mismatch: refused, object intact
+    assert fs.delete_file_if_unchanged(path, "v0") is False
+    assert fs.read_text(path) == "v1"
+    # match: deleted
+    assert fs.delete_file_if_unchanged(path, "v1") is True
+    assert not fs.exists(path)
+    # missing: refused
+    assert fs.delete_file_if_unchanged(path, "v1") is False
+
+
+def test_cas_steal_loser_cannot_yank_winners_lease(tmp_path):
+    """The failure the settle protocol cannot rule out: a slow stealer
+    unconditionally deleting the WINNER's fresh lease. With If-Match
+    delete the loser's delete is refused and the winner's lease
+    survives."""
+    import json as _json
+
+    from druid_hadoop_utils_spark.sources.lease import (
+        _lease_obj,
+        _lease_path,
+        maintenance_lease,
+    )
+
+    root, fs = _cas_fs(tmp_path)
+    path = _lease_path(fs, root, "ds")
+    fs.mkdirs(fs.parent(path))
+    expired_raw = _json.dumps(_lease_obj("dead-owner", "vacuum", -10.0),
+                              indent=2)
+    fs.put_text(path, expired_raw)
+
+    with maintenance_lease(root, "ds", "restore_to"):
+        # a slow concurrent stealer still holding the OLD expired bytes:
+        # its conditional delete must be refused
+        assert fs.delete_file_if_unchanged(path, expired_raw) is False
+        live = read_lease(root, "ds")
+        assert live is not None and live["op"] == "restore_to"
+
+
+def test_cas_steal_race_exactly_one_winner(tmp_path):
+    import json as _json
+    import threading
+
+    from druid_hadoop_utils_spark.sources.lease import (
+        _lease_obj,
+        _lease_path,
+        maintenance_lease,
+    )
+
+    root, fs = _cas_fs(tmp_path)
+    path = _lease_path(fs, root, "ds")
+    fs.mkdirs(fs.parent(path))
+    fs.put_text(path, _json.dumps(
+        _lease_obj("dead-owner", "vacuum", -10.0), indent=2))
+
+    barrier = threading.Barrier(6)
+    outcomes = []
+    lock = threading.Lock()
+
+    def go(i):
+        barrier.wait()
+        try:
+            with maintenance_lease(root, "ds", f"steal-{i}",
+                                   settle_s=0.0) as h:
+                with lock:
+                    outcomes.append(("won", i))
+                time.sleep(0.2)  # hold long enough that losers see US
+                h.renew()
+        except MaintenanceLockHeld:
+            with lock:
+                outcomes.append(("held", i))
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sum(1 for s, _i in outcomes if s == "won") == 1, outcomes
+    assert read_lease(root, "ds") is None  # winner released cleanly
