@@ -147,15 +147,18 @@ def minhash_table(
     exploded = shingled.select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("__s")
     )
+    # expr-string construction: 64 Column-API min(xxhash64(...)) aggs
+    # cost ~0.4 s of py4j round-trips per query (round 11); the int
+    # literal seed column matches F.lit's IntegerType, so the hashes
+    # (and the plan) are identical
     mins = [
-        F.min(F.xxhash64("__s", F.lit(seed + i))).alias(f"__m{i}")
+        F.expr(f"min(xxhash64(__s, {seed + i})) AS __m{i}")
         for i in range(num_hashes)
     ]
     agged = exploded.groupBy(id_col).agg(*mins)
-    return agged.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    safe_id = "`" + id_col.replace("`", "``") + "`"
+    arr = ", ".join(f"__m{i}" for i in range(num_hashes))
+    return agged.selectExpr(safe_id, f"array({arr}) AS signature")
 
 
 def lsh_candidate_pairs(
@@ -451,15 +454,19 @@ def simhash_table(
         F.monotonically_increasing_id().alias("__rid"),
         F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
     )
+    # The per-bit expressions below are built as SQL strings (F.expr):
+    # the Column-API construction of the same plan — 64 bit-sums + the
+    # 64-term signature chain — cost ~1.3 s of py4j round-trips per
+    # query, more than the query's execution at sf0.1 (round 11, the
+    # kll_quantiles finding). The JVM plan is identical.
     if hash_mode == "md5_60":
         toks = toks.withColumn("__h", md5_60(F.col("__tok")))
         bit_sums = [
-            F.sum(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)))
-            .alias(f"__b{b}")
+            F.expr(f"sum(shiftrightunsigned(__h, {b}) & 1) AS __b{b}")
             for b in range(bits)
         ]
         counts = toks.groupBy("__id").agg(
-            F.count("*").alias("__n"), *bit_sums)
+            F.expr("count(*) AS __n"), *bit_sums)
     else:
         toks = toks.withColumn("__h", F.xxhash64("__tok", F.lit(seed)))
         lanes = 0x0101010101010101
@@ -467,26 +474,30 @@ def simhash_table(
         # block key includes __rid so a block can NEVER exceed 127 tokens
         # even when one id spans many input rows
         stripe_sums = [
-            F.sum(F.shiftrightunsigned(F.col("__h"), i)
-                  .bitwiseAND(F.lit(lanes))).alias(f"__s{i}")
+            F.expr(f"sum(shiftrightunsigned(__h, {i}) & {lanes}L) AS __s{i}")
             for i in range(8)
         ]
         blocks = toks.groupBy("__id", "__rid", "__blk").agg(
-            F.count("*").alias("__bc"), *stripe_sums)
+            F.expr("count(*) AS __bc"), *stripe_sums)
         bit_sums = []
         for b in range(bits):
             stripe, lane = b % 8, b // 8
-            bit_sums.append(
-                F.sum(F.shiftrightunsigned(F.col(f"__s{stripe}"), 8 * lane)
-                      .bitwiseAND(F.lit(0xFF))).alias(f"__b{b}")
-            )
+            bit_sums.append(F.expr(
+                f"sum(shiftrightunsigned(__s{stripe}, {8 * lane}) & 255) "
+                f"AS __b{b}"))
         counts = blocks.groupBy("__id").agg(
-            F.sum("__bc").alias("__n"), *bit_sums)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        sig = sig + F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(mask)).otherwise(F.lit(0))
-    return counts.select(F.col("__id").alias(id_col), sig.alias("sig"))
+            F.expr("sum(__bc) AS __n"), *bit_sums)
+    # one expression for the whole signature; bit 63 is the sign bit —
+    # its long literal is spelled (-MAX-1) because "-9223372036854775808L"
+    # would parse as unary minus over an out-of-range literal
+    terms = " + ".join(
+        f"(CASE WHEN __b{b} * 2 > __n THEN "
+        + (f"{1 << b}L" if b < 63 else "(-9223372036854775807L - 1L)")
+        + " ELSE 0L END)"
+        for b in range(bits)
+    )
+    safe_id = "`" + id_col.replace("`", "``") + "`"
+    return counts.selectExpr(f"__id AS {safe_id}", f"({terms}) AS sig")
 
 
 def simhash_candidate_pairs(
