@@ -486,10 +486,14 @@ class ArrowMetaFS(MetaFS):
     @classmethod
     def from_filesystem(cls, backend, scheme: str, netloc: str,
                         netloc_in_path: bool = True,
-                        atomic_dir_rename: bool = False) -> "ArrowMetaFS":
+                        atomic_dir_rename: bool = False,
+                        boto_opts: dict | None = None) -> "ArrowMetaFS":
         """Wrap an ALREADY-CONSTRUCTED pyarrow filesystem (explicit
         credentials, custom endpoint) instead of ``from_uri``'s
-        env-resolved one. Used by :func:`configure_object_store`."""
+        env-resolved one. Used by :func:`configure_object_store`.
+        ``boto_opts`` (s3 only) are passed to the boto3 client backing
+        the conditional-write calls; None disables them (the lease
+        falls back to put-settle-verify)."""
         self = cls.__new__(cls)
         self._fs = backend
         self._base = ""
@@ -497,6 +501,9 @@ class ArrowMetaFS(MetaFS):
         self._netloc = netloc
         self._netloc_in_path = netloc_in_path
         self.atomic_dir_rename = atomic_dir_rename
+        if scheme == "s3" and boto_opts is not None:
+            self._boto_opts = boto_opts
+            self._init_conditional_flags()
         return self
 
     def __init__(self, uri: str):
@@ -518,6 +525,95 @@ class ArrowMetaFS(MetaFS):
             parsed.netloc and self._base.split("/", 1)[0] == parsed.netloc
         )
         self.atomic_dir_rename = self._scheme in ("hdfs", "viewfs")
+        self._init_conditional_flags()
+
+    # --- conditional writes (s3) ---------------------------------------
+    # S3 accepts `If-None-Match: *` on PUT (create-if-absent, public
+    # since 2024) and ETag `If-Match` on DELETE (late 2024) — exactly
+    # the two primitives that upgrade the lease protocol to a true
+    # mutex (sources/lease.py). pyarrow.fs exposes no conditional
+    # headers, so these calls route through a boto3 client sharing the
+    # standard credential chain (or configure_object_store's explicit
+    # options). Without boto3 the flags stay False and the lease falls
+    # back to put-settle-verify. If-Match is keyed by the content MD5 —
+    # the ETag of any single-part, non-KMS PUT (lease objects are tiny
+    # single PUTs); on SSE-KMS buckets the ETag differs, the compare
+    # fails, and the steal REFUSES — a safe failure, never a double
+    # acquisition.
+
+    _boto_opts: dict = {}
+    _conditional = None  # memoized boto3 client; False = unavailable
+
+    def _init_conditional_flags(self) -> None:
+        if self._scheme == "s3":
+            import importlib.util
+
+            has = importlib.util.find_spec("boto3") is not None
+            self.supports_put_if_absent = has
+            self.supports_conditional_delete = has
+
+    def _s3_client(self):
+        if self._conditional is None:
+            try:
+                import boto3
+
+                self._conditional = boto3.client("s3", **self._boto_opts)
+            except Exception:
+                self._conditional = False
+        return self._conditional or None
+
+    def _bucket_key(self, path: str) -> tuple[str, str]:
+        p = self._p(path).lstrip("/")
+        bucket, _, key = p.partition("/")
+        return bucket, key
+
+    @staticmethod
+    def _error_code(e: Exception) -> str:
+        return getattr(e, "response", {}).get("Error", {}).get("Code", "")
+
+    def put_text_if_absent(self, path: str, text: str) -> bool:
+        client = self._s3_client() if self._scheme == "s3" else None
+        if client is None:
+            raise NotImplementedError(
+                f"{self._scheme} has no atomic create-if-absent here "
+                "(boto3 unavailable)")
+        bucket, key = self._bucket_key(path)
+        try:
+            client.put_object(Bucket=bucket, Key=key,
+                              Body=text.encode("utf-8"), IfNoneMatch="*")
+            return True
+        except Exception as e:
+            # 412 = the object exists; 409 = a concurrent conditional
+            # writer is mid-flight — in both cases this caller LOST
+            if self._error_code(e) in ("PreconditionFailed",
+                                       "ConditionalRequestConflict"):
+                return False
+            raise
+
+    def delete_file_if_unchanged(self, path: str,
+                                 expected_text: str) -> bool:
+        import hashlib
+
+        client = self._s3_client() if self._scheme == "s3" else None
+        if client is None:
+            raise NotImplementedError(
+                f"{self._scheme} has no atomic compare-and-delete here "
+                "(boto3 unavailable)")
+        bucket, key = self._bucket_key(path)
+        etag = '"' + hashlib.md5(expected_text.encode("utf-8")).hexdigest() + '"'
+        try:
+            client.delete_object(Bucket=bucket, Key=key, IfMatch=etag)
+            return True
+        except Exception as e:
+            # PreconditionFailed = content changed; 404/NoSuchKey = the
+            # object is already gone; Conflict = a concurrent
+            # conditional writer — all mean this caller must NOT
+            # proceed as the deleter
+            if self._error_code(e) in ("PreconditionFailed",
+                                       "ConditionalRequestConflict",
+                                       "NoSuchKey", "404"):
+                return False
+            raise
 
     def _p(self, path: str) -> str:
         if "://" not in path:
@@ -885,9 +981,25 @@ def configure_object_store(
             f"configure_object_store supports s3:// and gs:// roots, got "
             f"{scheme!r} — hdfs/abfs resolve via from_uri + cluster config"
         )
+    boto_opts: dict | None = None
+    if scheme == "s3" and not anonymous:
+        # mirror the explicit options into the boto3 client backing the
+        # conditional-write lease calls (anonymous access can't sign
+        # conditional requests — the lease then falls back to
+        # put-settle-verify)
+        boto_opts = {}
+        if access_key:
+            boto_opts.update(aws_access_key_id=access_key,
+                             aws_secret_access_key=secret_key or "")
+        if session_token:
+            boto_opts["aws_session_token"] = session_token
+        if endpoint:
+            boto_opts["endpoint_url"] = endpoint
+        if region:
+            boto_opts["region_name"] = region
     _CACHE[f"{scheme}://{bucket}"] = ArrowMetaFS.from_filesystem(
         backend, scheme, bucket, netloc_in_path=True,
-        atomic_dir_rename=False,
+        atomic_dir_rename=False, boto_opts=boto_opts,
     )
 
     conf: dict[str, str] = {}
