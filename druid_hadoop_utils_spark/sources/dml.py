@@ -136,7 +136,7 @@ def _commit_announced(
 
     registering = False
     try:
-        with commit_lease(table_root, data_source, op):
+        with commit_lease(table_root, data_source, op) as cl:
             try:
                 fresh = list_manifests(table_root, data_source)
             except FileNotFoundError:
@@ -164,7 +164,12 @@ def _commit_announced(
             for m in announced:
                 groups.setdefault((m.interval.iso(), m.version), []).append(m)
             registering = True
-            for _k in sorted(groups):
+            for i, _k in enumerate(sorted(groups)):
+                # re-arm the short commit TTL across a wide merge's
+                # many bucket announcements (same rationale as
+                # publish_segments' leased loop)
+                if i % 50 == 49:
+                    cl.renew()
                 group = groups[_k]
                 if len(group) == 1:
                     register_manifest(table_root, group[0])

@@ -362,8 +362,14 @@ def publish_segments(
     if register and to_register:
         from druid_hadoop_utils_spark.sources.lease import commit_lease
 
-        with commit_lease(table_root, data_source, "publish_segments"):
-            for group in to_register:
+        with commit_lease(table_root, data_source, "publish_segments") as cl:
+            for i, group in enumerate(to_register):
+                # a 10k-bucket publish on an object store writes 10k
+                # manifest PUTs — re-arm the short commit TTL as we go
+                # so the lease can't expire (and be stolen) mid-loop;
+                # renew() raises loudly if it somehow was
+                if i % 50 == 49:
+                    cl.renew()
                 if sharded:
                     register_manifest_group(table_root, group)
                 else:
