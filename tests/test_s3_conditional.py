@@ -121,3 +121,38 @@ def test_gcs_and_missing_boto_refuse_loudly():
     assert not gs.supports_put_if_absent
     with pytest.raises(NotImplementedError):
         gs.put_text_if_absent("gs://bkt/x", "t")
+
+
+def test_real_boto3_model_via_stubber():
+    """The fake client can't catch a parameter boto3's real S3 model
+    would reject — drive both conditional calls through a stubbed REAL
+    client (botocore validates request shape), including the error
+    mapping from genuine ClientError objects."""
+    boto3 = pytest.importorskip("boto3")
+    from botocore.stub import Stubber
+
+    client = boto3.client("s3", region_name="us-east-1",
+                          aws_access_key_id="x", aws_secret_access_key="y")
+    fs = ArrowMetaFS.from_filesystem(
+        backend=None, scheme="s3", netloc="bkt", netloc_in_path=True,
+        boto_opts={})
+    fs._conditional = client
+    stub = Stubber(client)
+    etag = '"' + hashlib.md5(b"lease-v1").hexdigest() + '"'
+    stub.add_response("put_object", {}, {
+        "Bucket": "bkt", "Key": "t/_segments/_commit.json",
+        "Body": b"lease-v1", "IfNoneMatch": "*"})
+    stub.add_client_error("put_object", service_error_code="PreconditionFailed",
+                          http_status_code=412)
+    stub.add_response("delete_object", {}, {
+        "Bucket": "bkt", "Key": "t/_segments/_commit.json",
+        "IfMatch": etag})
+    stub.add_client_error("delete_object", service_error_code="NoSuchKey",
+                          http_status_code=404)
+    with stub:
+        p = "s3://bkt/t/_segments/_commit.json"
+        assert fs.put_text_if_absent(p, "lease-v1") is True
+        assert fs.put_text_if_absent(p, "lease-v2") is False   # real 412
+        assert fs.delete_file_if_unchanged(p, "lease-v1") is True
+        assert fs.delete_file_if_unchanged(p, "lease-v1") is False  # 404
+    stub.assert_no_pending_responses()
