@@ -123,3 +123,39 @@ def test_vacuum_reads_each_manifest_once(delayroot):
     # 20 manifest reads (the listing) + lease/horizon/tag metadata —
     # crucially NOT 40+ (the old re-read doubled it)
     assert fs.op_counts["read_text"] <= 25, fs.op_counts
+
+
+def test_publish_metadata_cost_is_one_listing_plus_n_puts(delayroot, spark):
+    """The publish path's object-store metadata contract, COUNTED
+    (round 11): for N buckets on an empty table, publish_segments costs
+    exactly N manifest PUTs + one commit-lease acquisition (1 PUT +
+    ≤3 GETs + 1 DELETE), N promote copies, and ONE staging listing —
+    never a per-bucket listing, and the round-11 leased registration
+    added only the constant lease handshake. At 10k manifests the
+    pre-existing-table listing is 1 GET after compact_manifests
+    (test_planning_is_one_get_after_manifest_compaction)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    fs = get_fs(delayroot)
+    fs.delay_s = 0.0  # count requests; don't sleep through the publish
+    base = datetime(2024, 1, 1)
+    rows = [Row(ts=base + timedelta(days=d), k="k", v=float(d))
+            for d in range(20)]
+    df = spark.createDataFrame(rows)
+    fs.reset_counts()
+    ms = publish_segments(df, delayroot, "t", version="v1",
+                          time_column="ts", bucket="DAY")
+    n = len(ms)
+    assert n == 20
+    c = fs.op_counts
+    assert c["put_text"] == n + 1          # n manifests + 1 lease PUT
+    assert c["copy_tree"] == n             # no-rename promote, 1/bucket
+    assert c.get("ls", 0) <= 2             # staging walk + manifest dir
+    assert c.get("read_text", 0) <= 3      # lease protocol reads only
+    assert c.get("isdir", 0) <= n + 2      # promote dest checks + probes
+    assert c.get("delete_file", 0) == 1    # lease release
+    assert c.get("delete_dir", 0) == 1     # staging cleanup
