@@ -1199,7 +1199,8 @@ def q_bpe_encode(spark, sf_dir):
                             t -> t <> ''), ' ') AS restored,
               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                               t -> t <> ''))::BIGINT AS n_words
-       FROM documents""",
+       FROM documents
+       WHERE text NOT LIKE '%</w>%'""",
 )
 def q_bpe_roundtrip(spark, sf_dir):
     # the HASH-CHECKED slice of the BPE surface (VERDICT r10 item 6):
@@ -1212,10 +1213,16 @@ def q_bpe_roundtrip(spark, sf_dir):
     # batched encoder — through a value-level DuckDB comparison; the
     # learned segmentation itself (not SQL-expressible) stays pinned by
     # tests/test_bpe.py's clean-room references and q_bpe_encode's
-    # rows-only checksum.
+    # rows-only checksum. Docs whose text literally contains the </w>
+    # marker are excluded on BOTH sides (identical predicate): for them
+    # marker-count == word-count doesn't hold by construction, so they
+    # would be a data-dependent false failure of the CHECK, not a code
+    # bug (the synthetic corpus contains none; the filter makes the
+    # entry corpus-proof).
     from druid_hadoop_utils_spark.operators.bpe import bpe_encode, train_bpe
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(~F.col("text").contains("</w>")))
     merges = _BPE_MERGES_CACHE.get(sf_dir)
     if merges is None:
         merges = train_bpe(docs, vocab_size=300, min_count=2)

@@ -187,10 +187,13 @@ def vacuum_result_cache(
     garbage_dirs: list[str] = []   # writer garbage → bulk delete
 
     def _stale(path: str) -> bool:
-        try:
-            return time.time() - fs.mtime(path) >= tmp_min_age_s
-        except OSError:
-            return False
+        # prefix_age_s (fs.py) handles object-store virtual dirs whose
+        # mtime reads 0.0 by falling back to the newest file mtime;
+        # None (no trustworthy age) = not stale — never yank a writer
+        from druid_hadoop_utils_spark.sources.fs import prefix_age_s
+
+        age = prefix_age_s(fs, path)
+        return age is not None and age >= tmp_min_age_s
 
     for key in fs.ls(root):
         kdir = fs.join(root, key)

@@ -65,6 +65,69 @@ import uuid
 PTR_SUFFIX = ".ptr.json"
 
 
+def prefix_age_s(fs, path: str, now: float | None = None) -> float | None:
+    """Age in seconds of the newest write under ``path``, or ``None``
+    when no trustworthy age exists — the SAFE input to every
+    reclamation age gate.
+
+    Object-store prefixes are VIRTUAL directories: pyarrow reports no
+    mtime for them (``ArrowMetaFS.mtime`` surfaces 0.0), so an age gate
+    that trusts the dir mtime alone sees every in-flight writer's
+    staged tree as infinitely old and vacuums data a later commit then
+    registers — silent data loss on real S3/GCS, masked by the local
+    test backends whose directories carry real mtimes. The rule here:
+    a positive dir mtime is authoritative; otherwise age comes from the
+    NEWEST file under the prefix (objects always carry a real mtime on
+    every backend); an unlistable or empty prefix yields ``None`` —
+    callers must treat ``None`` as NOT old enough, because refusing to
+    reclaim is always safe and a later pass retries."""
+    if now is None:
+        now = time.time()
+    try:
+        dir_mtime = fs.mtime(path)
+    except (FileNotFoundError, OSError):
+        return None
+    if dir_mtime > 0:
+        return now - dir_mtime
+    try:
+        files = fs.list_files(path, recursive=True)
+    except (FileNotFoundError, OSError):
+        return None
+    newest = 0.0
+    for fpath, _size in files:
+        try:
+            newest = max(newest, fs.mtime(fpath))
+        except (FileNotFoundError, OSError):
+            continue
+    if newest <= 0:
+        return None
+    return now - newest
+
+
+def _local_put_if_absent(local_path: str, text: str) -> bool:
+    """Atomic CONTENT-CARRYING create-if-absent for local-disk-backed
+    stores: write the full body to a private temp file, then
+    ``os.link(tmp, path)`` — hardlink creation is kernel-arbitrated
+    create-if-absent, and the new name carries the complete content the
+    instant it exists. A plain O_EXCL-create-then-write leaves a window
+    where a reader sees an EMPTY newborn file; the lease steal protocol
+    (sources/lease.py) could misread that as a dead lease and
+    compare-and-delete the winner's fresh acquisition — two concurrent
+    holders on the path that promises a true mutex. The link protocol
+    removes the window entirely, matching real S3 where a conditional
+    PUT is atomic with its body."""
+    tmp = f"{local_path}.__ifabsent-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    try:
+        os.link(tmp, local_path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 def _local_delete_if_unchanged(local_path: str, expected_text: str) -> bool:
     """Atomic compare-and-delete for local-disk-backed stores: a sidecar
     O_EXCL lock makes the read-compare-remove one cross-process critical
@@ -79,11 +142,17 @@ def _local_delete_if_unchanged(local_path: str, expected_text: str) -> bool:
         except FileExistsError:
             if time.time() > deadline:
                 # a crashed locker's leftover: clear and retry (the
-                # window is microseconds; 5 s is decisively stale)
+                # window is microseconds; 5 s is decisively stale).
+                # RESET the deadline after breaking ONE stale lock —
+                # without the reset, every later FileExistsError would
+                # also remove the (now live) lock a concurrent racer
+                # just acquired, letting two racers into the critical
+                # section at once.
                 try:
                     os.remove(lock)
                 except FileNotFoundError:
                     pass
+                deadline = time.time() + 5.0
             time.sleep(0.005)
     try:
         os.close(fd)
@@ -94,7 +163,12 @@ def _local_delete_if_unchanged(local_path: str, expected_text: str) -> bool:
             return False
         if cur != expected_text:
             return False
-        os.remove(local_path)
+        try:
+            os.remove(local_path)
+        except FileNotFoundError:
+            # a racer that broke our lock as stale deleted it between
+            # our compare and remove: the delete did not happen HERE
+            return False
         return True
     finally:
         try:
@@ -313,16 +387,8 @@ class LocalMetaFS(MetaFS):
     supports_put_if_absent = True
 
     def put_text_if_absent(self, path: str, text: str) -> bool:
-        # O_EXCL: the kernel arbitrates — exactly one concurrent creator
-        # wins, which makes the maintenance lease a true mutex locally
         self.mkdirs(os.path.dirname(path))
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(text)
-        return True
+        return _local_put_if_absent(path, text)
 
     supports_conditional_delete = True
 
@@ -452,13 +518,7 @@ class ObjectStoreCasFS(ObjectStoreSimFS):
     def put_text_if_absent(self, path: str, text: str) -> bool:
         local = self._local(path)
         os.makedirs(os.path.dirname(local), exist_ok=True)
-        try:
-            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(text)
-        return True
+        return _local_put_if_absent(local, text)
 
     def delete_file_if_unchanged(self, path: str,
                                  expected_text: str) -> bool:

@@ -362,18 +362,26 @@ def publish_segments(
     if register and to_register:
         from druid_hadoop_utils_spark.sources.lease import commit_lease
 
-        with commit_lease(table_root, data_source, "publish_segments") as cl:
-            for i, group in enumerate(to_register):
-                # a 10k-bucket publish on an object store writes 10k
-                # manifest PUTs — re-arm the short commit TTL as we go
-                # so the lease can't expire (and be stolen) mid-loop;
-                # renew() raises loudly if it somehow was
-                if i % 50 == 49:
-                    cl.renew()
-                if sharded:
-                    register_manifest_group(table_root, group)
-                else:
-                    register_manifest(table_root, group[0])
+        # Correctness needs each REGISTRATION serialized with a DML
+        # commit's check+register window (the DML holds this lease for
+        # that window), NOT the whole publish under one continuous
+        # hold: a 10k-bucket publish on a high-latency object store
+        # would otherwise hold the ms-shaped lease for minutes and
+        # starve every contending commit past its 30 s wait. So the
+        # lease is taken per BOUNDED CHUNK of registrations and
+        # released between chunks — concurrent DML commits interleave
+        # in the gaps (their fingerprint re-validation then sees any
+        # buckets this publish already announced, exactly as if the
+        # publish had finished first), while no single registration
+        # can ever land inside a DML's leased window.
+        chunk = 50
+        for lo in range(0, len(to_register), chunk):
+            with commit_lease(table_root, data_source, "publish_segments"):
+                for group in to_register[lo:lo + chunk]:
+                    if sharded:
+                        register_manifest_group(table_root, group)
+                    else:
+                        register_manifest(table_root, group[0])
     fs.delete_dir(staging)  # rename backends: only _SUCCESS remains
     return manifests
 

@@ -190,7 +190,23 @@ def _try_acquire(fs, path: str, data_source: str, op: str,
                 live = float(json.loads(raw).get(
                     "expiresEpoch", 0)) > time.time()
             except ValueError:
-                live = False  # torn/corrupt object: _read vetted freshness
+                # unparsable body: either a writer mid-PUT on a backend
+                # whose conditional create is not content-atomic, or a
+                # genuinely corrupt leftover. Apply _read's freshness
+                # rule HERE too — a FRESH unreadable lease is treated as
+                # held (never compare-and-delete a possibly-live
+                # writer's newborn lease); only a stale one is stealable
+                try:
+                    fresh = time.time() - fs.mtime(path) < 5.0
+                except (FileNotFoundError, OSError):
+                    fresh = False
+                if fresh:
+                    raise MaintenanceLockHeld(
+                        f"{data_source}: lease object is fresh but "
+                        f"unreadable while stealing for {op!r} — "
+                        "treating as held; retry shortly"
+                    )
+                live = False
             if live:
                 raise MaintenanceLockHeld(
                     f"{data_source}: lease was re-acquired while stealing "

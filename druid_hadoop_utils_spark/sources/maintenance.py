@@ -490,6 +490,8 @@ def _reclaim_staged_orphans(
     objectsim path-scheme lesson)."""
     import time as _time
 
+    from druid_hadoop_utils_spark.sources.fs import prefix_age_s
+
     ds_root = fs.join(table_root, data_source)
     # spark_url is idempotent, so normalizing the (already-spark-URL)
     # manifest paths through it too keeps both sides in one namespace
@@ -498,10 +500,13 @@ def _reclaim_staged_orphans(
     now = _time.time()
 
     def _old_enough(path: str) -> bool:
-        try:
-            return now - fs.mtime(path) >= min_age_s
-        except (FileNotFoundError, OSError):
-            return False
+        # prefix_age_s handles virtual-dir prefixes (object stores
+        # report no mtime for them) by falling back to the newest FILE
+        # mtime; None = no trustworthy age = never old enough, because
+        # refusing to reclaim an in-flight writer's staged tree is the
+        # only safe answer (fs.py:prefix_age_s has the full rationale)
+        age = prefix_age_s(fs, path, now=now)
+        return age is not None and age >= min_age_s
 
     try:
         entries = fs.ls(ds_root)

@@ -340,11 +340,13 @@ def vacuum_materialized(
         # below is SAME-HOST only — on shared storage a live
         # materializer on another host would look dead (and pid reuse
         # would look alive) — so age is the load-bearing condition.
-        try:
-            age = time.time() - fs.mtime(fs.join(mdir, entry))
-        except OSError:
-            age = 0.0
-        return age >= tmp_min_age_s
+        # prefix_age_s (fs.py) handles object-store virtual dirs whose
+        # mtime reads 0.0 by falling back to the newest file mtime;
+        # None (no trustworthy age) = not stale — never yank a writer
+        from druid_hadoop_utils_spark.sources.fs import prefix_age_s
+
+        age = prefix_age_s(fs, fs.join(mdir, entry))
+        return age is not None and age >= tmp_min_age_s
 
     # the committed states (rename backends: `<ident>.parquet` dirs;
     # pointer backends: `<ident>.parquet` pointer files), keyed by stem
