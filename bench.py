@@ -60,10 +60,16 @@ HEADLINE = [
     "q_rank_quantiles",
     "q_interval_overlap_join",
     "q_weighted_sample",
-    # production-k KLL (compaction active, bounded states) — the oracle
-    # config q_kll_quantiles (k=8192 exact regime, states carry every
-    # value) is correctness-only, mirroring the ANN `_prod` split
+    # the quantile pair (r12 re-scope, VERDICT r11 item 1):
+    # q_kll_quantiles_prod is the stateless grouped-quantile QUERY —
+    # quantile_query dispatches it to the JVM-native percentile_approx
+    # (no Arrow crossing; functions/kll.py has the rationale) — while
+    # q_kll_state_reagg benches the STATE-PRODUCING sketch workload at
+    # production k=256 (build per-day states → merge → evaluate from
+    # states). The oracle config q_kll_quantiles (k=8192 exact regime)
+    # is correctness-only, mirroring the ANN `_prod` split
     "q_kll_quantiles_prod",
+    "q_kll_state_reagg",
     "q_similarity_pq_topk_prod",
     "q_mix_sources",
     "q_pack_documents",

@@ -4619,23 +4619,51 @@ def q_kll_quantiles(spark, sf_dir):
 
 @register("q_kll_quantiles_prod", None)
 def q_kll_quantiles_prod(spark, sf_dir):
-    # PRODUCTION KLL config (k=256): compaction active, states bounded at
-    # O(k·log) regardless of group size — the regime the sketch exists
-    # for. Results are approximate (relative quantile error ≤1.4%
-    # measured at sf0.1, floor pinned in test_kll), so no SQL oracle —
-    # rows-only driver check, same split as the `_prod` ANN entries: the
-    # oracle config q_kll_quantiles (k=8192, exact regime) stays
-    # hash-green for correctness while THIS entry is what the bench
-    # measures (benching the exact-regime config measures the sketch's
-    # degenerate worst case: states carrying every value).
-    from druid_hadoop_utils_spark.functions.kll import (
-        kll_partials,
-        kll_quantiles,
-    )
+    # PRODUCTION grouped-quantile QUERY: the engine's quantile_query
+    # API, which dispatches a stateless one-shot query to the JVM-native
+    # percentile_approx sketch (whole-stage codegen, map-side partials,
+    # no Python/Arrow crossing) — the Spark-first rule: the KLL path
+    # earns its Arrow crossing ONLY when its mergeable state is KEPT for
+    # segment-level re-aggregation (kll_state_grouped → store →
+    # merge_kll_states/kll_quantiles), a workload percentile_approx
+    # cannot serve because Spark does not expose its summary as a
+    # storable value (rationale + crossing-floor measurements in
+    # functions/kll.py:quantile_query and BASELINE.md r6/r12). Results
+    # approximate (rank error ≤ 1/accuracy) → rows-only driver check;
+    # the KLL sketch itself stays value-verified by the hash-green
+    # q_kll_quantiles (exact regime), test_kll's prod-k accuracy floor,
+    # and tools/kll_scale_pair.py's 10×/30× scale certifications.
+    from druid_hadoop_utils_spark.functions.kll import quantile_query
 
     ev = _t(spark, sf_dir, "events")
-    states = kll_partials(ev, "value", ["event_type"], k=256)
-    return kll_quantiles(states, ["event_type"], [0.25, 0.5, 0.95])
+    return quantile_query(ev, "value", ["event_type"], [0.25, 0.5, 0.95])
+
+
+@register("q_kll_state_reagg", None)
+def q_kll_state_reagg(spark, sf_dir):
+    # The STATE-PRODUCING KLL workload the sketch exists for, benched
+    # end-to-end at production k=256: build one bounded mergeable state
+    # per (event_type × day) — the per-segment pre-aggregation shape —
+    # then re-aggregate the daily states per event_type and evaluate
+    # quantiles FROM STATES. At 100 TB the build runs once per segment
+    # at ingest; query time touches only the small states (thousands of
+    # structs, never raw rows). No plain-PySpark twin exists:
+    # percentile_approx cannot emit a storable intermediate, so the
+    # plain user rescans raw on every query — the delta kll_scale_pair
+    # measures at 10×/30× (BASELINE.md). Approximate (compaction
+    # active) → rows-only driver check; accuracy floor pinned in
+    # test_kll, exactness-when-k≥n hash-verified by q_kll_quantiles.
+    from druid_hadoop_utils_spark.functions.kll import (
+        kll_quantiles,
+        kll_state_grouped,
+        merge_kll_states,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts"))
+    daily = kll_state_grouped(ev, "value", ["event_type", "__day"], k=256)
+    merged = merge_kll_states(daily.drop("__day"), ["event_type"])
+    return kll_quantiles(merged, ["event_type"], [0.25, 0.5, 0.95])
 
 
 # =====================================================================
@@ -5060,43 +5088,41 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # round-11 rotation (VERDICT r10 item 3): recomputed from
-    # CORRECTNESS_r01..r10 — newest-checked distribution r10:50 r07:50
-    # r06:49 r05:6 ("checked" = hash-green, or rows-only with err ==
-    # 'no_oracle' and rows >= 0). Front the six r05-stale entries (the
-    # rows-only `_prod` trio + media pair + q_kll_quantiles_prod, five
-    # rounds stale), then the full 49-entry r06 batch; the ~50-query
-    # driver cap truncates the alphabetical tail of the r06 set, which
-    # fronts next round. Everything r07/r10-green cycles to the back.
+    # round-12 rotation (VERDICT r11 item 3): recomputed from
+    # CORRECTNESS_r01..r11 — newest-checked distribution r11:50 r10:50
+    # r07:50 r06:6 ("checked" = hash-green, or rows-only with err ==
+    # 'no_oracle' and rows >= 0). Front: NEW/CHANGED this round (the
+    # never-checked q_kll_state_reagg, plus q_kll_quantiles_prod and
+    # q_bpe_roundtrip whose implementations changed in r12 — their r11
+    # evidence predates the change), then the 6-entry r06 alphabetical
+    # tail the r11 cap truncated, then the r07 batch; the ~50-query cap
+    # truncates the r07 alphabetical tail, which fronts next round.
+    # After r12 nothing should be staler than r07.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
-    # NEW in r11 (never driver-checked) — first:
-    "q_bpe_roundtrip",
-    # the 6 queries whose newest driver-checked row is r05:
-    "q_kll_quantiles_prod", "q_media_features", "q_media_resize",
-    "q_similarity_ivf_topk_prod", "q_similarity_lsh_topk_prod",
-    "q_similarity_pq_topk_prod",
-    # the 49 queries whose newest driver-checked row is r06:
-    "q_api_datasource_metadata", "q_api_groupby",
-    "q_api_groupby_having_limit", "q_api_materialized_require",
-    "q_api_timeseries", "q_api_topn", "q_api_topn_lexicographic",
-    "q_asof_join", "q_cached_query", "q_contamination_check",
-    "q_corpus_shuffle", "q_dedup_minhash_lsh_prod",
-    "q_druid_native_query", "q_extraction_cascade_format",
-    "q_filter_and_or_not", "q_filter_extraction_time_format",
-    "q_filter_regex", "q_filter_registered_lookup", "q_filter_search",
-    "q_granularity_hour_rollup", "q_groupby_extraction_partial",
-    "q_heavy_hitters", "q_interval_overlap_join", "q_kll_quantiles",
-    "q_media_segment_roundtrip", "q_multi_interval",
-    "q_multimodal_features", "q_nested_groupby", "q_quantile_sketch",
-    "q_range_join", "q_rank_quantiles", "q_rank_quantiles_cont",
-    "q_scan_interval_project", "q_segment_table_load", "q_sessionize",
-    "q_similarity_ivf_topk", "q_similarity_pq_topk",
-    "q_text_normalize_repetition", "q_text_redact", "q_text_winnowing",
-    "q_theta_distinct", "q_timeseries_zero_fill",
-    "q_tpch_q10_returned_items", "q_tpch_q18_large_volume_customer",
-    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier_volume",
-    "q_tpch_q6_forecast_revenue", "q_weighted_sample",
-    "q_window_distribution",
+    # NEW or CHANGED in r12 — first:
+    "q_kll_state_reagg", "q_kll_quantiles_prod", "q_bpe_roundtrip",
+    # the 6 queries whose newest driver-checked row is r06:
+    "q_tpch_q18_large_volume_customer", "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier_volume", "q_tpch_q6_forecast_revenue",
+    "q_weighted_sample", "q_window_distribution",
+    # the 50 queries whose newest driver-checked row is r07 (the ~50
+    # cap truncates the alphabetical tail — it fronts in r13):
+    "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
+    "q_agg_min_max", "q_bm25_search", "q_build_vocab",
+    "q_cap_per_group", "q_cohort_retention", "q_encode_docs",
+    "q_event_transitions", "q_forward_fill", "q_funnel",
+    "q_granularity_all", "q_granularity_day_tz",
+    "q_granularity_fifteen_minute", "q_granularity_week",
+    "q_hybrid_search", "q_incremental_dedup", "q_join_5way_star",
+    "q_join_broadcast_dim", "q_leakage_safe_split",
+    "q_media_segment_hashes", "q_mix_sources", "q_pack_documents",
+    "q_post_agg_arithmetic", "q_quantize_embeddings",
+    "q_segment_metadata_analysis", "q_segment_table_multivalue",
+    "q_segment_table_zorder", "q_snapshot_tag", "q_stickiness",
+    "q_strip_dup_ngrams", "q_text_lm_score", "q_theta_set_ops",
+    "q_time_travel", "q_timeseries_mad", "q_timeseries_smooth",
+    "q_tpch_q12_priority_lines", "q_tpch_q13_customer_distribution",
+    "q_tpch_q14_promo_revenue", "q_tpch_q15_top_supplier",
 ]
 
 

@@ -341,6 +341,66 @@ def merge_kll_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
 # ------------------------------------------------------------- query
 
 
+def quantile_label(q: float) -> str:
+    """Output column name for quantile ``q``: ``p50`` for whole
+    percents, ``p99_9``-style for fine-grained ones (0.999) — always a
+    valid unquoted SQL identifier, and distinct labels for distinct
+    quantiles at any granularity the float carries."""
+    pct = q * 100.0
+    if pct == int(pct):
+        return f"p{int(pct)}"
+    return "p" + f"{pct:.10f}".rstrip("0").replace(".", "_")
+
+
+def quantile_query(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One-shot grouped quantile QUERY over raw rows — the stateless
+    sibling of the KLL state pipeline, dispatched to Spark's built-in
+    ``percentile_approx`` (the JVM-side Greenwald–Khanna quantile
+    sketch: whole-stage-codegen partials, map-side combine, one
+    aggregation shuffle of small summaries).
+
+    Dispatch rationale (the Spark-first rule): when the caller wants
+    ONLY quantile values — no reusable mergeable state kept — the
+    engine should never pay a Python/Arrow crossing for an aggregate
+    the JVM expresses natively. The crossing is a fixed ~0.15 s floor
+    per stage (passthrough-control measured, BASELINE.md round 6):
+    irrelevant at scale but pure overhead on a query the built-in
+    answers in one codegen pass. The KLL path earns its crossing ONLY
+    when its output state is reused: build once per segment with
+    ``kll_state_grouped``, store the struct, re-aggregate stored states
+    at query time with ``merge_kll_states``/``kll_quantiles`` instead
+    of rescanning raw rows — a workload ``percentile_approx`` cannot
+    serve because Spark does not expose its intermediate summary as a
+    storable value. Same split as the ANN operators: brute force when
+    you query once, build-and-persist the index when you query often.
+
+    ``accuracy`` is percentile_approx's knob (rank error ≤ 1/accuracy);
+    the default matches Spark's. Output columns are named by
+    ``quantile_label`` (p50, p99_9), matching ``kll_quantiles``."""
+    if not quantiles:
+        raise ValueError("quantile_query: need at least one quantile")
+    gcols = list(group_cols)
+    names = [quantile_label(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile_query: quantile labels collide: {names}")
+    agg = F.percentile_approx(
+        F.col(value_col).cast("double"),
+        [float(q) for q in quantiles],
+        accuracy,
+    ).alias("__ps")
+    agged = df.groupBy(*gcols).agg(agg) if gcols else df.agg(agg)
+    return agged.select(
+        *gcols, *[F.col("__ps")[i].alias(n) for i, n in enumerate(names)]
+    )
+
+
 def kll_quantiles(
     states: DataFrame,
     group_cols: list[str],
@@ -368,14 +428,14 @@ def kll_quantiles(
     if not quantiles:
         raise ValueError("kll_quantiles: need at least one quantile")
     gcols = list(group_cols)
-    names = [f"p{int(round(q * 100))}" for q in quantiles]
+    # output labels: p50 for whole percents, p99_9-style for
+    # fine-grained quantiles; the fold accumulator below is keyed by
+    # POSITION (q0, q1, ...), so any distinct quantiles work — only
+    # genuinely duplicate labels (same quantile twice) are rejected
+    names = [quantile_label(q) for q in quantiles]
     if len(set(names)) != len(names):
-        # the shared accumulator struct keys fields by label — colliding
-        # labels (e.g. 0.25 and 0.252 both → p25) would be ambiguous
         raise ValueError(
-            f"kll_quantiles: quantile labels collide: {names} — quantiles "
-            "must round to distinct whole percents"
-        )
+            f"kll_quantiles: quantile labels collide: {names}")
 
     # All big expressions are built as ONE SQL string each (F.expr /
     # selectExpr): constructing the same nested lambdas through the
@@ -413,18 +473,20 @@ def kll_quantiles(
     # passes is a measured ~3× on the evaluation stage (round 6)
     acc0 = (
         "named_struct('cum', cast(0.0 AS double), "
-        + ", ".join(f"'{n}', cast(null AS double)" for n in names)
+        + ", ".join(f"'q{i}', cast(null AS double)"
+                    for i in range(len(quantiles)))
         + ")"
     )
     steps = ", ".join(
-        f"CASE WHEN acc.{n} IS NULL AND acc.cum + x.w >= "
+        f"CASE WHEN acc.q{i} IS NULL AND acc.cum + x.w >= "
         f"greatest(cast(ceil({float(q)!r} * __n) AS double), 1.0) "
-        f"THEN x.v ELSE acc.{n} END AS {n}"
-        for q, n in zip(quantiles, names)
+        f"THEN x.v ELSE acc.q{i} END AS q{i}"
+        for i, q in enumerate(quantiles)
     )
     fold = (
         f"aggregate(__pairs, {acc0}, "
         f"(acc, x) -> struct(acc.cum + x.w AS cum, {steps}))"
     )
     out = agged.selectExpr(*qg, f"{fold} AS __q")
-    return out.selectExpr(*qg, *[f"__q.{n} AS {n}" for n in names])
+    return out.selectExpr(
+        *qg, *[f"__q.q{i} AS {n}" for i, n in enumerate(names)])

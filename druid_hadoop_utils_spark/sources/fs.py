@@ -749,6 +749,30 @@ class ArrowMetaFS(MetaFS):
         # object stores: the PUT (close of the output stream) is atomic
         # per object. HDFS: create is not atomic — write a side file and
         # rename, same as LocalMetaFS.
+        #
+        # s3 + boto3: ONE single-part put_object instead of pyarrow's
+        # ObjectOutputStream, which issues a MULTIPART upload even for
+        # tiny objects. Two reasons (round 12, surfaced by the moto
+        # endpoint smoke): (1) metadata cost — every manifest/snapshot/
+        # lease put is 1 round-trip instead of 3 (create/upload-part/
+        # complete), which at 10k-bucket publish scale is the dominant
+        # metadata bill; (2) CORRECTNESS of the lease steal — S3's
+        # ETag equals the content MD5 only for single-part non-KMS
+        # PUTs, and delete_file_if_unchanged keys its If-Match on that
+        # MD5, so an expired lease REWRITTEN by renew() through the
+        # multipart path would never CAD-match and could never be
+        # stolen (a stuck table). The boto3 path keeps every metadata
+        # object single-part; the pyarrow stream remains the fallback
+        # when boto3 is absent (where the lease already falls back to
+        # put-settle-verify and never CAD-deletes).
+        if self._scheme == "s3":
+            client = self._s3_client()
+            if client is not None:
+                bucket, key = self._bucket_key(path)
+                client.put_object(Bucket=bucket, Key=key,
+                                  Body=text.encode("utf-8"))
+                return
+
         def _write(target: str) -> None:
             try:
                 with self._fs.open_output_stream(target) as f:

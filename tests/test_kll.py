@@ -142,7 +142,7 @@ def test_compaction_offset_alternates_by_level():
 def test_prod_k_accuracy_floor_vs_exact(spark, sf_dir):
     """The production config (k=256, compaction active) must stay within
     2% relative error of the exact quantiles on real data — the accuracy
-    contract behind benching q_kll_quantiles_prod without an oracle."""
+    contract behind benching q_kll_state_reagg without an oracle."""
     from druid_hadoop_utils_spark.functions.kll import (
         kll_partials,
         kll_quantiles,
@@ -163,3 +163,85 @@ def test_prod_k_accuracy_floor_vs_exact(spark, sf_dir):
     for g, evals in exact.items():
         for a, e in zip(prod[g], evals):
             assert abs(a - e) <= 0.02 * max(abs(e), 1e-9), (g, a, e)
+
+
+# ---------------------------------------------------------------------
+# round 12: the stateless quantile_query dispatch + fine-grained labels
+# ---------------------------------------------------------------------
+
+
+def test_quantile_label_whole_and_fine_grained():
+    from druid_hadoop_utils_spark.functions.kll import quantile_label
+
+    assert quantile_label(0.5) == "p50"
+    assert quantile_label(0.25) == "p25"
+    assert quantile_label(0.999) == "p99_9"
+    assert quantile_label(0.252) == "p25_2"
+    # distinct quantiles → distinct labels, even past whole percents
+    assert quantile_label(0.25) != quantile_label(0.252)
+
+
+def test_quantile_query_matches_exact_within_accuracy(spark):
+    """quantile_query (the stateless dispatch to percentile_approx) must
+    agree with the exact lower-rank quantile within the declared rank
+    error (1/accuracy)."""
+    from druid_hadoop_utils_spark.functions.kll import quantile_query
+
+    rng = random.Random(17)
+    rows = [("g%d" % (i % 2), float(rng.randrange(10_000)))
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    got = {r.g: (r.p25, r.p50, r.p95)
+           for r in quantile_query(df, "v", ["g"], [0.25, 0.5, 0.95],
+                                   accuracy=10_000).collect()}
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        svals = sorted(vals)
+        n = len(svals)
+        for q, a in zip((0.25, 0.5, 0.95), got[g]):
+            # rank error ≤ 1/accuracy plus slack for ties
+            rank = sum(1 for v in svals if v <= a)
+            assert abs(rank - q * n) <= n * (1.0 / 10_000) + 32, (g, q, a)
+
+
+def test_quantile_query_ungrouped_and_labels(spark):
+    from druid_hadoop_utils_spark.functions.kll import quantile_query
+
+    df = spark.range(1, 1001).selectExpr("cast(id AS double) AS v")
+    row = quantile_query(df, "v", [], [0.5, 0.999]).first()
+    assert row.p50 == 500.0
+    assert row.p99_9 >= 999.0
+
+
+def test_kll_quantiles_fine_grained_labels(spark):
+    """p99.9-style quantiles work through the sketch path too: the fold
+    accumulator is keyed by index, labels only name the output."""
+    df = spark.range(1, 10_001).selectExpr("cast(id AS double) AS v")
+    states = kll_state_grouped(df, "v", [], k=100_000)  # exact regime
+    row = kll_quantiles(states, [], [0.999, 0.25]).first()
+    assert row.p99_9 == 9990.0
+    assert row.p25 == 2500.0
+
+
+def test_kll_quantiles_rejects_true_duplicates(spark):
+    df = spark.range(10).selectExpr("cast(id AS double) AS v")
+    states = kll_state_grouped(df, "v", [], k=64)
+    with pytest.raises(ValueError, match="collide"):
+        kll_quantiles(states, [], [0.5, 0.5])
+
+
+def test_battery_kll_state_reagg_shape(spark, sf_dir):
+    """The bench's state-producing entry: per-day states merge into
+    per-event_type quantiles; one row per event_type, approximate values
+    inside the prod-k accuracy floor pinned above."""
+    from druid_hadoop_utils_spark.battery import QUERIES
+
+    fn, oracle = QUERIES["q_kll_state_reagg"]
+    assert oracle is None  # rows-only by design (approximate)
+    out = fn(spark, sf_dir).collect()
+    types = {r["event_type"] for r in out}
+    assert len(out) == len(types) >= 3
+    for r in out:
+        assert r.p25 <= r.p50 <= r.p95

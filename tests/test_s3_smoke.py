@@ -18,29 +18,85 @@ BOTH halves wire through ``configure_object_store``.
 
 Each run works under a fresh uuid subprefix and deletes it afterward,
 so repeated smokes don't accumulate objects.
+
+Round 12: when ``S3_TEST_ROOT`` is NOT set but ``moto`` is importable,
+the suite runs against an in-process ``ThreadedMotoServer`` — a real
+HTTP S3 endpoint (moto's server mode implements the S3 REST API
+including the 2024 conditional writes: ``If-None-Match: *`` PUT →412,
+``If-Match`` DELETE →412, verified below), reached through the SAME
+production stack a MinIO/on-prem deployment uses: ``pyarrow``
+S3FileSystem + boto3 via ``configure_object_store(endpoint=…)``. Every
+byte crosses a real socket and real S3 XML — only the storage behind
+the endpoint is simulated, so this closes the seam's "never touched a
+real object-store protocol" gap while ``S3_TEST_ROOT`` remains the
+knob for smoking a genuine bucket.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import uuid
 
 import pytest
 
 S3_TEST_ROOT = os.environ.get("S3_TEST_ROOT", "").rstrip("/")
+_HAS_MOTO = (importlib.util.find_spec("moto") is not None
+             and importlib.util.find_spec("boto3") is not None)
 
 pytestmark = pytest.mark.skipif(
-    not S3_TEST_ROOT,
-    reason="S3_TEST_ROOT not set — real-object-store smoke suite "
-           "(set it to e.g. s3://bucket/prefix to run)",
+    not S3_TEST_ROOT and not _HAS_MOTO,
+    reason="S3_TEST_ROOT not set and moto unavailable — real-object-"
+           "store smoke suite (set S3_TEST_ROOT=s3://bucket/prefix "
+           "to run against a genuine bucket)",
 )
 
 
+@pytest.fixture(scope="module")
+def smoke_base():
+    """The suite's base root: ``S3_TEST_ROOT`` when provided, else a
+    bucket on an in-process moto S3 server wired through
+    ``configure_object_store`` exactly as a MinIO deployment would be."""
+    if S3_TEST_ROOT:
+        yield S3_TEST_ROOT
+        return
+    import logging
+
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    from druid_hadoop_utils_spark.sources.fs import (
+        _CACHE,
+        configure_object_store,
+    )
+
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0,
+                                verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    bucket = "spark-graft-smoke"
+    boto3.client(
+        "s3", endpoint_url=endpoint, region_name="us-east-1",
+        aws_access_key_id="testing", aws_secret_access_key="testing",
+    ).create_bucket(Bucket=bucket)
+    configure_object_store(
+        f"s3://{bucket}", endpoint=endpoint, region="us-east-1",
+        access_key="testing", secret_key="testing",
+    )
+    try:
+        yield f"s3://{bucket}/ci"
+    finally:
+        _CACHE.pop(f"s3://{bucket}", None)
+        server.stop()
+
+
 @pytest.fixture()
-def root():
+def root(smoke_base):
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
-    r = f"{S3_TEST_ROOT}/smoke-{uuid.uuid4().hex[:12]}"
+    r = f"{smoke_base}/smoke-{uuid.uuid4().hex[:12]}"
     yield r
     get_fs(r).delete_dir(r)
 
@@ -187,3 +243,74 @@ def test_lease_steal_is_cas_on_real_bucket(root):
         live = read_lease(root, "ds")
         assert live is not None and live["op"] == "restore_to"
     assert read_lease(root, "ds") is None
+
+
+def test_steal_after_renew_on_real_endpoint(root):
+    """The round-12 single-part put_text fix, pinned where it matters:
+    renew() REWRITES the lease via put_text, and a later expired-steal
+    CAD-deletes it keyed on If-Match == content MD5 — which S3 only
+    guarantees for single-part PUTs. With pyarrow's multipart stream
+    the renewed lease's ETag never matches and the table is stuck
+    unstealable; with the boto3 single-part path the steal succeeds."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.lease import (
+        maintenance_lease,
+        read_lease,
+    )
+
+    fs = get_fs(root)
+    if not (fs.supports_put_if_absent and fs.supports_conditional_delete):
+        pytest.skip("backend has no conditional writes (non-s3 or no boto3)")
+    import time as _time
+
+    with maintenance_lease(root, "ds", "vacuum", ttl_s=0.05) as h:
+        h.renew()          # rewrites the lease object (short TTL again)
+        _time.sleep(0.2)   # let the renewed lease expire
+        # the steal goes through delete_file_if_unchanged on the bytes
+        # renew() wrote: only matches if that PUT was single-part
+        with maintenance_lease(root, "ds", "restore_to"):
+            assert read_lease(root, "ds")["op"] == "restore_to"
+    assert read_lease(root, "ds") is None
+
+
+def test_staged_orphan_age_gate_on_real_virtual_dirs(root):
+    """The round-12 prefix_age_s fix on a REAL object-store protocol:
+    directory prefixes here genuinely carry no mtime (pyarrow reports
+    none), so the age gate must fall back to file mtimes — a FRESH
+    unreferenced version dir survives the default gate instead of being
+    reclaimed as 'infinitely old' (the pre-fix data-loss scenario)."""
+    from datetime import datetime, timedelta, timezone
+
+    from druid_hadoop_utils_spark.intervals import Interval
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.maintenance import vacuum
+    from druid_hadoop_utils_spark.sources.segments import (
+        SegmentManifest,
+        list_manifests,
+        register_manifest,
+    )
+
+    fs = get_fs(root)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    iv = Interval(t0, t0 + timedelta(days=1))
+    live = fs.join(root, "ds", "2024-01-01", "v=v1", "shard-0")
+    fs.put_text(fs.join(live, "part-0.parquet"), "x")
+    register_manifest(root, SegmentManifest("ds", iv, "v1", 0, live))
+
+    # a staged-but-never-announced version dir (in-flight or crashed
+    # writer) with a FRESH file under it
+    staged = fs.join(root, "ds", "2024-01-01", "v=merge-x-v9", "shard-0")
+    fs.put_text(fs.join(staged, "part-0.parquet"), "y")
+
+    # the directory prefix really has no trustworthy mtime here
+    assert fs.mtime(fs.parent(staged)) <= 0.0
+
+    removed = vacuum(root, "ds")  # default 24 h gate
+    assert fs.exists(fs.join(staged, "part-0.parquet")), \
+        "fresh staged data reclaimed on a virtual-dir store"
+    assert not any("merge-x-v9" in r for r in removed)
+
+    removed = vacuum(root, "ds", reclaim_staged_after_s=0.0)
+    assert any("merge-x-v9" in r for r in removed)
+    assert not fs.exists(fs.join(staged, "part-0.parquet"))
+    assert len(list_manifests(root, "ds")) == 1

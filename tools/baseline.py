@@ -204,11 +204,15 @@ def build_baseline(spark, sf_dir: str = None) -> dict:
                     ts.alias("rlo"),
                     (ts + F.expr("INTERVAL 1 HOUR")).alias("rhi")),
         ),
-        # plain grouped quantiles via percentile_approx (built-in sketch,
-        # not mergeable as a reusable state — what the KLL path adds).
-        # Paired against the PRODUCTION engine config (k=256 — what
-        # bench.py runs); the exact-regime oracle config is the sketch's
-        # documented degenerate worst case, not the deployed shape.
+        # plain grouped quantiles via percentile_approx. Since r12 the
+        # engine entry is quantile_query, which DISPATCHES stateless
+        # one-shot quantile queries to the same JVM-native sketch (the
+        # Spark-first rule: no Arrow crossing for an aggregate the JVM
+        # expresses — functions/kll.py has the rationale), so this pair
+        # pins that the dispatch adds no overhead. The KLL sketch path
+        # itself is benched by q_kll_state_reagg (state-producing
+        # workload, no plain equivalent: percentile_approx's summary is
+        # not storable) and scale-certified by tools/kll_scale_pair.py.
         "q_kll_quantiles_prod": lambda: events()
         .groupBy("event_type")
         .agg(F.percentile_approx("value", [0.25, 0.5, 0.95]).alias("ps")),
