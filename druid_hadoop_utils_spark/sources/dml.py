@@ -185,6 +185,22 @@ def _commit_announced(
         if not registering:
             _reclaim_staged()
         raise
+    # commit-driven materialize catch-up (round 12): the commit KNOWS
+    # the identifiers it just announced — register them as pending for
+    # every existing rollup so catch_up_materialized recomputes exactly
+    # the affected buckets without probing the whole timeline. Markers
+    # are an optimization hint: a failure here must never turn a
+    # SUCCEEDED commit into an error (the lazy materialize_aggs pass
+    # remains the guaranteed fallback), so this is best-effort.
+    try:
+        from druid_hadoop_utils_spark.sources.materialize import (
+            register_pending_states,
+        )
+
+        register_pending_states(
+            table_root, data_source, [m.identifier for m in announced])
+    except Exception:
+        pass  # best-effort: lazy catch-up still covers these segments
 
 
 def _affected_intervals(df: DataFrame, time_column: str,

@@ -167,6 +167,32 @@ def materialize_aggs(
     manifests = list_manifests(table_root, data_source)
     everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
     visible = resolve_visible_windows(manifests, everything)
+    targets = [
+        w for w in visible
+        if not w.manifest.tombstone
+        and resolve_parquet_dir(
+            fs, _state_path(mdir, w.manifest.identifier)) is None
+    ]
+    done = _build_states(spark, fs, mdir, spec, targets, visible)
+    # a full pass guarantees coverage for this rollup, so any pending
+    # catch-up markers DML commits registered are satisfied
+    _clear_pending(fs, mdir)
+    return done
+
+
+def _build_states(spark, fs, mdir: str, spec: dict, targets, visible):
+    """Compute and atomically publish one rollup-state file per target
+    window — the shared builder behind ``materialize_aggs`` (full lazy
+    pass) and ``catch_up_materialized`` (commit-driven, O(affected))."""
+    from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+    from druid_hadoop_utils_spark.functions.granularity import granularity_expr
+
+    from druid_hadoop_utils_spark.sources.fs import publish_parquet_dir
+
+    dimensions = spec["dimensions"]
+    aggregations = spec["aggregations"]
+    granularity = spec["granularity"]
+    time_column = spec["time_column"]
 
     def _agg_field_refs(aggs: list[dict]) -> set[str]:
         refs: set[str] = set()
@@ -183,12 +209,8 @@ def materialize_aggs(
     needed = set(dimensions) | _agg_field_refs(aggregations)
     union_schema = None  # resolved lazily, only when a segment is missing a column
     done: list[str] = []
-    for w in visible:
-        if w.manifest.tombstone:
-            continue
+    for w in targets:
         path = _state_path(mdir, w.manifest.identifier)
-        if resolve_parquet_dir(fs, path) is not None:
-            continue
         seg = spark.read.parquet(w.manifest.path)
         # evolving dimensions (Druid semantics, same as the raw-path
         # mergeSchema read): a column ADDED in later segment versions is
@@ -232,6 +254,131 @@ def materialize_aggs(
         )
         done.append(w.manifest.identifier)
     return done
+
+
+# ------------------------------------------------- commit-driven catch-up
+#
+# After a DML commit the affected buckets carry NEW segment identifiers;
+# until their states exist, query_materialized refuses loudly. The lazy
+# path (materialize_aggs) rediscovers the gap by probing EVERY visible
+# segment's state path — one metadata GET per segment, 10k GETs on a
+# 10k-segment table when only two buckets changed. The commit-driven
+# path makes catch-up O(affected): the DML commit already KNOWS the
+# identifiers it announced and registers them as pending markers under
+# each existing rollup (`_materialized/<name>/_pending/<safe-id>.json`);
+# catch_up_materialized computes exactly those states. Markers are an
+# OPTIMIZATION hint, never load-bearing: a crash between registration
+# and marker write just means the lazy full pass covers that segment
+# later, and a marker for a since-overshadowed identifier clears
+# without work.
+
+
+def _pending_dir(mdir: str) -> str:
+    return os.path.join(mdir, "_pending")
+
+
+def register_pending_states(
+    table_root: str, data_source: str, identifiers: list[str]
+) -> list[str]:
+    """Record just-announced segment identifiers as pending state
+    computation for every EXISTING materialized rollup of the table.
+    Called by DML commits after registration (sources/dml.py); cheap —
+    one listing of the rollup names + one tiny PUT per (rollup,
+    identifier). No-op when the table has no rollups."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.segments import _safe
+
+    fs = get_fs(table_root)
+    base = fs.join(table_root, data_source, "_materialized")
+    written: list[str] = []
+    for name in fs.ls(base):
+        mdir = fs.join(base, name)
+        if not fs.exists(fs.join(mdir, "spec.json")):
+            continue
+        for ident in identifiers:
+            p = fs.join(_pending_dir(mdir), _safe(ident) + ".json")
+            fs.put_text(p, json.dumps({"identifier": ident}))
+            written.append(p)
+    return written
+
+
+def catch_up_materialized(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str | None = None,
+) -> dict[str, list[str]]:
+    """Compute rollup states for exactly the segments DML commits
+    registered as pending — O(affected) metadata cost (one listing of
+    the pending markers + one state-existence probe per MARKED segment),
+    never a probe across the whole timeline. Returns ``{rollup name:
+    identifiers computed}``. Markers clear when their state exists or
+    their identifier is no longer visible (overshadowed again — its
+    state will never be queried). The lazy full pass
+    (``materialize_aggs``) remains the fallback for anything a crash
+    kept out of the marker log."""
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        resolve_parquet_dir,
+    )
+    from druid_hadoop_utils_spark.sources.segments import (
+        _safe,
+        list_manifests,
+        resolve_visible_windows,
+    )
+
+    fs = get_fs(table_root)
+    base = fs.join(table_root, data_source, "_materialized")
+    names = [name] if name is not None else [
+        n for n in fs.ls(base)
+        if fs.exists(fs.join(base, n, "spec.json"))
+    ]
+    manifests = list_manifests(table_root, data_source)
+    everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
+    visible = resolve_visible_windows(manifests, everything)
+    by_safe = {
+        _safe(w.manifest.identifier): w
+        for w in visible if not w.manifest.tombstone
+    }
+    out: dict[str, list[str]] = {}
+    for n in names:
+        mdir = fs.join(base, n)
+        spec_path = fs.join(mdir, "spec.json")
+        if not fs.exists(spec_path):
+            raise FileNotFoundError(
+                f"no materialized rollup {n!r} for {data_source}")
+        spec = json.loads(fs.read_text(spec_path))
+        pdir = _pending_dir(mdir)
+        markers = [m for m in fs.ls(pdir) if m.endswith(".json")]
+        targets = []
+        satisfied: list[str] = []
+        for marker in markers:
+            stem = marker[:-len(".json")]
+            w = by_safe.get(stem)
+            if w is None:
+                # overshadowed since the marker landed: never queryable
+                satisfied.append(marker)
+                continue
+            if resolve_parquet_dir(
+                    fs, _state_path(mdir, w.manifest.identifier)) is not None:
+                satisfied.append(marker)  # raced another catch-up
+                continue
+            targets.append((marker, w))
+        done = _build_states(spark, fs, mdir, spec,
+                             [w for _m, w in targets], visible)
+        fs.delete_files([fs.join(pdir, m) for m, _w in targets]
+                        + [fs.join(pdir, m) for m in satisfied])
+        out[n] = done
+    return out
+
+
+def _clear_pending(fs, mdir: str) -> None:
+    """Drop every pending marker of a rollup — called when a FULL lazy
+    pass just guaranteed coverage, superseding the markers."""
+    pdir = _pending_dir(mdir)
+    markers = [fs.join(pdir, m) for m in fs.ls(pdir) if m.endswith(".json")]
+    if markers:
+        fs.delete_files(markers)
 
 
 def query_materialized(
