@@ -61,6 +61,7 @@ from druid_hadoop_utils_spark.sources.dml import (
 )
 from druid_hadoop_utils_spark.sources.maintenance import restore_to
 from druid_hadoop_utils_spark.sources.materialize import (
+    catch_up_materialized,
     materialize_aggs,
     query_materialized,
     vacuum_materialized,
@@ -116,6 +117,7 @@ __all__ = [
     "merge_into",
     "delete_where",
     "update_where",
+    "catch_up_materialized",
     "materialize_aggs",
     "query_materialized",
     "vacuum_materialized",

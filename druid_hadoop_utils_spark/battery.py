@@ -1866,6 +1866,38 @@ def q_media_segment_hashes(spark, sf_dir):
     )
 
 
+@register(
+    "q_media_decode_dims",
+    f"""SELECT media_id, kind,
+               meta.width AS width, meta.height AS height,
+               meta.duration_ms AS duration_ms
+        FROM read_parquet(
+            '{_MEDIA_SEGMENT_ROOT}/media/*/v=v1/shard=0/*.parquet')""",
+)
+def q_media_decode_dims(spark, sf_dir):
+    # the hash-checked slice of the media DECODE surface (VERDICT r11
+    # stretch item 7, extending the q_media_segment_hashes pattern from
+    # blob bytes to decoded values): the engine loads the managed media
+    # segments and recomputes each blob's intrinsic dimensions FROM THE
+    # BYTES (real PNG decode → HxW; real WAV parse → duration), while
+    # the DuckDB oracle reads the independently-persisted `meta` struct
+    # of the SAME published parquet. Hash equality means the real
+    # decoders' dimensional output matches ground truth value-for-value
+    # under the driver gate — the decode paths' pixel/waveform goldens
+    # stay pytest-pinned (test_png_decode.py).
+    from druid_hadoop_utils_spark.operators.multimodal import (
+        media_dimensions,
+    )
+
+    root = _media_segment_table(spark, sf_dir)
+    loaded = load(
+        spark, root,
+        {"granularity": "NONE", "dimensions": ["media_id", "kind", "content"]},
+        interval="2024-01-01/2024-02-01", data_source="media",
+    )
+    return media_dimensions(loaded)
+
+
 @register("q_media_features", None)
 def q_media_features(spark, sf_dir):
     # REAL media decode end-to-end (VERDICT r4 item 5): deterministic
@@ -5100,7 +5132,8 @@ _DRIVER_PRIORITY = [
     # After r12 nothing should be staler than r07.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
     # NEW or CHANGED in r12 — first:
-    "q_kll_state_reagg", "q_kll_quantiles_prod", "q_bpe_roundtrip",
+    "q_kll_state_reagg", "q_media_decode_dims", "q_kll_quantiles_prod",
+    "q_bpe_roundtrip",
     # the 6 queries whose newest driver-checked row is r06:
     "q_tpch_q18_large_volume_customer", "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier_volume", "q_tpch_q6_forecast_revenue",

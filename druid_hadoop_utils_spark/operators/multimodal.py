@@ -230,6 +230,56 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+MEDIA_DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def media_dimensions(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Intrinsic dimensions FROM THE BYTES, per blob: images decode to
+    (width, height), audio to duration_ms (sample count / rate); the
+    other columns are NULL per kind. Arrow-batched ``mapInPandas`` like
+    every decode operator.
+
+    The training-pipeline use case is metadata VERIFICATION/BACKFILL at
+    scale: declared ``meta`` columns in a crawled corpus lie (wrong
+    dims, truncated audio) — this recomputes the truth from content so
+    a join against ``meta`` flags the liars, or fills a corpus whose
+    metadata was never populated. The battery's q_media_decode_dims
+    runs it against the managed media table and lets the DuckDB oracle
+    read the SAME published parquet's ``meta`` struct — decoded dims ==
+    declared dims, a value-level cross-check of the real decoders."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, kind, content in zip(
+                    pdf["media_id"], pdf["kind"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                width = height = duration = None
+                if kind == "image":
+                    img = decode_image(blob, fake=fake)
+                    height, width = int(img.shape[0]), int(img.shape[1])
+                elif kind == "audio":
+                    wave, rate = decode_audio(blob, fake=fake)
+                    duration = int(round(len(wave) / rate * 1000.0))
+                out.append({
+                    "media_id": media_id, "kind": kind, "width": width,
+                    "height": height, "duration_ms": duration,
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_DIMS_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        compute, MEDIA_DIMS_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only stats: touches ONLY ``kind`` and ``meta``, so column
     pruning keeps the ``content`` blobs out of the parquet scan entirely

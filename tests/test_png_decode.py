@@ -263,3 +263,53 @@ def test_media_segment_roundtrip_bit_exact(spark):
     loaded = sorted(tuple(r) for r in loaded_fn(spark, "/unused").collect())
     mem = sorted(tuple(r) for r in mem_fn(spark, "/unused").collect())
     assert loaded == mem and len(loaded) == 24
+
+
+def test_media_dimensions_from_bytes(spark):
+    """media_dimensions recomputes intrinsic dims FROM CONTENT: decoded
+    PNG width/height and WAV duration match the synthesizer's
+    parameters, with per-kind NULLs in the other columns."""
+    from druid_hadoop_utils_spark.operators.multimodal import (
+        media_dimensions,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n_images=3, n_audio=2)
+    rows = {r["media_id"]: r for r in media_dimensions(media).collect()}
+    assert len(rows) == 5
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (16, 16)
+            assert r["duration_ms"] is None
+        else:
+            # synthesize_wav: 1600 samples at 8000 Hz = 200 ms
+            assert r["duration_ms"] == 200
+            assert r["width"] is None and r["height"] is None
+
+
+def test_media_dimensions_flags_lying_metadata(spark):
+    """The operator's pipeline use case: join decoded truth against
+    declared meta to flag corrupt/lying metadata rows."""
+    from pyspark.sql import functions as F
+
+    from druid_hadoop_utils_spark.operators.multimodal import (
+        media_dimensions,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n_images=4, n_audio=0)
+    # corrupt one row's declared width (the blob itself is intact)
+    lied = media.withColumn(
+        "meta",
+        F.when(F.col("media_id") == 2,
+               F.struct(F.col("meta.format").alias("format"),
+                        F.lit(999).alias("width"),
+                        F.col("meta.height").alias("height"),
+                        F.col("meta.duration_ms").alias("duration_ms")))
+        .otherwise(F.col("meta")))
+    truth = media_dimensions(lied)
+    liars = (lied.select("media_id", "meta")
+             .join(truth, "media_id")
+             .where((F.col("meta.width") != F.col("width"))
+                    | (F.col("meta.height") != F.col("height"))))
+    assert [r["media_id"] for r in liars.collect()] == [2]
