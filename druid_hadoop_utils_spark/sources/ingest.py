@@ -382,6 +382,21 @@ def publish_segments(
                         register_manifest_group(table_root, group)
                     else:
                         register_manifest(table_root, group[0])
+        # commit-driven materialize catch-up (round 12): record the
+        # announced identifiers as pending for any existing rollups so
+        # catch_up_materialized covers ingests too, O(affected).
+        # Best-effort — the lazy materialize_aggs pass remains the
+        # guaranteed fallback, and a succeeded publish must not error.
+        try:
+            from druid_hadoop_utils_spark.sources.materialize import (
+                register_pending_states,
+            )
+
+            register_pending_states(
+                table_root, data_source,
+                [m.identifier for g in to_register for m in g])
+        except Exception:
+            pass  # best-effort: lazy catch-up still covers these
     fs.delete_dir(staging)  # rename backends: only _SUCCESS remains
     return manifests
 

@@ -8,7 +8,10 @@
 4. publish a fourth day → `materialize_aggs` computes ONLY the new
    segment's state (the incremental contract);
 5. replace day 2 at a newer version → the old state is never read;
-   one catch-up call and the query reflects the replacement.
+   one catch-up call and the query reflects the replacement;
+6. a row-level DML merge → the commit registers the affected segment
+   identifiers as pending, and `catch_up_materialized` recomputes
+   EXACTLY those (O(affected) — no timeline-wide state probing).
 
     python examples/materialized_rollup.py [sf_dir]
 """
@@ -23,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from druid_hadoop_utils_spark.session import get_spark  # noqa: E402
 from druid_hadoop_utils_spark.sources.ingest import publish_segments  # noqa: E402
 from druid_hadoop_utils_spark.sources.materialize import (  # noqa: E402
+    catch_up_materialized,
     materialize_aggs,
     query_materialized,
 )
@@ -79,6 +83,21 @@ def main() -> None:
     query_materialized(
         spark, root, "events", "daily",
         interval="2024-01-02/2024-01-03").show(truncate=False)
+
+    # 6: DML → commit-driven catch-up, O(affected)
+    from druid_hadoop_utils_spark.sources.dml import merge_into
+
+    fix = spark.createDataFrame(
+        [("2024-01-03 01:00:00", "click", 999.0, 1)],
+        "ts string, event_type string, value double, user_id bigint",
+    ).select(F.col("ts").cast("timestamp").alias("__time"),
+             "event_type", "value", "user_id")
+    merge_into(spark, root, "events", fix, ["event_type"])
+    done = catch_up_materialized(spark, root, "events")
+    print(f"commit-driven catch-up recomputed exactly: {done}")
+    query_materialized(
+        spark, root, "events", "daily",
+        interval="2024-01-03/2024-01-04").show(truncate=False)
     spark.stop()
 
 

@@ -281,3 +281,20 @@ def test_catchup_metadata_cost_is_o_affected(spark, tmp_path, monkeypatch):
     assert lazy_exists >= 8, (lazy_exists, fs.op_counts)
     assert commit_exists <= 4, commit_exists
     assert commit_exists < lazy_exists
+
+
+def test_publish_also_feeds_commit_driven_catchup(spark, root):
+    """Plain ingests register pending markers too (round 12): a new-day
+    publish into a materialized table catches up through
+    catch_up_materialized without the lazy full pass."""
+    from druid_hadoop_utils_spark.sources.materialize import (
+        catch_up_materialized,
+    )
+
+    day4 = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 4, 1), k="k1", v=40.0)])
+    publish_segments(day4, root, "t", version="v1",
+                     time_column="ts", bucket="DAY")
+    done = catch_up_materialized(spark, root, "t")
+    assert len(done["daily"]) == 1 and "2024-01-04" in done["daily"][0]
+    assert _mat_rollup(spark, root) == _raw_rollup(spark, root)
