@@ -739,9 +739,34 @@ class ArrowMetaFS(MetaFS):
         )
 
     def mkdirs(self, path: str) -> None:
-        self._fs.create_dir(self._p(path), recursive=True)
+        # no-rename backends ARE object stores: they have no
+        # directories, and pyarrow's create_dir writes one EMPTY
+        # marker object per level — pure request waste (measured on a
+        # real endpoint: 4 of the 5 requests of a manifest
+        # registration were mkdirs ceremony, tools/moto_request_probe)
+        # that also pollutes listings. Writers under a prefix need no
+        # parent; a listing of a nonexistent prefix is already [].
+        # Dir-ful backends (HDFS-like, atomic_dir_rename) keep the
+        # real recursive create.
+        if self.atomic_dir_rename:
+            self._fs.create_dir(self._p(path), recursive=True)
 
     def read_text(self, path: str) -> str:
+        # s3 + boto3: ONE GET — the pyarrow input stream costs a HEAD
+        # (open: size/existence) plus a GET per read, doubling every
+        # manifest read's round-trips (measured, moto_request_probe)
+        if self._scheme == "s3":
+            client = self._s3_client()
+            if client is not None:
+                bucket, key = self._bucket_key(path)
+                try:
+                    obj = client.get_object(Bucket=bucket, Key=key)
+                except Exception as e:
+                    if self._error_code(e) in ("NoSuchKey", "404",
+                                               "NoSuchBucket"):
+                        raise FileNotFoundError(path) from e
+                    raise
+                return obj["Body"].read().decode("utf-8")
         with self._fs.open_input_stream(self._p(path)) as f:
             return f.read().decode()
 
@@ -802,6 +827,18 @@ class ArrowMetaFS(MetaFS):
             _write(self._p(path))
 
     def delete_file(self, path: str) -> None:
+        # s3 + boto3: one DELETE — pyarrow's delete_file additionally
+        # HEADs the object first and RE-CREATES an empty parent
+        # directory marker when it removed the prefix's last object
+        # (measured: 1 request vs 3, tools/moto_request_probe). S3
+        # DeleteObject is idempotent (204 for missing keys), matching
+        # this method's swallow-missing contract.
+        if self._scheme == "s3":
+            client = self._s3_client()
+            if client is not None:
+                bucket, key = self._bucket_key(path)
+                client.delete_object(Bucket=bucket, Key=key)
+                return
         try:
             self._fs.delete_file(self._p(path))
         except FileNotFoundError:
