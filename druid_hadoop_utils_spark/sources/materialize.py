@@ -163,6 +163,9 @@ def materialize_aggs(
             )
     else:
         fs.put_text(spec_path, json.dumps(spec, indent=2))
+        # a NEW rollup exists: same-process announce paths must see it
+        # immediately (the TTL cache is for the no-rollups hot path)
+        _ROLLUP_NAMES_CACHE.pop((table_root, data_source), None)
 
     manifests = list_manifests(table_root, data_source)
     everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
@@ -277,24 +280,50 @@ def _pending_dir(mdir: str) -> str:
     return os.path.join(mdir, "_pending")
 
 
+#: per-process cache of each table's rollup names for the marker hook —
+#: (table_root, data_source) → (expiry epoch, names). A streamed table
+#: calls write_segment once per micro-batch bucket; without the cache
+#: every segment write would pay one rollup-discovery LIST even on
+#: tables with no rollups at all (the overwhelmingly common case).
+#: Staleness is harmless BY DESIGN: markers are an optimization hint —
+#: a rollup created inside the TTL window just takes the lazy
+#: materialize_aggs pass for segments written in that window.
+_ROLLUP_NAMES_TTL_S = 60.0
+_ROLLUP_NAMES_CACHE: dict = {}
+
+
+def _rollup_names(fs, table_root: str, data_source: str) -> list[str]:
+    import time as _time
+
+    key = (table_root, data_source)
+    now = _time.time()
+    hit = _ROLLUP_NAMES_CACHE.get(key)
+    if hit is not None and hit[0] > now:
+        return hit[1]
+    base = fs.join(table_root, data_source, "_materialized")
+    names = [n for n in fs.ls(base)
+             if fs.exists(fs.join(base, n, "spec.json"))]
+    _ROLLUP_NAMES_CACHE[key] = (now + _ROLLUP_NAMES_TTL_S, names)
+    return names
+
+
 def register_pending_states(
     table_root: str, data_source: str, identifiers: list[str]
 ) -> list[str]:
     """Record just-announced segment identifiers as pending state
     computation for every EXISTING materialized rollup of the table.
-    Called by DML commits after registration (sources/dml.py); cheap —
-    one listing of the rollup names + one tiny PUT per (rollup,
-    identifier). No-op when the table has no rollups."""
+    Called after registration by every announce path (DML commits,
+    publish_segments, write_segment); cheap — one TTL-cached listing of
+    the rollup names + one tiny PUT per (rollup, identifier). No-op
+    when the table has no rollups."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
     from druid_hadoop_utils_spark.sources.segments import _safe
 
     fs = get_fs(table_root)
     base = fs.join(table_root, data_source, "_materialized")
     written: list[str] = []
-    for name in fs.ls(base):
+    for name in _rollup_names(fs, table_root, data_source):
         mdir = fs.join(base, name)
-        if not fs.exists(fs.join(mdir, "spec.json")):
-            continue
         for ident in identifiers:
             p = fs.join(_pending_dir(mdir), _safe(ident) + ".json")
             fs.put_text(p, json.dumps({"identifier": ident}))

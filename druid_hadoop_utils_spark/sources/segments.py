@@ -304,6 +304,19 @@ def write_segment(
 
     with commit_lease(table_root, data_source, "write_segment"):
         register_manifest(table_root, manifest)
+    # commit-driven materialize catch-up (round 12): streamed
+    # micro-batch publishes and manual segment writes feed the pending
+    # log too, so catch_up_materialized covers them O(affected).
+    # Best-effort — the lazy materialize_aggs pass remains the fallback
+    try:
+        from druid_hadoop_utils_spark.sources.materialize import (
+            register_pending_states,
+        )
+
+        register_pending_states(table_root, data_source,
+                                [manifest.identifier])
+    except Exception:
+        pass  # best-effort: lazy catch-up still covers this segment
     return manifest
 
 

@@ -298,3 +298,67 @@ def test_publish_also_feeds_commit_driven_catchup(spark, root):
     done = catch_up_materialized(spark, root, "t")
     assert len(done["daily"]) == 1 and "2024-01-04" in done["daily"][0]
     assert _mat_rollup(spark, root) == _raw_rollup(spark, root)
+
+
+def test_streamed_segments_feed_commit_driven_catchup(spark, tmp_path):
+    """write_segment (the streaming micro-batch publish path) registers
+    pending markers too: stream → materialize → stream MORE →
+    catch_up_materialized computes exactly the new segments' states."""
+    from pyspark.sql import functions as F
+
+    from druid_hadoop_utils_spark.sources.materialize import (
+        catch_up_materialized,
+        query_materialized,
+    )
+    from druid_hadoop_utils_spark.streaming.ingest import (
+        segment_publishing_writer,
+        streaming_rollup,
+    )
+
+    src = str(tmp_path / "in")
+    root = str(tmp_path / "tbl")
+    # the trailing sentinel advances the watermark so the real hours
+    # emit (append mode withholds the newest bucket)
+    first = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, h, m), k=t, v=float(x))
+         for h, m, t, x in [(0, 5, "a", 1), (0, 25, "b", 2),
+                            (1, 10, "a", 3), (5, 0, "sentinel", 9)]])
+    first.coalesce(1).write.parquet(src + "/c0")
+
+    def run_stream():
+        stream = spark.readStream.schema(first.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        rolled = streaming_rollup(
+            stream, dims=["k"], time_column="ts",
+            aggs=[F.sum("v").alias("v"), F.count("*").alias("n")])
+        q = segment_publishing_writer(
+            rolled, root, "sev", checkpoint_dir=str(tmp_path / "ckpt"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_stream()
+    aggs = [{"type": "doubleSum", "name": "v_sum", "fieldName": "v"}]
+    built = materialize_aggs(spark, root, "sev", "hourly", ["k"], aggs,
+                             granularity="HOUR")
+    assert len(built) == 2  # hours 0 and 1 (the sentinel hour withheld)
+
+    # a later micro-batch lands more hour segments — event times must
+    # stay AHEAD of the carried watermark (older rows would be dropped
+    # as late); the new sentinel advances it so hours 6/7 and the
+    # previously-withheld hour 5 all flush
+    second = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, 6, 5), k="a", v=7.0),
+         Row(ts=datetime(2024, 1, 1, 7, 40), k="b", v=8.0),
+         Row(ts=datetime(2024, 1, 1, 12, 0), k="sentinel2", v=1.0)])
+    second.coalesce(1).write.parquet(src + "/c1")
+    run_stream()
+
+    done = catch_up_materialized(spark, root, "sev")
+    hours = {i.split("T")[1][:2] for i in done["hourly"]}
+    assert {"06", "07"} <= hours, done
+    # states == raw after catch-up
+    out = {(r["__time"].isoformat(), r["k"]): r["v_sum"]
+           for r in query_materialized(spark, root, "sev", "hourly").collect()}
+    assert out[("2024-01-01T06:00:00", "a")] == 7.0
+    assert out[("2024-01-01T07:00:00", "b")] == 8.0
+    assert out[("2024-01-01T00:00:00", "a")] == 1.0
