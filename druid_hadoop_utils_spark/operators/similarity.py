@@ -654,6 +654,34 @@ def load_published_ann_index(table_root: str, data_source: str) -> dict:
     )
 
 
+def refresh_ann_index(
+    spark,
+    table_root: str,
+    data_source: str,
+    **publish_kwargs,
+) -> tuple[dict, bool]:
+    """The ensure-current policy that closes the index lifecycle loop:
+    return the table's published ANN index, retraining ONLY when it is
+    absent or stale (the segment timeline moved since training).
+    Returns ``(index, refreshed)``.
+
+    The staleness check is one metadata read (the timeline version the
+    artifact was stamped with vs the table's current one), so calling
+    this before every query batch — or from the same cron that runs
+    compaction/vacuum — costs nothing while the table is quiet and
+    retrains exactly once per timeline change. Training cost stays
+    where ``publish_ann_index`` put it: a driver-side k-means over a
+    bounded sample plus one distributed encode pass, amortized across
+    every query until the next publish. ``publish_kwargs`` pass through
+    to ``publish_ann_index`` (kind, n_cells, m, sample sizes...)."""
+    try:
+        return load_published_ann_index(table_root, data_source), False
+    except (FileNotFoundError, ValueError):
+        # absent, or staleness refusal: retrain against the CURRENT view
+        publish_ann_index(spark, table_root, data_source, **publish_kwargs)
+        return load_published_ann_index(table_root, data_source), True
+
+
 def _pq_encode_udf(codebooks: np.ndarray, centroids: np.ndarray | None = None):
     """vector → array<int> of m nearest-centroid codes (one numpy pass per
     Arrow batch; vectors normalized first, matching training). With

@@ -67,6 +67,12 @@ def main() -> None:
     S.publish_ann_index(spark, root, "emb", spec=SPEC, n_cells=16, m=8, ks=16)
     print("retrained against the new timeline:",
           S.load_published_ann_index(root, "emb")["corpus_version"])
+
+    # 5. or let the ensure-current policy decide (round 12): retrains
+    # ONLY when absent/stale — safe to call before every query batch
+    idx, refreshed = S.refresh_ann_index(spark, root, "emb", spec=SPEC,
+                                         n_cells=16, m=8, ks=16)
+    print(f"refresh_ann_index: refreshed={refreshed} (fresh artifact)")
     spark.stop()
 
 

@@ -650,3 +650,36 @@ def test_residual_vs_plain_pq_recall_on_clustered_data(spark):
     df.unpersist()
     assert recalls[True] >= 0.30, recalls
     assert recalls[True] >= recalls[False] + 0.10, recalls
+
+
+def test_refresh_ann_index_retrains_only_when_stale(spark, sf_dir, tmp_path):
+    """The ensure-current policy (round 12): absent -> trains; fresh ->
+    one metadata read, NO retraining; timeline moved -> retrains once."""
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    publish_segments(emb.where(F.col("vec_id") % 2 == 0), root, "emb",
+                     version="v1", time_column="ts", bucket="DAY")
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    kw = dict(spec=spec, n_cells=8, m=8, ks=8, sample=512)
+
+    idx, refreshed = S.refresh_ann_index(spark, root, "emb", **kw)
+    assert refreshed and int(idx["n_cells"]) == 8
+
+    # fresh: same artifact back, no retrain
+    idx2, refreshed2 = S.refresh_ann_index(spark, root, "emb", **kw)
+    assert not refreshed2
+    assert idx2["corpus_version"] == idx["corpus_version"]
+
+    # timeline moves -> exactly one retrain against the new view
+    publish_segments(emb.where(F.col("vec_id") % 2 == 1), root, "emb",
+                     version="v2", time_column="ts", bucket="DAY")
+    idx3, refreshed3 = S.refresh_ann_index(spark, root, "emb", **kw)
+    assert refreshed3
+    assert idx3["corpus_version"] == S.table_corpus_version(root, "emb")
+    assert idx3["corpus_version"] != idx["corpus_version"]
+    _, refreshed4 = S.refresh_ann_index(spark, root, "emb", **kw)
+    assert not refreshed4
