@@ -1214,20 +1214,26 @@ def q_bpe_roundtrip(spark, sf_dir):
     # learned segmentation itself (not SQL-expressible) stays pinned by
     # tests/test_bpe.py's clean-room references and q_bpe_encode's
     # rows-only checksum. Docs whose text literally contains the </w>
-    # marker are excluded on BOTH sides (identical predicate): for them
-    # marker-count == word-count doesn't hold by construction, so they
-    # would be a data-dependent false failure of the CHECK, not a code
-    # bug (the synthetic corpus contains none; the filter makes the
-    # entry corpus-proof).
+    # marker are excluded from the ENCODE+CHECK on both sides
+    # (identical predicate): for them marker-count == word-count
+    # doesn't hold by construction, so they would be a data-dependent
+    # false failure of the CHECK, not a code bug (the synthetic corpus
+    # contains none; the filter makes the entry corpus-proof). TRAINING
+    # stays on the FULL corpus so the merge table in _BPE_MERGES_CACHE
+    # is identical whichever bpe entry runs first — filtering the
+    # training input too would make q_bpe_encode's cached-merges hash
+    # depend on driver query order (round-12 review catch); the
+    # roundtrip identity holds for any marker-free doc regardless of
+    # what the merges were trained on.
     from druid_hadoop_utils_spark.operators.bpe import bpe_encode, train_bpe
 
-    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
-            .filter(~F.col("text").contains("</w>")))
+    docs_all = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges = _BPE_MERGES_CACHE.get(sf_dir)
     if merges is None:
-        merges = train_bpe(docs, vocab_size=300, min_count=2)
+        merges = train_bpe(docs_all, vocab_size=300, min_count=2)
         merges = spark.createDataFrame(merges.collect(), merges.schema)
         _BPE_MERGES_CACHE[sf_dir] = merges
+    docs = docs_all.filter(~F.col("text").contains("</w>"))
     enc = bpe_encode(docs, merges)
     joined = F.concat_ws("", "pieces")
     restored = F.rtrim(F.regexp_replace(joined, "</w>", " "))

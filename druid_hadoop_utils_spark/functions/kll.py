@@ -345,11 +345,18 @@ def quantile_label(q: float) -> str:
     """Output column name for quantile ``q``: ``p50`` for whole
     percents, ``p99_9``-style for fine-grained ones (0.999) — always a
     valid unquoted SQL identifier, and distinct labels for distinct
-    quantiles at any granularity the float carries."""
-    pct = q * 100.0
-    if pct == int(pct):
-        return f"p{int(pct)}"
-    return "p" + f"{pct:.10f}".rstrip("0").replace(".", "_")
+    quantiles at any granularity the float carries.
+
+    Formatting goes through one rounded decimal rendering, NEVER a
+    float-exactness test: q*100 is not float-exact for most hundredths
+    (0.29*100 == 28.999999999999996), so an ``int(pct) == pct`` fast
+    path would emit broken labels like ``p29_`` for p29 (round-12
+    review catch). ``%.8f`` absorbs that representation error (8
+    decimals of a percent = 1e-10 quantile resolution, far past any
+    meaningful distinction) and the strips leave a clean integer or
+    underscore-separated decimal."""
+    s = f"{q * 100.0:.8f}".rstrip("0").rstrip(".")
+    return "p" + s.replace(".", "_")
 
 
 def quantile_query(

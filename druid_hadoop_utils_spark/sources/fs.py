@@ -89,16 +89,13 @@ def prefix_age_s(fs, path: str, now: float | None = None) -> float | None:
         return None
     if dir_mtime > 0:
         return now - dir_mtime
+    # ONE recursive listing whose entries carry mtimes (newest_mtime);
+    # never one mtime round-trip per file — a vacuum sweep over N staged
+    # dirs of K part-files would otherwise pay N×K HEADs on real stores
     try:
-        files = fs.list_files(path, recursive=True)
+        newest = fs.newest_mtime(path)
     except (FileNotFoundError, OSError):
         return None
-    newest = 0.0
-    for fpath, _size in files:
-        try:
-            newest = max(newest, fs.mtime(fpath))
-        except (FileNotFoundError, OSError):
-            continue
     if newest <= 0:
         return None
     return now - newest
@@ -221,6 +218,25 @@ class MetaFS:
                    recursive: bool = False) -> list[tuple[str, int]]:
         """(path, size) for plain files under ``path``."""
         raise NotImplementedError
+
+    def newest_mtime(self, path: str) -> float:
+        """mtime of the NEWEST file under ``path`` (recursive), 0.0 when
+        empty/missing — the age primitive reclamation gates use on
+        virtual-directory stores. Default: one listing + one mtime call
+        per file (fine locally); ArrowMetaFS overrides with a SINGLE
+        listing whose FileInfo rows already carry mtimes, so an object-
+        store age probe costs 1 LIST instead of 1 LIST + K HEADs."""
+        newest = 0.0
+        try:
+            files = self.list_files(path, recursive=True)
+        except (FileNotFoundError, OSError):
+            return 0.0
+        for fpath, _size in files:
+            try:
+                newest = max(newest, self.mtime(fpath))
+            except (FileNotFoundError, OSError):
+                continue
+        return newest
 
     # --- mutations -----------------------------------------------------
     def mkdirs(self, path: str) -> None:
@@ -622,6 +638,23 @@ class ArrowMetaFS(MetaFS):
                 self._conditional = False
         return self._conditional or None
 
+    def _boto_metadata_client(self):
+        """boto3 client for the metadata fast paths (single-request
+        put/get/delete), or None when pyarrow must be used. Gated on
+        the SAME condition as the conditional-write lease calls
+        (``supports_put_if_absent``): it is True only when this
+        instance was configured FOR boto3 — from_uri construction
+        (boto3's default chain matches the env credentials pyarrow
+        resolves) or configure_object_store with explicit options
+        (mirrored into ``_boto_opts``, endpoint included). An
+        ``anonymous=True`` store sets ``boto_opts=None`` and the flag
+        stays False: unsigned access must keep flowing through the
+        configured pyarrow backend, never a default-chain boto3 client
+        pointed at real AWS (round-12 review catch)."""
+        if self._scheme != "s3" or not self.supports_put_if_absent:
+            return None
+        return self._s3_client()
+
     def _bucket_key(self, path: str) -> tuple[str, str]:
         p = self._p(path).lstrip("/")
         bucket, _, key = p.partition("/")
@@ -738,6 +771,20 @@ class ArrowMetaFS(MetaFS):
             if i.type == pafs.FileType.File and i.base_name.endswith(suffix)
         )
 
+    def newest_mtime(self, path: str) -> float:
+        from pyarrow import fs as pafs
+
+        try:
+            sel = pafs.FileSelector(self._p(path), recursive=True)
+            infos = self._fs.get_file_info(sel)
+        except (FileNotFoundError, OSError):
+            return 0.0
+        newest = 0.0
+        for i in infos:
+            if i.type == pafs.FileType.File and i.mtime is not None:
+                newest = max(newest, i.mtime.timestamp())
+        return newest
+
     def mkdirs(self, path: str) -> None:
         # no-rename backends ARE object stores: they have no
         # directories, and pyarrow's create_dir writes one EMPTY
@@ -755,18 +802,17 @@ class ArrowMetaFS(MetaFS):
         # s3 + boto3: ONE GET — the pyarrow input stream costs a HEAD
         # (open: size/existence) plus a GET per read, doubling every
         # manifest read's round-trips (measured, moto_request_probe)
-        if self._scheme == "s3":
-            client = self._s3_client()
-            if client is not None:
-                bucket, key = self._bucket_key(path)
-                try:
-                    obj = client.get_object(Bucket=bucket, Key=key)
-                except Exception as e:
-                    if self._error_code(e) in ("NoSuchKey", "404",
-                                               "NoSuchBucket"):
-                        raise FileNotFoundError(path) from e
-                    raise
-                return obj["Body"].read().decode("utf-8")
+        client = self._boto_metadata_client()
+        if client is not None:
+            bucket, key = self._bucket_key(path)
+            try:
+                obj = client.get_object(Bucket=bucket, Key=key)
+            except Exception as e:
+                if self._error_code(e) in ("NoSuchKey", "404",
+                                           "NoSuchBucket"):
+                    raise FileNotFoundError(path) from e
+                raise
+            return obj["Body"].read().decode("utf-8")
         with self._fs.open_input_stream(self._p(path)) as f:
             return f.read().decode()
 
@@ -790,13 +836,12 @@ class ArrowMetaFS(MetaFS):
         # object single-part; the pyarrow stream remains the fallback
         # when boto3 is absent (where the lease already falls back to
         # put-settle-verify and never CAD-deletes).
-        if self._scheme == "s3":
-            client = self._s3_client()
-            if client is not None:
-                bucket, key = self._bucket_key(path)
-                client.put_object(Bucket=bucket, Key=key,
-                                  Body=text.encode("utf-8"))
-                return
+        client = self._boto_metadata_client()
+        if client is not None:
+            bucket, key = self._bucket_key(path)
+            client.put_object(Bucket=bucket, Key=key,
+                              Body=text.encode("utf-8"))
+            return
 
         def _write(target: str) -> None:
             try:
@@ -833,12 +878,11 @@ class ArrowMetaFS(MetaFS):
         # (measured: 1 request vs 3, tools/moto_request_probe). S3
         # DeleteObject is idempotent (204 for missing keys), matching
         # this method's swallow-missing contract.
-        if self._scheme == "s3":
-            client = self._s3_client()
-            if client is not None:
-                bucket, key = self._bucket_key(path)
-                client.delete_object(Bucket=bucket, Key=key)
-                return
+        client = self._boto_metadata_client()
+        if client is not None:
+            bucket, key = self._bucket_key(path)
+            client.delete_object(Bucket=bucket, Key=key)
+            return
         try:
             self._fs.delete_file(self._p(path))
         except FileNotFoundError:
@@ -952,6 +996,12 @@ class DelayFS(MetaFS):
     def list_files(self, path, suffix="", recursive=False):
         self._rt("list_files")
         return self.inner.list_files(path, suffix, recursive)
+
+    def newest_mtime(self, path):
+        # one LIST round-trip on real stores (the listing carries
+        # mtimes) — charged as one, matching ArrowMetaFS
+        self._rt("newest_mtime")
+        return self.inner.newest_mtime(path)
 
     def read_text(self, path):
         self._rt("read_text")

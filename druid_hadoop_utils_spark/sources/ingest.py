@@ -27,6 +27,11 @@ from druid_hadoop_utils_spark.sources.segments import (
     segment_dir,
 )
 
+#: manifest registrations per commit-lease hold in publish_segments —
+#: bounds how long one publish can starve contending commits; tests
+#: shrink it to force chunk-boundary interleavings
+_REGISTER_CHUNK = 50
+
 _BUCKET_DELTAS = {
     "HOUR": timedelta(hours=1),
     "DAY": timedelta(days=1),
@@ -374,7 +379,7 @@ def publish_segments(
         # buckets this publish already announced, exactly as if the
         # publish had finished first), while no single registration
         # can ever land inside a DML's leased window.
-        chunk = 50
+        chunk = _REGISTER_CHUNK
         for lo in range(0, len(to_register), chunk):
             with commit_lease(table_root, data_source, "publish_segments"):
                 for group in to_register[lo:lo + chunk]:
@@ -382,6 +387,44 @@ def publish_segments(
                         register_manifest_group(table_root, group)
                     else:
                         register_manifest(table_root, group[0])
+        # POST-REGISTRATION validation (round-12 review catch): with
+        # the lease held per chunk, a concurrent DML commit can land
+        # BETWEEN chunks and rewrite a bucket this publish registers
+        # only in a LATER chunk — the DML's version is newer, so that
+        # bucket's publish data would be silently overshadowed (the
+        # DML's own fingerprint invariant is intact: it saw and rewrote
+        # everything visible at its commit; the loss is THIS caller's).
+        # One listing detects it: any manifest overshadowing one of
+        # ours whose stamp is >= this publish's stamp is a CONCURRENT
+        # commit → raise loudly so the caller re-publishes against the
+        # new timeline. Older-stamped higher versions stay accepted —
+        # that's the sequential publish-under-an-existing-version case,
+        # which has always been legal version semantics.
+        from druid_hadoop_utils_spark.sources.dml import (
+            ConcurrentWriteConflict,
+        )
+
+        fresh = list_manifests(table_root, data_source)
+        ours = {(m.interval.iso(), m.version) for m in manifests}
+        clobbered = sorted({
+            f.interval.iso()
+            for f in fresh
+            for m in manifests
+            if (f.interval.iso(), f.version) not in ours
+            and f.version > m.version
+            and f.interval.overlaps(m.interval)
+            and f.published_at and f.published_at >= stamp
+        })
+        if clobbered:
+            raise ConcurrentWriteConflict(
+                f"{data_source}: bucket(s) {clobbered} were rewritten "
+                "by a concurrent commit while this publish was "
+                "registering — its data for those buckets is "
+                "overshadowed (never visible). Re-run the publish "
+                "against the current table state (a fresh version); "
+                "the overshadowed manifests are harmless and vacuum "
+                "reclaims their data."
+            )
         # commit-driven materialize catch-up (round 12): record the
         # announced identifiers as pending for any existing rollups so
         # catch_up_materialized covers ingests too, O(affected).

@@ -167,6 +167,14 @@ def materialize_aggs(
         # immediately (the TTL cache is for the no-rollups hot path)
         _ROLLUP_NAMES_CACHE.pop((table_root, data_source), None)
 
+    # snapshot the pending markers BEFORE the timeline listing: this
+    # pass guarantees coverage only for the snapshot it builds from, so
+    # only markers that existed before it may be cleared — a commit
+    # landing mid-pass writes a marker for a segment this pass never
+    # saw, and wiping it would permanently drop that segment from the
+    # commit-driven path (round-12 review catch)
+    pdir = _pending_dir(mdir)
+    pre_markers = [m for m in fs.ls(pdir) if m.endswith(".json")]
     manifests = list_manifests(table_root, data_source)
     everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
     visible = resolve_visible_windows(manifests, everything)
@@ -177,9 +185,8 @@ def materialize_aggs(
             fs, _state_path(mdir, w.manifest.identifier)) is None
     ]
     done = _build_states(spark, fs, mdir, spec, targets, visible)
-    # a full pass guarantees coverage for this rollup, so any pending
-    # catch-up markers DML commits registered are satisfied
-    _clear_pending(fs, mdir)
+    if pre_markers:
+        fs.delete_files([fs.join(pdir, m) for m in pre_markers])
     return done
 
 
@@ -362,6 +369,19 @@ def catch_up_materialized(
         n for n in fs.ls(base)
         if fs.exists(fs.join(base, n, "spec.json"))
     ]
+    # ORDER MATTERS: snapshot every rollup's pending markers BEFORE the
+    # timeline listing. Markers are written AFTER their registration,
+    # so any marker visible now refers to a segment the later manifest
+    # listing will include — whereas listing manifests first would let
+    # a commit land in between, and its (newer-than-snapshot) marker
+    # would be misclassified as overshadowed and deleted without a
+    # state, permanently dropping that segment from the commit-driven
+    # path (round-12 review catch).
+    pending_by_name: dict[str, list[str]] = {}
+    for n in names:
+        pdir = _pending_dir(fs.join(base, n))
+        pending_by_name[n] = [m for m in fs.ls(pdir)
+                              if m.endswith(".json")]
     manifests = list_manifests(table_root, data_source)
     everything = Interval.parse("0001-01-01T00:00:00/9999-12-31T00:00:00")
     visible = resolve_visible_windows(manifests, everything)
@@ -378,7 +398,7 @@ def catch_up_materialized(
                 f"no materialized rollup {n!r} for {data_source}")
         spec = json.loads(fs.read_text(spec_path))
         pdir = _pending_dir(mdir)
-        markers = [m for m in fs.ls(pdir) if m.endswith(".json")]
+        markers = pending_by_name[n]
         targets = []
         satisfied: list[str] = []
         for marker in markers:
@@ -399,15 +419,6 @@ def catch_up_materialized(
                         + [fs.join(pdir, m) for m in satisfied])
         out[n] = done
     return out
-
-
-def _clear_pending(fs, mdir: str) -> None:
-    """Drop every pending marker of a rollup — called when a FULL lazy
-    pass just guaranteed coverage, superseding the markers."""
-    pdir = _pending_dir(mdir)
-    markers = [fs.join(pdir, m) for m in fs.ls(pdir) if m.endswith(".json")]
-    if markers:
-        fs.delete_files(markers)
 
 
 def query_materialized(

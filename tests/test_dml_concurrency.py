@@ -637,3 +637,62 @@ def test_two_process_publish_vs_merge_race(tmp_path, spark):
         # publish landed first: merge refused, nothing of it on disk
         assert by_who["m"][0] == "conflict", results
         assert merge_versions == set(), (results, versions)
+
+
+def test_publish_detects_mid_publish_dml_overshadow(spark, tmp_path,
+                                                    monkeypatch):
+    """Round-12 review catch: with the commit lease held per CHUNK, a
+    DML can commit between a publish's chunks and rewrite a bucket the
+    publish registers only later — that bucket's publish data would be
+    silently overshadowed. The publish's post-registration validation
+    must turn this into a loud ConcurrentWriteConflict."""
+    from contextlib import contextmanager
+
+    from druid_hadoop_utils_spark.sources import ingest as ingest_mod
+    from druid_hadoop_utils_spark.sources import lease as lease_mod
+    from druid_hadoop_utils_spark.sources.dml import (
+        ConcurrentWriteConflict,
+        merge_into,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [Row(ts=datetime(2024, 1, 1 + d, 1), k="k1", v=float(d))
+            for d in range(3)]
+    publish_segments(spark.createDataFrame(rows), root, "t", version="v1",
+                     time_column="ts", bucket="DAY")
+
+    # one registration per lease hold → day 1 / day 2 / day 3 chunks
+    monkeypatch.setattr(ingest_mod, "_REGISTER_CHUNK", 1)
+    real = lease_mod.commit_lease
+    state = {"publish_holds": 0, "merged": False}
+
+    @contextmanager
+    def interleaving(table_root, data_source, op, **kw):
+        with real(table_root, data_source, op, **kw) as h:
+            yield h
+        if op == "publish_segments":
+            state["publish_holds"] += 1
+            if state["publish_holds"] == 1 and not state["merged"]:
+                # between chunk 1 (day 1) and chunk 2: a merge rewrites
+                # day 3, which the publish registers only in chunk 3
+                state["merged"] = True
+                merge_into(
+                    spark, root, "t",
+                    spark.createDataFrame(
+                        [Row(__time=datetime(2024, 1, 3, 1), k="k1",
+                             v=999.0)]),
+                    ["k"])
+
+    monkeypatch.setattr(lease_mod, "commit_lease", interleaving)
+    with pytest.raises(ConcurrentWriteConflict, match="rewritten"):
+        publish_segments(
+            spark.createDataFrame(
+                [Row(ts=datetime(2024, 1, 1 + d, 2), k="k2", v=float(d))
+                 for d in range(3)]),
+            root, "t", version="v2", time_column="ts", bucket="DAY")
+
+    # the merge's rewrite IS the visible day-3 state (loss was loud,
+    # nothing silently vanished from the DML side)
+    ms = [m for m in list_manifests(root, "t") if not m.tombstone]
+    day3_versions = {m.version for m in ms if m.interval.start.day == 3}
+    assert any("merge" in v for v in day3_versions), day3_versions

@@ -245,3 +245,16 @@ def test_battery_kll_state_reagg_shape(spark, sf_dir):
     assert len(out) == len(types) >= 3
     for r in out:
         assert r.p25 <= r.p50 <= r.p95
+
+
+def test_quantile_label_float_inexact_hundredths():
+    """q*100 is not float-exact for most hundredths (0.29*100 ==
+    28.999999999999996) — labels must come out clean anyway, never a
+    trailing-underscore 'p29_' (round-12 review catch)."""
+    from druid_hadoop_utils_spark.functions.kll import quantile_label
+
+    for i in range(1, 100):
+        q = i / 100.0
+        assert quantile_label(q) == f"p{i}", (q, quantile_label(q))
+    assert quantile_label(0.9999) == "p99_99"
+    assert quantile_label(1.0) == "p100"

@@ -156,3 +156,21 @@ def test_real_boto3_model_via_stubber():
         assert fs.delete_file_if_unchanged(p, "lease-v1") is True
         assert fs.delete_file_if_unchanged(p, "lease-v1") is False  # 404
     stub.assert_no_pending_responses()
+
+
+def test_anonymous_store_never_routes_metadata_through_boto3():
+    """An anonymous (or boto-disabled) s3 store sets boto_opts=None: the
+    metadata fast paths must stay on the configured pyarrow backend —
+    a default-chain boto3 client would sign with ambient credentials
+    against the wrong endpoint (round-12 review catch)."""
+    fs = ArrowMetaFS.from_filesystem(
+        backend=None, scheme="s3", netloc="bkt", netloc_in_path=True,
+        boto_opts=None)
+    assert not fs.supports_put_if_absent
+    assert fs._boto_metadata_client() is None
+    # and a configured instance DOES use it
+    fs2 = ArrowMetaFS.from_filesystem(
+        backend=None, scheme="s3", netloc="bkt", netloc_in_path=True,
+        boto_opts={})
+    fs2._conditional = _FakeS3Client()
+    assert fs2._boto_metadata_client() is not None
