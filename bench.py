@@ -77,6 +77,9 @@ HEADLINE = [
     "q_tpch_q21_suppliers_kept_waiting",
     "q_text_lm_score",
     "q_incremental_dedup",
+    # crawl-increment near-dedup: new batch vs the seen corpus's stored
+    # signature manifest (round 12) — only the new half pays shingling
+    "q_incremental_neardup",
     "q_leakage_safe_split",
     "q_bm25_search",
     "q_strip_dup_ngrams",

@@ -851,6 +851,44 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
+@register(
+    "q_incremental_neardup",
+    """WITH s AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       FROM s a, s b
+       WHERE a.doc_id < b.doc_id
+         AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
+)
+def q_incremental_neardup(spark, sf_dir):
+    # the crawl-increment near-dedup (round 12): odd doc_ids are the NEW
+    # batch, even ids the seen corpus represented ONLY by its persisted
+    # signature_manifest — the manifest's stored signatures go through
+    # one band shuffle while shingling/hashing runs on the new half
+    # alone, and seen×seen pairs never enter the join. Candidates are
+    # exact-verified against the corpus text (verify_with), so the
+    # quadratic all-pairs oracle (restricted to pairs touching the new
+    # half) hash-matches at the convergent bands=32 config exactly as
+    # q_dedup_minhash_lsh does. operators/dedup.py:signature_manifest,
+    # incremental_neardup_pairs.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    manifest = DD.signature_manifest(seen, "doc_id")
+    out = DD.incremental_neardup_pairs(
+        new, manifest, "doc_id", threshold=0.5, num_hashes=64, bands=32,
+        verify_with=docs)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 # PRODUCTION parameterization (bands=16 → 4 rows/band): 2× fewer band
 # buckets than the provably-convergent config above, i.e. the selectivity
 # a real pipeline would run. The testdata's duplicate pairs are
@@ -5138,8 +5176,8 @@ _DRIVER_PRIORITY = [
     # After r12 nothing should be staler than r07.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
     # NEW or CHANGED in r12 — first:
-    "q_kll_state_reagg", "q_media_decode_dims", "q_kll_quantiles_prod",
-    "q_bpe_roundtrip",
+    "q_kll_state_reagg", "q_media_decode_dims", "q_incremental_neardup",
+    "q_kll_quantiles_prod", "q_bpe_roundtrip",
     # the 6 queries whose newest driver-checked row is r06:
     "q_tpch_q18_large_volume_customer", "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier_volume", "q_tpch_q6_forecast_revenue",

@@ -632,6 +632,143 @@ def fingerprint_manifest(
     return df.select(k.alias("fp")).distinct()
 
 
+def signature_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The NEAR-dup twin of ``fingerprint_manifest``: one (id, minhash
+    signature) row per document — persist this beside the segments after
+    each ingest and feed it to ``incremental_neardup_pairs`` so later
+    batches near-dedup against the whole history without ever
+    re-shingling or re-hashing earlier text. A signature is
+    ``num_hashes`` longs (~512 B at 64 hashes) regardless of document
+    size, so the manifest of a billion-doc corpus is ~0.5 TB of scans
+    instead of re-reading the corpus text per crawl increment."""
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_n).alias("__sh"),
+    )
+    sigs = minhash_table(base, "__id", "__sh", num_hashes, seed)
+    return sigs.select(F.col("__id").alias(id_col), "signature")
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    seen_signatures: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
+    verify_with: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs a NEW batch introduces — (new doc, any doc)
+    — against an existing corpus represented ONLY by its persisted
+    ``signature_manifest``, plus pairs within the new batch itself.
+    The every-crawl-increment shape of near-dedup at 100 TB: the seen
+    corpus's text is never touched — its stored signatures go through
+    one band-explode + bucket shuffle (cheap integers), only the NEW
+    batch pays shingling and hashing, and seen×seen pairs (already
+    found by earlier increments) never enter the join because the
+    probe side is new-batch rows only.
+
+    Scoring: ``est_jaccard`` is the minhash agreement fraction — the
+    standard unbiased Jaccard estimator (stderr ≈ sqrt(J(1−J)/H), ~6%
+    at 64 hashes), computable from signatures alone. When the caller
+    retains corpus text and passes it as ``verify_with`` (id, text —
+    e.g. the managed documents table), candidate pairs are re-verified
+    with EXACT Jaccard and filtered on it; only the candidates' texts
+    are read, never the corpus. Returns (id_a, id_b, est_jaccard[,
+    jaccard]) with the kept metric >= ``threshold``; id_a < id_b, and
+    every pair involves at least one new-batch id.
+
+    Train/seed parameters must match the manifest's — banding a
+    signature built under a different seed or hash count finds nothing
+    (same contract as merging KLL states: build both sides with one
+    config)."""
+    rows_per_band = num_hashes // bands
+    new_base = spread(new_df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_n).alias("__sh"),
+    )
+    new_sigs = minhash_table(new_base, "__id", "__sh", num_hashes, seed)
+    seen_sigs = seen_signatures.select(
+        F.col(id_col).alias("__id"), "signature")
+
+    def band_rows(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "__id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+            F.col("signature").alias("__sig"),
+        ).select(
+            "__id",
+            "__band",
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(F.col("__sig"),
+                        F.col("__band") * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ))).alias("__bucket"),
+            "__sig",
+        )
+
+    new_banded = band_rows(new_sigs)
+    # the build side is EVERYTHING (seen ∪ new: new-new pairs matter
+    # too); the probe side is new-batch rows only, so seen×seen never
+    # joins. Same degenerate-bucket cap as lsh_candidate_pairs.
+    all_banded = band_rows(new_sigs.unionByName(seen_sigs))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__band", "__bucket").orderBy("__id")
+        all_banded = (
+            all_banded.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    left = new_banded.alias("l")
+    right = all_banded.alias("r")
+    est = (
+        "size(filter(zip_with(l_sig, r_sig, (x, y) -> x = y), m -> m)) "
+        f"/ cast({num_hashes} AS double)"
+    )
+    cands = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") != F.col("r.__id")),
+        )
+        .select(
+            F.least("l.__id", "r.__id").alias("id_a"),
+            F.greatest("l.__id", "r.__id").alias("id_b"),
+            F.col("l.__sig").alias("l_sig"),
+            F.col("r.__sig").alias("r_sig"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .selectExpr("id_a", "id_b", f"{est} AS est_jaccard")
+    )
+    if verify_with is None:
+        return cands.where(F.col("est_jaccard") >= threshold)
+    texts = verify_with.select(
+        F.col(id_col).alias("__vid"),
+        word_shingles(text_col, shingle_n).alias("__vsh"),
+    )
+    return (
+        cands.join(texts.select(F.col("__vid").alias("id_a"),
+                                F.col("__vsh").alias("sh_a")), "id_a")
+        .join(texts.select(F.col("__vid").alias("id_b"),
+                           F.col("__vsh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", "est_jaccard",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------- global duplicate substrings
 
 def duplicate_ngram_starts(

@@ -383,3 +383,85 @@ def test_simhash_table_swar_bit_identical_to_naive(spark):
         want = {r.doc_id: r.sig for r in
                 agg.select("doc_id", sig.alias("sig")).collect()}
         assert got == want, mode
+
+
+class TestIncrementalNeardup:
+    """signature_manifest + incremental_neardup_pairs (round 12): the
+    crawl-increment near-dedup — new batch vs persisted signatures,
+    seen text never re-read."""
+
+    def _halves(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        seen = docs.where(F.col("doc_id") % 2 == 0)
+        new = docs.where(F.col("doc_id") % 2 == 1)
+        return docs, seen, new
+
+    def test_matches_batch_pipeline_on_cross_and_new_pairs(self, spark,
+                                                           sf_dir):
+        """Verified incremental pairs == the full batch pipeline's
+        pairs restricted to (>=1 new id) — the manifest path loses
+        nothing the one-shot pipeline would find."""
+        docs, seen, new = self._halves(spark, sf_dir)
+        manifest = D.signature_manifest(seen, "doc_id")
+        inc = {
+            (r.id_a, r.id_b)
+            for r in D.incremental_neardup_pairs(
+                new, manifest, "doc_id", threshold=0.5,
+                verify_with=docs).collect()
+        }
+        batch = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_dedup_pairs(
+                docs, "doc_id", threshold=0.5).collect()
+        }
+        new_ids = {r.doc_id for r in new.collect()}
+        batch_new = {(a, b) for a, b in batch
+                     if a in new_ids or b in new_ids}
+        assert inc == batch_new
+
+    def test_signature_only_path_needs_no_seen_text(self, spark, sf_dir):
+        """Without verify_with the decision is the signature-agreement
+        estimate — computable from the manifest alone. Exact duplicates
+        across the halves estimate at 1.0."""
+        docs, seen, new = self._halves(spark, sf_dir)
+        manifest = D.signature_manifest(seen, "doc_id")
+        out = D.incremental_neardup_pairs(
+            new, manifest, "doc_id", threshold=0.5).collect()
+        assert all(r.est_jaccard >= 0.5 for r in out)
+        # exact-text duplicates (the synthetic corpus plants some
+        # across halves) must estimate at exactly 1.0
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        exact_cross = {(a, b) for a in texts for b in texts
+                       if a < b and texts[a] == texts[b]
+                       and ((a % 2 == 1) or (b % 2 == 1))}
+        got = {(r.id_a, r.id_b): r.est_jaccard for r in out}
+        for pair in exact_cross:
+            assert got.get(pair) == 1.0, (pair, got.get(pair))
+
+    def test_seen_seen_pairs_never_emitted(self, spark, sf_dir):
+        docs, seen, new = self._halves(spark, sf_dir)
+        manifest = D.signature_manifest(seen, "doc_id")
+        out = D.incremental_neardup_pairs(
+            new, manifest, "doc_id", threshold=0.5,
+            verify_with=docs).collect()
+        new_ids = {r.doc_id for r in new.collect()}
+        assert all(r.id_a in new_ids or r.id_b in new_ids for r in out)
+        # and normalized ordering with no duplicates
+        pairs = [(r.id_a, r.id_b) for r in out]
+        assert all(a < b for a, b in pairs)
+        assert len(pairs) == len(set(pairs))
+
+    def test_empty_seen_equals_within_batch_pipeline(self, spark, docs):
+        empty = D.signature_manifest(docs.limit(0), "doc_id")
+        out = {
+            (r.id_a, r.id_b)
+            for r in D.incremental_neardup_pairs(
+                docs, empty, "doc_id", threshold=0.5,
+                verify_with=docs).collect()
+        }
+        batch = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_dedup_pairs(
+                docs, "doc_id", threshold=0.5).collect()
+        }
+        assert out == batch
