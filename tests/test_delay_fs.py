@@ -155,9 +155,10 @@ def test_publish_metadata_cost_is_one_listing_plus_n_puts(delayroot, spark):
     assert c["put_text"] == n + 1          # n manifests + 1 lease PUT
     assert c["copy_tree"] == n             # no-rename promote, 1/bucket
     # staging walk + manifest dir + ONE materialized-rollup discovery
-    # LIST (register_pending_states, round 12 — O(1) per publish, not
-    # per bucket; a no-op marker write when the table has no rollups)
-    assert c.get("ls", 0) <= 3
+    # LIST (register_pending_states) + ONE post-registration validation
+    # LIST (the concurrent-overshadow check) — both round 12, both O(1)
+    # per publish, never per bucket
+    assert c.get("ls", 0) <= 4
     assert c.get("read_text", 0) <= 3      # lease protocol reads only
     assert c.get("isdir", 0) <= n + 2      # promote dest checks + probes
     assert c.get("delete_file", 0) == 1    # lease release
