@@ -12,6 +12,7 @@ data movement, one shuffle on the bucket key, file sizes controlled by
 
 from __future__ import annotations
 
+import json
 import urllib.parse
 from datetime import datetime, timedelta, timezone
 
@@ -269,8 +270,10 @@ def publish_segments(
     )
 
     _stamp_floor = None  # table's max existing publishedAt (same listing)
+    _entry_raw: dict = {}  # mpath → parsed obj (for the names snapshot)
     try:
-        _existing = list_manifests(table_root, data_source)
+        _existing = list_manifests(table_root, data_source,
+                                   _raw_out=_entry_raw)
     except FileNotFoundError:
         _existing = []
     _referenced = {
@@ -399,19 +402,49 @@ def publish_segments(
         # commit → raise loudly so the caller re-publishes against the
         # new timeline. Older-stamped higher versions stay accepted —
         # that's the sequential publish-under-an-existing-version case,
-        # which has always been legal version semantics.
+        # which has always been legal version semantics. Cost: one ls
+        # of the manifest dir + one GET per file that APPEARED since
+        # this publish's entry listing — normally zero; a concurrent
+        # DML contributes one file, a concurrent snapshot compaction
+        # one (whose pre-existing entries the stamp filter clears) —
+        # never a re-read of the whole timeline.
         from druid_hadoop_utils_spark.sources.dml import (
             ConcurrentWriteConflict,
         )
+        from druid_hadoop_utils_spark.sources.segments import (
+            MANIFEST_DIR,
+            _manifests_from_json,
+            _safe,
+        )
 
-        fresh = list_manifests(table_root, data_source)
-        ours = {(m.interval.iso(), m.version) for m in manifests}
+        mdir = fs.join(table_root, data_source, MANIFEST_DIR)
+        entry_names = {fs.name(p) for p in _entry_raw}
+        our_ids = {m.identifier for m in manifests}
+        # OUR registrations' filenames (single-manifest and group-file
+        # forms) are skipped WITHOUT reading — otherwise every publish
+        # would re-read its own n fresh manifests
+        our_names = {f"{_safe(m.identifier)}.json" for m in manifests}
+        for m in manifests:
+            gid = (f"{m.data_source}_{m.interval.start.isoformat()}"
+                   f"_{m.interval.end.isoformat()}_{m.version}")
+            our_names.add(f"{_safe(gid)}.json")
+        fresh = []
+        for name in fs.ls(mdir):
+            if (not name.endswith(".json") or name.startswith("_")
+                    or name in entry_names or name in our_names):
+                continue
+            mpath = fs.join(mdir, name)
+            try:
+                obj = json.loads(fs.read_text(mpath))
+            except (FileNotFoundError, OSError, ValueError):
+                continue  # raced a compaction's cleanup; harmless
+            fresh.extend(m for m in _manifests_from_json(obj, mpath)
+                         if m.identifier not in our_ids)
         clobbered = sorted({
             f.interval.iso()
             for f in fresh
             for m in manifests
-            if (f.interval.iso(), f.version) not in ours
-            and f.version > m.version
+            if f.version > m.version
             and f.interval.overlaps(m.interval)
             and f.published_at and f.published_at >= stamp
         })
