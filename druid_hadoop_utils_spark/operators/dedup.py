@@ -754,10 +754,13 @@ def incremental_neardup_pairs(
     )
     if verify_with is None:
         return cands.where(F.col("est_jaccard") >= threshold)
+    # the shingled verify side feeds BOTH sides of the pair join —
+    # persist so corpus shingling runs once, not twice (the same
+    # one-materialization precedent as minhash_lsh_dedup_pairs)
     texts = verify_with.select(
         F.col(id_col).alias("__vid"),
         word_shingles(text_col, shingle_n).alias("__vsh"),
-    )
+    ).persist()
     return (
         cands.join(texts.select(F.col("__vid").alias("id_a"),
                                 F.col("__vsh").alias("sh_a")), "id_a")
