@@ -50,6 +50,23 @@ def main() -> None:
         all_docs.where(F.col("doc_id") >= 300), manifest, "doc_id")
     n0 = docs.count()
 
+    # 0b. incremental NEAR-dedup (round 12): the previous snapshot also
+    #     persists a minhash signature_manifest (~512 B/doc); the new
+    #     batch drops its near-dups of HISTORY without the old text ever
+    #     being re-shingled — only stored signatures go through the band
+    #     join, scored by the signature-agreement Jaccard estimate
+    sig_manifest = D.signature_manifest(
+        all_docs.where(F.col("doc_id") < 300), "doc_id")
+    near_hist = D.incremental_neardup_pairs(
+        docs, sig_manifest, "doc_id", threshold=0.8)
+    # drop only new docs that near-dup HISTORY (one pair side < 300);
+    # within-batch near-dups are step 3's quality-aware cluster removal
+    hist_dup_ids = (
+        near_hist.where((F.col("id_a") < 300) | (F.col("id_b") < 300))
+        .select(F.greatest("id_a", "id_b").alias("doc_id")).distinct())
+    docs = docs.join(hist_dup_ids, "doc_id", "left_anti")
+    n0b = docs.count()
+
     # 1. analyze + quality gate + LM-score filter (corpus as its own
     #    language model: drop the least-typical tail). LEFT join: a doc
     #    too short to have bigrams has no LM evidence against it and
@@ -121,7 +138,8 @@ def main() -> None:
     )
     stats.orderBy("split", F.desc("docs")).show()
     print(
-        f"pipeline: {n0} new-after-incremental -> {n1} quality+LM-kept "
+        f"pipeline: {n0} new-after-incremental -> {n0b} after "
+        f"near-dedup-vs-history -> {n1} quality+LM-kept "
         f"-> {n2} exact-deduped "
         f"-> {n3} cluster-deduped -> {n4} embedding-pruned -> "
         f"{n5} mixture-weighted -> {fill.packs} train packs "
