@@ -702,21 +702,22 @@ def incremental_neardup_pairs(
     seen_sigs = seen_signatures.select(
         F.col(id_col).alias("__id"), "signature")
 
+    # expr-string construction (the round-11 py4j lesson): the nested
+    # slice/transform/xxhash64 banding built through the Column API
+    # costs ~0.3 s of driver-side round-trips per side; one SQL string
+    # is one py4j call with an identical JVM plan
+    bucket_sql = (
+        "xxhash64(concat_ws(',', transform("
+        f"slice(__sig, __band * {rows_per_band} + 1, {rows_per_band}), "
+        "x -> cast(x AS string))))"
+    )
+
     def band_rows(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
+        return sigs.selectExpr(
             "__id",
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
-            F.col("signature").alias("__sig"),
-        ).select(
-            "__id",
-            "__band",
-            F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice(F.col("__sig"),
-                        F.col("__band") * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ))).alias("__bucket"),
-            "__sig",
-        )
+            f"explode(sequence(0, {bands - 1})) AS __band",
+            "signature AS __sig",
+        ).selectExpr("__id", "__band", f"{bucket_sql} AS __bucket", "__sig")
 
     new_banded = band_rows(new_sigs)
     # the build side is EVERYTHING (seen ∪ new: new-new pairs matter
