@@ -63,7 +63,9 @@ from druid_hadoop_utils_spark.sources.maintenance import restore_to
 from druid_hadoop_utils_spark.sources.materialize import (
     catch_up_materialized,
     materialize_aggs,
+    materialize_signatures,
     query_materialized,
+    read_signatures,
     vacuum_materialized,
 )
 from druid_hadoop_utils_spark.functions.lookups import (
@@ -119,7 +121,9 @@ __all__ = [
     "update_where",
     "catch_up_materialized",
     "materialize_aggs",
+    "materialize_signatures",
     "query_materialized",
+    "read_signatures",
     "vacuum_materialized",
     "register_lookup",
     "unregister_lookup",

@@ -143,9 +143,61 @@ def materialize_aggs(
         "granularity": granularity,
         "time_column": time_column,
     }
+    return _materialize_generic(spark, table_root, data_source, name, spec)
+
+
+def materialize_signatures(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> list[str]:
+    """Ensure every VISIBLE segment has a minhash SIGNATURE file for
+    ``name`` — the managed-table form of
+    ``operators.dedup.signature_manifest``: one (id, signature) parquet
+    per segment under ``_materialized/<name>/``, built incrementally
+    (only segments without a file compute), caught up O(affected) by
+    the same commit-driven pending markers as rollup states, and
+    reclaimed by ``vacuum_materialized``. ``read_signatures`` unions
+    the visible segments' files into the manifest
+    ``incremental_neardup_pairs`` consumes — so each crawl increment
+    near-dedups against the WHOLE corpus history at the cost of the
+    new segments' shingling plus a signature-table band join, never a
+    re-read of historical text."""
+    spec = {
+        "kind": "signatures",
+        "id_col": id_col,
+        "text_col": text_col,
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+        "seed": seed,
+    }
+    return _materialize_generic(spark, table_root, data_source, name, spec)
+
+
+def _materialize_generic(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+    spec: dict,
+) -> list[str]:
+    """The shared incremental-materialization scaffold: persist/verify
+    the spec, snapshot pending markers, compute only the visible
+    segments missing a state file (via the kind-dispatched
+    ``_build_states``), then clear the observed markers."""
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        resolve_visible_windows,
+    )
+
     from druid_hadoop_utils_spark.sources.fs import (
         get_fs,
-        publish_parquet_dir,
         resolve_parquet_dir,
     )
 
@@ -157,14 +209,14 @@ def materialize_aggs(
         existing = json.loads(fs.read_text(spec_path))
         if existing != spec:
             raise ValueError(
-                f"materialized rollup {name!r} already exists with a "
+                f"materialization {name!r} already exists with a "
                 "different spec — states built under two specs must never "
                 "merge; materialize under a new name"
             )
     else:
         fs.put_text(spec_path, json.dumps(spec, indent=2))
-        # a NEW rollup exists: same-process announce paths must see it
-        # immediately (the TTL cache is for the no-rollups hot path)
+        # a NEW materialization exists: same-process announce paths must
+        # see it immediately (the TTL cache is for the no-rollups hot path)
         _ROLLUP_NAMES_CACHE.pop((table_root, data_source), None)
 
     # snapshot the pending markers BEFORE the timeline listing: this
@@ -191,13 +243,38 @@ def materialize_aggs(
 
 
 def _build_states(spark, fs, mdir: str, spec: dict, targets, visible):
-    """Compute and atomically publish one rollup-state file per target
-    window — the shared builder behind ``materialize_aggs`` (full lazy
-    pass) and ``catch_up_materialized`` (commit-driven, O(affected))."""
+    """Compute and atomically publish one state file per target window —
+    the shared builder behind the full lazy passes and
+    ``catch_up_materialized`` (commit-driven, O(affected)). Dispatches
+    on the spec's ``kind``: ``rollup`` (default; per-segment
+    pre-aggregation states) or ``signatures`` (per-doc minhash
+    signatures for incremental near-dedup)."""
     from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
     from druid_hadoop_utils_spark.functions.granularity import granularity_expr
 
     from druid_hadoop_utils_spark.sources.fs import publish_parquet_dir
+
+    if spec.get("kind", "rollup") == "signatures":
+        from druid_hadoop_utils_spark.operators.dedup import (
+            signature_manifest,
+        )
+
+        done: list[str] = []
+        for w in targets:
+            path = _state_path(mdir, w.manifest.identifier)
+            seg = spark.read.parquet(w.manifest.path)
+            sigs = signature_manifest(
+                seg, spec["id_col"], spec["text_col"],
+                shingle_n=spec["shingle_n"],
+                num_hashes=spec["num_hashes"], seed=spec["seed"],
+            )
+            publish_parquet_dir(
+                fs,
+                lambda url: sigs.write.mode("overwrite").parquet(url),
+                path,
+            )
+            done.append(w.manifest.identifier)
+        return done
 
     dimensions = spec["dimensions"]
     aggregations = spec["aggregations"]
@@ -421,35 +498,29 @@ def catch_up_materialized(
     return out
 
 
-def query_materialized(
-    spark: SparkSession,
-    table_root: str,
-    data_source: str,
-    name: str,
+def _resolve_state_paths(
+    fs, table_root: str, data_source: str, name: str,
     interval: str | Interval | None = None,
-    post_aggregations: list[dict] | None = None,
-) -> DataFrame:
-    """Answer the rollup from per-segment states only — raw rows are
-    never rescanned. One state-merge shuffle on (bucket, dims); state
-    volume is (buckets × dims cardinality) per segment, not rows."""
-    from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+) -> tuple[dict, list[str]]:
+    """Spec + spark-readable state paths for the VISIBLE segments of a
+    materialization — the shared MVCC resolution behind
+    ``query_materialized`` and ``read_signatures``: partial visibility
+    refuses (a whole-segment file would leak overshadowed rows), a
+    missing state refuses naming the catch-up."""
+    from druid_hadoop_utils_spark.sources.fs import resolve_parquet_dir
     from druid_hadoop_utils_spark.sources.segments import (
         list_manifests,
         resolve_visible_windows,
     )
 
-    from druid_hadoop_utils_spark.sources.fs import get_fs, resolve_parquet_dir
-
-    fs = get_fs(table_root)
     mdir = _mat_dir(table_root, data_source, name)
     spec_path = fs.join(mdir, "spec.json")
     if not fs.exists(spec_path):
         raise FileNotFoundError(
-            f"no materialized rollup {name!r} for {data_source} — run "
-            "materialize_aggs first"
+            f"no materialization {name!r} for {data_source} — run "
+            "materialize_aggs / materialize_signatures first"
         )
     spec = json.loads(fs.read_text(spec_path))
-
     iv = Interval.parse(interval) if interval is not None else Interval.parse(
         "0001-01-01T00:00:00/9999-12-31T00:00:00")
     manifests = list_manifests(table_root, data_source)
@@ -462,21 +533,75 @@ def query_materialized(
             raise ValueError(
                 f"segment {w.manifest.identifier} is only partially "
                 "visible (overshadowed in part of its interval) — its "
-                "whole-segment state would over-count; compact the table, "
-                "re-run materialize_aggs, then query again"
+                "whole-segment state would leak overshadowed rows; "
+                "compact the table, re-materialize, then query again"
             )
         p = resolve_parquet_dir(fs, _state_path(mdir, w.manifest.identifier))
         if p is None:
             raise FileNotFoundError(
                 f"segment {w.manifest.identifier} has no state for "
-                f"{name!r} — run materialize_aggs to catch up (it only "
-                "computes the missing segments)"
+                f"{name!r} — run materialize_aggs / "
+                "materialize_signatures (or catch_up_materialized) to "
+                "catch up; only the missing segments compute"
             )
         paths.append(fs.spark_url(p))
     if not paths:
         raise FileNotFoundError(
             f"no visible segments for {data_source} in {iv.iso()}"
         )
+    return spec, paths
+
+
+def read_signatures(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+) -> DataFrame:
+    """The table's near-dup signature manifest, assembled from the
+    visible segments' per-segment signature files (``(id, signature)``
+    rows) — feed it straight to
+    ``operators.dedup.incremental_neardup_pairs``. Same MVCC contract
+    as ``query_materialized``: overshadowed segments' files are never
+    read, partial visibility and missing states refuse loudly."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    spec, paths = _resolve_state_paths(fs, table_root, data_source, name)
+    if spec.get("kind") != "signatures":
+        raise ValueError(
+            f"materialization {name!r} is kind="
+            f"{spec.get('kind', 'rollup')!r}, not signatures — read it "
+            "with query_materialized"
+        )
+    return spark.read.parquet(*paths)
+
+
+def query_materialized(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+    interval: str | Interval | None = None,
+    post_aggregations: list[dict] | None = None,
+) -> DataFrame:
+    """Answer the rollup from per-segment states only — raw rows are
+    never rescanned. One state-merge shuffle on (bucket, dims); state
+    volume is (buckets × dims cardinality) per segment, not rows."""
+    from druid_hadoop_utils_spark.functions.aggregators import group_aggregate
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    spec, paths = _resolve_state_paths(fs, table_root, data_source, name,
+                                       interval)
+    if spec.get("kind", "rollup") != "rollup":
+        raise ValueError(
+            f"materialization {name!r} is kind={spec.get('kind')!r}, not "
+            "a rollup — read it with its own reader (read_signatures)"
+        )
+    iv = Interval.parse(interval) if interval is not None else Interval.parse(
+        "0001-01-01T00:00:00/9999-12-31T00:00:00")
     states = spark.read.parquet(*paths)
     states = states.where(
         (F.col("__time") >= F.lit(iv.start.replace(tzinfo=None)))
@@ -777,6 +902,10 @@ def rewrite_groupby_from_states(
     refs = _filter_refs(dim_filter)
     reasons = []
     for name, spec in specs.items():
+        if spec.get("kind", "rollup") != "rollup":
+            # signature materializations (round 12) have no aggregation
+            # shape — never rewrite candidates
+            continue
         s_dims, s_gran = spec["dimensions"], spec["granularity"]
         if isinstance(s_gran, str) and s_gran.upper() == "ALL":
             reasons.append(f"{name}: ALL-granularity states cannot "

@@ -362,3 +362,122 @@ def test_streamed_segments_feed_commit_driven_catchup(spark, tmp_path):
     assert out[("2024-01-01T06:00:00", "a")] == 7.0
     assert out[("2024-01-01T07:00:00", "b")] == 8.0
     assert out[("2024-01-01T00:00:00", "a")] == 1.0
+
+
+# ---------------------------------------------------------------------
+# round 12: materialized near-dup signatures — the managed-table form of
+# signature_manifest, sharing the incremental/catch-up/vacuum lifecycle
+# ---------------------------------------------------------------------
+
+
+def _docs_table(spark, tmp_path, n=40):
+    from pyspark.sql import functions as F
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for i in range(n):
+        words = base.split()
+        words[i % len(words)] = f"tok{i % 7}"
+        rows.append(Row(ts=datetime(2024, 1, 1 + (i % 4)), doc_id=i,
+                        text=" ".join(words)))
+    root = str(tmp_path / "docs_tbl")
+    publish_segments(spark.createDataFrame(rows), root, "docs",
+                     version="v1", time_column="ts", bucket="DAY")
+    return root
+
+
+def test_materialized_signatures_lifecycle(spark, tmp_path):
+    from druid_hadoop_utils_spark.operators import dedup as D
+    from druid_hadoop_utils_spark.sources.materialize import (
+        catch_up_materialized,
+        materialize_signatures,
+        read_signatures,
+    )
+    from druid_hadoop_utils_spark.sources.tables import load_table  # noqa
+
+    root = _docs_table(spark, tmp_path)
+    done = materialize_signatures(spark, root, "docs", "neardup",
+                                  id_col="doc_id")
+    assert len(done) == 4  # one file per day segment
+
+    # union of per-segment files == the direct one-shot manifest
+    from druid_hadoop_utils_spark import load
+    docs = load(spark, root,
+                {"granularity": "NONE", "dimensions": ["doc_id", "text"]},
+                interval="2024-01-01/2024-02-01", data_source="docs")
+    direct = {r["doc_id"]: r["signature"]
+              for r in D.signature_manifest(docs, "doc_id").collect()}
+    managed = {r["doc_id"]: r["signature"]
+               for r in read_signatures(spark, root, "docs",
+                                        "neardup").collect()}
+    assert managed == direct
+
+    # a new day's publish: commit-driven catch-up computes ONLY it
+    day5 = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 5), doc_id=100, text="fresh new words")])
+    publish_segments(day5, root, "docs", version="v1",
+                     time_column="ts", bucket="DAY")
+    caught = catch_up_materialized(spark, root, "docs")
+    assert len(caught["neardup"]) == 1 and "2024-01-05" in caught["neardup"][0]
+    assert 100 in {r["doc_id"] for r in
+                   read_signatures(spark, root, "docs", "neardup").collect()}
+
+    # the assembled signatures feed incremental_neardup_pairs directly:
+    # a near-identical new batch finds its historical twin
+    twin = docs.where(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    sig = read_signatures(spark, root, "docs", "neardup")
+    pairs = D.incremental_neardup_pairs(
+        twin, sig, "doc_id", threshold=0.9).collect()
+    assert any({r.id_a, r.id_b} == {3, 1003} for r in pairs), pairs
+
+
+def test_signature_and_rollup_readers_refuse_cross_kind(spark, tmp_path):
+    from druid_hadoop_utils_spark.sources.materialize import (
+        materialize_signatures,
+        query_materialized,
+        read_signatures,
+    )
+
+    root = _docs_table(spark, tmp_path)
+    materialize_signatures(spark, root, "docs", "neardup", id_col="doc_id")
+    with pytest.raises(ValueError, match="not a rollup"):
+        query_materialized(spark, root, "docs", "neardup")
+    # an actual rollup under another name refuses read_signatures
+    from druid_hadoop_utils_spark.sources.materialize import (
+        materialize_aggs,
+    )
+
+    materialize_aggs(spark, root, "docs", "counts", [],
+                     [{"type": "count", "name": "n"}], granularity="DAY")
+    with pytest.raises(ValueError, match="not signatures"):
+        read_signatures(spark, root, "docs", "counts")
+    # different-spec refusal under the same name
+    with pytest.raises(ValueError, match="different spec"):
+        materialize_signatures(spark, root, "docs", "neardup",
+                               id_col="doc_id", num_hashes=32)
+
+
+def test_dml_invalidates_signatures_until_catchup(spark, tmp_path):
+    from druid_hadoop_utils_spark.sources.materialize import (
+        catch_up_materialized,
+        materialize_signatures,
+        read_signatures,
+    )
+
+    root = _docs_table(spark, tmp_path)
+    materialize_signatures(spark, root, "docs", "neardup", id_col="doc_id")
+    merge_into(spark, root, "docs",
+               spark.createDataFrame(
+                   [Row(__time=datetime(2024, 1, 2), doc_id=1,
+                        text="rewritten content entirely")]),
+               ["doc_id"])
+    # the rewritten bucket's new segment has no signature file → refuse
+    with pytest.raises(FileNotFoundError, match="no state"):
+        read_signatures(spark, root, "docs", "neardup")
+    caught = catch_up_materialized(spark, root, "docs")
+    assert len(caught["neardup"]) == 1
+    sigs = {r["doc_id"] for r in
+            read_signatures(spark, root, "docs", "neardup").collect()}
+    assert 1 in sigs
