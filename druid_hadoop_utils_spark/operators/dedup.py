@@ -685,14 +685,26 @@ def incremental_neardup_pairs(
     retains corpus text and passes it as ``verify_with`` (id, text —
     e.g. the managed documents table), candidate pairs are re-verified
     with EXACT Jaccard and filtered on it; only the candidates' texts
-    are read, never the corpus. Returns (id_a, id_b, est_jaccard[,
-    jaccard]) with the kept metric >= ``threshold``; id_a < id_b, and
-    every pair involves at least one new-batch id.
+    are read, never the corpus. ``verify_with`` needs to cover only
+    the SEEN side — the new batch's own text is pooled in
+    automatically — and a pair whose seen text is no longer retained
+    falls back to its estimate (NULL ``jaccard``) instead of silently
+    vanishing. Returns (id_a, id_b, est_jaccard[, jaccard]) with the
+    kept metric >= ``threshold``; id_a < id_b, and every pair involves
+    at least one new-batch id.
 
     Train/seed parameters must match the manifest's — banding a
     signature built under a different seed or hash count finds nothing
     (same contract as merging KLL states: build both sides with one
-    config)."""
+    config).
+
+    Persisted intermediates: the new batch's banded rows (ids + band
+    hashes, a few longs per row) and — under ``verify_with`` — the
+    candidates' shingle arrays are cached so the expensive
+    shingle+hash pipeline runs ONCE per side, not once per plan branch
+    (same precedent as ``minhash_lsh_dedup_pairs``); a long-lived
+    session running many increments can release them with
+    ``spark.catalog.clearCache()`` between runs."""
     rows_per_band = num_hashes // bands
     new_base = spread(new_df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
@@ -719,11 +731,18 @@ def incremental_neardup_pairs(
             "signature AS __sig",
         ).selectExpr("__id", "__band", f"{bucket_sql} AS __bucket", "__sig")
 
-    new_banded = band_rows(new_sigs)
+    # persist the NEW side's banded rows: they feed both the probe side
+    # and (via union) the build side of the pair join — without the
+    # cache each branch would recompute the whole shingle+minhash
+    # pipeline over the new batch, doubling exactly the cost this
+    # operator exists to bound (round-12 review catch). The cached rows
+    # are (id, band, bucket, signature) — integers, no text.
+    new_banded = band_rows(new_sigs).persist()
     # the build side is EVERYTHING (seen ∪ new: new-new pairs matter
-    # too); the probe side is new-batch rows only, so seen×seen never
-    # joins. Same degenerate-bucket cap as lsh_candidate_pairs.
-    all_banded = band_rows(new_sigs.unionByName(seen_sigs))
+    # too) assembled FROM the persisted node, so new_sigs has exactly
+    # one consumer; the probe side is new-batch rows only, so seen×seen
+    # never joins. Same degenerate-bucket cap as lsh_candidate_pairs.
+    all_banded = new_banded.unionByName(band_rows(seen_sigs))
     if max_bucket_size is not None:
         w = Window.partitionBy("__band", "__bucket").orderBy("__id")
         all_banded = (
@@ -755,21 +774,37 @@ def incremental_neardup_pairs(
     )
     if verify_with is None:
         return cands.where(F.col("est_jaccard") >= threshold)
-    # the shingled verify side feeds BOTH sides of the pair join —
-    # persist so corpus shingling runs once, not twice (the same
-    # one-materialization precedent as minhash_lsh_dedup_pairs)
-    texts = verify_with.select(
-        F.col(id_col).alias("__vid"),
-        word_shingles(text_col, shingle_n).alias("__vsh"),
-    ).persist()
+    # the verify pool implicitly includes the NEW batch's own text
+    # (every pair touches a new id, and at increment time the new docs
+    # are typically not yet in the corpus table the caller passes —
+    # inner-joining verify_with alone would silently drop EVERY pair,
+    # round-12 review catch); verify_with only needs to cover the seen
+    # side. LEFT joins + a coalesce fallback keep a pair whose seen
+    # text was dropped from retention decidable by its estimate rather
+    # than silently vanishing (its `jaccard` column is then NULL).
+    # Persisted so the shingles materialize once across the two join
+    # branches.
+    texts = (
+        new_df.select(F.col(id_col).alias("__vid"),
+                      F.col(text_col).alias("__vtext"))
+        .unionByName(verify_with.select(
+            F.col(id_col).alias("__vid"),
+            F.col(text_col).alias("__vtext")))
+        .dropDuplicates(["__vid"])
+        .select("__vid", word_shingles("__vtext", shingle_n).alias("__vsh"))
+        .persist()
+    )
     return (
         cands.join(texts.select(F.col("__vid").alias("id_a"),
-                                F.col("__vsh").alias("sh_a")), "id_a")
+                                F.col("__vsh").alias("sh_a")),
+                   "id_a", "left")
         .join(texts.select(F.col("__vid").alias("id_b"),
-                           F.col("__vsh").alias("sh_b")), "id_b")
+                           F.col("__vsh").alias("sh_b")),
+              "id_b", "left")
         .select("id_a", "id_b", "est_jaccard",
                 jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.coalesce(F.col("jaccard"), F.col("est_jaccard"))
+               >= threshold)
     )
 
 

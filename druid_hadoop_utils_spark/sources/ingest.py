@@ -429,6 +429,7 @@ def publish_segments(
                    f"_{m.interval.end.isoformat()}_{m.version}")
             our_names.add(f"{_safe(gid)}.json")
         fresh = []
+        vanished = False
         for name in fs.ls(mdir):
             if (not name.endswith(".json") or name.startswith("_")
                     or name in entry_names or name in our_names):
@@ -437,9 +438,21 @@ def publish_segments(
             try:
                 obj = json.loads(fs.read_text(mpath))
             except (FileNotFoundError, OSError, ValueError):
-                continue  # raced a compaction's cleanup; harmless
+                # a listed file vanished mid-walk: a concurrent
+                # compact_manifests folded it into a snapshot we may
+                # have listed BEFORE the snapshot landed — skipping it
+                # could miss the very clobber it carried (round-12
+                # review catch); fall back to one full listing below
+                vanished = True
+                continue
             fresh.extend(m for m in _manifests_from_json(obj, mpath)
                          if m.identifier not in our_ids)
+        if vanished:
+            # full re-read: after the compaction the timeline is one
+            # snapshot GET, so this fallback stays cheap exactly when
+            # it triggers
+            fresh = [m for m in list_manifests(table_root, data_source)
+                     if m.identifier not in our_ids]
         clobbered = sorted({
             f.interval.iso()
             for f in fresh

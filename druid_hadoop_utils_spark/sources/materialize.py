@@ -501,8 +501,9 @@ def catch_up_materialized(
 def _resolve_state_paths(
     fs, table_root: str, data_source: str, name: str,
     interval: str | Interval | None = None,
-) -> tuple[dict, list[str]]:
-    """Spec + spark-readable state paths for the VISIBLE segments of a
+) -> tuple[dict, list[str], Interval]:
+    """Spec, spark-readable state paths, and the resolved interval for
+    the VISIBLE segments of a
     materialization — the shared MVCC resolution behind
     ``query_materialized`` and ``read_signatures``: partial visibility
     refuses (a whole-segment file would leak overshadowed rows), a
@@ -549,7 +550,7 @@ def _resolve_state_paths(
         raise FileNotFoundError(
             f"no visible segments for {data_source} in {iv.iso()}"
         )
-    return spec, paths
+    return spec, paths, iv
 
 
 def read_signatures(
@@ -567,7 +568,8 @@ def read_signatures(
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
     fs = get_fs(table_root)
-    spec, paths = _resolve_state_paths(fs, table_root, data_source, name)
+    spec, paths, _iv = _resolve_state_paths(fs, table_root, data_source,
+                                            name)
     if spec.get("kind") != "signatures":
         raise ValueError(
             f"materialization {name!r} is kind="
@@ -593,15 +595,13 @@ def query_materialized(
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
     fs = get_fs(table_root)
-    spec, paths = _resolve_state_paths(fs, table_root, data_source, name,
-                                       interval)
+    spec, paths, iv = _resolve_state_paths(fs, table_root, data_source,
+                                           name, interval)
     if spec.get("kind", "rollup") != "rollup":
         raise ValueError(
             f"materialization {name!r} is kind={spec.get('kind')!r}, not "
             "a rollup — read it with its own reader (read_signatures)"
         )
-    iv = Interval.parse(interval) if interval is not None else Interval.parse(
-        "0001-01-01T00:00:00/9999-12-31T00:00:00")
     states = spark.read.parquet(*paths)
     states = states.where(
         (F.col("__time") >= F.lit(iv.start.replace(tzinfo=None)))

@@ -394,8 +394,6 @@ def test_materialized_signatures_lifecycle(spark, tmp_path):
         materialize_signatures,
         read_signatures,
     )
-    from druid_hadoop_utils_spark.sources.tables import load_table  # noqa
-
     root = _docs_table(spark, tmp_path)
     done = materialize_signatures(spark, root, "docs", "neardup",
                                   id_col="doc_id")

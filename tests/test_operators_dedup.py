@@ -465,3 +465,40 @@ class TestIncrementalNeardup:
                 docs, "doc_id", threshold=0.5).collect()
         }
         assert out == batch
+
+    def test_verify_pool_covers_new_batch_automatically(self, spark,
+                                                        sf_dir):
+        """The realistic increment shape: verify_with is the SEEN corpus
+        only (the new batch isn't published yet) — pairs must still
+        verify, because the new side's text pools in automatically
+        (round-12 review catch: inner joins on seen-only text silently
+        returned zero pairs)."""
+        docs, seen, new = self._halves(spark, sf_dir)
+        manifest = D.signature_manifest(seen, "doc_id")
+        seen_only = {
+            (r.id_a, r.id_b)
+            for r in D.incremental_neardup_pairs(
+                new, manifest, "doc_id", threshold=0.5,
+                verify_with=seen).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in D.incremental_neardup_pairs(
+                new, manifest, "doc_id", threshold=0.5,
+                verify_with=docs).collect()
+        }
+        assert seen_only == full and full, (len(seen_only), len(full))
+
+    def test_verify_missing_seen_text_falls_back_to_estimate(self, spark,
+                                                             docs):
+        """A candidate whose seen text is no longer retained keeps its
+        estimate decision (NULL exact jaccard) instead of vanishing."""
+        seen = docs.where(F.col("doc_id") == 1)   # exact dup of doc 2
+        new = docs.where(F.col("doc_id") == 2)
+        manifest = D.signature_manifest(seen, "doc_id")
+        out = D.incremental_neardup_pairs(
+            new, manifest, "doc_id", threshold=0.9,
+            verify_with=docs.limit(0)).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+        assert out[0].est_jaccard == 1.0
+        assert out[0].jaccard is None  # seen text gone: estimate decided
