@@ -2889,6 +2889,10 @@ def q_snapshot_tag(spark, sf_dir):
 
 _DML_TABLE_CACHE: dict[str, str] = {}
 
+#: the v1 (pre-DML) publish stamp of the battery DML table — the "A"
+#: view q_table_changes reads its change feed from
+_DML_T1 = "2024-06-01T00:00:00+00:00"
+
 #: the three DML mutations the battery table receives, shared verbatim
 #: by both oracle CTEs below (DuckDB replays them in SQL):
 #: 1. MERGE upsert: every event with event_id % 97 == 0 is REPLACED by a
@@ -2946,8 +2950,9 @@ def _dml_table(spark, sf_dir: str) -> str:
     root = _tmp_table_root("dml_battery_")
     ev = _t(spark, sf_dir, "events").select(
         "ts", "event_id", "event_type", "value", "user_id")
+    # deterministic pre-DML stamp: q_table_changes diffs FROM this view
     publish_segments(ev, root, "events", version="v1", time_column="ts",
-                     bucket="DAY")
+                     bucket="DAY", published_at=_DML_T1)
     corrections = (
         ev.where(F.col("event_id") % 97 == 0)
         .select(F.col("ts").alias("__time"), "event_id",
@@ -3044,6 +3049,42 @@ def q_delete_where(spark, sf_dir):
     return (df.groupBy(F.date_trunc("day", F.col("__time")).alias("day"))
             .agg(F.count("*").alias("n"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "q_table_changes",
+    _DML_ORACLE_CTE + """
+    , ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
+    dels AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final),
+    changes AS (
+      SELECT 'insert' AS change_type, * FROM ins
+      UNION ALL
+      SELECT 'delete' AS change_type, * FROM dels)
+    SELECT change_type, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 3) AS sum_v,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
+    FROM changes GROUP BY change_type, event_type""",
+)
+def q_table_changes(spark, sf_dir):
+    # row-level change feed between two table views (sources/changes.py):
+    # everything the DML sequence net-changed since the v1 publish, read
+    # from ONLY the rewritten buckets (O(changed bytes), never a
+    # full-table anti-join) and netted by full-row multiset so the
+    # rewritten buckets' pass-through rows cancel. The oracle computes
+    # the same net change relationally (EXCEPT ALL both ways between the
+    # base and replayed-final CTEs) — the hash check pins that the feed
+    # is EXACTLY the logical delta: update = old-delete + new-insert,
+    # delete = delete, backfill = insert, untouched rows absent.
+    from druid_hadoop_utils_spark.sources.changes import read_changes
+
+    root = _dml_table(spark, sf_dir)
+    feed = read_changes(spark, root, "events", _DML_T1)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("_n")), 3).alias("sum_v"),
+        F.countDistinct("event_id").alias("n_keys"))
 
 
 _MATERIALIZED_CACHE: dict[str, str] = {}
@@ -5176,8 +5217,8 @@ _DRIVER_PRIORITY = [
     # After r12 nothing should be staler than r07.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
     # NEW or CHANGED in r12 — first:
-    "q_kll_state_reagg", "q_media_decode_dims", "q_incremental_neardup",
-    "q_kll_quantiles_prod", "q_bpe_roundtrip",
+    "q_table_changes", "q_kll_state_reagg", "q_media_decode_dims",
+    "q_incremental_neardup", "q_kll_quantiles_prod", "q_bpe_roundtrip",
     # the 6 queries whose newest driver-checked row is r06:
     "q_tpch_q18_large_volume_customer", "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier_volume", "q_tpch_q6_forecast_revenue",

@@ -1,0 +1,189 @@
+"""Row-level change feed between two views of a managed segment table.
+
+``read_changes(spark, root, ds, as_of_a, as_of_b)`` answers "what rows
+did this table gain or lose between training run A and run B" — the
+incremental-consumption primitive (the Delta CDF / Iceberg
+incremental-scan analogue) expressed over this engine's versioned
+segment timeline. The reference has no DML and therefore no change
+feed; this extends its overshadow model (DruidStoragePlan timeline
+semantics, SURVEY.md §2 S2) the same way sources/dml.py extends its
+write path.
+
+Scale design — the whole point at 100 TB:
+
+- **O(changed bytes), not O(table).** The file set comes from the
+  segment-level ``diff_views`` resolution (driver-side metadata only);
+  only segments whose visibility differs between the two views are
+  read. A naive CDC diff (full-outer anti-join of two snapshots) scans
+  the whole table twice and shuffles it; this never touches untouched
+  buckets.
+- **Windows become pushed time predicates.** Partial-overshadow
+  windows translate to ``__time`` range filters on the scan, grouped by
+  identical window set exactly like the planner's fast path
+  (plans/planner.py _scan_segments) — one scan per distinct window
+  pattern, pushdown and pruning intact.
+- **Rewrite cancellation is one hash aggregate over changed rows.**
+  ``mode="logical"`` nets the two sides by full-row multiset (map-side
+  partial counts, single shuffle on the changed rows only), so a
+  compaction or ``restore_to`` — which rewrites/re-announces identical
+  bytes under new paths — nets to ZERO changes, while a DML rewrite of
+  the same bucket nets to exactly its updates. No driver-side row
+  handling anywhere.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.intervals import Interval, merge_adjacent
+from druid_hadoop_utils_spark.sources.segments import resolve_path_views
+
+#: stored segment time column (plans/planner.py TIME_COL)
+_TIME_COL = "__time"
+
+#: change-feed metadata columns appended after the data columns
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_COUNT_COL = "_n"
+
+
+def _subtract(windows: list[Interval],
+              covers: list[Interval]) -> tuple[Interval, ...]:
+    """Pieces of ``windows`` not covered by ``covers`` — per-path window
+    arithmetic, so a view whose window merely SPLIT (partial overshadow
+    landed) contributes only the newly hidden/revealed span, not the
+    whole segment."""
+    from druid_hadoop_utils_spark.sources.maintenance import (
+        _subtract_intervals,
+    )
+
+    covers = merge_adjacent(list(covers))
+    out: list[Interval] = []
+    for w in merge_adjacent(list(windows)):
+        out.extend(_subtract_intervals(w, covers))
+    return tuple(out)
+
+
+def changed_windows(table_root: str, data_source: str, as_of_a,
+                    as_of_b=None) -> dict[str, dict[str, tuple]]:
+    """Driver-side plan of the change feed: for every segment path whose
+    visibility differs between view A and view B, the exact windows that
+    are B-only (rows GAINED) and A-only (rows LOST). Metadata only — one
+    manifest listing, two timeline resolutions, interval subtraction;
+    the cost pin for ``read_changes`` (tests assert its scans stay
+    inside this file set)."""
+    a, b = resolve_path_views(table_root, data_source, as_of_a, as_of_b)
+    out: dict[str, dict[str, tuple]] = {}
+    for path in sorted(set(a) | set(b)):
+        a_wins = list(a[path].windows) if path in a else []
+        b_wins = list(b[path].windows) if path in b else []
+        gained = _subtract(b_wins, a_wins)
+        lost = _subtract(a_wins, b_wins)
+        if gained or lost:
+            out[path] = {"insert": gained, "delete": lost}
+    return out
+
+
+def _interval_pred(iv: Interval, col):
+    lo = F.lit(iv.start.replace(tzinfo=None))
+    hi = F.lit(iv.end.replace(tzinfo=None))
+    return (col >= lo) & (col < hi)
+
+
+def _read_side(spark: SparkSession, plan: dict, side: str) -> DataFrame | None:
+    """One tagged DataFrame for the insert or delete side: paths grouped
+    by identical window tuple (one scan per distinct window pattern —
+    the planner's fast-path idiom), ``__time`` range predicates pushed
+    into each scan."""
+    grouped: dict[tuple, list[str]] = defaultdict(list)
+    for path, sides in plan.items():
+        wins = sides[side]
+        if wins:
+            grouped[wins].append(path)
+    parts: list[DataFrame] = []
+    for windows, paths in sorted(grouped.items(),
+                                 key=lambda kv: (kv[1][0],)):
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        pred = _interval_pred(windows[0], F.col(_TIME_COL))
+        for win in windows[1:]:
+            pred = pred | _interval_pred(win, F.col(_TIME_COL))
+        parts.append(df.where(pred))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out.withColumn(
+        CHANGE_TYPE_COL, F.lit("insert" if side == "insert" else "delete"))
+
+
+def read_changes(spark: SparkSession, table_root: str, data_source: str,
+                 as_of_a, as_of_b=None, *,
+                 mode: str = "logical") -> DataFrame:
+    """Rows gained/lost between view A and view B of a managed table,
+    as a DataFrame of the table's columns plus ``_change_type``
+    ('insert' | 'delete') and ``_n`` (multiset count). Views are
+    instants or ``"tag:<name>"``s; ``as_of_b=None`` is the CURRENT view
+    — "everything that changed since the tag my last run trained on".
+
+    - ``mode="logical"`` (default): PHYSICAL rewrites of identical rows
+      cancel — the two sides net by full-row multiset, so compaction,
+      manifest-snapshot maintenance and ``restore_to`` produce an EMPTY
+      feed, while DML produces exactly its net row changes (an UPDATE
+      appears as one delete of the old row + one insert of the new).
+      One row per DISTINCT changed row, ``_n`` = how many copies.
+    - ``mode="physical"``: the raw sides, no netting — every row of
+      every added/removed/re-exposed window, ``_n`` = 1. What a
+      byte-accounting consumer (cache invalidation, replication) wants.
+
+    Reads ONLY the segments in ``changed_windows`` — O(changed bytes);
+    see the module docstring for the 100 TB rationale. Raises
+    ``ValueError`` below the vacuum horizon (that view is gone) and
+    ``FileNotFoundError`` for a table with no data in either view.
+    """
+    if mode not in ("logical", "physical"):
+        raise ValueError(f"mode must be 'logical' or 'physical', not {mode!r}")
+    plan = changed_windows(table_root, data_source, as_of_a, as_of_b)
+    ins = _read_side(spark, plan, "insert")
+    del_ = _read_side(spark, plan, "delete")
+
+    if ins is None and del_ is None:
+        # no visibility change at all: a correctly-shaped EMPTY feed.
+        # Schema comes from one footer probe of the current (else A)
+        # view — metadata-only cost, consistent with the non-empty path.
+        a, b = resolve_path_views(table_root, data_source, as_of_a,
+                                  as_of_b)
+        view = b or a
+        if not view:
+            raise FileNotFoundError(
+                f"no visible segments for {data_source} in either view")
+        probe = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(view)).limit(0)
+        return (probe
+                .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                .withColumn(CHANGE_COUNT_COL, F.lit(1).cast("long"))
+                .where(F.lit(False)))
+
+    both = ins if del_ is None else (
+        del_ if ins is None else ins.unionByName(
+            del_, allowMissingColumns=True))
+    if mode == "physical":
+        return both.withColumn(CHANGE_COUNT_COL, F.lit(1).cast("long"))
+
+    # logical netting: one hash aggregate over the changed rows only —
+    # +1 per insert-side copy, −1 per delete-side copy, net 0 drops out.
+    # Map-side partial aggregation makes the shuffle carry (row, ±k)
+    # pairs, not raw copies.
+    data_cols = [c for c in both.columns if c != CHANGE_TYPE_COL]
+    signed = F.when(F.col(CHANGE_TYPE_COL) == "insert",
+                    F.lit(1)).otherwise(F.lit(-1))
+    net = (both.groupBy(*data_cols)
+           .agg(F.sum(signed).alias("__net"))
+           .where(F.col("__net") != 0))
+    return net.select(
+        *data_cols,
+        F.when(F.col("__net") > 0, F.lit("insert"))
+         .otherwise(F.lit("delete")).alias(CHANGE_TYPE_COL),
+        F.abs(F.col("__net")).cast("long").alias(CHANGE_COUNT_COL))

@@ -993,24 +993,14 @@ def _resolve_full_span(manifests: list[SegmentManifest]):
     return resolve_visible_windows(manifests, Interval(lo, hi))
 
 
-def diff_views(table_root: str, data_source: str, as_of_a,
-               as_of_b=None) -> dict:
-    """What changed between two views of a managed table — instants or
-    ``"tag:<name>"``s; ``as_of_b=None`` means the CURRENT view. The
-    audit companion to ``table_history``: "what did the corpus gain or
-    lose between training run A and run B" as three lists of segment
-    descriptors, keyed by DATA identity (path), so a ``restore_to``
-    re-announce of the same bytes does not read as a change:
-
-    - ``added``   — data visible in B but not in A
-    - ``removed`` — data visible in A but not in B
-    - ``rewindowed`` — same data dir, different visibility windows
-      (a partial overshadow appeared or went away)
-
-    Driver-side metadata only: ONE manifest listing (each view is an
-    in-memory filter of it — the restore_to round-trip principle), two
-    timeline resolutions, no data read. Both instants must be at or
-    after the vacuum horizon."""
+def resolve_path_views(table_root: str, data_source: str, as_of_a,
+                       as_of_b=None) -> tuple[dict, dict]:
+    """The two resolved views behind ``diff_views`` / ``read_changes``
+    (sources/changes.py): ``path → visible-window resolution`` maps for
+    views A and B, from ONE manifest listing. Tombstones carry no data
+    and are excluded; ``as_of=None`` means the CURRENT view. Both
+    instants must be at or after the vacuum horizon — earlier views are
+    physically unreconstructible."""
     manifests = list_manifests(table_root, data_source)
     horizon = history_horizon(table_root, data_source)
 
@@ -1033,6 +1023,29 @@ def diff_views(table_root: str, data_source: str, as_of_a,
             if not w.manifest.tombstone
         }
 
+    return _view(as_of_a), _view(as_of_b)
+
+
+def diff_views(table_root: str, data_source: str, as_of_a,
+               as_of_b=None) -> dict:
+    """What changed between two views of a managed table — instants or
+    ``"tag:<name>"``s; ``as_of_b=None`` means the CURRENT view. The
+    audit companion to ``table_history``: "what did the corpus gain or
+    lose between training run A and run B" as three lists of segment
+    descriptors, keyed by DATA identity (path), so a ``restore_to``
+    re-announce of the same bytes does not read as a change:
+
+    - ``added``   — data visible in B but not in A
+    - ``removed`` — data visible in A but not in B
+    - ``rewindowed`` — same data dir, different visibility windows
+      (a partial overshadow appeared or went away)
+
+    Driver-side metadata only: ONE manifest listing (each view is an
+    in-memory filter of it — the restore_to round-trip principle), two
+    timeline resolutions, no data read. Both instants must be at or
+    after the vacuum horizon."""
+    a, b = resolve_path_views(table_root, data_source, as_of_a, as_of_b)
+
     def _desc(w):
         return {
             "identifier": w.manifest.identifier,
@@ -1042,8 +1055,6 @@ def diff_views(table_root: str, data_source: str, as_of_a,
             "windows": [win.iso() for win in w.windows],
         }
 
-    a = _view(as_of_a)
-    b = _view(as_of_b)
     return {
         "added": [_desc(w) for p, w in sorted(b.items()) if p not in a],
         "removed": [_desc(w) for p, w in sorted(a.items()) if p not in b],

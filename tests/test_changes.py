@@ -1,0 +1,208 @@
+"""Row-level change feed between table views (sources/changes.py).
+
+Pins the three properties the module exists for:
+
+1. **Logical fidelity** — the feed between tag A and the current view
+   equals exactly the net row changes DML made (update = old-row delete
+   + new-row insert; delete = deletes only).
+2. **Rewrite cancellation** — compaction between the two views nets to
+   an EMPTY logical feed (physical mode still shows the rewrite, and
+   its two sides are the same multiset).
+3. **O(changed bytes)** — the scans stay inside ``changed_windows``'s
+   file plan: untouched buckets are never read (inputFiles assertion),
+   and partial-overshadow windows clip the feed to the overlap only.
+
+The reference has no DML/change feed — this extends its overshadow
+timeline (SURVEY.md §2 S2) like sources/dml.py extends the write path.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from druid_hadoop_utils_spark.sources.changes import (
+    changed_windows,
+    read_changes,
+)
+from druid_hadoop_utils_spark.sources.dml import delete_where, update_where
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.maintenance import (
+    compact_segments,
+    vacuum,
+)
+from druid_hadoop_utils_spark.sources.tables import load_table
+
+T1 = "2024-06-01T00:00:00+00:00"
+T2 = "2024-06-02T00:00:00+00:00"
+
+
+def _base(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("__time"), "event_id", "event_type", "value",
+        "user_id")
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestLogicalFeed:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory, spark, sf_dir):
+        root = str(tmp_path_factory.mktemp("chg_dml"))
+        publish_segments(_base(spark, sf_dir), root, "events",
+                         version="v1", bucket="DAY", published_at=T1)
+        update_where(spark, root, "events",
+                     {"type": "selector", "dimension": "event_type",
+                      "value": "click"},
+                     set={"value": "value + 10"})
+        return root
+
+    def test_update_feed_is_old_delete_plus_new_insert(
+            self, spark, sf_dir, root):
+        feed = read_changes(spark, root, "events", T1)
+        base = _base(spark, sf_dir)
+        clicks = base.where(F.col("event_type") == "click")
+
+        dels = feed.where(F.col("_change_type") == "delete")
+        ins = feed.where(F.col("_change_type") == "insert")
+        data_cols = [c for c in feed.columns
+                     if c not in ("_change_type", "_n")]
+        assert _rows(dels.select(*data_cols)) == _rows(clicks)
+        assert _rows(ins.select(*data_cols)) == _rows(
+            clicks.withColumn("value", F.col("value") + 10))
+        # events rows are unique → every net count is 1
+        assert feed.where(F.col("_n") != 1).count() == 0
+
+    def test_untouched_rows_absent(self, spark, root):
+        feed = read_changes(spark, root, "events", T1)
+        assert feed.where(F.col("event_type") != "click").count() == 0
+
+    def test_scans_stay_inside_changed_plan(self, spark, root):
+        plan = changed_windows(root, "events", T1)
+        feed = read_changes(spark, root, "events", T1, mode="physical")
+        prefixes = tuple(sorted(plan))
+        for f in feed.inputFiles():
+            local = f.removeprefix("file://")
+            assert local.startswith(prefixes), f
+        # the update rewrote only buckets containing clicks, under ONE
+        # new version: every changed path must carry BOTH sides (same
+        # bucket, old file lost + new file gained)
+        assert plan and all(
+            sides["insert"] or sides["delete"] for sides in plan.values())
+
+    def test_same_view_twice_is_empty_with_feed_schema(self, spark, root):
+        feed = read_changes(spark, root, "events", T1, T1)
+        assert feed.count() == 0
+        assert "_change_type" in feed.columns and "_n" in feed.columns
+
+    def test_mode_validation(self, spark, root):
+        with pytest.raises(ValueError, match="mode"):
+            read_changes(spark, root, "events", T1, mode="nope")
+
+
+class TestDeleteFeed:
+    def test_delete_where_feed_is_deletes_only(self, spark, sf_dir,
+                                               tmp_path):
+        root = str(tmp_path)
+        publish_segments(_base(spark, sf_dir), root, "events",
+                         version="v1", bucket="DAY", published_at=T1)
+        delete_where(spark, root, "events",
+                     {"type": "selector", "dimension": "event_type",
+                      "value": "error"})
+        feed = read_changes(spark, root, "events", T1)
+        assert feed.where(F.col("_change_type") == "insert").count() == 0
+        dels = feed.where(F.col("_change_type") == "delete")
+        expected = _base(spark, sf_dir).where(
+            F.col("event_type") == "error")
+        data_cols = [c for c in feed.columns
+                     if c not in ("_change_type", "_n")]
+        assert _rows(dels.select(*data_cols)) == _rows(expected)
+
+
+class TestRewriteCancellation:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory, spark, sf_dir):
+        root = str(tmp_path_factory.mktemp("chg_compact"))
+        publish_segments(_base(spark, sf_dir), root, "events",
+                         version="v1", bucket="DAY", published_at=T1)
+        compact_segments(spark, root, "events", "2024-01-01/2024-03-01",
+                         bucket="MONTH")
+        return root
+
+    def test_compaction_nets_to_empty_logical_feed(self, spark, root):
+        feed = read_changes(spark, root, "events", T1)
+        assert feed.count() == 0
+
+    def test_physical_mode_shows_symmetric_rewrite(self, spark, root):
+        feed = read_changes(spark, root, "events", T1, mode="physical")
+        data_cols = [c for c in feed.columns
+                     if c not in ("_change_type", "_n")]
+        ins = feed.where(F.col("_change_type") == "insert")
+        dels = feed.where(F.col("_change_type") == "delete")
+        assert ins.count() == dels.count() > 0
+        assert _rows(ins.select(*data_cols)) == _rows(
+            dels.select(*data_cols))
+
+
+class TestPartialOvershadow:
+    def test_feed_clips_to_overshadowed_window(self, spark, sf_dir,
+                                               tmp_path):
+        # v1 is ONE January MONTH segment; v2 overshadows just
+        # [01-05, 01-07) with doubled values. The month segment's
+        # window SPLITS around the overlap — the feed must clip to the
+        # overlap via interval subtraction, not whole-segment identity.
+        root = str(tmp_path)
+        base = _base(spark, sf_dir).where(
+            (F.col("__time") >= F.lit(datetime(2024, 1, 1))) &
+            (F.col("__time") < F.lit(datetime(2024, 2, 1))))
+        publish_segments(base, root, "events", version="v1",
+                         bucket="MONTH", published_at=T1)
+        win = ((F.col("__time") >= F.lit(datetime(2024, 1, 5))) &
+               (F.col("__time") < F.lit(datetime(2024, 1, 7))))
+        v2 = base.where(win).withColumn("value", F.col("value") * 2)
+        publish_segments(v2, root, "events", version="v2", bucket="DAY",
+                         published_at=T2)
+
+        feed = read_changes(spark, root, "events", T1)
+        data_cols = [c for c in feed.columns
+                     if c not in ("_change_type", "_n")]
+        dels = feed.where(F.col("_change_type") == "delete")
+        ins = feed.where(F.col("_change_type") == "insert")
+        # deletes = exactly the v1 rows inside the overshadowed window
+        # (the week segment's OTHER five days stay visible and must not
+        # leak into the feed even though their file is scanned)
+        assert _rows(dels.select(*data_cols)) == _rows(base.where(win))
+        assert _rows(ins.select(*data_cols)) == _rows(v2)
+
+    def test_unchanged_buckets_not_in_plan(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path)
+        publish_segments(_base(spark, sf_dir), root, "events",
+                         version="v1", bucket="DAY", published_at=T1)
+        publish_segments(
+            _base(spark, sf_dir).where(
+                (F.col("__time") >= F.lit(datetime(2024, 1, 5))) &
+                (F.col("__time") < F.lit(datetime(2024, 1, 6)))
+            ).withColumn("value", F.col("value") * 2),
+            root, "events", version="v2", bucket="DAY", published_at=T2)
+        plan = changed_windows(root, "events", T1)
+        # exactly two paths: the hidden v1 day and the v2 replacement
+        assert len(plan) == 2
+        sides = sorted(
+            ("ins" if p["insert"] else "") + ("del" if p["delete"] else "")
+            for p in plan.values())
+        assert sides == ["del", "ins"]
+
+
+class TestHorizon:
+    def test_pre_horizon_view_refuses(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path)
+        publish_segments(_base(spark, sf_dir), root, "events",
+                         version="v1", bucket="DAY", published_at=T1)
+        compact_segments(spark, root, "events", "2024-01-01/2024-03-01",
+                         bucket="MONTH")
+        vacuum(root, "events")
+        with pytest.raises(ValueError, match="horizon"):
+            read_changes(spark, root, "events", T1)

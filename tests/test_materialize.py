@@ -389,10 +389,18 @@ def test_crashed_state_write_retries_cleanly(spark, table):
     mdir = os.path.join(table, "ev", "_materialized", "daily")
     done = materialize_aggs(spark, table, "ev", "daily", ["event_type"], AGGS)
     assert len(done) == 3
-    # simulate the crash: demote one state back to a tmp dir
+    # simulate the crash: demote one state back to a tmp dir. The fake
+    # writer pid must be one the kernel can never assign (>= pid_max),
+    # or a coincidental live process with that pid makes the sweep
+    # correctly — but flakily — refuse to reclaim it.
+    try:
+        with open("/proc/sys/kernel/pid_max") as f:
+            dead_pid = int(f.read())
+    except OSError:
+        dead_pid = 2**22  # linux absolute ceiling
     states = sorted(e for e in os.listdir(mdir) if e.endswith(".parquet"))
     victim = os.path.join(mdir, states[0])
-    shutil.move(victim, victim + ".tmp-9999")
+    shutil.move(victim, victim + f".tmp-{dead_pid}")
     with pytest.raises(FileNotFoundError, match="has no state"):
         query_materialized(spark, table, "ev", "daily")
     redone = materialize_aggs(spark, table, "ev", "daily",
@@ -405,5 +413,5 @@ def test_crashed_state_write_retries_cleanly(spark, table):
     # so only stale tmps are reclaimable
     assert vacuum_materialized(table, "ev", "daily") == []
     reclaimed = vacuum_materialized(table, "ev", "daily", tmp_min_age_s=0)
-    assert any(".tmp-9999" in g for g in reclaimed)
+    assert any(f".tmp-{dead_pid}" in g for g in reclaimed)
     assert not any(".tmp-" in e for e in os.listdir(mdir))
