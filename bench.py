@@ -111,6 +111,10 @@ HEADLINE = [
     # delete applied once by the builder; the query itself is an
     # ordinary pruned scan + rollup over the final state)
     "q_merge_upsert",
+    # round 12: row-level change feed over the same DML table (shares
+    # _dml_table with q_merge_upsert, so this times the feed itself:
+    # metadata diff → changed-bucket scans → one netting aggregate)
+    "q_table_changes",
 ]
 
 # run each query three times and report the min: run-to-run variance on a

@@ -48,6 +48,11 @@ _TIME_COL = "__time"
 CHANGE_TYPE_COL = "_change_type"
 CHANGE_COUNT_COL = "_n"
 
+#: sentinel "view before the first publish" — a feed FROM here is the
+#: full initial snapshot as inserts (first run of an incremental
+#: consumer). Not an instant, so the vacuum-horizon check doesn't apply.
+GENESIS = "genesis"
+
 
 def _subtract(windows: list[Interval],
               covers: list[Interval]) -> tuple[Interval, ...]:
@@ -66,6 +71,14 @@ def _subtract(windows: list[Interval],
     return tuple(out)
 
 
+def _views(table_root: str, data_source: str, as_of_a, as_of_b):
+    if as_of_a == GENESIS:
+        _, b = resolve_path_views(table_root, data_source, as_of_b,
+                                  as_of_b)
+        return {}, b
+    return resolve_path_views(table_root, data_source, as_of_a, as_of_b)
+
+
 def changed_windows(table_root: str, data_source: str, as_of_a,
                     as_of_b=None) -> dict[str, dict[str, tuple]]:
     """Driver-side plan of the change feed: for every segment path whose
@@ -74,7 +87,7 @@ def changed_windows(table_root: str, data_source: str, as_of_a,
     manifest listing, two timeline resolutions, interval subtraction;
     the cost pin for ``read_changes`` (tests assert its scans stay
     inside this file set)."""
-    a, b = resolve_path_views(table_root, data_source, as_of_a, as_of_b)
+    a, b = _views(table_root, data_source, as_of_a, as_of_b)
     out: dict[str, dict[str, tuple]] = {}
     for path in sorted(set(a) | set(b)):
         a_wins = list(a[path].windows) if path in a else []
@@ -153,8 +166,7 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
         # no visibility change at all: a correctly-shaped EMPTY feed.
         # Schema comes from one footer probe of the current (else A)
         # view — metadata-only cost, consistent with the non-empty path.
-        a, b = resolve_path_views(table_root, data_source, as_of_a,
-                                  as_of_b)
+        a, b = _views(table_root, data_source, as_of_a, as_of_b)
         view = b or a
         if not view:
             raise FileNotFoundError(
@@ -187,3 +199,90 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
         F.when(F.col("__net") > 0, F.lit("insert"))
          .otherwise(F.lit("delete")).alias(CHANGE_TYPE_COL),
         F.abs(F.col("__net")).cast("long").alias(CHANGE_COUNT_COL))
+
+
+# =====================================================================
+# checkpointed incremental consumption
+# =====================================================================
+
+def latest_stamp(table_root: str, data_source: str) -> str:
+    """The table's newest ``publishedAt`` announce stamp — the instant
+    a consumer records after processing everything currently visible.
+    Stamps clamp to max(existing)+1µs at announce (sources/segments.py),
+    so later publishes always stamp strictly above this."""
+    from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+    stamps = [m.published_at
+              for m in list_manifests(table_root, data_source)
+              if m.published_at is not None]
+    if not stamps:
+        raise FileNotFoundError(
+            f"no stamped manifests for {data_source} under {table_root} "
+            "(nothing published yet, or a pre-stamp legacy table)")
+    from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+    return max(stamps, key=_parse_as_of)
+
+
+def read_checkpoint(checkpoint_path: str) -> str | None:
+    """The last committed consume instant, or None before first commit."""
+    import json
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(checkpoint_path)
+    if not fs.exists(checkpoint_path):
+        return None
+    return json.loads(fs.read_text(checkpoint_path))["asOf"]
+
+
+def commit_consumed(checkpoint_path: str, token: str) -> None:
+    """Record ``token`` (from ``consume_changes``) as consumed — ONE
+    atomic metadata put. Call AFTER the feed's results are durably
+    processed: crash-before-commit re-delivers the same feed next run
+    (at-least-once), never skips."""
+    import json
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(checkpoint_path)
+    fs.mkdirs(fs.parent(checkpoint_path))
+    fs.put_text(checkpoint_path, json.dumps(
+        {"asOf": token, "committedAt": _now_stamp()}, indent=2))
+
+
+def _now_stamp() -> str:
+    from druid_hadoop_utils_spark.sources.segments import publish_stamp
+
+    return publish_stamp()
+
+
+def consume_changes(spark: SparkSession, table_root: str,
+                    data_source: str, checkpoint_path: str, *,
+                    mode: str = "logical") -> tuple[DataFrame, str]:
+    """Incremental-consumption step: everything that changed since the
+    last committed checkpoint, plus the token to commit once processed.
+
+        feed, token = consume_changes(spark, root, ds, ckpt)
+        ...process feed...            # write features, update index
+        commit_consumed(ckpt, token)  # durably mark it consumed
+
+    First run (no checkpoint) delivers the FULL current view as inserts
+    (``GENESIS``); later runs deliver only the net changes — each one
+    O(changed bytes) via ``read_changes``. The feed's B side pins to the
+    newest announce stamp AT CALL TIME, so a publish landing while the
+    consumer is processing is neither half-consumed nor skipped — it
+    waits whole for the next cycle. Crash before ``commit_consumed`` →
+    the same feed recomputes next run (at-least-once delivery).
+
+    A checkpoint older than the table's vacuum horizon raises
+    ``ValueError`` — the consumer fell too far behind to reconstruct
+    what it missed; re-baseline by deleting the checkpoint (full
+    snapshot) or vacuum with ``retain_history_s`` sized to the
+    consumer's worst-case lag."""
+    token = latest_stamp(table_root, data_source)
+    last = read_checkpoint(checkpoint_path)
+    feed = read_changes(spark, table_root, data_source,
+                        GENESIS if last is None else last, token,
+                        mode=mode)
+    return feed, token

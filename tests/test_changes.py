@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from druid_hadoop_utils_spark.sources.changes import (
     changed_windows,
+    commit_consumed,
+    consume_changes,
     read_changes,
+    read_checkpoint,
 )
 from druid_hadoop_utils_spark.sources.dml import delete_where, update_where
 from druid_hadoop_utils_spark.sources.ingest import publish_segments
@@ -194,6 +197,70 @@ class TestPartialOvershadow:
             ("ins" if p["insert"] else "") + ("del" if p["delete"] else "")
             for p in plan.values())
         assert sides == ["del", "ins"]
+
+
+class TestConsumer:
+    """consume_changes / commit_consumed — the checkpointed incremental
+    consumer loop over the feed."""
+
+    def test_full_cycle(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "consumer.json")
+        base = _base(spark, sf_dir)
+        publish_segments(base, root, "events", version="v1",
+                         bucket="DAY", published_at=T1)
+
+        # 1) first run: full snapshot as inserts
+        feed, token = consume_changes(spark, root, "events", ckpt)
+        assert feed.where(F.col("_change_type") != "insert").count() == 0
+        assert feed.count() == base.count()
+        assert read_checkpoint(ckpt) is None  # nothing committed yet
+        commit_consumed(ckpt, token)
+        assert read_checkpoint(ckpt) == token == T1
+
+        # 2) nothing new: empty feed, same token, schema intact
+        feed2, token2 = consume_changes(spark, root, "events", ckpt)
+        assert token2 == token and feed2.count() == 0
+        assert "_change_type" in feed2.columns
+
+        # 3) DML lands: exactly its net changes
+        delete_where(spark, root, "events",
+                     {"type": "selector", "dimension": "event_type",
+                      "value": "error"})
+        feed3, token3 = consume_changes(spark, root, "events", ckpt)
+        assert token3 > token
+        assert feed3.where(F.col("_change_type") == "insert").count() == 0
+        assert feed3.count() == base.where(
+            F.col("event_type") == "error").count()
+        # crash-before-commit: the SAME feed redelivers (at-least-once)
+        feed3b, token3b = consume_changes(spark, root, "events", ckpt)
+        assert token3b == token3 and feed3b.count() == feed3.count()
+        commit_consumed(ckpt, token3)
+        feed4, _ = consume_changes(spark, root, "events", ckpt)
+        assert feed4.count() == 0
+
+    def test_mid_processing_publish_waits_whole(self, spark, sf_dir,
+                                                tmp_path):
+        # a publish landing AFTER the consume call resolved its token
+        # must not leak into this cycle — and must arrive IN FULL next
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "c.json")
+        base = _base(spark, sf_dir)
+        # events spans January 2024 only — split mid-month
+        early = base.where(F.col("__time") < F.lit(datetime(2024, 1, 15)))
+        late = base.where(F.col("__time") >= F.lit(datetime(2024, 1, 15)))
+        publish_segments(early, root, "events", version="v1",
+                         bucket="DAY", published_at=T1)
+        feed, token = consume_changes(spark, root, "events", ckpt)
+        publish_segments(late, root, "events", version="v1",
+                         bucket="DAY", published_at=T2)
+        # the already-resolved feed still sees only the early half
+        assert feed.count() == early.count()
+        commit_consumed(ckpt, token)
+        feed2, token2 = consume_changes(spark, root, "events", ckpt)
+        assert token2 == T2
+        assert feed2.count() == late.count() > 0
+        assert feed2.where(F.col("_change_type") != "insert").count() == 0
 
 
 class TestHorizon:
