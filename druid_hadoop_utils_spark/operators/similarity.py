@@ -632,6 +632,8 @@ def publish_ann_index(
     the timeline has moved."""
     from druid_hadoop_utils_spark.plans.planner import load
 
+    from druid_hadoop_utils_spark.sources.changes import latest_stamp
+
     spec = spec or {"granularity": "NONE", "dimensions": [],
                     "metrics": [{"name": vec_col, "type": "complex"}]}
     df = load(spark, table_root, spec, interval=interval,
@@ -641,6 +643,14 @@ def publish_ann_index(
         corpus_version=table_corpus_version(table_root, data_source),
         **train_kwargs,
     )
+    # drift anchors for refresh_ann_index(max_drift_fraction=...): the
+    # announce stamp + corpus size this quantizer was trained against.
+    # One extra count job (parquet footer metadata) at publish time.
+    try:
+        index["trained_as_of"] = latest_stamp(table_root, data_source)
+    except FileNotFoundError:
+        index["trained_as_of"] = None
+    index["trained_rows"] = int(df.count())
     return save_ann_index(index, ann_index_path(table_root, data_source))
 
 
@@ -658,6 +668,7 @@ def refresh_ann_index(
     spark,
     table_root: str,
     data_source: str,
+    max_drift_fraction: float = 0.0,
     **publish_kwargs,
 ) -> tuple[dict, bool]:
     """The ensure-current policy that closes the index lifecycle loop:
@@ -673,13 +684,65 @@ def refresh_ann_index(
     where ``publish_ann_index`` put it: a driver-side k-means over a
     bounded sample plus one distributed encode pass, amortized across
     every query until the next publish. ``publish_kwargs`` pass through
-    to ``publish_ann_index`` (kind, n_cells, m, sample sizes...)."""
+    to ``publish_ann_index`` (kind, n_cells, m, sample sizes...).
+
+    ``max_drift_fraction > 0`` makes refresh DRIFT-TOLERANT — the
+    100 TB policy: a k-means quantizer is a density sketch, and a 0.1%
+    daily DML does not move the density, so retraining the whole index
+    on every timeline flip wastes the full encode pass. On staleness,
+    the net changed-row count since the artifact's TRAINING instant
+    (``read_changes`` — O(changed bytes), never a corpus rescan) is
+    compared against the trained corpus size; at or under the
+    threshold the artifact is re-stamped to the current timeline
+    version (one metadata put, ``refreshed=False``), above it the
+    index retrains. Drift accumulates against the original training
+    instant — repeated small changes cannot creep past the bound — and
+    a training instant already vacuumed past the horizon forces a
+    retrain."""
     try:
         return load_published_ann_index(table_root, data_source), False
+    except FileNotFoundError:
+        pass
+    except ValueError:
+        # staleness refusal: maybe the drift is small enough to keep
+        if max_drift_fraction > 0:
+            kept = _restamp_within_drift(spark, table_root, data_source,
+                                         max_drift_fraction)
+            if kept is not None:
+                return kept, False
+    # absent, or drifted past the bound: retrain against the CURRENT view
+    publish_ann_index(spark, table_root, data_source, **publish_kwargs)
+    return load_published_ann_index(table_root, data_source), True
+
+
+def _restamp_within_drift(spark, table_root: str, data_source: str,
+                          max_drift_fraction: float) -> dict | None:
+    """Re-stamp the stale artifact if the corpus drifted at or under the
+    bound since TRAINING; None = caller must retrain."""
+    from druid_hadoop_utils_spark.sources.changes import read_changes
+
+    path = ann_index_path(table_root, data_source)
+    try:
+        raw = load_ann_index(path)
     except (FileNotFoundError, ValueError):
-        # absent, or staleness refusal: retrain against the CURRENT view
-        publish_ann_index(spark, table_root, data_source, **publish_kwargs)
-        return load_published_ann_index(table_root, data_source), True
+        return None
+    t0 = raw.get("trained_as_of")
+    n0 = raw.get("trained_rows")
+    if not t0 or not n0:
+        return None  # pre-drift-anchor artifact: retrain once to gain them
+    try:
+        feed = read_changes(spark, table_root, data_source, t0)
+        changed = feed.agg(F.sum("_n")).collect()[0][0] or 0
+    except (ValueError, FileNotFoundError):
+        # training instant behind the vacuum horizon, or view unreadable
+        return None
+    if changed / max(int(n0), 1) > max_drift_fraction:
+        return None
+    raw["corpus_version"] = table_corpus_version(table_root, data_source)
+    # trained_as_of / trained_rows stay at the ORIGINAL training values:
+    # the next drift check measures cumulative change since training
+    save_ann_index(raw, path)
+    return raw
 
 
 def _pq_encode_udf(codebooks: np.ndarray, centroids: np.ndarray | None = None):

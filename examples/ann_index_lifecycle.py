@@ -73,6 +73,23 @@ def main() -> None:
     idx, refreshed = S.refresh_ann_index(spark, root, "emb", spec=SPEC,
                                          n_cells=16, m=8, ks=16)
     print(f"refresh_ann_index: refreshed={refreshed} (fresh artifact)")
+
+    # 6. drift tolerance (round 12): a small DML flips the timeline
+    # version, but a k-means quantizer is a density sketch — under
+    # max_drift_fraction the policy measures the net changed rows since
+    # TRAINING via the change feed (O(changed bytes)) and re-stamps the
+    # artifact instead of paying a full retrain. At 100 TB this is the
+    # difference between a metadata put and a corpus encode pass per
+    # daily merge.
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+
+    delete_where(spark, root, "emb",
+                 {"type": "selector", "dimension": "vec_id", "value": "0"})
+    idx, refreshed = S.refresh_ann_index(spark, root, "emb",
+                                         max_drift_fraction=0.05,
+                                         spec=SPEC, n_cells=16, m=8, ks=16)
+    print(f"after tiny DML with max_drift_fraction=0.05: "
+          f"refreshed={refreshed} (re-stamped, no retrain)")
     spark.stop()
 
 

@@ -683,3 +683,58 @@ def test_refresh_ann_index_retrains_only_when_stale(spark, sf_dir, tmp_path):
     assert idx3["corpus_version"] != idx["corpus_version"]
     _, refreshed4 = S.refresh_ann_index(spark, root, "emb", **kw)
     assert not refreshed4
+
+
+def test_refresh_ann_index_drift_tolerance(spark, sf_dir, tmp_path):
+    """max_drift_fraction (round 12): small DML re-stamps the artifact
+    instead of retraining (the quantizer is a density sketch — 100 TB
+    tables cannot afford a full retrain per 0.1% merge); drift is
+    CUMULATIVE since training, so repeated small changes eventually
+    cross the bound and force the retrain."""
+    import numpy as np
+
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+
+    root = str(tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    publish_segments(emb, root, "emb", version="v1", time_column="ts",
+                     bucket="DAY")  # 500 rows at sf0.001
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    kw = dict(spec=spec, n_cells=8, sample=512)
+
+    idx, trained = S.refresh_ann_index(spark, root, "emb", **kw)
+    assert trained and idx["trained_rows"] == 500
+    assert idx["trained_as_of"] is not None
+
+    # ~4% of rows deleted: stale by timeline version, inside the bound
+    delete_where(spark, root, "emb",
+                 {"type": "bound", "dimension": "vec_id", "upper": "20",
+                  "upperStrict": True, "ordering": "numeric"})
+    idx2, r2 = S.refresh_ann_index(spark, root, "emb",
+                                   max_drift_fraction=0.2, **kw)
+    assert not r2  # re-stamped, NOT retrained
+    assert np.array_equal(idx2["centroids"], idx["centroids"])
+    assert idx2["trained_as_of"] == idx["trained_as_of"]
+    # the restamp makes the strict loader accept the artifact again
+    got = S.load_published_ann_index(root, "emb")
+    assert got["corpus_version"] == S.table_corpus_version(root, "emb")
+
+    # another ~16%: CUMULATIVE drift (~20% of 500) crosses the bound
+    delete_where(spark, root, "emb",
+                 {"type": "bound", "dimension": "vec_id", "upper": "101",
+                  "upperStrict": True, "ordering": "numeric"})
+    idx3, r3 = S.refresh_ann_index(spark, root, "emb",
+                                   max_drift_fraction=0.2, **kw)
+    assert r3  # retrained against the current view
+    assert idx3["trained_rows"] == 399
+    assert idx3["trained_as_of"] != idx["trained_as_of"]
+
+    # default (0.0) keeps the strict behavior: any move retrains
+    delete_where(spark, root, "emb",
+                 {"type": "selector", "dimension": "vec_id",
+                  "value": "499"})
+    _, r4 = S.refresh_ann_index(spark, root, "emb", **kw)
+    assert r4
