@@ -263,6 +263,57 @@ class TestConsumer:
         assert feed2.where(F.col("_change_type") != "insert").count() == 0
 
 
+class TestStreamedTable:
+    def test_consumer_over_microbatch_publishes(self, spark, tmp_path):
+        """Streaming publishes (streaming/ingest.py's writer calls
+        write_segment per micro-batch; newer batch versions overshadow)
+        stamp through the same announce path, so the consumer composes:
+        a re-published hour arrives as delete(old)+insert(new), a new
+        hour as pure inserts."""
+        from datetime import datetime
+
+        from pyspark.sql import Row
+
+        from druid_hadoop_utils_spark.intervals import Interval
+        from druid_hadoop_utils_spark.sources.segments import write_segment
+
+        root = str(tmp_path / "stream_tbl")
+        ckpt = str(tmp_path / "c.json")
+
+        def rows(hour, vals):
+            return spark.createDataFrame(
+                [Row(__time=datetime(2024, 3, 1, hour, m), v=float(x))
+                 for m, x in enumerate(vals)])
+
+        def hour_iv(h):
+            return Interval(datetime(2024, 3, 1, h),
+                            datetime(2024, 3, 1, h + 1))
+
+        # batch 0: hours 0 and 1
+        write_segment(rows(0, [1, 2]), root, "ev", hour_iv(0),
+                      "batch-000000000000")
+        write_segment(rows(1, [3, 4]), root, "ev", hour_iv(1),
+                      "batch-000000000000")
+        feed, tok = consume_changes(spark, root, "ev", ckpt)
+        assert feed.count() == 4
+        assert feed.where(F.col("_change_type") != "insert").count() == 0
+        commit_consumed(ckpt, tok)
+
+        # batch 1: hour 1 re-published (value 4 -> 40) + hour 2 new
+        write_segment(rows(1, [3, 40]), root, "ev", hour_iv(1),
+                      "batch-000000000001")
+        write_segment(rows(2, [5]), root, "ev", hour_iv(2),
+                      "batch-000000000001")
+        feed2, tok2 = consume_changes(spark, root, "ev", ckpt)
+        got = sorted((r["_change_type"], r["v"]) for r in feed2.collect())
+        # the unchanged hour-1 row (v=3) cancels; only the real delta shows
+        assert got == [("delete", 4.0), ("insert", 5.0),
+                       ("insert", 40.0)]
+        commit_consumed(ckpt, tok2)
+        feed3, _ = consume_changes(spark, root, "ev", ckpt)
+        assert feed3.count() == 0
+
+
 class TestHorizon:
     def test_pre_horizon_view_refuses(self, spark, sf_dir, tmp_path):
         root = str(tmp_path)
