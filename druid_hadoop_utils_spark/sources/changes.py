@@ -90,12 +90,14 @@ def changed_windows(table_root: str, data_source: str, as_of_a,
     a, b = _views(table_root, data_source, as_of_a, as_of_b)
     out: dict[str, dict[str, tuple]] = {}
     for path in sorted(set(a) | set(b)):
+        w = (b.get(path) or a[path])
         a_wins = list(a[path].windows) if path in a else []
         b_wins = list(b[path].windows) if path in b else []
         gained = _subtract(b_wins, a_wins)
         lost = _subtract(a_wins, b_wins)
         if gained or lost:
-            out[path] = {"insert": gained, "delete": lost}
+            out[path] = {"insert": gained, "delete": lost,
+                         "interval": w.manifest.interval}
     return out
 
 
@@ -106,16 +108,28 @@ def _interval_pred(iv: Interval, col):
 
 
 def _read_side(spark: SparkSession, plan: dict, side: str) -> DataFrame | None:
-    """One tagged DataFrame for the insert or delete side: paths grouped
-    by identical window tuple (one scan per distinct window pattern —
-    the planner's fast-path idiom), ``__time`` range predicates pushed
-    into each scan."""
+    """One tagged DataFrame for the insert or delete side. Paths whose
+    changed windows cover their WHOLE segment interval (the common case
+    — a replaced or added bucket) collapse into a SINGLE predicate-free
+    multi-path scan, exactly like the planner's fully-visible fast path
+    (plans/planner.py); only genuinely clipped paths (partial
+    overshadow) get per-window-pattern scans with pushed ``__time``
+    range predicates. Without the collapse a 1000-bucket DML rewrite
+    would plan 1000 scan nodes instead of 2."""
+    full_paths: list[str] = []
     grouped: dict[tuple, list[str]] = defaultdict(list)
     for path, sides in plan.items():
         wins = sides[side]
-        if wins:
+        if not wins:
+            continue
+        if wins == (sides["interval"],):
+            full_paths.append(path)
+        else:
             grouped[wins].append(path)
     parts: list[DataFrame] = []
+    if full_paths:
+        parts.append(spark.read.option("mergeSchema", "true")
+                     .parquet(*sorted(full_paths)))
     for windows, paths in sorted(grouped.items(),
                                  key=lambda kv: (kv[1][0],)):
         df = spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -333,6 +333,16 @@ ANNOTATED = {
         "pure-JVM projection (xxhash64 checksum). No join against the "
         "merge table, no per-row UDF, no shuffle at all."
     ),
+    "q_table_changes": (
+        "Row-level change feed (round 12): scans ONLY the segments the "
+        "metadata diff selected (the DML-rewritten buckets — untouched "
+        "days never appear in the file index), partial-overshadow "
+        "windows show up as PushedFilters __time range predicates on "
+        "the scan, and the logical netting is one partial/final hash "
+        "aggregate over the changed rows (map-side partial_sum of the "
+        "±1 CASE before the single exchange). No full-table anti-join "
+        "anywhere in the plan."
+    ),
 }
 
 
