@@ -202,6 +202,16 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
     # +1 per insert-side copy, −1 per delete-side copy, net 0 drops out.
     # Map-side partial aggregation makes the shuffle carry (row, ±k)
     # pairs, not raw copies.
+    from pyspark.sql.types import MapType
+
+    unmappable = [f.name for f in both.schema.fields
+                  if isinstance(f.dataType, MapType)]
+    if unmappable:
+        raise ValueError(
+            f"read_changes(mode='logical') cannot net rows containing "
+            f"map columns {unmappable} (Spark cannot group by MapType); "
+            "use mode='physical', or restructure the column as "
+            "array<struct<key,value>>")
     data_cols = [c for c in both.columns if c != CHANGE_TYPE_COL]
     signed = F.when(F.col(CHANGE_TYPE_COL) == "insert",
                     F.lit(1)).otherwise(F.lit(-1))

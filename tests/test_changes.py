@@ -105,6 +105,30 @@ class TestLogicalFeed:
         with pytest.raises(ValueError, match="mode"):
             read_changes(spark, root, "events", T1, mode="nope")
 
+    def test_map_column_refuses_logical_mode(self, spark, tmp_path):
+        # MapType cannot be a groupBy key: logical netting must refuse
+        # loudly and point at physical mode, not die inside Catalyst
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark.sources.segments import (
+            write_segment,
+        )
+
+        root = str(tmp_path)
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1), {"k": "v"})],
+            "`__time` timestamp, attrs map<string,string>")
+        write_segment(df, root, "ev", "2024-01-01/2024-01-02", "v1")
+        write_segment(df, root, "ev", "2024-01-01/2024-01-02", "v2")
+        with pytest.raises(ValueError, match="map columns"):
+            read_changes(spark, root, "ev",
+                         "1970-01-01T00:00:00+00:00").collect()
+        # physical mode still works on the same table
+        phys = read_changes(spark, root, "ev",
+                            "1970-01-01T00:00:00+00:00",
+                            mode="physical")
+        assert phys.count() == 1
+
 
 class TestDeleteFeed:
     def test_delete_where_feed_is_deletes_only(self, spark, sf_dir,
