@@ -281,6 +281,42 @@ def _now_stamp() -> str:
     return publish_stamp()
 
 
+def consumer_lag(table_root: str, data_source: str,
+                 checkpoint_path: str) -> dict:
+    """How far a consumer's checkpoint trails the table — the ops
+    metric that sizes ``vacuum(retain_history_s=)``: retention must
+    exceed every consumer's worst-case ``behind_s`` or a slow consumer
+    falls off the horizon and must re-baseline. Driver-side metadata
+    only (one manifest listing).
+
+    Returns ``{"consumed_as_of", "latest", "behind_s",
+    "pending_announces"}`` — ``behind_s`` 0.0 and ``pending_announces``
+    0 when fully caught up; ``consumed_as_of`` None (and ``behind_s``
+    None) before the first commit."""
+    from druid_hadoop_utils_spark.sources.segments import (
+        _parse_as_of,
+        list_manifests,
+    )
+
+    stamps = [m.published_at
+              for m in list_manifests(table_root, data_source)
+              if m.published_at is not None]
+    if not stamps:
+        raise FileNotFoundError(
+            f"no stamped manifests for {data_source} under {table_root}")
+    latest = max(stamps, key=_parse_as_of)
+    last = read_checkpoint(checkpoint_path)
+    if last is None:
+        return {"consumed_as_of": None, "latest": latest,
+                "behind_s": None, "pending_announces": len(stamps)}
+    t_last = _parse_as_of(last)
+    behind = (_parse_as_of(latest) - t_last).total_seconds()
+    pending = sum(1 for s in stamps if _parse_as_of(s) > t_last)
+    return {"consumed_as_of": last, "latest": latest,
+            "behind_s": max(behind, 0.0),
+            "pending_announces": pending}
+
+
 def consume_changes(spark: SparkSession, table_root: str,
                     data_source: str, checkpoint_path: str, *,
                     mode: str = "logical") -> tuple[DataFrame, str]:

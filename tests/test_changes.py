@@ -263,6 +263,32 @@ class TestConsumer:
         feed4, _ = consume_changes(spark, root, "events", ckpt)
         assert feed4.count() == 0
 
+    def test_consumer_lag(self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.changes import consumer_lag
+
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "c.json")
+        base = _base(spark, sf_dir)
+        publish_segments(base, root, "events", version="v1",
+                         bucket="DAY", published_at=T1)
+        lag = consumer_lag(root, "events", ckpt)
+        assert lag["consumed_as_of"] is None and lag["behind_s"] is None
+        assert lag["pending_announces"] > 0
+
+        _, token = consume_changes(spark, root, "events", ckpt)
+        commit_consumed(ckpt, token)
+        lag2 = consumer_lag(root, "events", ckpt)
+        assert lag2["behind_s"] == 0.0
+        assert lag2["pending_announces"] == 0
+
+        delete_where(spark, root, "events",
+                     {"type": "selector", "dimension": "event_type",
+                      "value": "error"})
+        lag3 = consumer_lag(root, "events", ckpt)
+        assert lag3["behind_s"] > 0
+        assert lag3["pending_announces"] > 0
+        assert lag3["latest"] != lag3["consumed_as_of"]
+
     def test_mid_processing_publish_waits_whole(self, spark, sf_dir,
                                                 tmp_path):
         # a publish landing AFTER the consume call resolved its token
