@@ -60,6 +60,13 @@ from druid_hadoop_utils_spark.sources.dml import (
     update_where,
 )
 from druid_hadoop_utils_spark.sources.maintenance import restore_to
+from druid_hadoop_utils_spark.sources.changes import (
+    changed_windows,
+    commit_consumed,
+    consume_changes,
+    consumer_lag,
+    read_changes,
+)
 from druid_hadoop_utils_spark.sources.materialize import (
     catch_up_materialized,
     materialize_aggs,
@@ -116,6 +123,11 @@ __all__ = [
     "publish_segments",
     "clone_view",
     "restore_to",
+    "read_changes",
+    "changed_windows",
+    "consume_changes",
+    "commit_consumed",
+    "consumer_lag",
     "merge_into",
     "delete_where",
     "update_where",
