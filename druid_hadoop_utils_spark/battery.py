@@ -2204,6 +2204,58 @@ def q_similarity_ivf_topk_prod(spark, sf_dir):
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
+_POSTINGS_TABLE_CACHE: dict[str, str] = {}
+
+
+def _postings_table(spark, sf_dir: str) -> str:
+    """Managed embeddings table with a published ANN index and its IVF
+    postings materialized (sources/materialize.materialize_postings) —
+    built once per process, like the other managed-table fixtures."""
+    _prep(spark)
+    root = _POSTINGS_TABLE_CACHE.get(sf_dir)
+    if root:
+        return root
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.materialize import (
+        materialize_postings,
+    )
+
+    root = _tmp_table_root("postings_battery_")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    publish_segments(emb, root, "emb", version="v1", time_column="ts",
+                     bucket="DAY")
+    spec = {"granularity": "NONE", "dimensions": ["vec_id", "label"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    SIM.publish_ann_index(spark, root, "emb", spec=spec, n_cells=16,
+                          sample=4096)
+    materialize_postings(spark, root, "emb", "ivf")
+    _POSTINGS_TABLE_CACHE[sf_dir] = root
+    return root
+
+
+# Persisted IVF postings (round 12): the corpus-side cell assignment is
+# on disk (one (id, vec, cell) file per segment via the materialization
+# scaffold); the query only assigns the broadcast query side. CONVERGENT
+# oracle config: nprobe = n_cells probes every cell, so the result is
+# exactly brute-force cosine top-k and hashes against the same SQL
+# oracle as q_similarity_ivf_topk. The production-selectivity cost path
+# is q_similarity_ivf_topk_prod; the postings lifecycle (incremental
+# build, retrain refusal, drift re-stamp validity) is pinned in
+# tests/test_operators_similarity.py.
+@register("q_similarity_ivf_postings", _BRUTE_TOPK_SQL)
+def q_similarity_ivf_postings(spark, sf_dir):
+    from druid_hadoop_utils_spark.sources.materialize import read_postings
+
+    root = _postings_table(spark, sf_dir)
+    idx = SIM.load_published_ann_index(root, "emb")
+    post = read_postings(spark, root, "emb", "ivf")
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
+    out = SIM.ivf_topk_from_postings(post, queries, k=5, nprobe=16,
+                                     index=idx)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
 @register(
     "q_multivalue_explode_groupby",
     """SELECT tok AS token, count(*) AS n, CAST(count(DISTINCT doc_id) AS DOUBLE) AS docs
@@ -5217,8 +5269,9 @@ _DRIVER_PRIORITY = [
     # After r12 nothing should be staler than r07.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
     # NEW or CHANGED in r12 — first:
-    "q_table_changes", "q_kll_state_reagg", "q_media_decode_dims",
-    "q_incremental_neardup", "q_kll_quantiles_prod", "q_bpe_roundtrip",
+    "q_table_changes", "q_similarity_ivf_postings", "q_kll_state_reagg",
+    "q_media_decode_dims", "q_incremental_neardup",
+    "q_kll_quantiles_prod", "q_bpe_roundtrip",
     # the 6 queries whose newest driver-checked row is r06:
     "q_tpch_q18_large_volume_customer", "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier_volume", "q_tpch_q6_forecast_revenue",

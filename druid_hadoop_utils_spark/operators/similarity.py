@@ -541,6 +541,70 @@ def train_ann_index(
     return index
 
 
+def centroid_hash(centroids) -> str:
+    """Content identity of a coarse quantizer — what persisted IVF
+    postings bind to (sources/materialize.py). Deliberately NOT the
+    index's ``corpus_version``: a drift-tolerant re-stamp keeps the
+    centroid values (postings stay valid), a retrain changes them
+    (postings must refuse)."""
+    import hashlib
+
+    arr = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    return hashlib.md5(arr.tobytes()).hexdigest()
+
+
+def ivf_topk_from_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    index: dict | str | None = None,
+) -> DataFrame:
+    """``ivf_topk`` over PRE-ASSIGNED postings (``materialize_postings``
+    / ``read_postings``): identical results to ``ivf_topk`` with the
+    same index and nprobe, but the corpus-side cell assignment — a
+    full-corpus Arrow pass per query batch — is already on disk. Only
+    the (tiny, broadcast) query side runs the assign UDF; the plan is
+    the cell join + exact cosine re-rank + window top-k, so query cost
+    is the candidate volume (corpus × nprobe / n_cells), never the
+    corpus."""
+    idx = _resolve_index(index)
+    if idx is None:
+        raise ValueError(
+            "ivf_topk_from_postings requires the index the postings "
+            "were built against (artifact dict or path)")
+    centroids = np.asarray(idx["centroids"], dtype=np.float64)
+    assignp = _cell_assign_udf(centroids, nprobe)
+    c = postings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(assignp(F.col(vec_col))).alias("__cell"),
+    )
+    cands = (
+        c.join(F.broadcast(q), "__cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.col("neighbor_id"))
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def save_ann_index(index: dict, path: str) -> str:
     """Persist an ANN index artifact as JSON through the filesystem
     seam's atomic put (sources/fs.py) — a crashed writer never leaves a

@@ -180,6 +180,99 @@ def materialize_signatures(
     return _materialize_generic(spark, table_root, data_source, name, spec)
 
 
+def materialize_postings(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+    index: dict | str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[str]:
+    """Ensure every VISIBLE segment has an IVF POSTINGS file for
+    ``name``: ``(id, vector, __cell)`` rows, cell = the vector's single
+    nearest centroid of the table's published ANN index. The classic
+    IVF storage layout through the shared incremental scaffold — only
+    segments without a file compute, commit-driven catch-up and
+    ``vacuum_materialized`` apply unchanged.
+
+    Why at 100 TB: ``ivf_topk`` assigns every corpus vector to its
+    cell AT QUERY TIME — a full-corpus Arrow pass per query batch.
+    Postings move that pass to publish time; ``ivf_topk_from_postings``
+    then joins the broadcast query probes straight against the stored
+    cells, so query cost is the candidate volume, never the corpus.
+
+    Postings bind to the CENTROID VALUES (content hash in the spec),
+    not the index's corpus_version stamp — so a drift-tolerant
+    re-stamp (``refresh_ann_index(max_drift_fraction=)``) keeps them
+    valid, while an actual retrain makes build and read refuse loudly
+    (materialize under a new name after retraining)."""
+    from druid_hadoop_utils_spark.operators.similarity import (
+        ann_index_path,
+        centroid_hash,
+        load_ann_index,
+    )
+
+    if index is None:
+        index = ann_index_path(table_root, data_source)
+    if isinstance(index, str):
+        idx_path, idx = index, load_ann_index(index)
+    else:
+        # an in-memory artifact must still be readable at BUILD time by
+        # later incremental passes — require the published convention
+        idx_path = ann_index_path(table_root, data_source)
+        idx = index
+    spec = {
+        "kind": "ivf_postings",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": int(idx["n_cells"]),
+        "index_path": idx_path,
+        "centroid_hash": centroid_hash(idx["centroids"]),
+    }
+    return _materialize_generic(spark, table_root, data_source, name, spec)
+
+
+def read_postings(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+) -> DataFrame:
+    """The table's IVF postings, assembled from the visible segments'
+    files — feed to ``operators.similarity.ivf_topk_from_postings``.
+    Same MVCC contract as ``read_signatures`` (overshadowed segments
+    never read, missing states refuse loudly) PLUS a centroid-identity
+    check: if the published index was RETRAINED since these postings
+    were built, reading refuses — stale cell assignments would silently
+    wreck recall. A drift-tolerant re-stamp keeps the same centroids
+    and passes."""
+    from druid_hadoop_utils_spark.operators.similarity import (
+        centroid_hash,
+        load_ann_index,
+    )
+
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    spec, paths, _iv = _resolve_state_paths(fs, table_root, data_source,
+                                            name)
+    if spec.get("kind") != "ivf_postings":
+        raise ValueError(
+            f"materialization {name!r} is kind="
+            f"{spec.get('kind', 'rollup')!r}, not ivf_postings"
+        )
+    idx = load_ann_index(spec["index_path"])
+    if centroid_hash(idx["centroids"]) != spec["centroid_hash"]:
+        raise ValueError(
+            f"postings {name!r} were built against different centroids "
+            f"than the index now at {spec['index_path']} (it was "
+            "retrained) — rebuild with materialize_postings under a new "
+            "name"
+        )
+    return spark.read.parquet(*paths)
+
+
 def _materialize_generic(
     spark: SparkSession,
     table_root: str,
@@ -253,6 +346,40 @@ def _build_states(spark, fs, mdir: str, spec: dict, targets, visible):
     from druid_hadoop_utils_spark.functions.granularity import granularity_expr
 
     from druid_hadoop_utils_spark.sources.fs import publish_parquet_dir
+
+    if spec.get("kind") == "ivf_postings":
+        from druid_hadoop_utils_spark.operators.similarity import (
+            _cell_assign_udf,
+            centroid_hash,
+            load_ann_index,
+        )
+
+        idx = load_ann_index(spec["index_path"])
+        if centroid_hash(idx["centroids"]) != spec["centroid_hash"]:
+            raise ValueError(
+                "the index at {p} was retrained since this postings "
+                "materialization was created — new segments would get "
+                "cells from DIFFERENT centroids than the existing "
+                "files; materialize under a new name".format(
+                    p=spec["index_path"]))
+        assign1 = _cell_assign_udf(idx["centroids"], 1)
+        done = []
+        for w in targets:
+            path = _state_path(mdir, w.manifest.identifier)
+            seg = spark.read.parquet(w.manifest.path)
+            post = seg.select(
+                F.col(spec["id_col"]),
+                F.col(spec["vec_col"]),
+                F.explode(assign1(F.col(spec["vec_col"])))
+                .alias("__cell"),
+            )
+            publish_parquet_dir(
+                fs,
+                lambda url: post.write.mode("overwrite").parquet(url),
+                path,
+            )
+            done.append(w.manifest.identifier)
+        return done
 
     if spec.get("kind", "rollup") == "signatures":
         from druid_hadoop_utils_spark.operators.dedup import (

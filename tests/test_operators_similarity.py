@@ -685,6 +685,90 @@ def test_refresh_ann_index_retrains_only_when_stale(spark, sf_dir, tmp_path):
     assert not refreshed4
 
 
+def test_materialized_ivf_postings_lifecycle(spark, sf_dir, tmp_path):
+    """Persisted IVF postings (round 12): per-segment (id, vec, cell)
+    files through the materialization scaffold — query == the raw-path
+    ivf_topk with the same index, incremental build computes only new
+    segments, and a RETRAIN (different centroids) refuses both build
+    and read while a drift re-stamp stays valid."""
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.materialize import (
+        materialize_postings,
+        read_postings,
+    )
+
+    root = str(tmp_path)
+    # even vec_ids on day 1, odd on day 2 — the two publishes land in
+    # DIFFERENT buckets (same-bucket same-interval would overshadow)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.when(F.col("vec_id") % 2 == 0,
+                     F.lit("2024-01-01 00:00:00"))
+              .otherwise(F.lit("2024-01-02 00:00:00"))
+              .cast("timestamp"))
+    publish_segments(emb.where(F.col("vec_id") % 2 == 0), root, "emb",
+                     version="v1", time_column="ts", bucket="DAY")
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    S.publish_ann_index(spark, root, "emb", spec=spec, n_cells=8,
+                        sample=512)
+    idx = S.load_published_ann_index(root, "emb")
+
+    done = materialize_postings(spark, root, "emb", "ivf")
+    assert len(done) == 1
+    post = read_postings(spark, root, "emb", "ivf")
+    n_corpus = emb.where(F.col("vec_id") % 2 == 0).count()
+    assert post.count() == n_corpus
+    assert post.agg(F.max("__cell")).collect()[0][0] < 8
+
+    # query equivalence: postings path == raw assignment path, exactly
+    from druid_hadoop_utils_spark.plans.planner import load as eng_load
+
+    corpus = eng_load(spark, root, spec,
+                      interval="1970-01-01/3000-01-01",
+                      data_source="emb")
+    queries = corpus.where(F.col("vec_id") < 6)
+    raw = {(r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+           for r in S.ivf_topk(corpus, queries, k=5, nprobe=3,
+                               index=idx).collect()}
+    via = {(r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+           for r in S.ivf_topk_from_postings(post, queries, k=5,
+                                             nprobe=3,
+                                             index=idx).collect()}
+    assert via == raw and raw
+
+    # incremental: a second publish computes ONLY its own segment (the
+    # existing centroids keep quantizing new data — no retrain needed)
+    publish_segments(emb.where(F.col("vec_id") % 2 == 1), root, "emb",
+                     version="v2", time_column="ts", bucket="DAY")
+    done2 = materialize_postings(spark, root, "emb", "ivf")
+    assert len(done2) == 1 and done2[0] not in done
+    assert read_postings(spark, root, "emb", "ivf").count() == emb.count()
+
+    # a real RETRAIN (new centroids) must refuse build AND read
+    S.publish_ann_index(spark, root, "emb", spec=spec, n_cells=4,
+                        sample=256)
+    with pytest.raises(ValueError, match="retrained|different spec"):
+        materialize_postings(spark, root, "emb", "ivf")
+    with pytest.raises(ValueError, match="retrained"):
+        read_postings(spark, root, "emb", "ivf")
+
+    # rebuild under a new name against the retrained index; then a
+    # small DML + drift RE-STAMP keeps the same centroids, so the
+    # postings stay valid and catch-up covers only the rewritten bucket
+    materialize_postings(spark, root, "emb", "ivf2")
+    delete_where(spark, root, "emb",
+                 {"type": "selector", "dimension": "vec_id",
+                  "value": "1"})
+    _, retrained = S.refresh_ann_index(spark, root, "emb",
+                                       max_drift_fraction=0.5,
+                                       spec=spec, n_cells=4, sample=256)
+    assert not retrained  # re-stamped: 1 net change / 500 trained rows
+    materialize_postings(spark, root, "emb", "ivf2")
+    assert read_postings(spark, root, "emb", "ivf2").count() == \
+        emb.count() - 1
+
+
 def test_refresh_ann_index_drift_tolerance(spark, sf_dir, tmp_path):
     """max_drift_fraction (round 12): small DML re-stamps the artifact
     instead of retraining (the quantizer is a density sketch — 100 TB
