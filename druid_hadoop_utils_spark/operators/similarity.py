@@ -577,15 +577,22 @@ def ivf_topk_from_postings(
             "were built against (artifact dict or path)")
     centroids = np.asarray(idx["centroids"], dtype=np.float64)
     assignp = _cell_assign_udf(centroids, nprobe)
-    c = postings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.col("__cell"),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
+    )
+    # the probed-cell set is bounded by n_cells (queries are the tiny
+    # broadcast side by contract), so collecting it is driver metadata,
+    # and the literal IN predicate prunes the cell-partitioned postings
+    # directories — the scan reads ~nprobe/n_cells of the bytes instead
+    # of the whole postings table
+    probed = sorted({r["__cell"] for r in
+                     q.select("__cell").distinct().collect()})
+    c = postings.where(F.col("__cell").isin(probed)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__cell"),
     )
     cands = (
         c.join(F.broadcast(q), "__cell")

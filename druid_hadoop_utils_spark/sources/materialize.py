@@ -270,7 +270,17 @@ def read_postings(
             "retrained) — rebuild with materialize_postings under a new "
             "name"
         )
-    return spark.read.parquet(*paths)
+    # each segment's postings dir is its own __cell=N-partitioned tree;
+    # Spark's partition discovery cannot merge multiple partitioned
+    # roots in one read (CONFLICTING_DIRECTORY_STRUCTURES), so this is
+    # one scan per segment, unioned — each scan still partition-prunes
+    # on the probed-cell IN filter. Embedding tables bucket coarsely
+    # (a segment is a day/month of corpus), so the union stays narrow.
+    out = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def _materialize_generic(
@@ -373,9 +383,18 @@ def _build_states(spark, fs, mdir: str, spec: dict, targets, visible):
                 F.explode(assign1(F.col(spec["vec_col"])))
                 .alias("__cell"),
             )
+            # CELL-PARTITIONED layout (the IVF point): one __cell=N dir
+            # per cell, so a query probing nprobe of n_cells cells reads
+            # nprobe/n_cells of the bytes via partition pruning —
+            # ivf_topk_from_postings pushes the probed cells as a
+            # literal IN filter. Sound for the moderate n_cells this
+            # engine trains (≤ ~1k); a 65k-cell index would need
+            # packed-by-cell files instead of directories.
             publish_parquet_dir(
                 fs,
-                lambda url: post.write.mode("overwrite").parquet(url),
+                lambda url: (post.repartition("__cell")
+                             .write.mode("overwrite")
+                             .partitionBy("__cell").parquet(url)),
                 path,
             )
             done.append(w.manifest.identifier)
