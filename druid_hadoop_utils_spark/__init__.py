@@ -70,8 +70,10 @@ from druid_hadoop_utils_spark.sources.changes import (
 from druid_hadoop_utils_spark.sources.materialize import (
     catch_up_materialized,
     materialize_aggs,
+    materialize_postings,
     materialize_signatures,
     query_materialized,
+    read_postings,
     read_signatures,
     vacuum_materialized,
 )
@@ -133,8 +135,10 @@ __all__ = [
     "update_where",
     "catch_up_materialized",
     "materialize_aggs",
+    "materialize_postings",
     "materialize_signatures",
     "query_materialized",
+    "read_postings",
     "read_signatures",
     "vacuum_materialized",
     "register_lookup",
