@@ -90,7 +90,7 @@ def changed_windows(table_root: str, data_source: str, as_of_a,
     a, b = _views(table_root, data_source, as_of_a, as_of_b)
     out: dict[str, dict[str, tuple]] = {}
     for path in sorted(set(a) | set(b)):
-        w = (b.get(path) or a[path])
+        w = b[path] if path in b else a[path]
         a_wins = list(a[path].windows) if path in a else []
         b_wins = list(b[path].windows) if path in b else []
         gained = _subtract(b_wins, a_wins)
@@ -178,15 +178,23 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
 
     if ins is None and del_ is None:
         # no visibility change at all: a correctly-shaped EMPTY feed.
-        # Schema comes from one footer probe of the current (else A)
-        # view — metadata-only cost, consistent with the non-empty path.
+        # This is the CAUGHT-UP consumer's every-poll path, so the
+        # schema probe must stay O(1): ONE footer read of the newest
+        # announced segment (new columns appear in newer segments under
+        # the evolve-forward convention), never a mergeSchema pass over
+        # the whole view — that would be 10k footer reads per idle poll
+        # on a 10k-segment table.
         a, b = _views(table_root, data_source, as_of_a, as_of_b)
         view = b or a
         if not view:
             raise FileNotFoundError(
                 f"no visible segments for {data_source} in either view")
-        probe = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(view)).limit(0)
+        newest = max(
+            view.values(),
+            key=lambda w: (w.manifest.published_at or "",
+                           w.manifest.version),
+        ).manifest.path
+        probe = spark.read.parquet(newest).limit(0)
         return (probe
                 .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                 .withColumn(CHANGE_COUNT_COL, F.lit(1).cast("long"))
