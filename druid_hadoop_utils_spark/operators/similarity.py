@@ -769,7 +769,14 @@ def refresh_ann_index(
     index retrains. Drift accumulates against the original training
     instant — repeated small changes cannot creep past the bound — and
     a training instant already vacuumed past the horizon forces a
-    retrain."""
+    retrain.
+
+    Concurrency: the artifact put is last-wins, exactly like two
+    concurrent ``publish_ann_index`` retrains always were — a restamp
+    racing a retrain can briefly resurrect the pre-retrain centroids.
+    Run refresh from the table's single maintenance cron (where
+    compaction/vacuum already live); postings readers are safe either
+    way (they bind to centroid content, sources/materialize.py)."""
     try:
         return load_published_ann_index(table_root, data_source), False
     except FileNotFoundError:
