@@ -364,6 +364,31 @@ class TestStreamedTable:
         assert feed3.count() == 0
 
 
+class TestTombstones:
+    def test_drop_interval_feeds_as_deletes(self, spark, sf_dir,
+                                            tmp_path):
+        # a drop tombstone hides data without rewriting it: the feed
+        # must read the hidden file and emit its rows as deletes, and
+        # nothing else
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            drop_interval,
+        )
+
+        root = str(tmp_path)
+        base = _base(spark, sf_dir)
+        publish_segments(base, root, "events", version="v1",
+                         bucket="DAY", published_at=T1)
+        drop_interval(root, "events", "2024-01-05/2024-01-07")
+        feed = read_changes(spark, root, "events", T1)
+        assert feed.where(F.col("_change_type") == "insert").count() == 0
+        dropped = base.where(
+            (F.col("__time") >= F.lit(datetime(2024, 1, 5))) &
+            (F.col("__time") < F.lit(datetime(2024, 1, 7))))
+        data_cols = [c for c in feed.columns
+                     if c not in ("_change_type", "_n")]
+        assert _rows(feed.select(*data_cols)) == _rows(dropped)
+
+
 class TestHorizon:
     def test_pre_horizon_view_refuses(self, spark, sf_dir, tmp_path):
         root = str(tmp_path)
