@@ -82,11 +82,14 @@ def _views(table_root: str, data_source: str, as_of_a, as_of_b):
 def changed_windows(table_root: str, data_source: str, as_of_a,
                     as_of_b=None) -> dict[str, dict[str, tuple]]:
     """Driver-side plan of the change feed: for every segment path whose
-    visibility differs between view A and view B, the exact windows that
-    are B-only (rows GAINED) and A-only (rows LOST). Metadata only — one
-    manifest listing, two timeline resolutions, interval subtraction;
-    the cost pin for ``read_changes`` (tests assert its scans stay
-    inside this file set)."""
+    visibility differs between view A and view B, ``"insert"`` = the
+    exact windows that are B-only (rows GAINED), ``"delete"`` = A-only
+    (rows LOST), and ``"interval"`` = the segment's full interval (lets
+    the reader collapse whole-segment changes into predicate-free
+    scans). Metadata only — one manifest listing, two timeline
+    resolutions, interval subtraction; the cost pin for
+    ``read_changes`` (tests assert its scans stay inside this file
+    set)."""
     a, b = _views(table_root, data_source, as_of_a, as_of_b)
     out: dict[str, dict[str, tuple]] = {}
     for path in sorted(set(a) | set(b)):
