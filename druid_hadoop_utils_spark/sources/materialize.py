@@ -233,6 +233,65 @@ def materialize_postings(
     return _materialize_generic(spark, table_root, data_source, name, spec)
 
 
+def _compact_postings_entry(token: str) -> str:
+    return f"_compact.{token}.parquet"
+
+
+def compact_postings(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    name: str,
+) -> str:
+    """Rewrite the visible segments' per-segment postings as ONE
+    cell-partitioned tree, named by the table's CURRENT
+    ``timeline_version`` — the plan-size cap for many-segment tables:
+    ``read_postings`` on a 1000-segment table otherwise unions 1000
+    scans (Spark cannot merge multiple partitioned roots in one read).
+
+    MVCC by construction: the timeline version is the md5 of the
+    visible manifest identifiers, so ANY publish/DML/compaction/
+    retention change makes the compact tree's name stale and readers
+    fall back to the per-segment union (always correct) until the next
+    ``compact_postings``. Idempotent — an already-current tree is
+    returned without rewriting. ``vacuum_materialized`` reclaims stale
+    trees. One distributed rewrite job (repartition on __cell), no
+    driver-side row handling."""
+    from druid_hadoop_utils_spark.sources.fs import (
+        get_fs,
+        publish_parquet_dir,
+        resolve_parquet_dir,
+    )
+    from druid_hadoop_utils_spark.sources.segments import timeline_version
+
+    fs = get_fs(table_root)
+    spec, paths, _iv = _resolve_state_paths(fs, table_root, data_source,
+                                            name)
+    if spec.get("kind") != "ivf_postings":
+        raise ValueError(
+            f"materialization {name!r} is kind="
+            f"{spec.get('kind', 'rollup')!r}, not ivf_postings"
+        )
+    mdir = _mat_dir(table_root, data_source, name)
+    token = timeline_version(table_root, data_source)
+    target = fs.join(mdir, _compact_postings_entry(token))
+    existing = resolve_parquet_dir(fs, target)
+    if existing is not None:
+        return target
+    union = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        union = df if union is None else union.unionByName(df)
+    publish_parquet_dir(
+        fs,
+        lambda url: (union.repartition("__cell")
+                     .write.mode("overwrite")
+                     .partitionBy("__cell").parquet(url)),
+        target,
+    )
+    return target
+
+
 def read_postings(
     spark: SparkSession,
     table_root: str,
@@ -270,12 +329,26 @@ def read_postings(
             "retrained) — rebuild with materialize_postings under a new "
             "name"
         )
+    # fast path: a CURRENT compact tree (compact_postings) is one scan
+    # for the whole corpus — its name carries the timeline version, so
+    # currency is one path probe, and any table change since compaction
+    # silently falls back to the always-correct per-segment union
+    from druid_hadoop_utils_spark.sources.fs import resolve_parquet_dir
+    from druid_hadoop_utils_spark.sources.segments import timeline_version
+
+    mdir = _mat_dir(table_root, data_source, name)
+    token = timeline_version(table_root, data_source)
+    compact = resolve_parquet_dir(
+        fs, fs.join(mdir, _compact_postings_entry(token)))
+    if compact is not None:
+        return spark.read.parquet(fs.spark_url(compact))
+
     # each segment's postings dir is its own __cell=N-partitioned tree;
     # Spark's partition discovery cannot merge multiple partitioned
     # roots in one read (CONFLICTING_DIRECTORY_STRUCTURES), so this is
     # one scan per segment, unioned — each scan still partition-prunes
-    # on the probed-cell IN filter. Embedding tables bucket coarsely
-    # (a segment is a day/month of corpus), so the union stays narrow.
+    # on the probed-cell IN filter. compact_postings collapses this to
+    # ONE scan for many-segment tables.
     out = None
     for p in paths:
         df = spark.read.parquet(p)
@@ -791,6 +864,17 @@ def vacuum_materialized(
         return []
     listed = {_safe(m.identifier)
               for m in list_manifests(table_root, data_source)}
+    # the one compact-postings stem that is CURRENT (compact_postings):
+    # its name carries the timeline version, so staleness is pure
+    # string comparison — stale trees reclaim like unlisted segments
+    from druid_hadoop_utils_spark.sources.segments import timeline_version
+
+    try:
+        _current_compact = "_compact." + timeline_version(
+            table_root, data_source)
+    except FileNotFoundError:
+        _current_compact = None
+    listed = listed | ({_current_compact} if _current_compact else set())
 
     def _stale(entry: str) -> bool:
         # an mtime-age floor gates ALL reclamation of in-flight writer

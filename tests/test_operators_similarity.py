@@ -769,6 +769,73 @@ def test_materialized_ivf_postings_lifecycle(spark, sf_dir, tmp_path):
         emb.count() - 1
 
 
+def test_compact_postings(spark, sf_dir, tmp_path):
+    """compact_postings (round 12): the per-segment postings union
+    collapses to ONE timeline-version-named tree; any table change
+    makes it stale by NAME (readers fall back to the union), and
+    vacuum reclaims only stale trees."""
+    import os
+
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+    from druid_hadoop_utils_spark.sources.ingest import publish_segments
+    from druid_hadoop_utils_spark.sources.materialize import (
+        compact_postings,
+        materialize_postings,
+        read_postings,
+        vacuum_materialized,
+    )
+
+    root = str(tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.when(F.col("vec_id") % 2 == 0,
+                     F.lit("2024-01-01 00:00:00"))
+              .otherwise(F.lit("2024-01-02 00:00:00"))
+              .cast("timestamp"))
+    publish_segments(emb, root, "emb", version="v1", time_column="ts",
+                     bucket="DAY")  # 2 day segments
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    S.publish_ann_index(spark, root, "emb", spec=spec, n_cells=8,
+                        sample=512)
+    materialize_postings(spark, root, "emb", "ivf")
+    before = {(r["vec_id"], r["__cell"])
+              for r in read_postings(spark, root, "emb", "ivf")
+              .select("vec_id", "__cell").collect()}
+
+    path = compact_postings(spark, root, "emb", "ivf")
+    assert "_compact." in path
+    post = read_postings(spark, root, "emb", "ivf")
+    # the read now serves from the single compact tree
+    assert all("_compact." in f for f in post.inputFiles())
+    got = {(r["vec_id"], r["__cell"])
+           for r in post.select("vec_id", "__cell").collect()}
+    assert got == before
+    # idempotent: already-current tree returned without a rewrite
+    assert compact_postings(spark, root, "emb", "ivf") == path
+
+    # DML flips the timeline version: the compact tree is stale by
+    # NAME, the read refuses until catch-up (missing new-bucket state),
+    # then serves the per-segment union again
+    delete_where(spark, root, "emb",
+                 {"type": "selector", "dimension": "vec_id",
+                  "value": "2"})
+    with pytest.raises(FileNotFoundError, match="no state"):
+        read_postings(spark, root, "emb", "ivf")
+    materialize_postings(spark, root, "emb", "ivf")
+    union_again = read_postings(spark, root, "emb", "ivf")
+    assert not any("_compact." in f for f in union_again.inputFiles())
+    assert union_again.count() == emb.count() - 1
+
+    # re-compact: a NEW tree; vacuum reclaims exactly the stale one
+    path2 = compact_postings(spark, root, "emb", "ivf")
+    assert path2 != path
+    reclaimed = vacuum_materialized(root, "emb", "ivf")
+    assert os.path.basename(path)[:-len(".parquet")] in reclaimed
+    served = read_postings(spark, root, "emb", "ivf")
+    assert all("_compact." in f for f in served.inputFiles())
+    assert served.count() == emb.count() - 1
+
+
 def test_refresh_ann_index_drift_tolerance(spark, sf_dir, tmp_path):
     """max_drift_fraction (round 12): small DML re-stamps the artifact
     instead of retraining (the quantizer is a density sketch — 100 TB
