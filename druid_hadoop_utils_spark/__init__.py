@@ -69,6 +69,7 @@ from druid_hadoop_utils_spark.sources.changes import (
 )
 from druid_hadoop_utils_spark.sources.materialize import (
     catch_up_materialized,
+    compact_postings,
     materialize_aggs,
     materialize_postings,
     materialize_signatures,
@@ -135,6 +136,7 @@ __all__ = [
     "update_where",
     "catch_up_materialized",
     "materialize_aggs",
+    "compact_postings",
     "materialize_postings",
     "materialize_signatures",
     "query_materialized",
