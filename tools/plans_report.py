@@ -343,6 +343,17 @@ ANNOTATED = {
         "±1 CASE before the single exchange). No full-table anti-join "
         "anywhere in the plan."
     ),
+    "q_similarity_ivf_postings": (
+        "Persisted IVF postings (round 12): the corpus side is a scan "
+        "of the cell-partitioned postings files — PartitionFilters "
+        "carries the probed-cell IN predicate, so only nprobe/n_cells "
+        "of the partition directories are read (here nprobe=n_cells, "
+        "the exhaustive oracle config, so all partitions list). The "
+        "only Python crossing is the broadcast-tiny query side's cell "
+        "assignment; the corpus never re-assigns at query time. Join "
+        "on __cell against the broadcast probes, exact cosine in "
+        "codegen, window top-k."
+    ),
 }
 
 
