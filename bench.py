@@ -115,6 +115,9 @@ HEADLINE = [
     # _dml_table with q_merge_upsert, so this times the feed itself:
     # metadata diff → changed-bucket scans → one netting aggregate)
     "q_table_changes",
+    # round 13: the feed's PHYSICAL mode (no netting — whole changed
+    # buckets, both sides; what a replicator/cache-invalidator pays)
+    "q_table_changes_physical",
 ]
 
 # run each query three times and report the min: run-to-run variance on a

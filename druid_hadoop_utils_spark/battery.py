@@ -3139,6 +3139,56 @@ def q_table_changes(spark, sf_dir):
         F.countDistinct("event_id").alias("n_keys"))
 
 
+@register(
+    "q_table_changes_physical",
+    _DML_ORACLE_CTE + """
+    , touched AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM upd
+        UNION
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        FROM merged WHERE event_type = 'error'
+        UNION
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        FROM deleted WHERE event_type = 'view'),
+    phys AS (
+        SELECT 'delete' AS change_type, event_type, value FROM base
+        WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) IN
+              (SELECT d FROM touched)
+        UNION ALL
+        SELECT 'insert' AS change_type, event_type, value FROM final
+        WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) IN
+              (SELECT d FROM touched))
+    SELECT change_type, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 3) AS sum_v
+    FROM phys GROUP BY change_type, event_type""",
+)
+def q_table_changes_physical(spark, sf_dir):
+    # the change feed's PHYSICAL mode (raw byte accounting, no netting):
+    # for every day bucket whose visible file differs between the v1
+    # view and the current one, the feed carries the ENTIRE old file as
+    # deletes and the ENTIRE new file as inserts — what a cache
+    # invalidator or replicator consumes. The replay oracle derives the
+    # rewritten-bucket set deterministically from the DML sequence
+    # itself: merge touches every day with a matched key plus the
+    # backfill day (the `upd` CTE's days), delete touches days holding
+    # an 'error' row AT THAT POINT (the merged state — a correction may
+    # have replaced a base error row first), update touches days holding
+    # a 'view' row after the delete; a bucket rewritten several times
+    # still contributes exactly its v1 side and its final side, because
+    # intermediate versions are overshadowed in BOTH views. Summing _n
+    # (not count(*)) additionally pins the physical contract _n == 1.
+    from druid_hadoop_utils_spark.sources.changes import read_changes
+
+    root = _dml_table(spark, sf_dir)
+    feed = read_changes(spark, root, "events", _DML_T1, mode="physical")
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("_n")), 3).alias("sum_v"))
+
+
 _MATERIALIZED_CACHE: dict[str, str] = {}
 
 
@@ -5257,43 +5307,43 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # round-12 rotation (VERDICT r11 item 3): recomputed from
-    # CORRECTNESS_r01..r11 — newest-checked distribution r11:50 r10:50
-    # r07:50 r06:6 ("checked" = hash-green, or rows-only with err ==
-    # 'no_oracle' and rows >= 0). Front: NEW/CHANGED this round (the
-    # never-checked q_kll_state_reagg, plus q_kll_quantiles_prod and
-    # q_bpe_roundtrip whose implementations changed in r12 — their r11
-    # evidence predates the change), then the 6-entry r06 alphabetical
-    # tail the r11 cap truncated, then the r07 batch; the ~50-query cap
-    # truncates the r07 alphabetical tail, which fronts next round.
-    # After r12 nothing should be staler than r07.
+    # round-13 rotation (VERDICT r12 item 3): recomputed from
+    # CORRECTNESS_r01..r12 — newest-checked distribution r12:50 r11:48
+    # r10:50 r07:13 ("checked" = hash-green, or rows-only with err ==
+    # 'no_oracle' and spark_rows >= 0). Front: NEW/CHANGED this round
+    # (q_table_changes_physical is brand-new; q_table_changes and
+    # q_similarity_ivf_postings touch code changed in r13 — the
+    # empty-feed schema probe and the persisted query side), then the
+    # 13-entry r07 alphabetical tail the r12 cap truncated, then the
+    # r10 batch; the ~50-query cap truncates the r10 alphabetical tail
+    # (q_similarity_topk onward), which fronts next round. After r13
+    # nothing should be staler than r10.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
-    # NEW or CHANGED in r12 — first:
-    "q_table_changes", "q_similarity_ivf_postings", "q_kll_state_reagg",
-    "q_media_decode_dims", "q_incremental_neardup",
-    "q_kll_quantiles_prod", "q_bpe_roundtrip",
-    # the 6 queries whose newest driver-checked row is r06:
-    "q_tpch_q18_large_volume_customer", "q_tpch_q3_shipping_priority",
-    "q_tpch_q5_local_supplier_volume", "q_tpch_q6_forecast_revenue",
-    "q_weighted_sample", "q_window_distribution",
-    # the 50 queries whose newest driver-checked row is r07 (the ~50
-    # cap truncates the alphabetical tail — it fronts in r13):
-    "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
-    "q_agg_min_max", "q_bm25_search", "q_build_vocab",
-    "q_cap_per_group", "q_cohort_retention", "q_encode_docs",
-    "q_event_transitions", "q_forward_fill", "q_funnel",
-    "q_granularity_all", "q_granularity_day_tz",
-    "q_granularity_fifteen_minute", "q_granularity_week",
-    "q_hybrid_search", "q_incremental_dedup", "q_join_5way_star",
-    "q_join_broadcast_dim", "q_leakage_safe_split",
-    "q_media_segment_hashes", "q_mix_sources", "q_pack_documents",
-    "q_post_agg_arithmetic", "q_quantize_embeddings",
-    "q_segment_metadata_analysis", "q_segment_table_multivalue",
-    "q_segment_table_zorder", "q_snapshot_tag", "q_stickiness",
-    "q_strip_dup_ngrams", "q_text_lm_score", "q_theta_set_ops",
-    "q_time_travel", "q_timeseries_mad", "q_timeseries_smooth",
+    # NEW or CHANGED in r13 — first:
+    "q_table_changes_physical", "q_table_changes",
+    "q_similarity_ivf_postings",
+    # the 13 queries whose newest driver-checked row is r07:
     "q_tpch_q12_priority_lines", "q_tpch_q13_customer_distribution",
     "q_tpch_q14_promo_revenue", "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
+    "q_tpch_q1_pricing_summary", "q_tpch_q21_suppliers_kept_waiting",
+    "q_tpch_q22_sales_opportunity", "q_tpch_q4_order_priority",
+    "q_tpch_q7_volume_shipping", "q_tpch_q8_market_share",
+    "q_two_phase_hll",
+    # the r10 batch, alphabetical (the cap truncates the tail —
+    # q_similarity_topk onward fronts in r14):
+    "q_agg_first_last", "q_anti_join", "q_bpe_encode",
+    "q_corpus_report", "q_correlated_subquery", "q_dedup_clusters",
+    "q_dedup_exact", "q_dedup_keep_best", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_delete_where",
+    "q_distinct", "q_embedding_mean_pool", "q_embedding_neardup",
+    "q_filter_bound_numeric", "q_filter_in", "q_filter_selector",
+    "q_frame_sample_plan", "q_json_props_extract",
+    "q_materialized_rollup", "q_merge_upsert", "q_mix_temperature",
+    "q_multivalue_explode_groupby", "q_oov_rate",
+    "q_orderby_limit_topk", "q_percentile", "q_rollup_grouping_sets",
+    "q_salted_join", "q_sample_split", "q_scalar_functions",
+    "q_semi_join", "q_set_ops", "q_similarity_lsh_topk",
 ]
 
 

@@ -581,12 +581,14 @@ def ivf_topk_from_postings(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
-    )
+    ).persist()
     # the probed-cell set is bounded by n_cells (queries are the tiny
     # broadcast side by contract), so collecting it is driver metadata,
     # and the literal IN predicate prunes the cell-partitioned postings
     # directories — the scan reads ~nprobe/n_cells of the bytes instead
-    # of the whole postings table
+    # of the whole postings table. The persist() above makes the assign
+    # UDF run ONCE: this collect materializes q, and the broadcast join
+    # below reads the cached rows instead of recomputing the Arrow pass.
     probed = sorted({r["__cell"] for r in
                      q.select("__cell").distinct().collect()})
     c = postings.where(F.col("__cell").isin(probed)).select(
@@ -707,6 +709,16 @@ def publish_ann_index(
 
     spec = spec or {"granularity": "NONE", "dimensions": [],
                     "metrics": [{"name": vec_col, "type": "complex"}]}
+    # drift anchor CAPTURED BEFORE the training view resolves, so
+    # trained_as_of LOWER-bounds the trained corpus: a publish landing
+    # mid-train is then stamped ABOVE the anchor and counts as drift
+    # (conservative — forces refresh), instead of sitting at-or-below it
+    # where refresh_ann_index's read_changes(from=trained_as_of) would
+    # never count those untrained rows.
+    try:
+        trained_as_of = latest_stamp(table_root, data_source)
+    except FileNotFoundError:
+        trained_as_of = None
     df = load(spark, table_root, spec, interval=interval,
               data_source=data_source)
     index = train_ann_index(
@@ -714,13 +726,11 @@ def publish_ann_index(
         corpus_version=table_corpus_version(table_root, data_source),
         **train_kwargs,
     )
-    # drift anchors for refresh_ann_index(max_drift_fraction=...): the
-    # announce stamp + corpus size this quantizer was trained against.
-    # One extra count job (parquet footer metadata) at publish time.
-    try:
-        index["trained_as_of"] = latest_stamp(table_root, data_source)
-    except FileNotFoundError:
-        index["trained_as_of"] = None
+    # the anchor stamp + corpus size this quantizer was trained against
+    # — refresh_ann_index(max_drift_fraction=...) measures net change
+    # since trained_as_of against trained_rows. One extra count job
+    # (parquet footer metadata) at publish time.
+    index["trained_as_of"] = trained_as_of
     index["trained_rows"] = int(df.count())
     return save_ann_index(index, ann_index_path(table_root, data_source))
 

@@ -172,6 +172,14 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
     see the module docstring for the 100 TB rationale. Raises
     ``ValueError`` below the vacuum horizon (that view is gone) and
     ``FileNotFoundError`` for a table with no data in either view.
+
+    Schema evolution (evolve-forward): a column that exists only in
+    newer segments flows through ``unionByName(allowMissingColumns=
+    True)`` — feed rows read from older segments carry NULL in the new
+    column, and logical netting treats that NULL as a value (two
+    physically identical old-schema rows still cancel). The caught-up
+    EMPTY feed probes the newest announced segment's footer, so its
+    schema also carries every evolved column.
     """
     if mode not in ("logical", "physical"):
         raise ValueError(f"mode must be 'logical' or 'physical', not {mode!r}")
@@ -192,10 +200,21 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
         if not view:
             raise FileNotFoundError(
                 f"no visible segments for {data_source} in either view")
+        # published_at stamps are PARSED, not string-compared, so mixed
+        # formats ('Z' vs '+00:00', differing sub-second precision)
+        # can't pick an older segment — same sort key as latest_stamp /
+        # consumer_lag. Under the evolve-forward convention the newest
+        # segment's footer carries every column.
+        from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+        _epoch = _parse_as_of("1970-01-01T00:00:00+00:00")
         newest = max(
             view.values(),
-            key=lambda w: (w.manifest.published_at or "",
-                           w.manifest.version),
+            key=lambda w: (
+                _parse_as_of(w.manifest.published_at)
+                if w.manifest.published_at else _epoch,
+                w.manifest.version,
+            ),
         ).manifest.path
         probe = spark.read.parquet(newest).limit(0)
         return (probe

@@ -262,18 +262,34 @@ def compact_postings(
         publish_parquet_dir,
         resolve_parquet_dir,
     )
-    from druid_hadoop_utils_spark.sources.segments import timeline_version
+    from druid_hadoop_utils_spark.sources.segments import (
+        list_manifests,
+        timeline_version_of,
+    )
 
     fs = get_fs(table_root)
+    # ONE manifest listing feeds BOTH the tree's name (timeline version)
+    # and its contents (the visible state paths). Deriving them from
+    # separate listings let a publish land in between, naming the tree
+    # with the NEW version while its contents reflected the OLD visible
+    # set — readers would then treat an incomplete tree as current.
+    # From one snapshot, a racing publish can only make the tree
+    # stale-named; readers fall back to the per-segment union.
+    manifests = list_manifests(table_root, data_source)
     spec, paths, _iv = _resolve_state_paths(fs, table_root, data_source,
-                                            name)
+                                            name, manifests=manifests)
     if spec.get("kind") != "ivf_postings":
         raise ValueError(
             f"materialization {name!r} is kind="
             f"{spec.get('kind', 'rollup')!r}, not ivf_postings"
         )
+    if not paths:
+        raise FileNotFoundError(
+            f"no visible postings states for {data_source} — nothing to "
+            "compact (all segments dropped or tombstoned)"
+        )
     mdir = _mat_dir(table_root, data_source, name)
-    token = timeline_version(table_root, data_source)
+    token = timeline_version_of(manifests)
     target = fs.join(mdir, _compact_postings_entry(token))
     existing = resolve_parquet_dir(fs, target)
     if existing is not None:
@@ -720,13 +736,17 @@ def catch_up_materialized(
 def _resolve_state_paths(
     fs, table_root: str, data_source: str, name: str,
     interval: str | Interval | None = None,
+    manifests: list | None = None,
 ) -> tuple[dict, list[str], Interval]:
     """Spec, spark-readable state paths, and the resolved interval for
     the VISIBLE segments of a
     materialization — the shared MVCC resolution behind
     ``query_materialized`` and ``read_signatures``: partial visibility
     refuses (a whole-segment file would leak overshadowed rows), a
-    missing state refuses naming the catch-up."""
+    missing state refuses naming the catch-up. ``manifests`` lets a
+    caller that already listed the timeline reuse that ONE snapshot
+    (``compact_postings`` derives the tree name and contents from the
+    same listing, closing the name/content race)."""
     from druid_hadoop_utils_spark.sources.fs import resolve_parquet_dir
     from druid_hadoop_utils_spark.sources.segments import (
         list_manifests,
@@ -743,7 +763,8 @@ def _resolve_state_paths(
     spec = json.loads(fs.read_text(spec_path))
     iv = Interval.parse(interval) if interval is not None else Interval.parse(
         "0001-01-01T00:00:00/9999-12-31T00:00:00")
-    manifests = list_manifests(table_root, data_source)
+    if manifests is None:
+        manifests = list_manifests(table_root, data_source)
     visible = resolve_visible_windows(manifests, iv)
     paths: list[str] = []
     for w in visible:
@@ -919,6 +940,15 @@ def vacuum_materialized(
                 continue  # shouldn't occur; be conservative
             stem = entry[: -len(".parquet")]
             if stem not in listed:
+                # stale compact-postings trees get the same age floor as
+                # tmp dirs: Spark reads are lazy, so a reader that
+                # resolved a then-current tree may still be scanning it
+                # when a publish makes it stale — reclaiming instantly
+                # would fail that in-flight query. Segment states don't
+                # need the gate (their segments left the timeline only
+                # via vacuumed/killed manifests, long past any scan).
+                if stem.startswith("_compact.") and not _stale(entry):
+                    continue
                 unpublish.append(fs.join(mdir, entry))
                 gone.append(stem)
             continue
@@ -934,6 +964,9 @@ def vacuum_materialized(
         for logical in committed:
             stem = logical[: -len(".parquet")]
             if stem not in listed:
+                # same in-flight-reader age floor as the rename branch
+                if stem.startswith("_compact.") and not _stale(logical):
+                    continue
                 unpublish.append(fs.join(mdir, logical))
                 gone.append(stem)
     # one pool-parallel reclamation pass (fs.py bulk contract): pointers

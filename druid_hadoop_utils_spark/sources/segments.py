@@ -862,16 +862,26 @@ def timeline_version(table_root: str, data_source: str, as_of=None) -> str:
     reason (public Druid CacheStrategy design); here the whole-timeline
     hash is the coarser single-key variant that matches this engine's
     driver-side manifest planning."""
-    import hashlib
-
-    idents = sorted(
-        m.identifier
-        for m in list_manifests(table_root, data_source, as_of=as_of)
-    )
-    if not idents:
+    try:
+        return timeline_version_of(
+            list_manifests(table_root, data_source, as_of=as_of))
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"no segments for {data_source} under {table_root}"
-        )
+        ) from None
+
+
+def timeline_version_of(manifests) -> str:
+    """``timeline_version`` computed from an ALREADY-LISTED manifest set
+    — for callers that must derive the version AND other state from ONE
+    listing snapshot (e.g. ``compact_postings`` names its tree by the
+    same snapshot it reads, so a publish racing the two can only make
+    the tree stale-named, never current-but-incomplete)."""
+    import hashlib
+
+    idents = sorted(m.identifier for m in manifests)
+    if not idents:
+        raise FileNotFoundError("no segments in manifest listing")
     return hashlib.md5("\n".join(idents).encode()).hexdigest()
 
 

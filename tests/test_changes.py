@@ -399,3 +399,75 @@ class TestHorizon:
         vacuum(root, "events")
         with pytest.raises(ValueError, match="horizon"):
             read_changes(spark, root, "events", T1)
+
+
+class TestSchemaEvolution:
+    """Evolve-forward columns through the feed (round 13, VERDICT r12
+    item 2): a column added between view A and view B reaches the feed
+    schema, old-side rows carry NULL in it, and the caught-up EMPTY
+    feed's schema probe finds it even with mixed published_at stamp
+    formats."""
+
+    T3 = "2024-06-03T00:00:00+00:00"
+
+    def test_evolved_column_nulls_on_old_side(self, spark, sf_dir,
+                                              tmp_path):
+        root = str(tmp_path)
+        base = _base(spark, sf_dir)
+        publish_segments(base, root, "events", version="v1",
+                         bucket="DAY", published_at=T1)
+        # the evolved segment: a NEW day bucket with an extra column
+        # (no 'purchase' rows — the delete_where below must only touch
+        # the OLD-schema side)
+        evolved = (base.where(F.col("event_type") != "purchase").limit(3)
+                   .withColumn("__time",
+                               F.lit(datetime(2024, 3, 1)).cast("timestamp"))
+                   .withColumn("lang", F.lit("en")))
+        publish_segments(evolved, root, "events", version="v2",
+                         bucket="DAY", published_at=T2)
+        # and a DML delete on OLD-schema rows, so the feed carries both
+        # sides of the evolution
+        delete_where(spark, root, "events",
+                     {"type": "selector", "dimension": "event_type",
+                      "value": "purchase"})
+
+        feed = read_changes(spark, root, "events", T1)
+        assert "lang" in feed.columns
+        ins = feed.where(F.col("_change_type") == "insert")
+        dels = feed.where(F.col("_change_type") == "delete")
+        # new-side rows carry the evolved column's values...
+        assert ins.where(F.col("lang").isNull()).count() == 0
+        assert ins.count() == 3
+        # ...old-side rows net with NULL in it (the documented contract)
+        assert dels.count() > 0
+        assert dels.where(F.col("lang").isNotNull()).count() == 0
+
+    def test_empty_feed_probe_parses_mixed_stamp_formats(
+            self, spark, sf_dir, tmp_path):
+        """String-comparing published_at picks '2024-06-01T12:00:00
+        +02:00' (actual 10:00Z) over '2024-06-01T11:00:00Z' (actual
+        11:00Z) — the OLDER segment — and the empty feed's schema
+        would miss the evolved column. Stamps must be parsed."""
+        root = str(tmp_path)
+        base = _base(spark, sf_dir)
+        s_old = "2024-06-01T12:00:00+02:00"  # actual 10:00Z
+        s_new = "2024-06-01T11:00:00Z"       # actual 11:00Z, string-SMALLER
+        assert s_new < s_old and _parse_stamp(s_new) > _parse_stamp(s_old)
+        publish_segments(base, root, "events", version="v1",
+                         bucket="DAY", published_at=s_old)
+        evolved = (base.limit(2)
+                   .withColumn("__time",
+                               F.lit(datetime(2024, 3, 1)).cast("timestamp"))
+                   .withColumn("lang", F.lit("en")))
+        publish_segments(evolved, root, "events", version="v2",
+                         bucket="DAY", published_at=s_new)
+
+        feed = read_changes(spark, root, "events", self.T3, self.T3)
+        assert feed.count() == 0
+        assert "lang" in feed.columns  # probed the PARSE-newest segment
+
+
+def _parse_stamp(s):
+    from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+    return _parse_as_of(s)

@@ -826,11 +826,17 @@ def test_compact_postings(spark, sf_dir, tmp_path):
     assert not any("_compact." in f for f in union_again.inputFiles())
     assert union_again.count() == emb.count() - 1
 
-    # re-compact: a NEW tree; vacuum reclaims exactly the stale one
+    # re-compact: a NEW tree; vacuum reclaims exactly the stale one —
+    # but only past the age floor (r13 / ADVICE r12): Spark reads are
+    # lazy, so an in-flight reader of the just-staled tree must get
+    # grace before reclamation
     path2 = compact_postings(spark, root, "emb", "ivf")
     assert path2 != path
-    reclaimed = vacuum_materialized(root, "emb", "ivf")
-    assert os.path.basename(path)[:-len(".parquet")] in reclaimed
+    stale_stem = os.path.basename(path)[:-len(".parquet")]
+    kept = vacuum_materialized(root, "emb", "ivf")  # default 6 h floor
+    assert stale_stem not in kept
+    reclaimed = vacuum_materialized(root, "emb", "ivf", tmp_min_age_s=0)
+    assert stale_stem in reclaimed
     served = read_postings(spark, root, "emb", "ivf")
     assert all("_compact." in f for f in served.inputFiles())
     assert served.count() == emb.count() - 1
