@@ -59,7 +59,10 @@ from druid_hadoop_utils_spark.sources.dml import (
     merge_into,
     update_where,
 )
-from druid_hadoop_utils_spark.sources.maintenance import restore_to
+from druid_hadoop_utils_spark.sources.maintenance import (
+    maintain_table,
+    restore_to,
+)
 from druid_hadoop_utils_spark.sources.changes import (
     changed_windows,
     commit_consumed,
@@ -125,6 +128,7 @@ __all__ = [
     "resolve_visible_windows",
     "publish_segments",
     "clone_view",
+    "maintain_table",
     "restore_to",
     "read_changes",
     "changed_windows",

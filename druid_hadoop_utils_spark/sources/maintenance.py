@@ -699,6 +699,102 @@ def table_stats(table_root: str, data_source: str) -> dict:
     }
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    *,
+    max_files_per_segment: int = 4,
+    min_file_bytes: int = 16 * 1024 * 1024,
+    bucket: str = "DAY",
+    files_per_bucket: int = 1,
+    compact_manifests_over: int | None = 256,
+    retain_history_s: float = 0.0,
+    materialized_min_age_s: float = 6 * 3600,
+    strict: bool = True,
+) -> dict:
+    """The whole maintenance cron in ONE call — what an operator
+    schedules per table instead of wiring five sweeps by hand:
+
+    1. ``auto_compact`` — advisor-flagged intervals rewritten, manifest
+       files folded into a snapshot past ``compact_manifests_over``.
+    2. ``vacuum`` — fully-overshadowed segments and staged orphans
+       reclaimed (the timeline version settles HERE, which is why the
+       derived-state steps run after it).
+    3. ``catch_up_materialized`` — every materialization's pending
+       markers (registered by DML commits, publishes, and the
+       compaction in step 1) recomputed, O(affected) only; markers for
+       identifiers step 2 vacuumed clear without work.
+    4. ``compact_postings`` for each ``ivf_postings`` materialization —
+       the per-segment union collapsed to one cell-partitioned tree
+       named by the NOW-SETTLED timeline version (running it before the
+       vacuum would name a tree the vacuum immediately stales).
+    5. ``vacuum_materialized`` per materialization — states of vacuumed
+       segments plus stale compact trees (age-gated by
+       ``materialized_min_age_s`` so in-flight lazy readers finish).
+
+    Each destructive step takes the same leases it takes standalone
+    (maintenance lease for vacuum/compaction, commit lease per
+    registration chunk) — this wrapper adds sequencing, not a new lock
+    scope, so it is safe beside concurrent DML/publish traffic.
+
+    Returns a report dict (``compacted``, ``vacuumed``, ``caught_up``,
+    ``postings_compacted``, ``materialized_vacuumed``, ``errors``).
+    With ``strict`` (default) any per-step failure re-raises AFTER the
+    remaining independent steps ran — a broken materialization never
+    blocks table vacuum; ``strict=False`` returns the errors in the
+    report for the caller's alerting instead."""
+    from druid_hadoop_utils_spark.sources.materialize import (
+        catch_up_materialized,
+        compact_postings,
+        list_materializations,
+        vacuum_materialized,
+    )
+
+    report: dict = {"compacted": [], "vacuumed": [], "caught_up": {},
+                    "postings_compacted": {}, "materialized_vacuumed": {},
+                    "errors": []}
+
+    def _step(label, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — aggregated, re-raised
+            report["errors"].append(f"{label}: {e}")
+            return None
+
+    out = _step("auto_compact", lambda: auto_compact(
+        spark, table_root, data_source,
+        max_files_per_segment=max_files_per_segment,
+        min_file_bytes=min_file_bytes, bucket=bucket,
+        files_per_bucket=files_per_bucket,
+        compact_manifests_over=compact_manifests_over))
+    report["compacted"] = out or []
+    out = _step("vacuum", lambda: vacuum(
+        table_root, data_source, retain_history_s=retain_history_s))
+    report["vacuumed"] = out or []
+    out = _step("catch_up_materialized", lambda: catch_up_materialized(
+        spark, table_root, data_source))
+    report["caught_up"] = out or {}
+    mats = _step("list_materializations", lambda: list_materializations(
+        table_root, data_source)) or {}
+    for name, spec in sorted(mats.items()):
+        if spec.get("kind") == "ivf_postings":
+            p = _step(f"compact_postings[{name}]", lambda n=name:
+                      compact_postings(spark, table_root, data_source, n))
+            if p is not None:
+                report["postings_compacted"][name] = p
+    for name in sorted(mats):
+        out = _step(f"vacuum_materialized[{name}]", lambda n=name:
+                    vacuum_materialized(table_root, data_source, n,
+                                        tmp_min_age_s=materialized_min_age_s))
+        report["materialized_vacuumed"][name] = out or []
+    if strict and report["errors"]:
+        raise RuntimeError(
+            "maintain_table completed with step failures: "
+            + "; ".join(report["errors"]))
+    return report
+
+
 def _subtract_intervals(iv: Interval, covers: list[Interval]) -> list[Interval]:
     """Pieces of ``iv`` not covered by ``covers`` (sorted, merged)."""
     out: list[Interval] = []

