@@ -50,22 +50,64 @@ def main() -> None:
         all_docs.where(F.col("doc_id") >= 300), manifest, "doc_id")
     n0 = docs.count()
 
-    # 0b. incremental NEAR-dedup (round 12): the previous snapshot also
-    #     persists a minhash signature_manifest (~512 B/doc); the new
-    #     batch drops its near-dups of HISTORY without the old text ever
-    #     being re-shingled — only stored signatures go through the band
-    #     join, scored by the signature-agreement Jaccard estimate
-    sig_manifest = D.signature_manifest(
-        all_docs.where(F.col("doc_id") < 300), "doc_id")
+    # 0b. FEED-DRIVEN incremental NEAR-dedup (round 13 — the round-12
+    #     change feed and managed signature manifests composing): the
+    #     corpus lives in a MANAGED segment table whose previous crawl
+    #     persisted per-segment minhash signature files (~512 B/doc).
+    #     When the next crawl publishes, the checkpointed consumer
+    #     discovers exactly the new rows via the change feed (O(changed
+    #     bytes) — never a re-scan of history), the commit-driven
+    #     pending markers make catch_up re-sign ONLY the new segments,
+    #     and the band join runs new-docs × stored-signatures. At 100 TB
+    #     this is the every-crawl-increment loop: history contributes
+    #     integer signature scans, its text is never re-read.
+    import shutil
+    import tempfile
+
+    from druid_hadoop_utils_spark import (
+        catch_up_materialized,
+        commit_consumed,
+        consume_changes,
+        materialize_signatures,
+        publish_segments,
+        read_signatures,
+    )
+
+    root = tempfile.mkdtemp(prefix="training_pipeline_docs_")
+    ckpt = os.path.join(root, "dedup_consumer.json")
+    # crawl 1 (the history snapshot): publish + sign + mark consumed
+    hist = all_docs.where(F.col("doc_id") < 300).withColumn(
+        "__time", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    publish_segments(hist, root, "docs", version="v1", bucket="DAY")
+    materialize_signatures(spark, root, "docs", "sigs", "doc_id")
+    _, tok = consume_changes(spark, root, "docs", ckpt)
+    commit_consumed(ckpt, tok)
+
+    # crawl 2 lands as a new bucket; the feed delivers ONLY its rows
+    crawl2 = docs.withColumn(
+        "__time", F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    publish_segments(crawl2, root, "docs", version="v1", bucket="DAY")
+    feed, tok2 = consume_changes(spark, root, "docs", ckpt)
+    new_docs = (feed.where(F.col("_change_type") == "insert")
+                .drop("_change_type", "_n", "__time"))
+    # pending markers from the publish drive the signature catch-up:
+    # only crawl 2's segment shingles (caught = {'sigs': [that one id]})
+    caught = catch_up_materialized(spark, root, "docs", "sigs")
+    sig_manifest = read_signatures(spark, root, "docs", "sigs")
     near_hist = D.incremental_neardup_pairs(
-        docs, sig_manifest, "doc_id", threshold=0.8)
+        new_docs, sig_manifest, "doc_id", threshold=0.8)
     # drop only new docs that near-dup HISTORY (one pair side < 300);
     # within-batch near-dups are step 3's quality-aware cluster removal
     hist_dup_ids = (
         near_hist.where((F.col("id_a") < 300) | (F.col("id_b") < 300))
         .select(F.greatest("id_a", "id_b").alias("doc_id")).distinct())
-    docs = docs.join(hist_dup_ids, "doc_id", "left_anti")
+    docs = new_docs.join(hist_dup_ids, "doc_id", "left_anti")
     n0b = docs.count()
+    commit_consumed(ckpt, tok2)  # the increment is durably processed
+    print(f"feed-driven near-dedup: re-signed segments {caught}")
+    # NOTE: `docs` now reads lazily from the managed table — the temp
+    # root is removed at the END of main(), after every downstream
+    # stage has evaluated
 
     # 1. analyze + quality gate + LM-score filter (corpus as its own
     #    language model: drop the least-typical tail). LEFT join: a doc
@@ -145,6 +187,7 @@ def main() -> None:
         f"{n5} mixture-weighted -> {fill.packs} train packs "
         f"(avg fill {fill.avg_fill})"
     )
+    shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 
