@@ -905,15 +905,22 @@ class ArrowMetaFS(MetaFS):
         from pyarrow import fs as pafs
 
         sp, dp = self._p(src), self._p(dst)
-        self._fs.create_dir(dp, recursive=True)
+        # object stores: skip the create_dir ceremony entirely — same
+        # rationale as mkdirs above (empty marker objects per level,
+        # measured: a 3-file promotion paid 16 requests, 12 of them
+        # directory markers + their listing checks; with the gate it is
+        # 1 listing + 1 CopyObject per file, size-independent below the
+        # 5 GB UploadPartCopy threshold — tools/moto_multipart_probe)
+        if self.atomic_dir_rename:
+            self._fs.create_dir(dp, recursive=True)
         sel = pafs.FileSelector(sp, recursive=True)
         for info in self._fs.get_file_info(sel):
             if info.type != pafs.FileType.File:
                 continue
             rel = info.path[len(sp):].lstrip("/")
             tgt = f"{dp}/{rel}"
-            parent = tgt.rsplit("/", 1)[0]
-            self._fs.create_dir(parent, recursive=True)
+            if self.atomic_dir_rename:
+                self._fs.create_dir(tgt.rsplit("/", 1)[0], recursive=True)
             # server-side copy where the backend supports it
             self._fs.copy_file(info.path, tgt)
 

@@ -139,3 +139,24 @@ def test_lease_cycle_request_bound(root):
     got = counter.take()
     # probe-absent GET + conditional PUT + owner-verify GET + DELETE
     assert len(got) <= 5, f"lease acquire+release took {len(got)}: {got}"
+
+
+def test_copy_tree_promotion_request_bound(root):
+    """Data-plane promotion (round 13): copy_tree on an object store is
+    ONE listing plus ONE server-side CopyObject per file — no directory
+    marker ceremony (was 16 requests for 3 files; now 4), and no byte
+    re-streaming regardless of object size (CopyObject is server-side
+    below the 5 GB UploadPartCopy threshold —
+    tools/moto_multipart_probe.py has the size sweep)."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    r, counter = root
+    fs = get_fs(r)
+    for i in range(3):
+        fs.put_text(fs.join(r, "staged", f"f{i}.parquet"), "x" * 4096)
+    counter.take()
+    fs.copy_tree(fs.join(r, "staged"), fs.join(r, "promoted"))
+    got = counter.take()
+    assert len(got) <= 4, f"copy_tree(3 files) took {len(got)}: {got}"
+    # the copies are real
+    assert fs.read_text(fs.join(r, "promoted", "f1.parquet")) == "x" * 4096
