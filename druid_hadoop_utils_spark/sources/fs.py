@@ -921,8 +921,15 @@ class ArrowMetaFS(MetaFS):
             tgt = f"{dp}/{rel}"
             if self.atomic_dir_rename:
                 self._fs.create_dir(tgt.rsplit("/", 1)[0], recursive=True)
-            # server-side copy where the backend supports it
-            self._fs.copy_file(info.path, tgt)
+            # server-side copy where the backend supports it. Dir-ful
+            # backends masquerading as object stores (the local arrow
+            # sim) still need the parent — create it only when the copy
+            # says so, same fallback shape as put_text's _write
+            try:
+                self._fs.copy_file(info.path, tgt)
+            except (FileNotFoundError, OSError):
+                self._fs.create_dir(tgt.rsplit("/", 1)[0], recursive=True)
+                self._fs.copy_file(info.path, tgt)
 
 
 class DelayFS(MetaFS):
