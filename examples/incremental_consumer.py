@@ -82,6 +82,29 @@ def main() -> None:
                      bucket="MONTH")
     cycle("run 5 (after compaction)")             # no changes
 
+    # --- a SECOND consumer in physical mode (round 13): a replicator /
+    # cache invalidator tracks FILES, not net rows, so rewrites must NOT
+    # cancel for it. Same checkpoint machinery, mode="physical": every
+    # run delivers whole changed buckets, both sides, _n = 1. Distinct
+    # checkpoint path — each consumer owns its own lag.
+    pckpt = os.path.join(root, "_consumers", "replica_sync.json")
+    feed, token = consume_changes(spark, root, "docs", pckpt,
+                                  mode="physical")
+    commit_consumed(pckpt, token)  # baseline: current view as inserts
+    update_where(spark, root, "docs",
+                 {"type": "selector", "dimension": "lang", "value": "en"},
+                 set={"score": "score + 1"})
+    feed, token = consume_changes(spark, root, "docs", pckpt,
+                                  mode="physical")
+    sides = {r["_change_type"]: r["rows"] for r in
+             feed.groupBy("_change_type").agg(
+                 F.sum("_n").alias("rows")).collect()}
+    # the update rewrote the (compacted) month bucket: the replica drops
+    # the whole old file set and copies the whole new one — deletes ==
+    # the bucket's previous rows, inserts == its current rows
+    print(f"replica sync (physical): {sides}")
+    commit_consumed(pckpt, token)
+
     spark.stop()
 
 
