@@ -67,7 +67,10 @@ from druid_hadoop_utils_spark.sources.changes import (
     changed_windows,
     commit_consumed,
     consume_changes,
+    consumer_checkpoint_path,
     consumer_lag,
+    consumers_floor_as_of,
+    list_consumers,
     read_changes,
 )
 from druid_hadoop_utils_spark.sources.materialize import (
@@ -134,7 +137,10 @@ __all__ = [
     "changed_windows",
     "consume_changes",
     "commit_consumed",
+    "consumer_checkpoint_path",
     "consumer_lag",
+    "consumers_floor_as_of",
+    "list_consumers",
     "merge_into",
     "delete_where",
     "update_where",

@@ -376,3 +376,64 @@ def consume_changes(spark: SparkSession, table_root: str,
                         GENESIS if last is None else last, token,
                         mode=mode)
     return feed, token
+
+
+# ------------------------------------------------- consumer registry
+
+def consumer_checkpoint_path(table_root: str, data_source: str,
+                             name: str) -> str:
+    """The REGISTERED checkpoint convention:
+    ``<root>/<ds>/_consumers/<name>.json``. ``consume_changes`` accepts
+    any path, but checkpoints placed here are DISCOVERABLE — by
+    ``list_consumers`` for ops dashboards, and by ``maintain_table``,
+    which floors its vacuum retention at the slowest registered
+    consumer so no one silently falls off the history horizon (the
+    failure mode ``consumer_lag`` exists to warn about)."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    if "/" in name or name.startswith("_"):
+        raise ValueError(f"consumer name must be a bare label: {name!r}")
+    return fs.join(table_root, data_source, "_consumers", f"{name}.json")
+
+
+def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
+    """``consumer_lag`` for every REGISTERED consumer checkpoint
+    (``consumer_checkpoint_path``) — one manifest listing plus one
+    metadata read per consumer. The ops view that sizes
+    ``vacuum(retain_history_s=)``: retention must exceed the worst
+    ``behind_s`` here, which ``maintain_table`` enforces
+    automatically."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    cdir = fs.join(table_root, data_source, "_consumers")
+    out: dict[str, dict] = {}
+    for entry in fs.ls(cdir):
+        if not entry.endswith(".json"):
+            continue
+        name = entry[:-len(".json")]
+        out[name] = consumer_lag(table_root, data_source,
+                                 fs.join(cdir, entry))
+    return out
+
+
+def consumers_floor_as_of(table_root: str,
+                          data_source: str) -> str | None:
+    """The OLDEST committed consumer checkpoint stamp — the exact
+    instant vacuum must not reclaim past (pass as ``vacuum(...,
+    floor_as_of=)``; ``maintain_table`` does this automatically). An
+    INSTANT, not a seconds budget, for the same reason tags pin
+    instants: the view a consumer's next ``consume_changes`` diffs FROM
+    is the view AT its checkpoint stamp, and converting to an age
+    re-measures ``now`` at vacuum time — a clock race that can land the
+    horizon microseconds past the checkpoint and refuse the very next
+    consume. Consumers that never committed contribute nothing: their
+    first run is a full snapshot by design. Returns None when no
+    registered consumer has committed."""
+    from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+    stamps = [lag["consumed_as_of"]
+              for lag in list_consumers(table_root, data_source).values()
+              if lag["consumed_as_of"] is not None]
+    return min(stamps, key=_parse_as_of) if stamps else None

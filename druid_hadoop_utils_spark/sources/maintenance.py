@@ -255,6 +255,7 @@ def vacuum(
     dry_run: bool = False,
     retain_history_s: float = 0.0,
     reclaim_staged_after_s: float = 24 * 3600,
+    floor_as_of=None,
 ) -> list[str]:
     """Delete segments that are invisible for their ENTIRE interval (fully
     overshadowed). Returns the removed segment identifiers.
@@ -293,15 +294,26 @@ def vacuum(
     (``reclaim_staged_after_s``, default 24 h — far above any commit
     window) so an IN-FLIGHT writer's staged data is never yanked;
     reclaimed dirs are reported by path alongside the segment ids.
+
+    ``floor_as_of`` (an instant or ISO stamp) pins the retention cutoff
+    EXACTLY, the way named tags do — every view from that instant
+    forward survives regardless of ``retain_history_s``. This is the
+    change-feed consumer contract (round 13): a registered consumer
+    checkpointed at stamp T diffs FROM the view at T next run, so
+    ``maintain_table`` passes the oldest committed checkpoint here. An
+    instant, not seconds, because an age re-measures ``now`` at sweep
+    time and can land the horizon microseconds past the checkpoint.
     """
     if dry_run:
         return _vacuum_sweep(table_root, data_source, True,
-                             retain_history_s, reclaim_staged_after_s)
+                             retain_history_s, reclaim_staged_after_s,
+                             floor_as_of=floor_as_of)
     from druid_hadoop_utils_spark.sources.lease import maintenance_lease
 
     with maintenance_lease(table_root, data_source, "vacuum"):
         return _vacuum_sweep(table_root, data_source, False,
-                             retain_history_s, reclaim_staged_after_s)
+                             retain_history_s, reclaim_staged_after_s,
+                             floor_as_of=floor_as_of)
 
 
 def _vacuum_sweep(
@@ -310,6 +322,7 @@ def _vacuum_sweep(
     dry_run: bool,
     retain_history_s: float,
     reclaim_staged_after_s: float = 24 * 3600,
+    floor_as_of=None,
 ) -> list[str]:
     import json as _json
 
@@ -357,6 +370,12 @@ def _vacuum_sweep(
         default=None)
     if tag_floor is not None and (cutoff is None or tag_floor < cutoff):
         cutoff = tag_floor
+    # an explicit instant floor (consumer checkpoints via
+    # maintain_table) pins the cutoff exactly like a tag does
+    if floor_as_of is not None:
+        f = _parse_as_of(floor_as_of)
+        if cutoff is None or f < cutoff:
+            cutoff = f
     if cutoff is not None and cutoff > datetime.now(timezone.utc):
         # a future cutoff (a legacy future-dated tag; create_tag now
         # refuses them) would preserve only the current view while
@@ -720,7 +739,12 @@ def maintain_table(
        files folded into a snapshot past ``compact_manifests_over``.
     2. ``vacuum`` — fully-overshadowed segments and staged orphans
        reclaimed (the timeline version settles HERE, which is why the
-       derived-state steps run after it).
+       derived-state steps run after it). The cutoff FLOORS at the
+       oldest REGISTERED consumer checkpoint instant
+       (``changes.consumers_floor_as_of`` via ``vacuum(floor_as_of=)``,
+       exactly the way tags pin instants), so an incremental consumer
+       never silently falls off the history horizon; the applied floor
+       is reported as ``consumer_floor_as_of``.
     3. ``catch_up_materialized`` — every materialization's pending
        markers (registered by DML commits, publishes, and the
        compaction in step 1) recomputed, O(affected) only; markers for
@@ -769,8 +793,23 @@ def maintain_table(
         files_per_bucket=files_per_bucket,
         compact_manifests_over=compact_manifests_over))
     report["compacted"] = out or []
+    # retention floors at the SLOWEST registered consumer (round 13):
+    # vacuuming past a lagging consumer's checkpoint destroys the view
+    # its next consume_changes diffs FROM — it would be forced to
+    # re-baseline with a full snapshot instead of an O(changed bytes)
+    # catch-up. Registered checkpoints (consumer_checkpoint_path) are
+    # discoverable; ad-hoc checkpoint paths still work but must size
+    # retain_history_s themselves.
+    from druid_hadoop_utils_spark.sources.changes import (
+        consumers_floor_as_of,
+    )
+
+    floor = _step("consumers_floor_as_of",
+                  lambda: consumers_floor_as_of(table_root, data_source))
+    report["consumer_floor_as_of"] = floor
     out = _step("vacuum", lambda: vacuum(
-        table_root, data_source, retain_history_s=retain_history_s))
+        table_root, data_source, retain_history_s=retain_history_s,
+        floor_as_of=floor))
     report["vacuumed"] = out or []
     out = _step("catch_up_materialized", lambda: catch_up_materialized(
         spark, table_root, data_source))

@@ -599,3 +599,78 @@ class TestConsumerEquivalence:
             op()
             consume_and_apply(crash_first=(i % 3 == 1))
             check_equivalence()
+
+
+class TestConsumerRegistry:
+    """Registered consumer checkpoints (round 13): discoverable lag
+    (list_consumers) and the maintain_table vacuum retention floor —
+    a lagging consumer's diff-FROM view must survive maintenance, and
+    catch-up releases the floor."""
+
+    def test_checkpoint_path_validation(self, tmp_path):
+        from druid_hadoop_utils_spark.sources.changes import (
+            consumer_checkpoint_path,
+        )
+
+        root = str(tmp_path)
+        p = consumer_checkpoint_path(root, "events", "feature_builder")
+        assert p.endswith("/events/_consumers/feature_builder.json")
+        with pytest.raises(ValueError, match="bare label"):
+            consumer_checkpoint_path(root, "events", "a/b")
+        with pytest.raises(ValueError, match="bare label"):
+            consumer_checkpoint_path(root, "events", "_sneaky")
+
+    def test_floor_protects_lagging_consumer_then_releases(
+            self, spark, sf_dir, tmp_path):
+        from druid_hadoop_utils_spark.sources.changes import (
+            consumer_checkpoint_path,
+            consumers_floor_as_of,
+            list_consumers,
+        )
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            maintain_table,
+        )
+
+        root = str(tmp_path)
+        base = _base(spark, sf_dir)
+        publish_segments(base, root, "events", version="v1",
+                         bucket="DAY", published_at=T1)
+        assert list_consumers(root, "events") == {}
+        assert consumers_floor_as_of(root, "events") is None
+
+        ckpt = consumer_checkpoint_path(root, "events", "featgen")
+        _, tok = consume_changes(spark, root, "events", ckpt)
+        commit_consumed(ckpt, tok)
+        lags = list_consumers(root, "events")
+        assert set(lags) == {"featgen"} and lags["featgen"][
+            "pending_announces"] == 0
+        # the floor is the checkpoint INSTANT (tok == T1 here), not an
+        # age — a fully-caught-up consumer pins exactly its own stamp
+        assert consumers_floor_as_of(root, "events") == tok == T1
+
+        delete_where(spark, root, "events",
+                     {"type": "selector", "dimension": "event_type",
+                      "value": "error"})
+        n_err = base.where(F.col("event_type") == "error").count()
+
+        # maintenance with default (0) retention: the floor must keep
+        # the consumer's diff-FROM view alive through the vacuum
+        rep = maintain_table(spark, root, "events")
+        assert rep["consumer_floor_as_of"] == tok
+        assert rep["vacuumed"] == []  # every old view is still needed
+        feed = read_changes(spark, root, "events", tok)
+        assert feed.count() == n_err  # the view at tok still resolves
+
+        # consumer catches up to the delete's stamp; the floor advances
+        # to it, and the next maintenance reclaims the pre-delete
+        # history EXACTLY up to the checkpoint (cutoff == the instant,
+        # so the view AT the checkpoint survives — boundary inclusive)
+        feed2, tok2 = consume_changes(spark, root, "events", ckpt)
+        assert feed2.count() == n_err
+        commit_consumed(ckpt, tok2)
+        assert consumers_floor_as_of(root, "events") == tok2
+        rep2 = maintain_table(spark, root, "events")
+        assert rep2["vacuumed"], "catch-up must release the floor"
+        # the consumer keeps working against the vacuumed table
+        feed3, _ = consume_changes(spark, root, "events", ckpt)
+        assert feed3.count() == 0
