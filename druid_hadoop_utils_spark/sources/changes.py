@@ -392,7 +392,7 @@ def consumer_checkpoint_path(table_root: str, data_source: str,
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
     fs = get_fs(table_root)
-    if "/" in name or name.startswith("_"):
+    if not name or "/" in name or name.startswith("_"):
         raise ValueError(f"consumer name must be a bare label: {name!r}")
     return fs.join(table_root, data_source, "_consumers", f"{name}.json")
 
@@ -400,9 +400,9 @@ def consumer_checkpoint_path(table_root: str, data_source: str,
 def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
     """``consumer_lag`` for every REGISTERED consumer checkpoint
     (``consumer_checkpoint_path``) — one manifest listing plus one
-    metadata read per consumer. The ops view that sizes
-    ``vacuum(retain_history_s=)``: retention must exceed the worst
-    ``behind_s`` here, which ``maintain_table`` enforces
+    metadata read per consumer. The ops dashboard view; for retention
+    the oldest committed stamp here is the vacuum floor
+    (``consumers_floor_as_of``), which ``maintain_table`` applies
     automatically."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
