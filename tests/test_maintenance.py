@@ -594,3 +594,41 @@ def test_maintain_table_full_loop(spark, sf_dir, tmp_path):
     assert report2["errors"] == []
     assert report2["compacted"] == [] and report2["vacuumed"] == []
     assert report2["postings_compacted"]["ivf"] == new_tree
+
+
+def test_vacuum_floor_as_of_pins_cutoff_exactly(spark, sf_dir, tmp_path):
+    """vacuum(floor_as_of=) (round 13): an instant floor behaves like a
+    tag — every view from that instant forward survives regardless of
+    retain_history_s, and the boundary is INCLUSIVE (a floor exactly at
+    the last announce keeps the diff-FROM view while releasing all
+    older history)."""
+    from druid_hadoop_utils_spark.sources.changes import (
+        latest_stamp,
+        read_changes,
+    )
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+
+    t1 = "2024-06-01T00:00:00+00:00"
+    root = str(tmp_path)
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("__time"), "event_id", "event_type", "value",
+        "user_id")
+    publish_segments(base, root, "events", version="v1", bucket="DAY",
+                     published_at=t1)
+    delete_where(spark, root, "events",
+                 {"type": "selector", "dimension": "event_type",
+                  "value": "error"})
+    n_err = base.where(F.col("event_type") == "error").count()
+    stamp = latest_stamp(root, "events")
+
+    # floor at the OLD view's instant: nothing reclaimable
+    assert vacuum(root, "events", floor_as_of=t1) == []
+    assert read_changes(spark, root, "events", t1).count() == n_err
+
+    # floor exactly AT the delete's stamp: pre-delete history goes,
+    # the view at the stamp itself still resolves (boundary inclusive)
+    removed = vacuum(root, "events", floor_as_of=stamp)
+    assert removed
+    assert read_changes(spark, root, "events", stamp).count() == 0
+    with pytest.raises(ValueError, match="horizon"):
+        read_changes(spark, root, "events", t1).count()
