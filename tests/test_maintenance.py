@@ -632,3 +632,54 @@ def test_vacuum_floor_as_of_pins_cutoff_exactly(spark, sf_dir, tmp_path):
     assert read_changes(spark, root, "events", stamp).count() == 0
     with pytest.raises(ValueError, match="horizon"):
         read_changes(spark, root, "events", t1).count()
+
+
+def test_maintain_table_broken_materialization_does_not_block_vacuum(
+        spark, sf_dir, tmp_path):
+    """The strict contract: a failing per-step (here a postings
+    materialization whose published index artifact was deleted) still
+    lets every independent step run — vacuum reclaims, the error is
+    aggregated, and strict=True re-raises AFTER the work."""
+    from druid_hadoop_utils_spark.operators import similarity as S
+    from druid_hadoop_utils_spark.sources.dml import delete_where
+    from druid_hadoop_utils_spark.sources.maintenance import maintain_table
+    from druid_hadoop_utils_spark.sources.materialize import (
+        materialize_postings,
+    )
+
+    root = str(tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.when(F.col("vec_id") % 2 == 0,
+                     F.lit("2024-01-01 00:00:00"))
+              .otherwise(F.lit("2024-01-02 00:00:00"))
+              .cast("timestamp"))
+    publish_segments(emb, root, "emb", version="v1", time_column="ts",
+                     bucket="DAY")
+    spec = {"granularity": "NONE", "dimensions": ["vec_id"],
+            "metrics": [{"name": "embedding", "type": "complex"}]}
+    S.publish_ann_index(spark, root, "emb", spec=spec, n_cells=8,
+                        sample=512)
+    materialize_postings(spark, root, "emb", "ivf")
+    # break the materialization: the published index artifact vanishes
+    os.remove(S.ann_index_path(root, "emb"))
+    # and DML leaves reclaimable history + a pending marker
+    delete_where(spark, root, "emb",
+                 {"type": "selector", "dimension": "vec_id",
+                  "value": "2"})
+
+    with pytest.raises(RuntimeError, match="step failures"):
+        maintain_table(spark, root, "emb", materialized_min_age_s=0)
+    # non-strict: same work, errors reported instead of raised
+    rep = maintain_table(spark, root, "emb", strict=False,
+                         materialized_min_age_s=0)
+    assert rep["errors"] and any("ivf" in e or "catch_up" in e
+                                 for e in rep["errors"])
+    # the table steps still ran on BOTH calls — the first (strict) one
+    # already vacuumed the DML history, so nothing is left to reclaim
+    # and the overshadowed v1 bucket's manifest is gone from the table
+    assert rep["vacuumed"] == []
+    from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+    versions = {m.version for m in list_manifests(root, "emb")
+                if str(m.interval).startswith("2024-01-01")}
+    assert "v1" not in versions, "strict run's vacuum did not reclaim"
