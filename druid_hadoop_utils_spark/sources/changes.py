@@ -399,22 +399,47 @@ def consumer_checkpoint_path(table_root: str, data_source: str,
 
 def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
     """``consumer_lag`` for every REGISTERED consumer checkpoint
-    (``consumer_checkpoint_path``) — one manifest listing plus one
-    metadata read per consumer. The ops dashboard view; for retention
-    the oldest committed stamp here is the vacuum floor
-    (``consumers_floor_as_of``), which ``maintain_table`` applies
-    automatically."""
+    (``consumer_checkpoint_path``) — ONE manifest listing shared across
+    all consumers plus one metadata read per checkpoint (calling
+    ``consumer_lag`` per consumer would re-list the timeline N times).
+    The ops dashboard view; for retention the oldest committed stamp
+    here is the vacuum floor (``consumers_floor_as_of``), which
+    ``maintain_table`` applies automatically."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
+    from druid_hadoop_utils_spark.sources.segments import (
+        _parse_as_of,
+        list_manifests,
+    )
 
     fs = get_fs(table_root)
     cdir = fs.join(table_root, data_source, "_consumers")
+    names = [e[:-len(".json")] for e in fs.ls(cdir)
+             if e.endswith(".json")]
+    if not names:
+        return {}
+    stamps = [m.published_at
+              for m in list_manifests(table_root, data_source)
+              if m.published_at is not None]
+    if not stamps:
+        raise FileNotFoundError(
+            f"no stamped manifests for {data_source} under {table_root}")
+    latest = max(stamps, key=_parse_as_of)
     out: dict[str, dict] = {}
-    for entry in fs.ls(cdir):
-        if not entry.endswith(".json"):
+    for name in names:
+        last = read_checkpoint(fs.join(cdir, f"{name}.json"))
+        if last is None:
+            out[name] = {"consumed_as_of": None, "latest": latest,
+                         "behind_s": None,
+                         "pending_announces": len(stamps)}
             continue
-        name = entry[:-len(".json")]
-        out[name] = consumer_lag(table_root, data_source,
-                                 fs.join(cdir, entry))
+        t_last = _parse_as_of(last)
+        behind = (_parse_as_of(latest) - t_last).total_seconds()
+        out[name] = {
+            "consumed_as_of": last, "latest": latest,
+            "behind_s": max(behind, 0.0),
+            "pending_announces": sum(
+                1 for s in stamps if _parse_as_of(s) > t_last),
+        }
     return out
 
 
