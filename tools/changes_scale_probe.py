@@ -91,6 +91,16 @@ def main() -> None:
     scanned = [f.removeprefix("file://") for f in feed.inputFiles()]
     scanned_bytes = sum(os.path.getsize(p) for p in scanned)
 
+    # --- physical mode (round 13): same file locality, no netting —
+    # the replicator's cost is BOTH whole sides of the changed bucket
+    t0 = time.perf_counter()
+    phys = read_changes(spark, root, "ev", T1, mode="physical")
+    phys_counts = {r["_change_type"]: r["n"] for r in
+                   phys.groupBy("_change_type").agg(
+                       F.sum("_n").alias("n")).collect()}
+    phys_sec = time.perf_counter() - t0
+    phys_scanned = {f.removeprefix("file://") for f in phys.inputFiles()}
+
     # --- naive CDC: two full snapshot scans + full-table netting
     spec_cols = big.columns
     t0 = time.perf_counter()
@@ -127,6 +137,10 @@ def main() -> None:
         "files_scanned": len(set(scanned)),
         "files_total": len(before) + 1,
         "bytes_scanned_share": round(scanned_bytes / total_bytes, 4),
+        "physical_sec": round(phys_sec, 3),
+        "physical_counts": phys_counts,
+        "physical_files_scanned": len(phys_scanned),
+        "physical_same_file_locality": phys_scanned == set(scanned),
         "load1": os.getloadavg()[0],
     }))
     shutil.rmtree(work, ignore_errors=True)
