@@ -128,22 +128,31 @@ HEADLINE = [
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # if the 1-minute loadavg shows another heavy process at bench start,
-# wait (bounded) for it to drain rather than record polluted numbers
-QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "8"))
-# bounded so the whole bench (wait + warm-up + 46 queries × min-of-3)
-# stays well inside any outer harness timeout
-MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "90"))
+# wait (bounded) for it to drain rather than record polluted numbers.
+# Threshold history: the r1-r13 default was 8, which let BENCH_r13
+# record a load1_start of 7.96 — a run whose head-of-battery entries
+# read 3-4x their quiet-box times — as the round's stamp. A bench
+# that starts with NOTHING else running sees load1 well under 1, so
+# the guard now demands that, and any run that starts hot anyway is
+# SELF-NAMED in the output (`"contaminated": true`).
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2"))
+# bounded so the whole bench (wait + warm-up + 55 queries × min-of-3)
+# stays inside any outer harness timeout; --require-quiet raises it
+MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "240"))
+#: --require-quiet refuses to bench a box that never quiets down
+REQUIRE_QUIET_MAX_WAIT_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_QUIET_MAX_WAIT", "1800"))
 
 
-def _wait_for_quiet() -> float:
+def _wait_for_quiet(max_wait: float) -> float:
     """Best-effort: sleep in 10 s slices until load1 < QUIET_LOAD or the
     wait budget runs out. Returns the load1 actually observed at start of
     timing (recorded in the output either way)."""
     waited = 0.0
     load1 = os.getloadavg()[0]
-    while load1 >= QUIET_LOAD and waited < MAX_WAIT_SEC:
+    while load1 >= QUIET_LOAD and waited < max_wait:
         print(f"# load1={load1:.1f} >= {QUIET_LOAD}: waiting for quiet "
-              f"({waited:.0f}/{MAX_WAIT_SEC:.0f}s)", file=sys.stderr)
+              f"({waited:.0f}/{max_wait:.0f}s)", file=sys.stderr)
         time.sleep(10)
         waited += 10
         load1 = os.getloadavg()[0]
@@ -154,10 +163,29 @@ def main() -> None:
     from druid_hadoop_utils_spark.battery import QUERIES
     from druid_hadoop_utils_spark.session import get_spark
 
+    require_quiet = "--require-quiet" in sys.argv[1:]
+
     spark = get_spark("druid-hadoop-utils-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    load_at_start = _wait_for_quiet()
+    load_at_start = _wait_for_quiet(
+        REQUIRE_QUIET_MAX_WAIT_SEC if require_quiet else MAX_WAIT_SEC)
+    contaminated = load_at_start >= QUIET_LOAD
+    if contaminated and require_quiet:
+        # refuse rather than stamp a hot-box number: one JSON error line
+        # on stdout (machine-readable) + nonzero exit
+        print(json.dumps({
+            "error": "box never quieted",
+            "load1": round(load_at_start, 2),
+            "quiet_load_threshold": QUIET_LOAD,
+        }))
+        spark.stop()
+        sys.exit(3)
+    if contaminated:
+        print(f"# WARNING: benching on a HOT box (load1="
+              f"{load_at_start:.1f} >= {QUIET_LOAD}) — absolute times "
+              f"are inflated; output is flagged contaminated",
+              file=sys.stderr)
 
     # untimed warm-up: spins up executor threads, codegen and the parquet
     # footer cache so the first TIMED query measures plan execution, not
@@ -203,6 +231,11 @@ def main() -> None:
         "load1_start": round(load_at_start, 2),
         "load1_end": round(load_end[0], 2),
         "repeats": max(REPEATS, 1),
+        # round 14: a run that STARTED hot names itself — a
+        # contaminated total must never silently become the round's
+        # stamp (BENCH_r13 recorded load1_start 7.96 under the old
+        # threshold of 8 and read +16% on unchanged code)
+        "contaminated": contaminated,
     }))
     spark.stop()
 

@@ -5307,43 +5307,42 @@ def q_cohort_retention(spark, sf_dir):
 # r04-green cycles to the back; tools/check_oracle.py keeps all queries
 # verified locally regardless of order.
 _DRIVER_PRIORITY = [
-    # round-13 rotation (VERDICT r12 item 3): recomputed from
-    # CORRECTNESS_r01..r12 — newest-checked distribution r12:50 r11:48
-    # r10:50 r07:13 ("checked" = hash-green, or rows-only with err ==
-    # 'no_oracle' and spark_rows >= 0). Front: NEW/CHANGED this round
-    # (q_table_changes_physical is brand-new; q_table_changes and
-    # q_similarity_ivf_postings touch code changed in r13 — the
-    # empty-feed schema probe and the persisted query side), then the
-    # 13-entry r07 alphabetical tail the r12 cap truncated, then the
-    # r10 batch; the ~50-query cap truncates the r10 alphabetical tail
-    # (q_similarity_topk onward), which fronts next round. After r13
-    # nothing should be staler than r10.
+    # round-14 rotation (VERDICT r13 item 1): recomputed from
+    # CORRECTNESS_r01..r13 — newest-checked distribution r13:50 r12:48
+    # r11:48 r10:16 ("checked" = hash-green, or rows-only with err ==
+    # 'no_oracle' and spark_rows >= 0). Front: the one entry whose code
+    # CHANGED this round (q_similarity_ivf_postings — the query-side
+    # collect-and-recreate replacing the r13 persist), then the 16
+    # r10-stale entries the r13 cap truncated (q_similarity_topk
+    # onward), then the r11 batch alphabetical; the ~50-query cap
+    # truncates the r11 tail (q_rank_quantiles_cont onward), which
+    # fronts in r15. After r14 nothing should be staler than r11.
     # Recomputed each round from CORRECTNESS_r01..rNN (NOTES.md).
-    # NEW or CHANGED in r13 — first:
-    "q_table_changes_physical", "q_table_changes",
+    # CHANGED in r14 — first:
     "q_similarity_ivf_postings",
-    # the 13 queries whose newest driver-checked row is r07:
-    "q_tpch_q12_priority_lines", "q_tpch_q13_customer_distribution",
-    "q_tpch_q14_promo_revenue", "q_tpch_q15_top_supplier",
-    "q_tpch_q17_small_quantity", "q_tpch_q19_discounted_revenue",
-    "q_tpch_q1_pricing_summary", "q_tpch_q21_suppliers_kept_waiting",
-    "q_tpch_q22_sales_opportunity", "q_tpch_q4_order_priority",
-    "q_tpch_q7_volume_shipping", "q_tpch_q8_market_share",
-    "q_two_phase_hll",
-    # the r10 batch, alphabetical (the cap truncates the tail —
-    # q_similarity_topk onward fronts in r14):
-    "q_agg_first_last", "q_anti_join", "q_bpe_encode",
-    "q_corpus_report", "q_correlated_subquery", "q_dedup_clusters",
-    "q_dedup_exact", "q_dedup_keep_best", "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_delete_where",
-    "q_distinct", "q_embedding_mean_pool", "q_embedding_neardup",
-    "q_filter_bound_numeric", "q_filter_in", "q_filter_selector",
-    "q_frame_sample_plan", "q_json_props_extract",
-    "q_materialized_rollup", "q_merge_upsert", "q_mix_temperature",
-    "q_multivalue_explode_groupby", "q_oov_rate",
-    "q_orderby_limit_topk", "q_percentile", "q_rollup_grouping_sets",
-    "q_salted_join", "q_sample_split", "q_scalar_functions",
-    "q_semi_join", "q_set_ops", "q_similarity_lsh_topk",
+    # the 16 queries whose newest driver-checked row is r10:
+    "q_similarity_topk", "q_text_analysis", "q_text_chunking",
+    "q_text_langid", "q_text_tfidf_topk", "q_topn_druid_style",
+    "q_tpch_q11_important_stock", "q_tpch_q16_parts_supplier",
+    "q_tpch_q20_potential_promotion", "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q9_product_type_profit", "q_union_datasource",
+    "q_update_where", "q_window_running_lag", "q_window_time_range",
+    "q_window_topn_per_group",
+    # the r11 batch, alphabetical (the cap truncates the tail —
+    # q_rank_quantiles_cont onward fronts in r15):
+    "q_api_datasource_metadata", "q_api_groupby",
+    "q_api_groupby_having_limit", "q_api_materialized_require",
+    "q_api_timeseries", "q_api_topn", "q_api_topn_lexicographic",
+    "q_asof_join", "q_cached_query", "q_contamination_check",
+    "q_corpus_shuffle", "q_dedup_minhash_lsh_prod",
+    "q_druid_native_query", "q_extraction_cascade_format",
+    "q_filter_and_or_not", "q_filter_extraction_time_format",
+    "q_filter_regex", "q_filter_registered_lookup", "q_filter_search",
+    "q_granularity_hour_rollup", "q_groupby_extraction_partial",
+    "q_heavy_hitters", "q_interval_overlap_join", "q_kll_quantiles",
+    "q_media_features", "q_media_resize", "q_media_segment_roundtrip",
+    "q_multi_interval", "q_multimodal_features", "q_nested_groupby",
+    "q_quantile_sketch", "q_range_join", "q_rank_quantiles",
 ]
 
 

@@ -577,20 +577,24 @@ def ivf_topk_from_postings(
             "were built against (artifact dict or path)")
     centroids = np.asarray(idx["centroids"], dtype=np.float64)
     assignp = _cell_assign_udf(centroids, nprobe)
-    q = queries.select(
+    q_plan = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
-    ).persist()
-    # the probed-cell set is bounded by n_cells (queries are the tiny
-    # broadcast side by contract), so collecting it is driver metadata,
-    # and the literal IN predicate prunes the cell-partitioned postings
+    )
+    # queries are the tiny broadcast side by contract, so collecting the
+    # assigned rows is bounded driver metadata (≤ |queries| × nprobe).
+    # Recreating them as a LOCAL frame (collect-and-recreate, not
+    # persist) means the assign UDF's Arrow pass runs exactly ONCE and
+    # nothing stays cached past this call — a persist() here would
+    # accumulate query frames across calls in a long-lived session
+    # until LRU eviction. The probed-cell set (≤ n_cells) becomes a
+    # literal IN predicate that prunes the cell-partitioned postings
     # directories — the scan reads ~nprobe/n_cells of the bytes instead
-    # of the whole postings table. The persist() above makes the assign
-    # UDF run ONCE: this collect materializes q, and the broadcast join
-    # below reads the cached rows instead of recomputing the Arrow pass.
-    probed = sorted({r["__cell"] for r in
-                     q.select("__cell").distinct().collect()})
+    # of the whole postings table.
+    q_rows = q_plan.collect()
+    probed = sorted({r["__cell"] for r in q_rows})
+    q = queries.sparkSession.createDataFrame(q_rows, q_plan.schema)
     c = postings.where(F.col("__cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

@@ -392,9 +392,17 @@ def consumer_checkpoint_path(table_root: str, data_source: str,
     from druid_hadoop_utils_spark.sources.fs import get_fs
 
     fs = get_fs(table_root)
-    if not name or "/" in name or name.startswith("_"):
+    if not _valid_consumer_name(name):
         raise ValueError(f"consumer name must be a bare label: {name!r}")
     return fs.join(table_root, data_source, "_consumers", f"{name}.json")
+
+
+def _valid_consumer_name(name: str) -> bool:
+    """The registry's name rules — shared by ``consumer_checkpoint_path``
+    (which refuses to CREATE outside them) and ``list_consumers`` (which
+    refuses to INGEST outside them, so a stray `_tmp.json` or editor
+    backup dropped into `_consumers/` can't pin the vacuum floor)."""
+    return bool(name) and "/" not in name and not name.startswith("_")
 
 
 def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
@@ -402,9 +410,25 @@ def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
     (``consumer_checkpoint_path``) — ONE manifest listing shared across
     all consumers plus one metadata read per checkpoint (calling
     ``consumer_lag`` per consumer would re-list the timeline N times).
+    Checkpoint reads overlap on the filesystem's bulk thread pool
+    (``fs.bulk_parallelism``, the same width the vacuum sweeps use):
+    on an object store with hundreds of registered consumers this is
+    one RTT-bound pass, not hundreds of serial GETs — and this runs
+    inside every ``maintain_table`` cycle.
+
+    Entries that violate the registry's name rules (``_`` prefix, no
+    bare label) are SKIPPED — a stray temp file can't masquerade as a
+    consumer. A validly-named checkpoint whose read or parse FAILS is
+    reported as ``{"error": ...}`` instead of propagating, so one
+    corrupt file can't knock the whole dashboard out; retention-side,
+    ``consumers_floor_as_of`` treats such an entry as fatal (its
+    instant is unknown — see there).
+
     The ops dashboard view; for retention the oldest committed stamp
     here is the vacuum floor (``consumers_floor_as_of``), which
     ``maintain_table`` applies automatically."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from druid_hadoop_utils_spark.sources.fs import get_fs
     from druid_hadoop_utils_spark.sources.segments import (
         _parse_as_of,
@@ -413,8 +437,9 @@ def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
 
     fs = get_fs(table_root)
     cdir = fs.join(table_root, data_source, "_consumers")
-    names = [e[:-len(".json")] for e in fs.ls(cdir)
-             if e.endswith(".json")]
+    names = sorted(e[:-len(".json")] for e in fs.ls(cdir)
+                   if e.endswith(".json")
+                   and _valid_consumer_name(e[:-len(".json")]))
     if not names:
         return {}
     stamps = [m.published_at
@@ -424,15 +449,38 @@ def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
         raise FileNotFoundError(
             f"no stamped manifests for {data_source} under {table_root}")
     latest = max(stamps, key=_parse_as_of)
+
+    def _read(name: str):
+        try:
+            return read_checkpoint(fs.join(cdir, f"{name}.json"))
+        except Exception as e:  # noqa: BLE001 — contained per entry
+            return {"__error": f"{type(e).__name__}: {e}"}
+
+    if len(names) == 1:
+        reads = [_read(names[0])]
+    else:
+        width = min(fs.bulk_parallelism, len(names))
+        with ThreadPoolExecutor(max_workers=width) as ex:
+            reads = list(ex.map(_read, names))
     out: dict[str, dict] = {}
-    for name in names:
-        last = read_checkpoint(fs.join(cdir, f"{name}.json"))
+    for name, last in zip(names, reads):
+        if isinstance(last, dict):
+            out[name] = {"error": last["__error"], "consumed_as_of": None,
+                         "latest": latest, "behind_s": None,
+                         "pending_announces": None}
+            continue
         if last is None:
             out[name] = {"consumed_as_of": None, "latest": latest,
                          "behind_s": None,
                          "pending_announces": len(stamps)}
             continue
-        t_last = _parse_as_of(last)
+        try:
+            t_last = _parse_as_of(last)
+        except Exception as e:  # noqa: BLE001 — malformed stamp value
+            out[name] = {"error": f"unparseable asOf {last!r}: {e}",
+                         "consumed_as_of": None, "latest": latest,
+                         "behind_s": None, "pending_announces": None}
+            continue
         behind = (_parse_as_of(latest) - t_last).total_seconds()
         out[name] = {
             "consumed_as_of": last, "latest": latest,
@@ -455,10 +503,23 @@ def consumers_floor_as_of(table_root: str,
     horizon microseconds past the checkpoint and refuse the very next
     consume. Consumers that never committed contribute nothing: their
     first run is a full snapshot by design. Returns None when no
-    registered consumer has committed."""
+    registered consumer has committed.
+
+    A registered checkpoint that cannot be READ or parsed
+    (``list_consumers`` reports it with ``"error"``) RAISES here rather
+    than being skipped: its instant is unknown, and silently dropping
+    it would compute a floor ABOVE where that consumer may actually be
+    — the destructive direction. ``maintain_table`` reacts by skipping
+    vacuum for the cycle (safe); dashboards keep working through
+    ``list_consumers``."""
     from druid_hadoop_utils_spark.sources.segments import _parse_as_of
 
-    stamps = [lag["consumed_as_of"]
-              for lag in list_consumers(table_root, data_source).values()
+    lags = list_consumers(table_root, data_source)
+    broken = {n: lag["error"] for n, lag in lags.items() if "error" in lag}
+    if broken:
+        raise RuntimeError(
+            "cannot compute consumer vacuum floor — unreadable "
+            f"registered checkpoint(s): {broken}")
+    stamps = [lag["consumed_as_of"] for lag in lags.values()
               if lag["consumed_as_of"] is not None]
     return min(stamps, key=_parse_as_of) if stamps else None

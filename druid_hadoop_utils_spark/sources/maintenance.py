@@ -630,16 +630,26 @@ def auto_compact(
     files_per_bucket: int = 1,
     dry_run: bool = False,
     compact_manifests_over: int | None = 256,
+    max_buckets_per_job: int = 32,
 ) -> list[str]:
     """Apply the auto-compaction advisor: every flagged interval is
     rewritten through ``compact_segments`` (new version, atomic flip;
     stats/blooms carried automatically). Returns the ISO intervals
-    compacted (or, with ``dry_run=True``, the ones that WOULD be).
+    flagged and compacted (or, with ``dry_run=True``, the ones that
+    WOULD be).
 
-    Driver-side coordination only — one rewrite job per distinct flagged
-    interval, duplicate shard flags collapse. This is the Druid
-    auto-compaction loop as a callable: schedule it after ingest waves,
-    not per publish.
+    ADJACENT (or overlapping) flagged intervals coalesce into ONE
+    rewrite job over their contiguous span (round 14): a 1000-day
+    small-file backlog — the shape a paused maintenance cron leaves
+    behind — submits ~1000/``max_buckets_per_job`` Spark jobs instead
+    of 1000. Identical result rows and bucket layout: the span rewrite
+    re-buckets at ``bucket`` granularity exactly as the per-interval
+    rewrites would, under one version instead of N. Non-contiguous
+    flags never merge (the gap's unflagged data is not rewritten), and
+    ``max_buckets_per_job`` caps a single job's flagged-bucket count so
+    one failure never rolls back an unbounded rewrite. This is the
+    Druid auto-compaction loop as a callable: schedule it after ingest
+    waves, not per publish.
 
     When the table's ``_segments/`` directory holds more than
     ``compact_manifests_over`` metadata files, the sweep also folds them
@@ -653,8 +663,8 @@ def auto_compact(
     intervals = sorted({c["interval"] for c in flagged})
     if dry_run:
         return intervals
-    for iso in intervals:
-        compact_segments(spark, table_root, data_source, iso,
+    for span in _coalesce_spans(intervals, max_buckets_per_job):
+        compact_segments(spark, table_root, data_source, span,
                          bucket=bucket, files_per_bucket=files_per_bucket)
     if compact_manifests_over is not None:
         from druid_hadoop_utils_spark.sources.fs import get_fs
@@ -669,6 +679,31 @@ def auto_compact(
         if n > compact_manifests_over:
             compact_manifests(table_root, data_source)
     return intervals
+
+
+def _coalesce_spans(intervals: list[str],
+                    max_buckets_per_job: int) -> list[Interval]:
+    """Group sorted flagged intervals into contiguous spans, each
+    covering at most ``max_buckets_per_job`` flagged members. Touching
+    (``end == next.start``) or overlapping members extend the span; a
+    gap — unflagged data that must NOT be rewritten — always starts a
+    new one."""
+    ivs = sorted({Interval.parse(s) for s in intervals})
+    spans: list[Interval] = []
+    cur_start = cur_end = None
+    count = 0
+    for iv in ivs:
+        if (cur_start is not None and iv.start <= cur_end
+                and count < max_buckets_per_job):
+            cur_end = max(cur_end, iv.end)
+            count += 1
+        else:
+            if cur_start is not None:
+                spans.append(Interval(cur_start, cur_end))
+            cur_start, cur_end, count = iv.start, iv.end, 1
+    if cur_start is not None:
+        spans.append(Interval(cur_start, cur_end))
+    return spans
 
 
 def table_stats(table_root: str, data_source: str) -> dict:
@@ -744,7 +779,10 @@ def maintain_table(
        (``changes.consumers_floor_as_of`` via ``vacuum(floor_as_of=)``,
        exactly the way tags pin instants), so an incremental consumer
        never silently falls off the history horizon; the applied floor
-       is reported as ``consumer_floor_as_of``.
+       is reported as ``consumer_floor_as_of``. If the floor CANNOT be
+       determined (the floor step raises), vacuum is SKIPPED for this
+       cycle rather than run unfloored — deferring reclamation is safe,
+       reclaiming past an unknown checkpoint is not.
     3. ``catch_up_materialized`` — every materialization's pending
        markers (registered by DML commits, publishes, and the
        compaction in step 1) recomputed, O(affected) only; markers for
@@ -779,12 +817,14 @@ def maintain_table(
                     "postings_compacted": {}, "materialized_vacuumed": {},
                     "errors": []}
 
-    def _step(label, fn):
+    _FAILED = object()  # sentinel: step RAISED (vs. legitimately None)
+
+    def _step(label, fn, failed=None):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — aggregated, re-raised
             report["errors"].append(f"{label}: {e}")
-            return None
+            return failed
 
     out = _step("auto_compact", lambda: auto_compact(
         spark, table_root, data_source,
@@ -805,12 +845,27 @@ def maintain_table(
     )
 
     floor = _step("consumers_floor_as_of",
-                  lambda: consumers_floor_as_of(table_root, data_source))
-    report["consumer_floor_as_of"] = floor
-    out = _step("vacuum", lambda: vacuum(
-        table_root, data_source, retain_history_s=retain_history_s,
-        floor_as_of=floor))
-    report["vacuumed"] = out or []
+                  lambda: consumers_floor_as_of(table_root, data_source),
+                  failed=_FAILED)
+    if floor is _FAILED:
+        # the floor step RAISED (corrupt checkpoint, transient FS
+        # error): the slowest consumer's instant is UNKNOWN, so running
+        # vacuum anyway would run it unfloored — destructively
+        # reclaiming views a lagging consumer still needs, the exact
+        # failure the floor exists to prevent. Skip vacuum this cycle
+        # (a later run retries; deferring reclamation is always safe)
+        # and record the skip beside the floor error.
+        report["consumer_floor_as_of"] = None
+        report["errors"].append(
+            "vacuum: skipped — consumer floor undetermined "
+            "(consumers_floor_as_of failed; see its error)")
+        report["vacuumed"] = []
+    else:
+        report["consumer_floor_as_of"] = floor
+        out = _step("vacuum", lambda: vacuum(
+            table_root, data_source, retain_history_s=retain_history_s,
+            floor_as_of=floor))
+        report["vacuumed"] = out or []
     out = _step("catch_up_materialized", lambda: catch_up_materialized(
         spark, table_root, data_source))
     report["caught_up"] = out or {}

@@ -897,7 +897,7 @@ def vacuum_materialized(
         _current_compact = None
     listed = listed | ({_current_compact} if _current_compact else set())
 
-    def _stale(entry: str) -> bool:
+    def _stale_path(path: str) -> bool:
         # an mtime-age floor gates ALL reclamation of in-flight writer
         # dirs (default 6 h, override via tmp_min_age_s): the pid probe
         # below is SAME-HOST only — on shared storage a live
@@ -908,8 +908,11 @@ def vacuum_materialized(
         # None (no trustworthy age) = not stale — never yank a writer
         from druid_hadoop_utils_spark.sources.fs import prefix_age_s
 
-        age = prefix_age_s(fs, fs.join(mdir, entry))
+        age = prefix_age_s(fs, path)
         return age is not None and age >= tmp_min_age_s
+
+    def _stale(entry: str) -> bool:
+        return _stale_path(fs.join(mdir, entry))
 
     # the committed states (rename backends: `<ident>.parquet` dirs;
     # pointer backends: `<ident>.parquet` pointer files), keyed by stem
@@ -964,8 +967,14 @@ def vacuum_materialized(
         for logical in committed:
             stem = logical[: -len(".parquet")]
             if stem not in listed:
-                # same in-flight-reader age floor as the rename branch
-                if stem.startswith("_compact.") and not _stale(logical):
+                # same in-flight-reader age floor as the rename branch —
+                # gated on the RESOLVED token dir (committed[logical]):
+                # the logical '<stem>.parquet' name never exists on
+                # pointer backends (pointer is PTR_SUFFIX, data is
+                # '.parquet.<token>'), so probing it yields age None and
+                # stale _compact.* trees would leak forever.
+                if (stem.startswith("_compact.")
+                        and not _stale_path(committed[logical])):
                     continue
                 unpublish.append(fs.join(mdir, logical))
                 gone.append(stem)

@@ -34,6 +34,7 @@ from druid_hadoop_utils_spark.session import get_spark
 from druid_hadoop_utils_spark.sources.changes import (
     commit_consumed,
     consume_changes,
+    consumer_checkpoint_path,
 )
 from druid_hadoop_utils_spark.sources.dml import delete_where, update_where
 from druid_hadoop_utils_spark.sources.ingest import publish_segments
@@ -44,7 +45,11 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("incremental-consumer-example")
     root = tempfile.mkdtemp(prefix="chg_example_")
-    ckpt = os.path.join(root, "_consumers", "feature_builder.json")
+    # REGISTERED checkpoint (consumer_checkpoint_path → <root>/docs/
+    # _consumers/): discoverable by list_consumers and protected by
+    # maintain_table's vacuum floor — an ad-hoc path would also work
+    # but must size retention itself
+    ckpt = consumer_checkpoint_path(root, "docs", "feature_builder")
 
     rows = [Row(__time=datetime(2024, 1, d, h), doc_id=d * 100 + h,
                 lang="en" if h % 2 else "de", score=float(h))
@@ -86,8 +91,9 @@ def main() -> None:
     # cache invalidator tracks FILES, not net rows, so rewrites must NOT
     # cancel for it. Same checkpoint machinery, mode="physical": every
     # run delivers whole changed buckets, both sides, _n = 1. Distinct
-    # checkpoint path — each consumer owns its own lag.
-    pckpt = os.path.join(root, "_consumers", "replica_sync.json")
+    # registered checkpoint — each consumer owns its own lag, and both
+    # are visible to list_consumers / floored by maintain_table.
+    pckpt = consumer_checkpoint_path(root, "docs", "replica_sync")
     feed, token = consume_changes(spark, root, "docs", pckpt,
                                   mode="physical")
     commit_consumed(pckpt, token)  # baseline: current view as inserts

@@ -361,6 +361,94 @@ class TestAutoCompactAndStats:
         # idempotent: a healthy table compacts nothing
         assert auto_compact(spark, root, "ev", min_file_bytes=0) == []
 
+    def test_coalesce_spans_gap_cap_overlap(self):
+        """The batching geometry (round 14): adjacency merges, a gap
+        splits (unflagged data is never rewritten), the per-job cap
+        bounds a span, overlap unions."""
+        from druid_hadoop_utils_spark.intervals import Interval
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _coalesce_spans,
+        )
+
+        days = [f"2024-01-{d:02d}/2024-01-{d + 1:02d}"
+                for d in (1, 2, 3, 4, 5)]
+        lone = "2024-01-10/2024-01-11"
+        assert _coalesce_spans(days + [lone], 32) == [
+            Interval.parse("2024-01-01/2024-01-06"),
+            Interval.parse(lone),
+        ]
+        # cap: 5 contiguous days at 2 buckets/job → 3 jobs
+        assert _coalesce_spans(days, 2) == [
+            Interval.parse("2024-01-01/2024-01-03"),
+            Interval.parse("2024-01-03/2024-01-05"),
+            Interval.parse("2024-01-05/2024-01-06"),
+        ]
+        # overlapping flags (mixed-granularity segments) union
+        assert _coalesce_spans(
+            ["2024-01-01/2024-01-03", "2024-01-02/2024-01-04"], 32) == [
+            Interval.parse("2024-01-01/2024-01-04"),
+        ]
+        assert _coalesce_spans([], 32) == []
+
+    def test_auto_compact_batches_adjacent_intervals(
+            self, spark, tmp_path, monkeypatch):
+        """VERDICT r13 item 5: a contiguous flagged backlog compacts in
+        ONE Spark job per span (not one per interval), with identical
+        rows and a cleared advisor afterwards."""
+        import glob
+        import shutil
+        from datetime import datetime
+
+        from druid_hadoop_utils_spark import load
+        from druid_hadoop_utils_spark.sources import maintenance as M
+        from druid_hadoop_utils_spark.sources.ingest import (
+            publish_segments,
+        )
+
+        days = [1, 2, 3, 4, 5, 10]  # 5 contiguous + 1 isolated
+        rows = [Row(__time=datetime(2024, 1, d, h), v=float(d * 100 + h))
+                for d in days for h in range(4)]
+        root = str(tmp_path / "tbl")
+        publish_segments(spark.createDataFrame(rows), root, "ev", "v1",
+                         bucket="DAY")
+        for d in days:
+            seg_file = glob.glob(
+                f"{root}/ev/2024-01-{d:02d}*/v=v1/shard=0/*.parquet")[0]
+            for i in range(6):
+                shutil.copy(seg_file,
+                            seg_file.replace("part-", f"extra{i}-part-"))
+
+        spec = {"granularity": "NONE", "dimensions": [],
+                "metrics": [{"name": "v", "type": "double"}]}
+
+        def _state():
+            df = load(spark, root, spec, interval="2024-01-01/2024-02-01",
+                      data_source="ev")
+            r = df.agg(F.count("*").alias("n"),
+                       F.sum("v").alias("s")).collect()[0]
+            return r["n"], r["s"]
+
+        before = _state()
+        calls: list[str] = []
+        real = M.compact_segments
+
+        def counting(spark_, root_, ds_, interval, **kw):
+            calls.append(str(interval))
+            return real(spark_, root_, ds_, interval, **kw)
+
+        monkeypatch.setattr(M, "compact_segments", counting)
+        done = M.auto_compact(spark, root, "ev",
+                              min_file_bytes=1024 * 1024)
+        monkeypatch.undo()
+        # every flagged interval is reported...
+        assert len(done) == len(days)
+        # ...but the contiguous run submitted as ONE job
+        assert len(calls) == 2, calls
+        assert M.compaction_candidates(root, "ev", min_file_bytes=0) == []
+        assert _state() == before
+        # idempotent
+        assert M.auto_compact(spark, root, "ev", min_file_bytes=0) == []
+
     def test_table_stats(self, spark, tmp_path):
         from druid_hadoop_utils_spark.sources.maintenance import (
             auto_compact,

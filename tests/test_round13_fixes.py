@@ -173,7 +173,7 @@ def test_trained_as_of_lower_bounds_training_view(
 # ---------------------------------------------------------------------
 
 
-def test_ivf_postings_query_side_cached(spark, sf_dir, tmp_path):
+def test_ivf_postings_query_side_local(spark, sf_dir, tmp_path):
     from druid_hadoop_utils_spark.plans.planner import load as eng_load
     from druid_hadoop_utils_spark.sources.materialize import (
         materialize_postings,
@@ -193,10 +193,17 @@ def test_ivf_postings_query_side_cached(spark, sf_dir, tmp_path):
     corpus = eng_load(spark, root, SPEC,
                       interval="1970-01-01/3000-01-01",
                       data_source="emb")
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     res = S.ivf_topk_from_postings(post, corpus.where(F.col("vec_id") < 4),
                                    k=3, nprobe=2, index=idx)
-    # the broadcast-join branch reads the CACHED query frame — the
-    # assign UDF's Arrow pass ran once, during the probed-cell collect
+    # the broadcast-join branch reads a LOCAL frame (collect-and-
+    # recreate, round 14): the assign UDF's Arrow pass ran exactly
+    # once, during the probed-cell collect, so NO Python eval node
+    # remains in the executed plan — and nothing stays cached behind
+    # the caller's back after the call returns
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert res.count() > 0
+    assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+            == cached_before)
