@@ -711,7 +711,11 @@ def table_stats(table_root: str, data_source: str) -> dict:
     driver-side metadata + directory stats only (no data read): visible /
     overshadowed / tombstone segment counts, file count and bytes of the
     VISIBLE set, distinct versions, the covered time span, the time-travel
-    horizon, and the named tags (with their pinned instants)."""
+    horizon, the named tags (with their pinned instants), and the
+    consumer-lag gauge (round 14: registered change-feed consumers —
+    count, slowest name, worst ``behind_s``, unreadable-checkpoint
+    count — the number an operator alarms on before a consumer falls
+    off the vacuum horizon)."""
     from druid_hadoop_utils_spark.sources.fs import get_fs
     from druid_hadoop_utils_spark.sources.segments import (
         history_horizon,
@@ -750,6 +754,35 @@ def table_stats(table_root: str, data_source: str) -> dict:
             history_horizon(table_root, data_source)),
         "tags": {t["name"]: t["asOf"]
                  for t in list_tags(table_root, data_source)},
+        "consumers": _consumer_gauge(table_root, data_source),
+    }
+
+
+def _consumer_gauge(table_root: str, data_source: str) -> dict:
+    """The registered-consumer summary for ``table_stats`` — one pooled
+    ``list_consumers`` pass folded to the four alarm numbers. A consumer
+    that never committed has ``behind_s`` None (first run is a full
+    snapshot by design) and doesn't count as lagging; an unreadable
+    checkpoint counts in ``errors`` (and will make ``maintain_table``
+    skip vacuum until repaired)."""
+    from druid_hadoop_utils_spark.sources.changes import list_consumers
+
+    try:
+        lags = list_consumers(table_root, data_source)
+    except FileNotFoundError:
+        # registered checkpoints but no stamped manifests (pre-stamp
+        # legacy table): lag is undefined, not an error
+        return {"registered": 0, "slowest": None, "max_behind_s": None,
+                "errors": []}
+    errors = sorted(n for n, lag in lags.items() if "error" in lag)
+    behind = {n: lag["behind_s"] for n, lag in lags.items()
+              if lag.get("behind_s") is not None}
+    slowest = max(behind, key=behind.get) if behind else None
+    return {
+        "registered": len(lags),
+        "slowest": slowest,
+        "max_behind_s": behind[slowest] if slowest else None,
+        "errors": errors,
     }
 
 

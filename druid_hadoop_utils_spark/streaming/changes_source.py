@@ -1,0 +1,269 @@
+"""Structured Streaming over the managed-table change feed.
+
+``consume_changes`` (sources/changes.py) is a batch poll loop: call,
+process, commit. This module wraps the same timeline into Spark's
+streaming engine so an incremental consumer is a one-liner that
+composes with watermarks, ``foreachBatch`` sinks, and the stateful
+operators in streaming/stateful.py — VERDICT r13 item 8, kept thin on
+purpose: the batch loop stays the primitive, the stream just drives it.
+
+Two layers:
+
+- ``SegmentAnnounceDataSource`` — a Spark 4 Python streaming data
+  source (``SimpleDataSourceStreamReader``) whose rows are segment
+  ANNOUNCE EVENTS (one per manifest registration: stamp, version,
+  interval, path, tombstone). Offsets are the table's publish stamps —
+  the exact tokens ``consume_changes`` checkpoints — so a micro-batch
+  fires per committed stamp advance and replays deterministically via
+  ``readBetweenOffsets``. The simple (driver-side) reader is the RIGHT
+  volume class here: announce events are metadata, one row per
+  registration, never row-level data — at 100 TB a table publishes
+  thousands of manifests, not billions, and Spark's own docs scope the
+  simple reader to exactly this lightweight-input regime.
+- ``stream_changes_foreach`` — wires the announce stream into
+  ``foreachBatch``: each micro-batch derives its (from, to] stamp pair
+  from the batch's rows and hands the caller the ROW-LEVEL feed via
+  ``read_changes`` — a distributed, O(changed bytes) scan that never
+  crosses the driver. Delivery is at-least-once (foreachBatch replays
+  on failure; make ``process`` idempotent, exactly like the batch
+  loop's crash-before-commit contract).
+
+Registry integration: pass ``consumer_name`` and the reader's
+``commit`` advances the REGISTERED checkpoint
+(``consumer_checkpoint_path``) after each batch completes — so
+``maintain_table``'s vacuum floor protects a lagging STREAM exactly as
+it protects a lagging batch consumer.
+
+The reference is strictly batch (SURVEY.md §2.9); this extends its
+announce/overshadow model (DruidStorage.java segment announcement) the
+same way streaming/ingest.py extends its publish path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+#: row schema of the announce-event stream (DDL)
+ANNOUNCE_SCHEMA = (
+    "data_source string, published_at string, version string, "
+    "interval_start string, interval_end string, shard int, "
+    "tombstone boolean, path string, from_as_of string"
+)
+
+_FORMAT_NAME = "segment_announces"
+
+
+def _parse(stamp: str):
+    from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+    return _parse_as_of(stamp)
+
+
+def _commit_if_newer(table_root: str, data_source: str, name: str,
+                     stamp: str) -> None:
+    """Advance the REGISTERED consumer checkpoint monotonically. Two
+    writers share it — the foreachBatch wrapper (in-band, right after
+    ``process``) and the reader's ``commit`` callback, which Spark fires
+    one trigger LATE (a batch's offset commits at the START of the next
+    trigger) — so an unconditional write from the late path could
+    REGRESS a checkpoint the in-band path already advanced. Never move
+    it backwards."""
+    from druid_hadoop_utils_spark.sources.changes import (
+        commit_consumed,
+        consumer_checkpoint_path,
+        read_checkpoint,
+    )
+
+    ckpt = consumer_checkpoint_path(table_root, data_source, name)
+    cur = read_checkpoint(ckpt)
+    if cur is None or _parse(stamp) > _parse(cur):
+        commit_consumed(ckpt, stamp)
+
+
+class SegmentAnnounceStreamReader(SimpleDataSourceStreamReader):
+    """Driver-side reader: offsets are ``{"asOf": <publish stamp>}``.
+
+    ``read(start)`` returns every manifest registration with
+    ``start < published_at <= latest`` (strict lower bound — a stamp
+    exactly at the checkpoint is never redelivered), stamped with the
+    batch's ``from_as_of`` so downstream code can reconstruct the exact
+    (A, B] view pair without private state. Replay after a crash goes
+    through ``readBetweenOffsets`` with the SAME bounds — byte-identical
+    batches, which is what makes the foreachBatch layer safely
+    at-least-once."""
+
+    def __init__(self, options) -> None:
+        self.table_root = options.get("tableroot")
+        self.data_source = options.get("datasource")
+        if not self.table_root or not self.data_source:
+            raise ValueError(
+                "segment_announces needs .option('tableRoot', ...) and "
+                ".option('dataSource', ...)")
+        self.consumer_name = options.get("consumername")
+
+    # -- offset plumbing -------------------------------------------------
+    def initialOffset(self) -> dict:
+        from druid_hadoop_utils_spark.sources.changes import GENESIS
+
+        return {"asOf": GENESIS}
+
+    def _events(self, lo: str, hi: str) -> Iterator[Tuple]:
+        # returns a LIST-backed iterator: Spark's prefetch cache
+        # copy.copy()s the iterator it gets back, which a generator
+        # cannot survive (TypeError: cannot pickle 'generator')
+        from druid_hadoop_utils_spark.sources.changes import GENESIS
+        from druid_hadoop_utils_spark.sources.segments import list_manifests
+
+        t_hi = _parse(hi)
+        t_lo = None if lo == GENESIS else _parse(lo)
+        picked = []
+        for m in list_manifests(self.table_root, self.data_source):
+            if m.published_at is None:
+                continue
+            t = _parse(m.published_at)
+            if (t_lo is None or t > t_lo) and t <= t_hi:
+                picked.append((t, m))
+        picked.sort(key=lambda tm: (tm[0], tm[1].version, tm[1].shard_num))
+        return iter([
+            (self.data_source, m.published_at, m.version,
+             m.interval.start.isoformat(), m.interval.end.isoformat(),
+             m.shard_num, bool(m.tombstone), m.path, lo)
+            for _t, m in picked
+        ])
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        from druid_hadoop_utils_spark.sources.changes import (
+            GENESIS,
+            latest_stamp,
+        )
+
+        lo = start["asOf"]
+        try:
+            latest = latest_stamp(self.table_root, self.data_source)
+        except FileNotFoundError:
+            return iter(()), start  # table not born yet: stay at start
+        if latest is None or (lo != GENESIS
+                              and _parse(latest) <= _parse(lo)):
+            return iter(()), start  # caught up: empty batch, no advance
+        return self._events(lo, latest), {"asOf": latest}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        return self._events(start["asOf"], end["asOf"])
+
+    def commit(self, end: dict) -> None:
+        # reuse the consumer REGISTRY: a named stream's progress floors
+        # maintain_table's vacuum exactly like a batch consumer's.
+        # NOTE Spark fires this one trigger LATE (batch N commits when
+        # batch N+1 starts), hence the monotonic guard — and an
+        # availableNow one-shot may stop before it fires at all, which
+        # is why stream_changes_foreach also commits in-band.
+        from druid_hadoop_utils_spark.sources.changes import GENESIS
+
+        if self.consumer_name and end.get("asOf") not in (None, GENESIS):
+            _commit_if_newer(self.table_root, self.data_source,
+                             self.consumer_name, end["asOf"])
+
+
+class SegmentAnnounceDataSource(DataSource):
+    """``spark.readStream.format("segment_announces")`` — registered via
+    :func:`register_announce_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return _FORMAT_NAME
+
+    def schema(self) -> str:
+        return ANNOUNCE_SCHEMA
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002 — fixed schema
+        return SegmentAnnounceStreamReader(self.options)
+
+
+def register_announce_source(spark: SparkSession) -> None:
+    """Idempotently register the ``segment_announces`` streaming format
+    on this session."""
+    spark.dataSource.register(SegmentAnnounceDataSource)
+
+
+def stream_announcements(spark: SparkSession, table_root: str,
+                         data_source: str, *,
+                         consumer_name: str | None = None) -> DataFrame:
+    """The announce-event stream as a streaming DataFrame — one row per
+    manifest registration, micro-batched per publish-stamp advance.
+    With ``consumer_name`` the stream also advances that REGISTERED
+    consumer checkpoint on every completed batch (vacuum-floor
+    protected)."""
+    register_announce_source(spark)
+    r = (spark.readStream.format(_FORMAT_NAME)
+         .option("tableRoot", table_root)
+         .option("dataSource", data_source))
+    if consumer_name:
+        r = r.option("consumerName", consumer_name)
+    return r.load()
+
+
+def stream_changes_foreach(
+    spark: SparkSession,
+    table_root: str,
+    data_source: str,
+    process: Callable[[DataFrame, str, str], None],
+    *,
+    checkpoint_dir: str,
+    consumer_name: str | None = None,
+    mode: str = "logical",
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """The incremental consumer as ONE streaming query:
+
+        q = stream_changes_foreach(spark, root, "docs", my_fn,
+                                   checkpoint_dir=ckpt,
+                                   consumer_name="feature_builder")
+
+    Each micro-batch calls ``process(feed, from_as_of, to_as_of)`` where
+    ``feed`` is the ROW-LEVEL change feed between the two stamps —
+    ``read_changes``' distributed O(changed bytes) plan, identical to
+    what the batch loop's ``consume_changes`` would deliver for the same
+    pair (only announce METADATA ever crosses the driver). First batch
+    delivers the full snapshot as inserts (GENESIS), exactly like the
+    batch loop's first run. At-least-once: a batch that fails before
+    Spark checkpoints it replays with identical bounds — make
+    ``process`` idempotent. Returns the started StreamingQuery."""
+    from druid_hadoop_utils_spark.sources.changes import read_changes
+    from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+    ann = stream_announcements(spark, table_root, data_source,
+                               consumer_name=consumer_name)
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        # announce rows only — metadata-sized by construction
+        from druid_hadoop_utils_spark.sources.changes import GENESIS
+
+        rows = batch_df.select("from_as_of", "published_at").collect()
+        if not rows:
+            return
+        froms = {r["from_as_of"] for r in rows}
+
+        a = (GENESIS if GENESIS in froms
+             else min(froms, key=_parse_as_of))
+        b = max((r["published_at"] for r in rows), key=_parse_as_of)
+        feed = read_changes(spark, table_root, data_source, a, b,
+                            mode=mode)
+        process(feed, a, b)
+        # in-band registry advance, AFTER process succeeds — the batch
+        # loop's process-then-commit ordering. The reader's own commit
+        # callback fires a trigger late (or never, for an availableNow
+        # one-shot); both paths are monotonic so they compose.
+        if consumer_name:
+            _commit_if_newer(table_root, data_source, consumer_name, b)
+
+    w = (ann.writeStream.foreachBatch(_batch)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

@@ -696,3 +696,108 @@ def test_publish_detects_mid_publish_dml_overshadow(spark, tmp_path,
     ms = [m for m in list_manifests(root, "t") if not m.tombstone]
     day3_versions = {m.version for m in ms if m.interval.start.day == 3}
     assert any("merge" in v for v in day3_versions), day3_versions
+
+
+# ---------------------------------------------------------------------
+# the composed maintenance loop beside live DML (VERDICT r13 item 6):
+# maintain_table claims lease-safety next to concurrent traffic — it
+# adds sequencing, not a new lock scope — so drive the WHOLE loop
+# against a merge in a second process and assert no lost announcement
+# and a consistent post-state under whichever interleaving the race
+# actually lands.
+# ---------------------------------------------------------------------
+
+
+def _race_merge_during_maintenance(root, value, barrier, out):
+    """Child: own SparkSession; stage a day-1 merge, then barrier right
+    before the commit so the parent can start maintain_table while this
+    commit is in flight."""
+    try:
+        from druid_hadoop_utils_spark.session import get_spark
+        from druid_hadoop_utils_spark.sources.dml import (
+            ConcurrentWriteConflict as CWC,
+        )
+        from druid_hadoop_utils_spark.sources.dml import merge_into as mi
+
+        spark = get_spark("maint-race-merge", master="local[2]",
+                          shuffle_partitions=2)
+        spark.sparkContext.setLogLevel("ERROR")
+        ups = spark.createDataFrame(
+            [Row(__time=datetime(2024, 1, 1, 1), k="k1", v=value)])
+        try:
+            mi(spark, root, "t", ups, ["k"],
+               _pre_commit_hook=lambda: barrier.wait(timeout=300))
+            out.put(("merge", "ok", value))
+        except CWC as e:
+            out.put(("merge", "conflict", str(e)[:200]))
+        finally:
+            spark.stop()
+    except Exception as e:  # pragma: no cover - debugging aid
+        out.put(("merge", f"ERROR:{type(e).__name__}", str(e)[:300]))
+
+
+def test_maintain_table_vs_concurrent_merge(tmp_path, spark):
+    """maintain_table (advisor compaction + vacuum + derived-state
+    sweeps) races a merge_into committing from a second process.
+    Invariants that must hold under EVERY interleaving: the only
+    per-step failures are loud optimistic-conflict refusals; the
+    merge's reported outcome matches the final visible state exactly
+    (announced-then-lost is impossible); every other row is untouched;
+    and a follow-up maintenance cycle runs clean."""
+    import glob
+    import shutil
+
+    from druid_hadoop_utils_spark.sources.maintenance import (
+        compaction_candidates,
+        maintain_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [Row(ts=datetime(2024, 1, 1 + d, h), k=f"k{h}",
+                v=float(d * 10 + h)) for d in range(3) for h in (1, 2, 3)]
+    publish_segments(spark.createDataFrame(rows), root, "t", version="v1",
+                     time_column="ts", bucket="DAY")
+    # fragment every day so auto_compact has real rewrite work to do
+    for d in (1, 2, 3):
+        f = glob.glob(f"{root}/t/2024-01-0{d}*/v=v1/shard=0/*.parquet")[0]
+        for i in range(6):
+            shutil.copy(f, f.replace("part-", f"x{i}-part-"))
+    base = dict(((t, k), v) for t, k, v in _rows(spark, root))
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    out = ctx.Queue()
+    p = ctx.Process(target=_race_merge_during_maintenance,
+                    args=(root, 999.0, barrier, out))
+    p.start()
+    barrier.wait(timeout=300)  # child is staged and about to commit
+    rep = maintain_table(spark, root, "t", min_file_bytes=1024 * 1024,
+                         strict=False)
+    p.join(timeout=300)
+    who, status, detail = out.get(timeout=30)
+    assert who == "merge" and status in ("ok", "conflict"), (status,
+                                                             detail)
+    # maintenance step failures may ONLY be optimistic-conflict
+    # refusals (the merge landing inside compaction's read-to-commit
+    # window) — anything else is a real bug
+    assert all("onflict" in e for e in rep["errors"]), rep["errors"]
+
+    after = dict(((t, k), v) for t, k, v in _rows(spark, root))
+    assert len(after) == len(base)
+    key = ("2024-01-01T01:00:00", "k1")
+    if status == "ok":
+        assert after[key] == 999.0  # announced => visible, never lost
+    else:
+        assert after[key] == base[key]
+    for cell, v in after.items():
+        if cell != key:
+            assert v == base[cell], cell
+
+    # the loop recovers: the next cycle runs clean, clears the advisor,
+    # and moves no rows
+    rep2 = maintain_table(spark, root, "t", min_file_bytes=1024 * 1024,
+                          strict=False)
+    assert rep2["errors"] == [], rep2["errors"]
+    assert compaction_candidates(root, "t",
+                                 min_file_bytes=1024 * 1024) == []
+    assert dict(((t, k), v) for t, k, v in _rows(spark, root)) == after

@@ -265,3 +265,40 @@ def test_pointer_backend_stale_compact_tree_reclaims(
     assert served.count() == emb.count() - 1
     # idempotent second sweep: nothing further to reclaim
     assert vacuum_materialized(root, "emb", "ivf", tmp_min_age_s=0) == []
+
+
+# ---------------------------------------------------------------------
+# 6. the consumer-lag gauge in table_stats
+# ---------------------------------------------------------------------
+
+
+def test_table_stats_consumer_gauge(spark, sf_dir, tmp_path):
+    from druid_hadoop_utils_spark.sources.maintenance import table_stats
+
+    root = str(tmp_path)
+    base = _base(spark, sf_dir)
+    publish_segments(base, root, "events", version="v1", bucket="DAY",
+                     published_at=T1)
+    # no registered consumers: empty gauge
+    g = table_stats(root, "events")["consumers"]
+    assert g == {"registered": 0, "slowest": None, "max_behind_s": None,
+                 "errors": []}
+
+    caught = consumer_checkpoint_path(root, "events", "caught")
+    commit_consumed(caught, T1)
+    fs = get_fs(root)
+    fs.put_text(fs.join(fs.parent(caught), "corrupt.json"), "{nope")
+
+    g = table_stats(root, "events")["consumers"]
+    assert g["registered"] == 2
+    assert g["errors"] == ["corrupt"]
+    assert g["slowest"] == "caught" and g["max_behind_s"] == 0.0
+
+    # a later publish makes the committed consumer LAG
+    fs.delete_file(fs.join(fs.parent(caught), "corrupt.json"))
+    publish_segments(base.limit(5), root, "events", version="v2",
+                     bucket="DAY",
+                     published_at="2024-06-02T00:00:00+00:00")
+    g = table_stats(root, "events")["consumers"]
+    assert g == {"registered": 1, "slowest": "caught",
+                 "max_behind_s": 86400.0, "errors": []}
