@@ -234,3 +234,51 @@ class TestReplayDeterminism:
         # caught up: read returns empty and does NOT advance the offset
         it3, end3 = reader.read(end2)
         assert list(it3) == [] and end3 == end2
+
+
+class TestAnnounceStreamCost:
+    def test_caught_up_poll_is_one_listing(self, spark, tmp_path,
+                                           monkeypatch):
+        """The stream's per-trigger metadata cost on an object store:
+        read() is ONE manifest listing — after compact_manifests, one
+        ls + one snapshot GET regardless of segment count — and a
+        caught-up poll adds NOTHING else (no per-segment reads, no
+        data-plane touches). This is what makes a tight trigger interval
+        affordable at 100k segments."""
+        from druid_hadoop_utils_spark.sources import fs as fsmod
+        from druid_hadoop_utils_spark.sources.fs import get_fs
+        from druid_hadoop_utils_spark.sources.segments import (
+            compact_manifests,
+        )
+        from druid_hadoop_utils_spark.streaming.changes_source import (
+            SegmentAnnounceStreamReader,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_DELAY_MS", "0")
+        fsmod._CACHE.pop("delaysim", None)
+        root = "delaysim://" + str(tmp_path / "tbl")
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        compact_manifests(root, "docs")
+
+        reader = SegmentAnnounceStreamReader(
+            {"tableroot": root, "datasource": "docs"})
+        fs = get_fs(root)
+
+        fs.reset_counts()
+        it, end = reader.read(reader.initialOffset())
+        assert len(list(it)) == 3 and end == {"asOf": T1}
+        first = dict(fs.op_counts)
+
+        fs.reset_counts()
+        it2, end2 = reader.read(end)  # caught up
+        assert list(it2) == [] and end2 == end
+        polled = dict(fs.op_counts)
+        fsmod._CACHE.pop("delaysim", None)
+
+        for counts in (first, polled):
+            # one listing of _segments + one snapshot read; nothing per
+            # segment, nothing per announce row
+            assert counts.get("ls", 0) <= 2, counts
+            assert counts.get("read_text", 0) <= 2, counts
+            assert counts.get("list_files", 0) == 0, counts
