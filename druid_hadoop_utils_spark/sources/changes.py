@@ -450,11 +450,19 @@ def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
             f"no stamped manifests for {data_source} under {table_root}")
     latest = max(stamps, key=_parse_as_of)
 
+    class _ReadError:
+        # a private sentinel TYPE, not a dict/tuple: a corrupt
+        # checkpoint whose "asOf" VALUE happens to be a dict must fall
+        # through to the unparseable-stamp branch, not collide with the
+        # error wrapper
+        def __init__(self, msg: str) -> None:
+            self.msg = msg
+
     def _read(name: str):
         try:
             return read_checkpoint(fs.join(cdir, f"{name}.json"))
         except Exception as e:  # noqa: BLE001 — contained per entry
-            return {"__error": f"{type(e).__name__}: {e}"}
+            return _ReadError(f"{type(e).__name__}: {e}")
 
     if len(names) == 1:
         reads = [_read(names[0])]
@@ -464,8 +472,8 @@ def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
             reads = list(ex.map(_read, names))
     out: dict[str, dict] = {}
     for name, last in zip(names, reads):
-        if isinstance(last, dict):
-            out[name] = {"error": last["__error"], "consumed_as_of": None,
+        if isinstance(last, _ReadError):
+            out[name] = {"error": last.msg, "consumed_as_of": None,
                          "latest": latest, "behind_s": None,
                          "pending_announces": None}
             continue

@@ -302,3 +302,25 @@ def test_table_stats_consumer_gauge(spark, sf_dir, tmp_path):
     g = table_stats(root, "events")["consumers"]
     assert g == {"registered": 1, "slowest": "caught",
                  "max_behind_s": 86400.0, "errors": []}
+
+
+def test_list_consumers_dict_valued_asof_contained(spark, sf_dir,
+                                                   tmp_path):
+    """A checkpoint whose asOf VALUE is a JSON object (not a stamp
+    string) must land in the unparseable-stamp branch — it must not
+    collide with the internal read-error sentinel or escape as a
+    KeyError."""
+    root = str(tmp_path)
+    publish_segments(_base(spark, sf_dir), root, "events", version="v1",
+                     bucket="DAY", published_at=T1)
+    good = consumer_checkpoint_path(root, "events", "good")
+    commit_consumed(good, T1)
+    fs = get_fs(root)
+    fs.put_text(fs.join(fs.parent(good), "weird.json"),
+                '{"asOf": {"nested": 1}, "committedAt": "x"}')
+    lags = list_consumers(root, "events")
+    assert set(lags) == {"good", "weird"}
+    assert "error" in lags["weird"]
+    assert lags["good"]["consumed_as_of"] == T1
+    with pytest.raises(RuntimeError, match="weird"):
+        consumers_floor_as_of(root, "events")
