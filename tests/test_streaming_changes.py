@@ -282,3 +282,57 @@ class TestAnnounceStreamCost:
             assert counts.get("ls", 0) <= 2, counts
             assert counts.get("read_text", 0) <= 2, counts
             assert counts.get("list_files", 0) == 0, counts
+
+
+class TestStreamVacuumFloor:
+    def test_lagging_stream_floors_maintenance_vacuum(self, spark,
+                                                      tmp_path):
+        """The claim end-to-end: a named STREAM's registered checkpoint
+        floors maintain_table's vacuum exactly like a batch consumer's —
+        the view its next micro-batch diffs FROM survives maintenance,
+        and catching up releases the floor."""
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            maintain_table,
+        )
+
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "sck")
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+
+        seen: list = []
+
+        def drain():
+            q = stream_changes_foreach(
+                spark, root, "docs", lambda f, a, b: seen.append((a, b)),
+                checkpoint_dir=ckpt, consumer_name="streamer",
+                available_now=True)
+            q.awaitTermination(120)
+
+        drain()  # checkpoint lands at T1
+        assert list_consumers(root, "docs")["streamer"][
+            "consumed_as_of"] == T1
+
+        delete_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"})
+        # maintenance with zero retention: the stream's floor keeps the
+        # pre-delete view alive
+        rep = maintain_table(spark, root, "docs")
+        assert rep["consumer_floor_as_of"] == T1
+        assert rep["vacuumed"] == []
+        feed = read_changes(spark, root, "docs", T1)
+        assert feed.count() > 0  # the diff-FROM view still resolves
+
+        # the stream catches up; the floor advances; vacuum reclaims
+        drain()
+        t2 = latest_stamp(root, "docs")
+        assert list_consumers(root, "docs")["streamer"][
+            "consumed_as_of"] == t2
+        rep2 = maintain_table(spark, root, "docs")
+        assert rep2["consumer_floor_as_of"] == t2
+        assert rep2["vacuumed"], "catch-up must release the floor"
+        # the stream keeps working against the vacuumed table
+        n = len(seen)
+        drain()
+        assert len(seen) == n  # caught up, no phantom batch
