@@ -856,7 +856,11 @@ def maintain_table(
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — aggregated, re-raised
-            report["errors"].append(f"{label}: {e}")
+            # the exception CLASS is part of the report: an operator
+            # (or a test) must be able to tell a loud optimistic
+            # refusal (ConcurrentWriteConflict — benign, next cycle
+            # retries) from a real failure without parsing prose
+            report["errors"].append(f"{label}: {type(e).__name__}: {e}")
             return failed
 
     out = _step("auto_compact", lambda: auto_compact(

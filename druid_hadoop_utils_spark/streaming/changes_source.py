@@ -231,7 +231,14 @@ def stream_changes_foreach(
     delivers the full snapshot as inserts (GENESIS), exactly like the
     batch loop's first run. At-least-once: a batch that fails before
     Spark checkpoints it replays with identical bounds — make
-    ``process`` idempotent. Returns the started StreamingQuery."""
+    ``process`` idempotent. Returns the started StreamingQuery.
+
+    ``available_now`` note: Spark's Python micro-batch bridge doesn't
+    implement SupportsTriggerAvailableNow and logs a "falling back to
+    single batch execution" warning — benign here: the fallback runs
+    ONE batch covering everything outstanding (exactly a batch-loop
+    ``consume_changes`` cycle) and stops; the next start resumes from
+    the checkpoint."""
     from druid_hadoop_utils_spark.sources.changes import read_changes
     from druid_hadoop_utils_spark.sources.segments import _parse_as_of
 

@@ -779,8 +779,10 @@ def test_maintain_table_vs_concurrent_merge(tmp_path, spark):
                                                              detail)
     # maintenance step failures may ONLY be optimistic-conflict
     # refusals (the merge landing inside compaction's read-to-commit
-    # window) — anything else is a real bug
-    assert all("onflict" in e for e in rep["errors"]), rep["errors"]
+    # window) — anything else is a real bug. The report names the
+    # exception class for exactly this kind of triage.
+    assert all("ConcurrentWriteConflict" in e for e in rep["errors"]), \
+        rep["errors"]
 
     after = dict(((t, k), v) for t, k, v in _rows(spark, root))
     assert len(after) == len(base)

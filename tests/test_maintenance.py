@@ -771,3 +771,50 @@ def test_maintain_table_broken_materialization_does_not_block_vacuum(
     versions = {m.version for m in list_manifests(root, "emb")
                 if str(m.interval).startswith("2024-01-01")}
     assert "v1" not in versions, "strict run's vacuum did not reclaim"
+
+
+class TestCoalesceSpanProperties:
+    """Property sweep of the round-14 backlog batching geometry: for
+    ANY flagged-day set and cap, the job spans must cover exactly the
+    flagged days (never a gap day — unflagged data must not be
+    rewritten), stay disjoint and sorted, and respect the cap."""
+
+    def test_random_day_sets(self):
+        from datetime import timedelta
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from druid_hadoop_utils_spark.intervals import Interval, parse_ts
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _coalesce_spans,
+        )
+
+        day0 = parse_ts("2024-01-01T00:00:00Z")
+
+        @settings(max_examples=200, deadline=None)
+        @given(days=st.sets(st.integers(0, 60), min_size=1, max_size=40),
+               cap=st.integers(1, 8))
+        def check(days, cap):
+            ivs = [f"{(day0 + timedelta(days=d)).isoformat()}/"
+                   f"{(day0 + timedelta(days=d + 1)).isoformat()}"
+                   for d in sorted(days)]
+            spans = _coalesce_spans(ivs, cap)
+            # sorted + disjoint
+            for a, b in zip(spans, spans[1:]):
+                assert a.end <= b.start
+            # exact union: every flagged day covered, no unflagged day
+            covered = set()
+            for s in spans:
+                d = s.start
+                while d < s.end:
+                    covered.add((d - day0).days)
+                    d += timedelta(days=1)
+            assert covered == days
+            # cap respected (a span holds at most cap flagged members)
+            for s in spans:
+                members = [d for d in days
+                           if s.start <= day0 + timedelta(days=d) < s.end]
+                assert 1 <= len(members) <= cap
+
+        check()
