@@ -687,14 +687,25 @@ def _coalesce_spans(intervals: list[str],
     covering at most ``max_buckets_per_job`` flagged members. Touching
     (``end == next.start``) or overlapping members extend the span; a
     gap — unflagged data that must NOT be rewritten — always starts a
-    new one."""
+    new one.
+
+    The cap only splits at a TOUCH point (``iv.start == cur_end``): a
+    member that strictly OVERLAPS the current span keeps merging even
+    at the cap, because splitting there would emit two overlapping
+    compact jobs that redundantly rewrite the overlap under two
+    versions (ADVICE r14) — wasted work and a wider optimistic-conflict
+    window. Overlapping flags only arise from mixed-granularity
+    advisories, and an overlap never adds a full cap-unit of distinct
+    buckets, so the blast-radius bound degrades by at most the
+    overlapping members' excess — correctness of "no two jobs rewrite
+    the same bucket" wins over an exact member count."""
     ivs = sorted({Interval.parse(s) for s in intervals})
     spans: list[Interval] = []
     cur_start = cur_end = None
     count = 0
     for iv in ivs:
         if (cur_start is not None and iv.start <= cur_end
-                and count < max_buckets_per_job):
+                and (count < max_buckets_per_job or iv.start < cur_end)):
             cur_end = max(cur_end, iv.end)
             count += 1
         else:
@@ -771,8 +782,23 @@ def _consumer_gauge(table_root: str, data_source: str) -> dict:
         lags = list_consumers(table_root, data_source)
     except FileNotFoundError:
         # registered checkpoints but no stamped manifests (pre-stamp
-        # legacy table): lag is undefined, not an error
-        return {"registered": 0, "slowest": None, "max_behind_s": None,
+        # legacy table): lag is UNDEFINED, but the consumers still
+        # EXIST — report the real registered count from the registry
+        # directory (same name rules as list_consumers) so a dashboard
+        # never reads "no consumers" on a table that has some
+        # (ADVICE r14). behind_s/slowest stay None: nothing to lag
+        # against until a stamped manifest lands.
+        from druid_hadoop_utils_spark.sources.changes import (
+            _valid_consumer_name,
+        )
+        from druid_hadoop_utils_spark.sources.fs import get_fs
+
+        fs = get_fs(table_root)
+        cdir = fs.join(table_root, data_source, "_consumers")
+        n = len([e for e in fs.ls(cdir)
+                 if e.endswith(".json")
+                 and _valid_consumer_name(e[:-len(".json")])])
+        return {"registered": n, "slowest": None, "max_behind_s": None,
                 "errors": []}
     errors = sorted(n for n, lag in lags.items() if "error" in lag)
     behind = {n: lag["behind_s"] for n, lag in lags.items()

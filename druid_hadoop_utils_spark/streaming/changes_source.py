@@ -231,7 +231,12 @@ def stream_changes_foreach(
     delivers the full snapshot as inserts (GENESIS), exactly like the
     batch loop's first run. At-least-once: a batch that fails before
     Spark checkpoints it replays with identical bounds — make
-    ``process`` idempotent. Returns the started StreamingQuery.
+    ``process`` idempotent. A replay whose FROM view has since fallen
+    below the vacuum horizon is skipped iff the registered consumer
+    checkpoint already reads >= the batch's TO stamp (proof the batch
+    completed before the crash); otherwise the below-horizon error
+    propagates — the consumer genuinely fell too far behind. Returns
+    the started StreamingQuery.
 
     ``available_now`` note: Spark's Python micro-batch bridge doesn't
     implement SupportsTriggerAvailableNow and logs a "falling back to
@@ -257,8 +262,34 @@ def stream_changes_foreach(
         a = (GENESIS if GENESIS in froms
              else min(froms, key=_parse_as_of))
         b = max((r["published_at"] for r in rows), key=_parse_as_of)
-        feed = read_changes(spark, table_root, data_source, a, b,
-                            mode=mode)
+        try:
+            feed = read_changes(spark, table_root, data_source, a, b,
+                                mode=mode)
+        except ValueError as e:
+            # Replay-safety window (ADVICE r14): the in-band registry
+            # commit below advances the vacuum floor to b BEFORE Spark
+            # checkpoints this batch's offsets. If the driver crashes in
+            # that window and maintain_table vacuums meanwhile, the
+            # restarted query replays from offset a — but view a may now
+            # be below the vacuum horizon, so read_changes raises on
+            # every retry and the stream would wedge. The registered
+            # checkpoint is the proof of completion: if it already reads
+            # >= b, `process` succeeded for exactly this (a, b] pair
+            # before the crash — skip the batch so Spark can checkpoint
+            # it and move on. Any other below-horizon case (checkpoint
+            # behind, or no registry at all) is a REAL fell-too-far-
+            # behind condition and must keep raising.
+            if consumer_name and "history horizon" in str(e):
+                from druid_hadoop_utils_spark.sources.changes import (
+                    consumer_checkpoint_path,
+                    read_checkpoint,
+                )
+
+                cur = read_checkpoint(consumer_checkpoint_path(
+                    table_root, data_source, consumer_name))
+                if cur is not None and _parse_as_of(cur) >= _parse_as_of(b):
+                    return
+            raise
         process(feed, a, b)
         # in-band registry advance, AFTER process succeeds — the batch
         # loop's process-then-commit ordering. The reader's own commit

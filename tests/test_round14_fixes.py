@@ -198,9 +198,17 @@ def test_list_consumers_overlaps_checkpoint_reads(
     assert all(lag["consumed_as_of"] == T1 for lag in lags.values())
     # one existence probe + one read per checkpoint actually happened
     assert fs.op_counts.get("read_text", 0) >= len(names)
-    # sequential floor: 16 checkpoints x (exists + read_text) x 20 ms
-    # = 640 ms, plus the listing/manifest reads. Pooled must beat half.
-    assert wall < 0.40, (wall, fs.op_counts)
+    # Parallelism proof RELATIVE to the measured serial floor, not a
+    # fixed wall constant (ADVICE r14: a fixed 0.40 s could flake on a
+    # loaded box). Every counted round-trip sleeps delay_s, so a
+    # sequential loop CANNOT finish faster than total_rts * delay_s;
+    # the pooled pass must beat that floor with 25% headroom — at 16
+    # consumers the floor is >= 0.68 s while ideal pooled is ~0.1 s,
+    # so the margin absorbs scheduler noise in both directions.
+    total_rts = sum(fs.op_counts.values())
+    assert total_rts >= 2 * len(names), fs.op_counts
+    serial_floor = total_rts * fs.delay_s
+    assert wall < 0.75 * serial_floor, (wall, serial_floor, fs.op_counts)
 
 
 # ---------------------------------------------------------------------

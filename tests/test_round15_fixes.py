@@ -1,0 +1,266 @@
+"""Round-15 ADVICE fixes, pinned:
+
+1. streaming replay-safety window — a crash between the foreachBatch
+   in-band registry commit and Spark's offset checkpoint, followed by a
+   vacuum past the batch's FROM view, no longer wedges the stream: the
+   replay is skipped iff the registered checkpoint proves the batch
+   already completed (>= TO stamp); a genuinely-behind consumer still
+   raises.
+2. _coalesce_spans never emits two overlapping compact jobs when the
+   per-job cap forces a split under mixed-granularity overlapping flags.
+3. _consumer_gauge reports the REAL registered count on a pre-stamp
+   table (checkpoints exist, no stamped manifests) instead of 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from druid_hadoop_utils_spark.sources.changes import (
+    commit_consumed,
+    consumer_checkpoint_path,
+    latest_stamp,
+    read_changes,
+    read_checkpoint,
+)
+from druid_hadoop_utils_spark.sources.dml import update_where
+from druid_hadoop_utils_spark.sources.ingest import publish_segments
+from druid_hadoop_utils_spark.sources.maintenance import vacuum
+from druid_hadoop_utils_spark.streaming.changes_source import (
+    stream_changes_foreach,
+)
+
+T1 = "2024-06-01T00:00:00+00:00"
+
+
+def _rows(n=12):
+    return [Row(__time=datetime(2024, 1, 1 + i % 3, i % 4),
+                doc_id=i, lang="en" if i % 2 else "de",
+                score=float(i)) for i in range(n)]
+
+
+# ---------------------------------------------------------------------
+# 1. streaming replay after the in-band-commit / offset-checkpoint
+#    crash window + vacuum
+# ---------------------------------------------------------------------
+
+
+class TestReplayBelowHorizon:
+    def _drain(self, spark, root, ckpt, calls, name="featgen"):
+        def process(feed, a, b):
+            feed.count()  # materialize the plan like a real consumer
+            calls.append((a, b))
+
+        q = stream_changes_foreach(
+            spark, root, "docs", process, checkpoint_dir=ckpt,
+            consumer_name=name, available_now=True)
+        q.awaitTermination(120)
+
+    def test_completed_batch_replay_skips_after_vacuum(
+            self, spark, tmp_path):
+        """The ADVICE r14 window end to end: batch 2 fully processed and
+        registry-committed, Spark offset checkpoint LOST (crash before
+        checkpoint write), vacuum advances the horizon past the batch's
+        FROM view. The restarted stream must recognize the registered
+        checkpoint >= TO as proof of completion, skip the replay, and
+        advance — not wedge on ValueError forever."""
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "sck")
+        ckpt_backup = str(tmp_path / "sck_backup")
+        calls: list = []
+
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        self._drain(spark, root, ckpt, calls)  # batch 1: GENESIS -> T1
+        assert len(calls) == 1 and calls[0][1] == T1
+
+        # snapshot Spark's checkpoint BEFORE batch 2 = the lost write
+        shutil.copytree(ckpt, ckpt_backup)
+
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"},
+                     set={"score": "score + 100"})
+        t2 = latest_stamp(root, "docs")
+        self._drain(spark, root, ckpt, calls)  # batch 2: (T1, t2]
+        assert calls[-1] == (T1, t2)
+        # the in-band commit survived the "crash"
+        reg = read_checkpoint(consumer_checkpoint_path(root, "docs",
+                                                       "featgen"))
+        assert reg == t2
+
+        # crash simulation: Spark's offset checkpoint reverts to
+        # pre-batch-2; the registry keeps t2 (exactly the window)
+        shutil.rmtree(ckpt)
+        shutil.copytree(ckpt_backup, ckpt)
+
+        # maintenance runs meanwhile: floor = registry (t2), so the
+        # horizon legitimately advances past view T1
+        vacuum(root, "docs", retain_history_s=0.0, floor_as_of=t2)
+        with pytest.raises(ValueError, match="history horizon"):
+            read_changes(spark, root, "docs", T1, t2)
+
+        # restart: replays batch (T1, t2] -> below horizon, but the
+        # registered checkpoint reads t2 >= t2 -> skip, don't wedge
+        n_before = len(calls)
+        self._drain(spark, root, ckpt, calls)
+        assert len(calls) == n_before, "completed batch must not re-run"
+        # and the stream is healthy afterwards: a further drain is a
+        # caught-up no-op, not an error
+        self._drain(spark, root, ckpt, calls)
+        assert len(calls) == n_before
+
+    def test_genuinely_behind_consumer_still_raises(self, spark,
+                                                    tmp_path):
+        """The skip must demand PROOF: registry behind the batch's TO
+        stamp means the batch never completed — the below-horizon error
+        is a real fell-too-far-behind condition and propagates."""
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "sck")
+        ckpt_backup = str(tmp_path / "sck_backup")
+        calls: list = []
+
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        self._drain(spark, root, ckpt, calls)
+        shutil.copytree(ckpt, ckpt_backup)
+
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"},
+                     set={"score": "score + 100"})
+        t2 = latest_stamp(root, "docs")
+        self._drain(spark, root, ckpt, calls)
+
+        shutil.rmtree(ckpt)
+        shutil.copytree(ckpt_backup, ckpt)
+        # registry rewound to T1: the batch's completion is NOT proven
+        commit_consumed(consumer_checkpoint_path(root, "docs",
+                                                 "featgen"), T1)
+        vacuum(root, "docs", retain_history_s=0.0, floor_as_of=t2)
+
+        def process(feed, a, b):
+            calls.append((a, b))
+
+        q = stream_changes_foreach(
+            spark, root, "docs", process, checkpoint_dir=ckpt,
+            consumer_name="featgen", available_now=True)
+        with pytest.raises(StreamingQueryException,
+                           match="history horizon"):
+            q.awaitTermination(120)
+
+
+# ---------------------------------------------------------------------
+# 2. _coalesce_spans: cap split never emits overlapping jobs
+# ---------------------------------------------------------------------
+
+
+class TestCoalesceSpansOverlap:
+    def test_cap_split_on_overlap_keeps_merging(self):
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _coalesce_spans,
+        )
+
+        # mixed-granularity flags: a month-wide advisory overlapping
+        # day buckets, cap=2 forces a split mid-overlap under the old
+        # rule -> two jobs both rewriting 01-02/01-03
+        flagged = [
+            "2024-01-01T00:00:00/2024-01-02T00:00:00",
+            "2024-01-01T00:00:00/2024-02-01T00:00:00",
+            "2024-01-02T00:00:00/2024-01-03T00:00:00",
+            "2024-02-01T00:00:00/2024-02-02T00:00:00",
+        ]
+        spans = _coalesce_spans(flagged, max_buckets_per_job=2)
+        # no two spans overlap: consecutive spans touch at most
+        for prev, nxt in zip(spans, spans[1:]):
+            assert nxt.start >= prev.end, (prev, nxt)
+        # every flagged interval is covered by exactly the union
+        from druid_hadoop_utils_spark.intervals import Interval
+
+        for s in flagged:
+            iv = Interval.parse(s)
+            assert any(sp.start <= iv.start and iv.end <= sp.end
+                       for sp in spans), s
+        # the month overlap merged into ONE job; the gap-free touch at
+        # 02-01 still split on the cap
+        assert len(spans) == 2
+
+    def test_touch_split_at_cap_unchanged(self):
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _coalesce_spans,
+        )
+
+        days = [f"2024-01-{d:02d}T00:00:00/2024-01-{d + 1:02d}T00:00:00"
+                for d in range(1, 7)]
+        spans = _coalesce_spans(days, max_buckets_per_job=2)
+        assert len(spans) == 3
+        for prev, nxt in zip(spans, spans[1:]):
+            assert nxt.start == prev.end
+
+    def test_gap_never_bridged(self):
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _coalesce_spans,
+        )
+
+        spans = _coalesce_spans(
+            ["2024-01-01T00:00:00/2024-01-02T00:00:00",
+             "2024-01-05T00:00:00/2024-01-06T00:00:00"],
+            max_buckets_per_job=32)
+        assert len(spans) == 2
+
+
+# ---------------------------------------------------------------------
+# 3. _consumer_gauge on a pre-stamp table
+# ---------------------------------------------------------------------
+
+
+class TestPreStampConsumerGauge:
+    def test_registered_count_visible_without_stamps(self, spark,
+                                                     tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _consumer_gauge,
+        )
+
+        root = str(tmp_path / "tbl")
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        # strip stamps -> pre-feature manifests
+        mdir = os.path.join(root, "docs", "_segments")
+        for name in os.listdir(mdir):
+            p = os.path.join(mdir, name)
+            obj = json.loads(open(p).read())
+            obj.pop("publishedAt", None)
+            open(p, "w").write(json.dumps(obj))
+
+        # two real consumers + a stray editor backup that must NOT count
+        for n in ("alpha", "beta"):
+            commit_consumed(consumer_checkpoint_path(root, "docs", n),
+                            T1)
+        cdir = os.path.join(root, "docs", "_consumers")
+        open(os.path.join(cdir, "_editor_backup.json"), "w").write("{}")
+
+        g = _consumer_gauge(root, "docs")
+        assert g["registered"] == 2
+        assert g["slowest"] is None and g["max_behind_s"] is None
+        assert g["errors"] == []
+
+    def test_no_registry_dir_stays_zero(self, spark, tmp_path):
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _consumer_gauge,
+        )
+
+        root = str(tmp_path / "tbl")
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        g = _consumer_gauge(root, "docs")
+        assert g["registered"] == 0
