@@ -83,6 +83,123 @@ def _commit_if_newer(table_root: str, data_source: str, name: str,
         commit_consumed(ckpt, stamp)
 
 
+class BatchLedger:
+    """Idempotent-commit ledger that upgrades the change feed's
+    at-least-once delivery to EXACTLY-ONCE effects — the missing half of
+    the streaming contract (changes_source module docstring: "make
+    ``process`` idempotent"; this is the canonical way to).
+
+    A replayed batch arrives with byte-identical (from, to] stamp
+    bounds (pinned by ``readBetweenOffsets``), so the stamp pair is a
+    deterministic batch identity that — unlike Spark's ``epoch_id`` —
+    survives a rebuilt streaming checkpoint. The ledger records one
+    metadata object per processed pair; the recipe:
+
+        ledger = BatchLedger(ledger_dir)
+        def process(feed, a, b):
+            if ledger.committed(a, b) is not None:
+                return                      # replay of a finished batch
+            out = compute(feed)             # any deterministic fold
+            ledger.commit(a, b, out)        # THE single commit point
+
+    ``commit`` is a conditional create-if-absent where the backend
+    supports one (POSIX O_EXCL, object-store If-None-Match — the same
+    primitive the engine's leases use), so exactly one of N racing
+    attempts wins; the loser sees ``False`` and treats the batch as
+    done. Exactly-once then holds by construction when the batch's
+    durable output IS the committed payload (state snapshots, feature
+    counters — see examples/exactly_once_consumer.py), or when the
+    output is written to a deterministic overwrite-safe location keyed
+    by the stamps (e.g. ``publish_segments(..., version=b)``) BEFORE
+    ``commit``: a crash between the two reruns ``compute`` onto its own
+    partial output and converges.
+
+    Volume class: one tiny JSON per batch — thousands per table
+    lifetime, the same metadata plane as manifests. ``prune(keep)``
+    drops all but the newest ``keep`` entries once the Spark checkpoint
+    is durable past them. Re-baselining a consumer (deleting its Spark
+    checkpoint to force a fresh GENESIS snapshot) must start a fresh
+    ledger dir too — the old entries describe folds over a state that
+    no longer exists.
+    """
+
+    def __init__(self, ledger_dir: str) -> None:
+        from druid_hadoop_utils_spark.sources.fs import get_fs
+
+        self._fs = get_fs(ledger_dir)
+        self._dir = ledger_dir
+
+    def _entry(self, a: str, b: str) -> str:
+        import hashlib
+
+        key = hashlib.sha256(f"{a}->{b}".encode()).hexdigest()[:32]
+        return self._fs.join(self._dir, f"batch-{key}.json")
+
+    def committed(self, a: str, b: str):
+        """The payload recorded for stamp pair (a, b], or None if the
+        batch never committed. ONE metadata read."""
+        import json
+
+        try:
+            return json.loads(self._fs.read_text(self._entry(a, b)))[
+                "payload"]
+        except FileNotFoundError:
+            return None
+
+    def commit(self, a: str, b: str, payload=None) -> bool:
+        """Record (a, b] as processed with ``payload`` (JSON-able).
+        Returns True iff THIS call created the entry — False means a
+        racing attempt (or an earlier life of this consumer) already
+        committed it, and the caller's output must be discarded, not
+        applied twice."""
+        import json
+
+        from druid_hadoop_utils_spark.sources.changes import _now_stamp
+
+        self._fs.mkdirs(self._dir)
+        text = json.dumps({"from": a, "to": b, "payload": payload,
+                           "committedAt": _now_stamp()}, indent=2)
+        path = self._entry(a, b)
+        if self._fs.supports_put_if_absent:
+            return self._fs.put_text_if_absent(path, text)
+        # fallback for backends without conditional create: exists+put
+        # (single-writer semantics only — same residual lease.py notes)
+        if self._fs.exists(path):
+            return False
+        self._fs.put_text(path, text)
+        return True
+
+    def entries(self) -> list[dict]:
+        """Every committed entry, oldest→newest by commit stamp."""
+        import json
+
+        from druid_hadoop_utils_spark.sources.segments import _parse_as_of
+
+        out = []
+        for name in self._fs.ls(self._dir):
+            if name.startswith("batch-") and name.endswith(".json"):
+                out.append(json.loads(self._fs.read_text(
+                    self._fs.join(self._dir, name))))
+        out.sort(key=lambda e: _parse_as_of(e["committedAt"]))
+        return out
+
+    def latest(self):
+        """The newest committed entry (by commit stamp), or None."""
+        es = self.entries()
+        return es[-1] if es else None
+
+    def prune(self, keep: int = 64) -> int:
+        """Drop all but the newest ``keep`` entries; returns how many
+        were removed. Safe once the Spark checkpoint is durably past
+        them (a replay can only ever re-deliver the LAST unfinished
+        batch, never ones the checkpoint already covers)."""
+        es = self.entries()
+        drop = es[:-keep] if keep > 0 else es
+        for e in drop:
+            self._fs.delete_file(self._entry(e["from"], e["to"]))
+        return len(drop)
+
+
 class SegmentAnnounceStreamReader(SimpleDataSourceStreamReader):
     """Driver-side reader: offsets are ``{"asOf": <publish stamp>}``.
 
