@@ -636,7 +636,8 @@ def auto_compact(
     rewritten through ``compact_segments`` (new version, atomic flip;
     stats/blooms carried automatically). Returns the ISO intervals
     flagged and compacted (or, with ``dry_run=True``, the ones that
-    WOULD be).
+    WOULD be; ``compaction_plan`` additionally previews the coalesced
+    rewrite JOBS).
 
     ADJACENT (or overlapping) flagged intervals coalesce into ONE
     rewrite job over their contiguous span (round 14): a 1000-day
@@ -679,6 +680,46 @@ def auto_compact(
         if n > compact_manifests_over:
             compact_manifests(table_root, data_source)
     return intervals
+
+
+def compaction_plan(
+    table_root: str,
+    data_source: str,
+    *,
+    max_files_per_segment: int = 4,
+    min_file_bytes: int = 16 * 1024 * 1024,
+    max_buckets_per_job: int = 32,
+) -> dict:
+    """What ``auto_compact`` WOULD do, as the operator-facing preview
+    (NOTES r14 item 5): the advisor's flagged candidates, their
+    distinct intervals, and — the part ``dry_run`` alone doesn't show —
+    the coalesced SPANS, i.e. the actual rewrite jobs with their
+    flagged-member counts. Read-only, driver-side metadata only, no
+    lease. Keys:
+
+    - ``flagged``: the raw ``compaction_candidates`` rows (reasons,
+      file counts, bytes);
+    - ``intervals``: the distinct flagged ISO intervals (what
+      ``auto_compact(dry_run=True)`` returns);
+    - ``jobs``: one entry per coalesced rewrite job —
+      ``{"span": iso, "flagged_members": n}`` — under the same
+      ``max_buckets_per_job`` geometry the real run uses, so an
+      operator sizing a backlog drain sees the REAL job count (2 jobs
+      for a 30-day contiguous backlog at the default cap, not 30).
+    """
+    flagged = compaction_candidates(
+        table_root, data_source,
+        max_files_per_segment=max_files_per_segment,
+        min_file_bytes=min_file_bytes,
+    )
+    intervals = sorted({c["interval"] for c in flagged})
+    ivs = [Interval.parse(s) for s in intervals]
+    jobs = []
+    for span in _coalesce_spans(intervals, max_buckets_per_job):
+        members = sum(1 for iv in ivs
+                      if span.start <= iv.start and iv.end <= span.end)
+        jobs.append({"span": str(span), "flagged_members": members})
+    return {"flagged": flagged, "intervals": intervals, "jobs": jobs}
 
 
 def _coalesce_spans(intervals: list[str],

@@ -220,6 +220,50 @@ class TestCoalesceSpansOverlap:
 
 
 # ---------------------------------------------------------------------
+# 2b. compaction_plan: the dry-run span preview
+# ---------------------------------------------------------------------
+
+
+class TestCompactionPlan:
+    def test_preview_matches_real_run_geometry(self, spark, tmp_path):
+        import glob as _glob
+        import shutil as _shutil
+
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            auto_compact,
+            compaction_plan,
+        )
+
+        root = str(tmp_path / "tbl")
+        rows = [Row(__time=datetime(2024, 1, 1 + d, h), k=d * 10 + h,
+                    v=float(h)) for d in range(4) for h in range(3)]
+        publish_segments(spark.createDataFrame(rows), root, "ev",
+                         version="v1", bucket="DAY", published_at=T1)
+        # fragment every day segment so the advisor flags all four
+        for seg in _glob.glob(f"{root}/ev/2024*/v=v1/shard=0/*.parquet"):
+            for i in range(6):
+                _shutil.copy(seg,
+                             seg.replace("part-", f"extra{i}-part-"))
+
+        plan = compaction_plan(root, "ev", min_file_bytes=1024 * 1024,
+                               max_buckets_per_job=2)
+        assert len(plan["intervals"]) == 4
+        assert len(plan["flagged"]) == 4
+        # 4 contiguous days at cap 2 -> 2 jobs of 2 members each
+        assert [j["flagged_members"] for j in plan["jobs"]] == [2, 2]
+        # preview intervals == what auto_compact(dry_run) returns
+        assert plan["intervals"] == auto_compact(
+            spark, root, "ev", min_file_bytes=1024 * 1024, dry_run=True)
+        # and the real run compacts exactly the previewed intervals
+        done = auto_compact(spark, root, "ev",
+                            min_file_bytes=1024 * 1024,
+                            max_buckets_per_job=2)
+        assert done == plan["intervals"]
+        after = compaction_plan(root, "ev", min_file_bytes=1024 * 1024)
+        assert after["jobs"] == [] and after["intervals"] == []
+
+
+# ---------------------------------------------------------------------
 # 3. _consumer_gauge on a pre-stamp table
 # ---------------------------------------------------------------------
 
