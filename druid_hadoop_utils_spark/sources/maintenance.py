@@ -631,6 +631,7 @@ def auto_compact(
     dry_run: bool = False,
     compact_manifests_over: int | None = 256,
     max_buckets_per_job: int = 32,
+    target_file_bytes: int | None = None,
 ) -> list[str]:
     """Apply the auto-compaction advisor: every flagged interval is
     rewritten through ``compact_segments`` (new version, atomic flip;
@@ -638,6 +639,17 @@ def auto_compact(
     flagged and compacted (or, with ``dry_run=True``, the ones that
     WOULD be; ``compaction_plan`` additionally previews the coalesced
     rewrite JOBS).
+
+    ``target_file_bytes`` sizes each job's output BY BYTES instead of
+    the fixed ``files_per_bucket``: per span, files_per_bucket =
+    ceil(mean flagged bytes per bucket / target). This is the knob
+    that matters at 100 TB — a day bucket holding 300 GB must not
+    collapse to ONE file (one write task, one read split, no
+    parallelism downstream); at target 512 MB it becomes ~600 files.
+    The estimate comes from the advisor's own measured per-segment
+    listing (flagged bytes only — co-bucket unflagged data adds to the
+    true size, so treat the target as a sizing knob, not a ceiling)
+    and is clamped to [1, 4096] per bucket.
 
     ADJACENT (or overlapping) flagged intervals coalesce into ONE
     rewrite job over their contiguous span (round 14): a 1000-day
@@ -665,8 +677,10 @@ def auto_compact(
     if dry_run:
         return intervals
     for span in _coalesce_spans(intervals, max_buckets_per_job):
+        fpb = (_span_files_per_bucket(span, flagged, target_file_bytes)
+               if target_file_bytes else files_per_bucket)
         compact_segments(spark, table_root, data_source, span,
-                         bucket=bucket, files_per_bucket=files_per_bucket)
+                         bucket=bucket, files_per_bucket=fpb)
     if compact_manifests_over is not None:
         from druid_hadoop_utils_spark.sources.fs import get_fs
         from druid_hadoop_utils_spark.sources.segments import (
@@ -682,6 +696,26 @@ def auto_compact(
     return intervals
 
 
+def _span_files_per_bucket(span: Interval, flagged: list[dict],
+                           target_file_bytes: int) -> int:
+    """Byte-targeted output sizing for one coalesced rewrite job: mean
+    flagged bytes per distinct bucket in the span, divided by the
+    target, clamped to [1, 4096]. Uses the advisor's already-measured
+    listing — no extra filesystem round-trips."""
+    import math
+
+    by_iv: dict[str, int] = {}
+    for c in flagged:
+        iv = Interval.parse(c["interval"])
+        if span.start <= iv.start and iv.end <= span.end:
+            by_iv[c["interval"]] = (by_iv.get(c["interval"], 0)
+                                    + int(c["total_bytes"]))
+    if not by_iv:
+        return 1
+    mean = sum(by_iv.values()) / len(by_iv)
+    return max(1, min(4096, math.ceil(mean / target_file_bytes)))
+
+
 def compaction_plan(
     table_root: str,
     data_source: str,
@@ -689,6 +723,7 @@ def compaction_plan(
     max_files_per_segment: int = 4,
     min_file_bytes: int = 16 * 1024 * 1024,
     max_buckets_per_job: int = 32,
+    target_file_bytes: int | None = None,
 ) -> dict:
     """What ``auto_compact`` WOULD do, as the operator-facing preview
     (NOTES r14 item 5): the advisor's flagged candidates, their
@@ -702,10 +737,13 @@ def compaction_plan(
     - ``intervals``: the distinct flagged ISO intervals (what
       ``auto_compact(dry_run=True)`` returns);
     - ``jobs``: one entry per coalesced rewrite job —
-      ``{"span": iso, "flagged_members": n}`` — under the same
-      ``max_buckets_per_job`` geometry the real run uses, so an
-      operator sizing a backlog drain sees the REAL job count (2 jobs
-      for a 30-day contiguous backlog at the default cap, not 30).
+      ``{"span": iso, "flagged_members": n, "files_per_bucket": f}`` —
+      under the same ``max_buckets_per_job`` geometry the real run
+      uses, so an operator sizing a backlog drain sees the REAL job
+      count (2 jobs for a 30-day contiguous backlog at the default
+      cap, not 30). ``files_per_bucket`` is the byte-targeted sizing
+      the run would apply when ``target_file_bytes`` is set (None
+      otherwise — the caller's fixed value applies).
     """
     flagged = compaction_candidates(
         table_root, data_source,
@@ -718,7 +756,13 @@ def compaction_plan(
     for span in _coalesce_spans(intervals, max_buckets_per_job):
         members = sum(1 for iv in ivs
                       if span.start <= iv.start and iv.end <= span.end)
-        jobs.append({"span": str(span), "flagged_members": members})
+        jobs.append({
+            "span": str(span),
+            "flagged_members": members,
+            "files_per_bucket": (
+                _span_files_per_bucket(span, flagged, target_file_bytes)
+                if target_file_bytes else None),
+        })
     return {"flagged": flagged, "intervals": intervals, "jobs": jobs}
 
 
@@ -866,6 +910,7 @@ def maintain_table(
     retain_history_s: float = 0.0,
     materialized_min_age_s: float = 6 * 3600,
     strict: bool = True,
+    target_file_bytes: int | None = None,
 ) -> dict:
     """The whole maintenance cron in ONE call — what an operator
     schedules per table instead of wiring five sweeps by hand:
@@ -935,7 +980,8 @@ def maintain_table(
         max_files_per_segment=max_files_per_segment,
         min_file_bytes=min_file_bytes, bucket=bucket,
         files_per_bucket=files_per_bucket,
-        compact_manifests_over=compact_manifests_over))
+        compact_manifests_over=compact_manifests_over,
+        target_file_bytes=target_file_bytes))
     report["compacted"] = out or []
     # retention floors at the SLOWEST registered consumer (round 13):
     # vacuuming past a lagging consumer's checkpoint destroys the view

@@ -262,6 +262,88 @@ class TestCompactionPlan:
         after = compaction_plan(root, "ev", min_file_bytes=1024 * 1024)
         assert after["jobs"] == [] and after["intervals"] == []
 
+    def test_byte_targeted_output_sizing(self, spark, tmp_path):
+        """The 100 TB knob: target_file_bytes sizes each job's output
+        by measured bytes instead of a fixed files_per_bucket — a huge
+        bucket must not collapse to one file (one write task, one read
+        split). Pinned: plan sizing == ceil(mean flagged bytes per
+        bucket / target), the real run emits that many files per
+        bucket, rows survive, and a generous target still yields 1."""
+        import glob as _glob
+        import math
+        import shutil as _shutil
+
+        from druid_hadoop_utils_spark import load
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            auto_compact,
+            compaction_plan,
+        )
+
+        root = str(tmp_path / "tbl")
+        rows = [Row(__time=datetime(2024, 1, 1 + d, h % 24, m),
+                    k=d * 1000 + h * 60 + m, v=float(m))
+                for d in range(2) for h in range(5) for m in range(10)]
+        publish_segments(spark.createDataFrame(rows), root, "ev",
+                         version="v1", bucket="DAY", published_at=T1)
+        for seg in _glob.glob(f"{root}/ev/2024*/v=v1/shard=0/*.parquet"):
+            for i in range(6):
+                _shutil.copy(seg,
+                             seg.replace("part-", f"extra{i}-part-"))
+
+        spec = {"granularity": "NONE", "dimensions": [],
+                "metrics": [{"name": "v", "type": "double"}]}
+        before = load(spark, root, spec, interval="2024-01-01/2024-02-01",
+                      data_source="ev").count()
+
+        plan = compaction_plan(root, "ev", min_file_bytes=1024 * 1024)
+        mean = sum(c["total_bytes"] for c in plan["flagged"]) / len(
+            plan["intervals"])
+        target = int(mean // 6) + 1   # expect 6 files per bucket
+        sized = compaction_plan(root, "ev", min_file_bytes=1024 * 1024,
+                                target_file_bytes=target)
+        want = math.ceil(mean / target)
+        assert want >= 4
+        assert all(j["files_per_bucket"] == want for j in sized["jobs"])
+        # without a target the preview leaves sizing to the caller
+        assert all(j["files_per_bucket"] is None for j in plan["jobs"])
+
+        # AQE coalesces the tiny per-salt shuffle partitions of a
+        # test-sized table back into one file (its advisory partition
+        # size dwarfs them); at the scale the knob exists for, each
+        # (bucket, salt) partition exceeds the advisory size and
+        # survives. Disable AQE here so the salt fan-out is observable.
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            auto_compact(spark, root, "ev", min_file_bytes=1024 * 1024,
+                         target_file_bytes=target)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        day_dirs = {p.rsplit("/", 3)[0]
+                    for p in _glob.glob(
+                        f"{root}/ev/2024*/v=z*compact*/shard=0/*.parquet")}
+        for d in _glob.glob(f"{root}/ev/2024*"):
+            files = _glob.glob(f"{d}/v=z*compact*/shard=0/*.parquet")
+            # files_per_bucket is an UPPER bound (test_maintenance.py
+            # precedent): distinct salts can hash-collide into one
+            # shuffle partition, so pin a band, not equality
+            assert want // 2 <= len(files) <= want, (d, files)
+        assert day_dirs, "compaction must have produced a new version"
+        after = load(spark, root, spec, interval="2024-01-01/2024-02-01",
+                     data_source="ev").count()
+        assert after == before
+
+        # generous target: one file per bucket again (fresh fragments)
+        for seg in _glob.glob(
+                f"{root}/ev/2024*/v=z*compact*/shard=0/*.parquet"):
+            for i in range(6):
+                _shutil.copy(seg,
+                             seg.replace("part-", f"x{i}-part-"))
+        plan2 = compaction_plan(root, "ev", min_file_bytes=1024 * 1024,
+                                target_file_bytes=1 << 40)
+        assert plan2["jobs"] and all(
+            j["files_per_bucket"] == 1 for j in plan2["jobs"])
+
 
 # ---------------------------------------------------------------------
 # 3. _consumer_gauge on a pre-stamp table
