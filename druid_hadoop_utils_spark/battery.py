@@ -3189,6 +3189,44 @@ def q_table_changes_physical(spark, sf_dir):
         F.round(F.sum(F.col("value") * F.col("_n")), 3).alias("sum_v"))
 
 
+@register(
+    "q_table_changes_projected",
+    _DML_ORACLE_CTE + """
+    , pbase AS (SELECT event_type, user_id FROM base),
+    pfinal AS (SELECT event_type, user_id FROM final),
+    ins AS (SELECT * FROM pfinal EXCEPT ALL SELECT * FROM pbase),
+    dels AS (SELECT * FROM pbase EXCEPT ALL SELECT * FROM pfinal),
+    changes AS (
+      SELECT 'insert' AS change_type, * FROM ins
+      UNION ALL
+      SELECT 'delete' AS change_type, * FROM dels)
+    SELECT change_type, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM changes GROUP BY change_type, event_type""",
+)
+def q_table_changes_projected(spark, sf_dir):
+    # COLUMN-PROJECTED change feed (round 15): net by the (event_type,
+    # user_id) projection only — the consumer-of-2-columns-out-of-50
+    # path where the projection reaches the parquet scan (value/
+    # event_id bytes never read; test_round15_fixes pins ReadSchema)
+    # and changes that only touch unprojected columns net away: the
+    # UPDATE's value-doubling vanishes here (same projected row on both
+    # sides) while the merge's corrections/backfill and the DELETE
+    # remain. The oracle computes the projected multiset diff
+    # relationally (EXCEPT ALL both ways over the SAME projection), so
+    # the hash check pins projected-netting semantics end to end.
+    from druid_hadoop_utils_spark.sources.changes import read_changes
+
+    root = _dml_table(spark, sf_dir)
+    feed = read_changes(spark, root, "events", _DML_T1,
+                        columns=["event_type", "user_id"])
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type").agg(
+        F.sum("_n").alias("n"),
+        F.countDistinct("user_id").alias("n_users"))
+
+
 _MATERIALIZED_CACHE: dict[str, str] = {}
 
 
@@ -5338,6 +5376,8 @@ _DRIVER_PRIORITY = [
     # their one-per-round turn); the ~50 cap truncates the r12 tail
     # (q_time_travel onward fronts in r16). Recomputed each round from
     # CORRECTNESS_r01..rNN (NOTES.md).
+    # NEW in r15 (never driver-checked) — first:
+    "q_table_changes_projected",
     # the 12 hash-checkable r11-stale entries:
     "q_rank_quantiles_cont", "q_scan_interval_project",
     "q_segment_table_load", "q_sessionize", "q_similarity_ivf_topk",

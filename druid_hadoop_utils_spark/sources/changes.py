@@ -149,9 +149,20 @@ def _read_side(spark: SparkSession, plan: dict, side: str) -> DataFrame | None:
         CHANGE_TYPE_COL, F.lit("insert" if side == "insert" else "delete"))
 
 
+def _feed_projection(available: list[str], columns: list[str]) -> list[str]:
+    """Validate a feed projection against the table's columns — loud on
+    a miss so a typo can't silently produce an all-NULL netting key."""
+    missing = [c for c in columns if c not in available]
+    if missing:
+        raise ValueError(
+            f"columns {missing} not in table columns {sorted(available)}")
+    return list(columns)
+
+
 def read_changes(spark: SparkSession, table_root: str, data_source: str,
                  as_of_a, as_of_b=None, *,
-                 mode: str = "logical") -> DataFrame:
+                 mode: str = "logical",
+                 columns: list[str] | None = None) -> DataFrame:
     """Rows gained/lost between view A and view B of a managed table,
     as a DataFrame of the table's columns plus ``_change_type``
     ('insert' | 'delete') and ``_n`` (multiset count). Views are
@@ -180,9 +191,31 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
     physically identical old-schema rows still cancel). The caught-up
     EMPTY feed probes the newest announced segment's footer, so its
     schema also carries every evolved column.
+
+    ``columns`` projects the feed to just those table columns BEFORE
+    netting — the 100 TB knob for a consumer of 2 columns out of 50:
+    the projection reaches the parquet scan (only those columns' bytes
+    are read; ``__time`` still prunes as a pushed predicate without
+    being read), and logical mode nets by the PROJECTED row multiset.
+    Projected-netting semantics: a change that only touches columns
+    OUTSIDE the projection nets to an EMPTY feed — exactly "nothing I
+    care about changed". This is sound against the changed-windows
+    restriction because an unchanged window contributes identical
+    projected multisets to both sides (zero net), so the per-changed-
+    window net equals the global projected net. Projecting AWAY a map
+    column also lifts logical mode's MapType netting refusal — net on
+    the groupable columns you kept.
     """
     if mode not in ("logical", "physical"):
         raise ValueError(f"mode must be 'logical' or 'physical', not {mode!r}")
+    if columns is not None:
+        bad = [c for c in columns
+               if c in (CHANGE_TYPE_COL, CHANGE_COUNT_COL)]
+        if bad or not columns:
+            raise ValueError(
+                f"columns must name table columns only (got {columns!r}; "
+                f"{CHANGE_TYPE_COL}/{CHANGE_COUNT_COL} are added by the "
+                "feed)")
     plan = changed_windows(table_root, data_source, as_of_a, as_of_b)
     ins = _read_side(spark, plan, "insert")
     del_ = _read_side(spark, plan, "delete")
@@ -217,6 +250,8 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
             ),
         ).manifest.path
         probe = spark.read.parquet(newest).limit(0)
+        if columns is not None:
+            probe = probe.select(*_feed_projection(probe.columns, columns))
         return (probe
                 .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                 .withColumn(CHANGE_COUNT_COL, F.lit(1).cast("long"))
@@ -225,6 +260,10 @@ def read_changes(spark: SparkSession, table_root: str, data_source: str,
     both = ins if del_ is None else (
         del_ if ins is None else ins.unionByName(
             del_, allowMissingColumns=True))
+    if columns is not None:
+        data = [c for c in both.columns if c != CHANGE_TYPE_COL]
+        both = both.select(*_feed_projection(data, columns),
+                           CHANGE_TYPE_COL)
     if mode == "physical":
         return both.withColumn(CHANGE_COUNT_COL, F.lit(1).cast("long"))
 
@@ -349,7 +388,9 @@ def consumer_lag(table_root: str, data_source: str,
 
 def consume_changes(spark: SparkSession, table_root: str,
                     data_source: str, checkpoint_path: str, *,
-                    mode: str = "logical") -> tuple[DataFrame, str]:
+                    mode: str = "logical",
+                    columns: list[str] | None = None
+                    ) -> tuple[DataFrame, str]:
     """Incremental-consumption step: everything that changed since the
     last committed checkpoint, plus the token to commit once processed.
 
@@ -374,7 +415,7 @@ def consume_changes(spark: SparkSession, table_root: str,
     last = read_checkpoint(checkpoint_path)
     feed = read_changes(spark, table_root, data_source,
                         GENESIS if last is None else last, token,
-                        mode=mode)
+                        mode=mode, columns=columns)
     return feed, token
 
 

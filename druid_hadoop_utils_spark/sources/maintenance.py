@@ -916,7 +916,9 @@ def maintain_table(
     schedules per table instead of wiring five sweeps by hand:
 
     1. ``auto_compact`` — advisor-flagged intervals rewritten, manifest
-       files folded into a snapshot past ``compact_manifests_over``.
+       files folded into a snapshot past ``compact_manifests_over``;
+       ``target_file_bytes`` switches output sizing from the fixed
+       ``files_per_bucket`` to byte-targeted (see ``auto_compact``).
     2. ``vacuum`` — fully-overshadowed segments and staged orphans
        reclaimed (the timeline version settles HERE, which is why the
        derived-state steps run after it). The cutoff FLOORS at the

@@ -331,6 +331,7 @@ def stream_changes_foreach(
     checkpoint_dir: str,
     consumer_name: str | None = None,
     mode: str = "logical",
+    columns: list[str] | None = None,
     available_now: bool = False,
     processing_time: str | None = None,
 ):
@@ -352,8 +353,11 @@ def stream_changes_foreach(
     below the vacuum horizon is skipped iff the registered consumer
     checkpoint already reads >= the batch's TO stamp (proof the batch
     completed before the crash); otherwise the below-horizon error
-    propagates — the consumer genuinely fell too far behind. Returns
-    the started StreamingQuery.
+    propagates — the consumer genuinely fell too far behind.
+    ``columns`` projects the feed before netting (``read_changes``
+    semantics: only those columns' bytes are scanned; changes outside
+    the projection net to empty batch feeds). Returns the started
+    StreamingQuery.
 
     ``available_now`` note: Spark's Python micro-batch bridge doesn't
     implement SupportsTriggerAvailableNow and logs a "falling back to
@@ -381,7 +385,7 @@ def stream_changes_foreach(
         b = max((r["published_at"] for r in rows), key=_parse_as_of)
         try:
             feed = read_changes(spark, table_root, data_source, a, b,
-                                mode=mode)
+                                mode=mode, columns=columns)
         except ValueError as e:
             # Replay-safety window (ADVICE r14): the in-band registry
             # commit below advances the vacuum floor to b BEFORE Spark

@@ -346,6 +346,121 @@ class TestCompactionPlan:
 
 
 # ---------------------------------------------------------------------
+# 2c. column-projected change feed
+# ---------------------------------------------------------------------
+
+
+class TestProjectedChangeFeed:
+    def _table(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        rows = [Row(__time=datetime(2024, 1, 1 + i % 3, i % 4),
+                    doc_id=i, lang="en" if i % 2 else "de",
+                    text="lorem ipsum " * 50 + str(i),
+                    score=float(i)) for i in range(12)]
+        publish_segments(spark.createDataFrame(rows), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        return root
+
+    def test_unprojected_change_nets_to_empty(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        # UPDATE touches only `score` — outside the projection
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"},
+                     set={"score": "score + 100"})
+        feed = read_changes(spark, root, "docs", T1,
+                            columns=["doc_id", "lang"])
+        assert feed.columns == ["doc_id", "lang", "_change_type", "_n"]
+        assert feed.count() == 0
+        # the full feed is NOT empty — the projection is what nets it
+        assert read_changes(spark, root, "docs", T1).count() > 0
+
+    def test_projected_net_equals_relational_diff(self, spark,
+                                                  tmp_path):
+        from druid_hadoop_utils_spark import load
+
+        root = self._table(spark, tmp_path)
+        spec = {"granularity": "NONE",
+                "dimensions": ["doc_id", "lang", "text"],
+                "metrics": [{"name": "score", "type": "double"}]}
+        iv = "2024-01-01/2024-02-01"
+        base = load(spark, root, spec, interval=iv,
+                    data_source="docs").select("lang", "score")
+        update_where(spark, root, "docs",
+                     {"type": "bound", "dimension": "doc_id",
+                      "lower": "8", "ordering": "numeric"},
+                     set={"score": "score * 10"})
+        final = load(spark, root, spec, interval=iv,
+                     data_source="docs").select("lang", "score")
+
+        feed = read_changes(spark, root, "docs", T1,
+                            columns=["lang", "score"])
+        got = sorted(
+            (r["lang"], r["score"], r["_change_type"], r["_n"])
+            for r in feed.collect())
+        ins = final.exceptAll(base).groupBy("lang", "score").count()
+        dels = base.exceptAll(final).groupBy("lang", "score").count()
+        want = sorted(
+            [(r["lang"], r["score"], "insert", r["count"])
+             for r in ins.collect()]
+            + [(r["lang"], r["score"], "delete", r["count"])
+               for r in dels.collect()])
+        assert got == want and got
+
+    def test_projection_reaches_the_scan(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"},
+                     set={"score": "score + 1"})
+        feed = read_changes(spark, root, "docs", T1,
+                            columns=["doc_id", "score"])
+        plan = feed._jdf.queryExecution().executedPlan().toString()
+        schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert schemas
+        # the fat text column and lang must never be read
+        assert all("text" not in ln and "lang" not in ln
+                   for ln in schemas), schemas
+
+    def test_projecting_away_map_lifts_netting_refusal(self, spark,
+                                                       tmp_path):
+        root = str(tmp_path / "tbl")
+        rows = [Row(__time=datetime(2024, 1, 1 + i % 2), doc_id=i,
+                    props={"k": str(i)}) for i in range(6)]
+        publish_segments(spark.createDataFrame(rows), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        update_where(spark, root, "docs",
+                     {"type": "bound", "dimension": "doc_id",
+                      "lower": "4", "ordering": "numeric"},
+                     set={"doc_id": "doc_id + 100"})
+        with pytest.raises(ValueError, match="map columns"):
+            read_changes(spark, root, "docs", T1).count()
+        feed = read_changes(spark, root, "docs", T1,
+                            columns=["doc_id"])
+        got = {(r["doc_id"], r["_change_type"]) for r in feed.collect()}
+        assert got == {(4, "delete"), (5, "delete"),
+                       (104, "insert"), (105, "insert")}
+
+    def test_projection_validation(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="not in table columns"):
+            read_changes(spark, root, "docs", T1, columns=["nope"])
+        with pytest.raises(ValueError, match="added by the feed"):
+            read_changes(spark, root, "docs", T1,
+                         columns=["_change_type"])
+        with pytest.raises(ValueError, match="table columns only"):
+            read_changes(spark, root, "docs", T1, columns=[])
+
+    def test_caught_up_empty_feed_carries_projection(self, spark,
+                                                     tmp_path):
+        root = self._table(spark, tmp_path)
+        feed = read_changes(spark, root, "docs", T1, T1,
+                            columns=["doc_id", "lang"])
+        assert feed.columns == ["doc_id", "lang", "_change_type", "_n"]
+        assert feed.count() == 0
+
+
+# ---------------------------------------------------------------------
 # 3. _consumer_gauge on a pre-stamp table
 # ---------------------------------------------------------------------
 
