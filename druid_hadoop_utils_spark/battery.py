@@ -5347,18 +5347,20 @@ def q_cohort_retention(spark, sf_dir):
 #: battery entries that are rows-only BY DESIGN (no oracle_sql — DuckDB
 #: can't decode media / replay iterative BPE / re-derive sketch-state
 #: internals; each has a pytest pinning what the oracle can't check).
-#: The driver-priority rotation interleaves these at MOST ONE per
-#: ~50-query driver sample (VERDICT r14 "what's wrong" item 1): r14's
-#: recompute fronted three at once, so the driver artifact read 47/50
-#: with 3 designed errs on unchanged green code — a presentation
-#: regression this guard (pinned in tests/test_driver_priority.py)
-#: makes impossible.
-_ROWS_ONLY = frozenset({
-    "q_media_features", "q_media_resize", "q_media_segment_roundtrip",
-    "q_bpe_encode", "q_similarity_lsh_topk_prod",
-    "q_similarity_pq_topk_prod", "q_similarity_ivf_topk_prod",
-    "q_kll_quantiles_prod", "q_kll_state_reagg",
-})
+#: DERIVED from the registrations (single source of truth — an
+#: environment-dependent entry like q_media_stats, registered only when
+#: a media table exists, is picked up automatically). The
+#: driver-priority rotation interleaves these at MOST ONE per ~50-query
+#: driver sample (VERDICT r14 "what's wrong" item 1): r14's recompute
+#: fronted three at once, so the driver artifact read 47/50 with 3
+#: designed errs on unchanged green code — a presentation regression
+#: this guard (pinned in tests/test_driver_priority.py) makes
+#: impossible. The stable members (always registered):
+#: q_media_features, q_media_resize, q_media_segment_roundtrip,
+#: q_bpe_encode, q_similarity_{lsh,pq,ivf}_topk_prod,
+#: q_kll_quantiles_prod, q_kll_state_reagg.
+_ROWS_ONLY = frozenset(
+    n for n, (_fn, _sql) in QUERIES.items() if _sql is None)
 
 _DRIVER_PRIORITY = [
     # round-15 rotation: recomputed from CORRECTNESS_r01..r14 —

@@ -156,6 +156,11 @@ def _feed_projection(available: list[str], columns: list[str]) -> list[str]:
     if missing:
         raise ValueError(
             f"columns {missing} not in table columns {sorted(available)}")
+    if len(set(columns)) != len(columns):
+        dupes = sorted({c for c in columns if columns.count(c) > 1})
+        raise ValueError(
+            f"duplicate columns in projection: {dupes} (the netting "
+            "aggregate groups by each projected column once)")
     return list(columns)
 
 
@@ -446,6 +451,22 @@ def _valid_consumer_name(name: str) -> bool:
     return bool(name) and "/" not in name and not name.startswith("_")
 
 
+def registered_consumer_names(table_root: str,
+                              data_source: str) -> list[str]:
+    """Sorted names of every REGISTERED consumer checkpoint — ONE
+    directory listing filtered by the registry's name rules. The single
+    source of truth for 'who is registered': ``list_consumers`` and
+    ``maintenance._consumer_gauge`` both read it, so a naming-rule
+    change can never make the dashboard and the lag listing disagree."""
+    from druid_hadoop_utils_spark.sources.fs import get_fs
+
+    fs = get_fs(table_root)
+    cdir = fs.join(table_root, data_source, "_consumers")
+    return sorted(e[:-len(".json")] for e in fs.ls(cdir)
+                  if e.endswith(".json")
+                  and _valid_consumer_name(e[:-len(".json")]))
+
+
 def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
     """``consumer_lag`` for every REGISTERED consumer checkpoint
     (``consumer_checkpoint_path``) — ONE manifest listing shared across
@@ -478,9 +499,7 @@ def list_consumers(table_root: str, data_source: str) -> dict[str, dict]:
 
     fs = get_fs(table_root)
     cdir = fs.join(table_root, data_source, "_consumers")
-    names = sorted(e[:-len(".json")] for e in fs.ls(cdir)
-                   if e.endswith(".json")
-                   and _valid_consumer_name(e[:-len(".json")]))
+    names = registered_consumer_names(table_root, data_source)
     if not names:
         return {}
     stamps = [m.published_at

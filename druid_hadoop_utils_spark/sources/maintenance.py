@@ -668,19 +668,24 @@ def auto_compact(
     ``compact_manifests_over`` metadata files, the sweep also folds them
     into one snapshot (``segments.compact_manifests``) so planning stays
     one metadata read at object-store scale; None disables."""
-    flagged = compaction_candidates(
+    # ONE plan builder for preview and run: the dry-run list, the jobs
+    # the operator previewed, and the jobs this call submits can never
+    # drift (they are the same compaction_plan output).
+    plan = compaction_plan(
         table_root, data_source,
         max_files_per_segment=max_files_per_segment,
         min_file_bytes=min_file_bytes,
+        max_buckets_per_job=max_buckets_per_job,
+        bucket=bucket, target_file_bytes=target_file_bytes,
     )
-    intervals = sorted({c["interval"] for c in flagged})
+    intervals = plan["intervals"]
     if dry_run:
         return intervals
-    for span in _coalesce_spans(intervals, max_buckets_per_job):
-        fpb = (_span_files_per_bucket(span, flagged, target_file_bytes)
-               if target_file_bytes else files_per_bucket)
-        compact_segments(spark, table_root, data_source, span,
-                         bucket=bucket, files_per_bucket=fpb)
+    for job in plan["jobs"]:
+        compact_segments(spark, table_root, data_source, job["span"],
+                         bucket=bucket,
+                         files_per_bucket=(job["files_per_bucket"]
+                                           or files_per_bucket))
     if compact_manifests_over is not None:
         from druid_hadoop_utils_spark.sources.fs import get_fs
         from druid_hadoop_utils_spark.sources.segments import (
@@ -696,23 +701,59 @@ def auto_compact(
     return intervals
 
 
+def _bucket_count(span: Interval, bucket: str) -> int:
+    """How many OUTPUT buckets of ``bucket`` granularity the rewrite of
+    ``span`` produces (UTC-pinned truncation, same convention as
+    ``granularity_expr``). Rewrites only emit buckets holding rows, so
+    this is an upper bound — the right denominator for mean-bytes
+    sizing."""
+    from datetime import timedelta
+
+    s, e = span.start, span.end
+    if bucket == "HOUR":
+        s = s.replace(minute=0, second=0, microsecond=0)
+        n = 0
+        while s < e:
+            n += 1
+            s += timedelta(hours=1)
+        return n
+    if bucket == "DAY":
+        s = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        n = 0
+        while s < e:
+            n += 1
+            s += timedelta(days=1)
+        return n
+    if bucket == "MONTH":
+        n = (e.year - s.year) * 12 + (e.month - s.month)
+        # a partial trailing month (or a sub-month span) still emits one
+        if (e.day, e.hour, e.minute, e.second, e.microsecond) != (
+                1, 0, 0, 0, 0) or n == 0:
+            n += 1
+        return n
+    raise ValueError(f"unsupported bucket granularity: {bucket!r}")
+
+
 def _span_files_per_bucket(span: Interval, flagged: list[dict],
-                           target_file_bytes: int) -> int:
-    """Byte-targeted output sizing for one coalesced rewrite job: mean
-    flagged bytes per distinct bucket in the span, divided by the
-    target, clamped to [1, 4096]. Uses the advisor's already-measured
+                           target_file_bytes: int, bucket: str) -> int:
+    """Byte-targeted output sizing for one coalesced rewrite job: total
+    flagged bytes in the span divided by the number of OUTPUT buckets
+    the rewrite produces at ``bucket`` granularity, divided by the
+    target, clamped to [1, 4096]. Keying on output buckets (not
+    flagged-interval count) keeps the sizing right when advisor
+    granularity differs from the rewrite granularity — 30 flagged DAY
+    segments re-bucketed at MONTH size the ONE month bucket by their
+    summed bytes; one flagged MONTH segment re-bucketed at DAY spreads
+    its bytes over ~30 day buckets. Uses the advisor's already-measured
     listing — no extra filesystem round-trips."""
     import math
 
-    by_iv: dict[str, int] = {}
-    for c in flagged:
-        iv = Interval.parse(c["interval"])
-        if span.start <= iv.start and iv.end <= span.end:
-            by_iv[c["interval"]] = (by_iv.get(c["interval"], 0)
-                                    + int(c["total_bytes"]))
-    if not by_iv:
+    total = sum(int(c["total_bytes"]) for c in flagged
+                if span.start <= Interval.parse(c["interval"]).start
+                and Interval.parse(c["interval"]).end <= span.end)
+    if total <= 0:
         return 1
-    mean = sum(by_iv.values()) / len(by_iv)
+    mean = total / _bucket_count(span, bucket)
     return max(1, min(4096, math.ceil(mean / target_file_bytes)))
 
 
@@ -723,6 +764,7 @@ def compaction_plan(
     max_files_per_segment: int = 4,
     min_file_bytes: int = 16 * 1024 * 1024,
     max_buckets_per_job: int = 32,
+    bucket: str = "DAY",
     target_file_bytes: int | None = None,
 ) -> dict:
     """What ``auto_compact`` WOULD do, as the operator-facing preview
@@ -743,7 +785,12 @@ def compaction_plan(
       count (2 jobs for a 30-day contiguous backlog at the default
       cap, not 30). ``files_per_bucket`` is the byte-targeted sizing
       the run would apply when ``target_file_bytes`` is set (None
-      otherwise — the caller's fixed value applies).
+      otherwise — the caller's fixed value applies); pass the same
+      ``bucket`` granularity the run will use — the sizing denominator
+      is the span's OUTPUT bucket count at that granularity.
+
+    ``auto_compact`` executes exactly this plan (it calls this
+    function), so preview and run cannot drift.
     """
     flagged = compaction_candidates(
         table_root, data_source,
@@ -760,7 +807,8 @@ def compaction_plan(
             "span": str(span),
             "flagged_members": members,
             "files_per_bucket": (
-                _span_files_per_bucket(span, flagged, target_file_bytes)
+                _span_files_per_bucket(span, flagged, target_file_bytes,
+                                       bucket)
                 if target_file_bytes else None),
         })
     return {"flagged": flagged, "intervals": intervals, "jobs": jobs}
@@ -868,21 +916,16 @@ def _consumer_gauge(table_root: str, data_source: str) -> dict:
     except FileNotFoundError:
         # registered checkpoints but no stamped manifests (pre-stamp
         # legacy table): lag is UNDEFINED, but the consumers still
-        # EXIST — report the real registered count from the registry
-        # directory (same name rules as list_consumers) so a dashboard
-        # never reads "no consumers" on a table that has some
-        # (ADVICE r14). behind_s/slowest stay None: nothing to lag
-        # against until a stamped manifest lands.
+        # EXIST — report the real registered count (shared
+        # registered_consumer_names listing, so this can never disagree
+        # with list_consumers) rather than 0 (ADVICE r14).
+        # behind_s/slowest stay None: nothing to lag against until a
+        # stamped manifest lands.
         from druid_hadoop_utils_spark.sources.changes import (
-            _valid_consumer_name,
+            registered_consumer_names,
         )
-        from druid_hadoop_utils_spark.sources.fs import get_fs
 
-        fs = get_fs(table_root)
-        cdir = fs.join(table_root, data_source, "_consumers")
-        n = len([e for e in fs.ls(cdir)
-                 if e.endswith(".json")
-                 and _valid_consumer_name(e[:-len(".json")])])
+        n = len(registered_consumer_names(table_root, data_source))
         return {"registered": n, "slowest": None, "max_behind_s": None,
                 "errors": []}
     errors = sorted(n for n, lag in lags.items() if "error" in lag)

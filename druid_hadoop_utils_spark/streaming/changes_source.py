@@ -117,10 +117,11 @@ class BatchLedger:
     Volume class: one tiny JSON per batch — thousands per table
     lifetime, the same metadata plane as manifests. ``prune(keep)``
     drops all but the newest ``keep`` entries once the Spark checkpoint
-    is durable past them. Re-baselining a consumer (deleting its Spark
-    checkpoint to force a fresh GENESIS snapshot) must start a fresh
-    ledger dir too — the old entries describe folds over a state that
-    no longer exists.
+    is durable past them. Re-baselining a consumer (forcing a fresh
+    GENESIS snapshot: delete the Spark checkpoint dir AND the
+    registered consumer checkpoint — a named stream's replay bounds
+    clamp to the registry) must start a fresh ledger dir too — the old
+    entries describe folds over a state that no longer exists.
     """
 
     def __init__(self, ledger_dir: str) -> None:
@@ -348,16 +349,22 @@ def stream_changes_foreach(
     pair (only announce METADATA ever crosses the driver). First batch
     delivers the full snapshot as inserts (GENESIS), exactly like the
     batch loop's first run. At-least-once: a batch that fails before
-    Spark checkpoints it replays with identical bounds — make
-    ``process`` idempotent. A replay whose FROM view has since fallen
-    below the vacuum horizon is skipped iff the registered consumer
-    checkpoint already reads >= the batch's TO stamp (proof the batch
-    completed before the crash); otherwise the below-horizon error
-    propagates — the consumer genuinely fell too far behind.
-    ``columns`` projects the feed before netting (``read_changes``
-    semantics: only those columns' bytes are scanned; changes outside
-    the projection net to empty batch feeds). Returns the started
-    StreamingQuery.
+    Spark checkpoints it replays — make ``process`` idempotent
+    (``BatchLedger`` is the supported recipe). With ``consumer_name``,
+    replay bounds CLAMP to the registered checkpoint (the consumer's
+    durable progress, advanced only after ``process`` succeeds): a
+    batch the registry already covers is skipped whole, and a widened
+    replay — offset rollback plus new publishes before restart — is
+    narrowed to the unprocessed (checkpoint, to] suffix, so the stream
+    never wedges on a FROM view the vacuum legitimately reclaimed and
+    a ledger keyed on the delivered pairs never double-folds. A
+    below-horizon error surviving the clamp means the consumer
+    genuinely fell too far behind and propagates. Re-baselining a
+    NAMED stream therefore requires removing the registered checkpoint
+    too, not just the Spark checkpoint dir. ``columns`` projects the
+    feed before netting (``read_changes`` semantics: only those
+    columns' bytes are scanned; changes outside the projection net to
+    empty batch feeds). Returns the started StreamingQuery.
 
     ``available_now`` note: Spark's Python micro-batch bridge doesn't
     implement SupportsTriggerAvailableNow and logs a "falling back to
@@ -373,7 +380,11 @@ def stream_changes_foreach(
 
     def _batch(batch_df: DataFrame, _epoch: int) -> None:
         # announce rows only — metadata-sized by construction
-        from druid_hadoop_utils_spark.sources.changes import GENESIS
+        from druid_hadoop_utils_spark.sources.changes import (
+            GENESIS,
+            consumer_checkpoint_path,
+            read_checkpoint,
+        )
 
         rows = batch_df.select("from_as_of", "published_at").collect()
         if not rows:
@@ -383,34 +394,36 @@ def stream_changes_foreach(
         a = (GENESIS if GENESIS in froms
              else min(froms, key=_parse_as_of))
         b = max((r["published_at"] for r in rows), key=_parse_as_of)
-        try:
-            feed = read_changes(spark, table_root, data_source, a, b,
-                                mode=mode, columns=columns)
-        except ValueError as e:
-            # Replay-safety window (ADVICE r14): the in-band registry
-            # commit below advances the vacuum floor to b BEFORE Spark
-            # checkpoints this batch's offsets. If the driver crashes in
-            # that window and maintain_table vacuums meanwhile, the
-            # restarted query replays from offset a — but view a may now
-            # be below the vacuum horizon, so read_changes raises on
-            # every retry and the stream would wedge. The registered
-            # checkpoint is the proof of completion: if it already reads
-            # >= b, `process` succeeded for exactly this (a, b] pair
-            # before the crash — skip the batch so Spark can checkpoint
-            # it and move on. Any other below-horizon case (checkpoint
-            # behind, or no registry at all) is a REAL fell-too-far-
-            # behind condition and must keep raising.
-            if consumer_name and "history horizon" in str(e):
-                from druid_hadoop_utils_spark.sources.changes import (
-                    consumer_checkpoint_path,
-                    read_checkpoint,
-                )
-
-                cur = read_checkpoint(consumer_checkpoint_path(
-                    table_root, data_source, consumer_name))
-                if cur is not None and _parse_as_of(cur) >= _parse_as_of(b):
+        if consumer_name:
+            # The REGISTERED checkpoint is the consumer's durable
+            # progress; Spark's offset checkpoint is only the trigger.
+            # After a crash in the in-band-commit/offset-checkpoint
+            # window (ADVICE r14) — or an offset rollback plus NEW
+            # publishes landing before restart — the replayed batch's
+            # bounds cover work the registry already proves complete
+            # (process-then-commit ordering). Clamp to the unprocessed
+            # suffix: skip entirely when cur >= b; start from cur when
+            # a < cur < b. This (a) closes the replay wedge — view a
+            # may be below the vacuum horizon, but view cur is floor-
+            # protected by this very registration; (b) keeps the
+            # (from, to] pairs handed to `process` aligned with what
+            # was actually processed, so a BatchLedger keyed on them
+            # can never double-fold a committed delta under widened
+            # replay bounds. A below-horizon error AFTER this clamp is
+            # a genuinely-fell-too-far-behind condition and propagates.
+            # Consequence for re-baselining: a NAMED stream restarted
+            # with a fresh Spark checkpoint resumes from its registry,
+            # not GENESIS — re-baseline by removing the registered
+            # checkpoint (and starting a fresh ledger) as well.
+            cur = read_checkpoint(consumer_checkpoint_path(
+                table_root, data_source, consumer_name))
+            if cur is not None:
+                if _parse_as_of(cur) >= _parse_as_of(b):
                     return
-            raise
+                if a == GENESIS or _parse_as_of(cur) > _parse_as_of(a):
+                    a = cur
+        feed = read_changes(spark, table_root, data_source, a, b,
+                            mode=mode, columns=columns)
         process(feed, a, b)
         # in-band registry advance, AFTER process succeeds — the batch
         # loop's process-then-commit ordering. The reader's own commit

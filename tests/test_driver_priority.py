@@ -18,9 +18,20 @@ DRIVER_SAMPLE = 50
 
 
 def test_rows_only_set_matches_missing_oracles():
+    # _ROWS_ONLY is DERIVED from registrations (so environment-
+    # dependent entries like q_media_stats are covered automatically);
+    # pin the derivation plus the stable members that must always be
+    # registered and oracle-less.
     no_oracle = {n for n, (_, sql) in battery.QUERIES.items()
                  if sql is None}
     assert no_oracle == set(battery._ROWS_ONLY)
+    assert {
+        "q_media_features", "q_media_resize",
+        "q_media_segment_roundtrip", "q_bpe_encode",
+        "q_similarity_lsh_topk_prod", "q_similarity_pq_topk_prod",
+        "q_similarity_ivf_topk_prod", "q_kll_quantiles_prod",
+        "q_kll_state_reagg",
+    } <= set(battery._ROWS_ONLY)
 
 
 def test_priority_names_are_registered():

@@ -40,7 +40,7 @@ def _delta(feed) -> int:
 
 
 class TestExactlyOnceReplay:
-    def _run(self, spark, tmp_path, process):
+    def _run(self, spark, tmp_path, process, consumer_name="eo"):
         """Publish → drain → snapshot ckpt → DML → drain → restore ckpt
         (the lost-offset-write crash) → drain (replay) → drain (idle)."""
         root = str(tmp_path / "tbl")
@@ -53,7 +53,7 @@ class TestExactlyOnceReplay:
         def drain():
             q = stream_changes_foreach(
                 spark, root, "docs", process, checkpoint_dir=ckpt,
-                consumer_name="eo", available_now=True)
+                consumer_name=consumer_name, available_now=True)
             q.awaitTermination(120)
 
         drain()
@@ -68,22 +68,44 @@ class TestExactlyOnceReplay:
         drain()   # replay of batch 2
         drain()   # caught up
 
-    def test_naive_consumer_double_counts(self, spark, tmp_path):
-        """The failure mode the ledger exists for — if this ever stops
-        double-counting, the delivery contract changed and the ledger
-        docs must be revisited."""
+    def test_naive_unnamed_consumer_double_counts(self, spark,
+                                                  tmp_path):
+        """The failure mode the ledger exists for, on an UNNAMED stream
+        (no registry → no replay clamp): the lost-offset-write replay
+        re-delivers the completed batch and a naive accumulator applies
+        it twice. If this ever stops double-counting, the delivery
+        contract changed and the ledger docs must be revisited. (A
+        NAMED stream clamps replays to its registered checkpoint — see
+        test_named_stream_clamps_completed_replay — which shrinks but
+        does NOT close the idempotency window: a crash between
+        `process`'s external effect and the in-band registry commit
+        still re-delivers.)"""
         state = {"rows": 0, "applied": 0}
 
         def process(feed, a, b):
             state["rows"] += _delta(feed)
             state["applied"] += 1
 
-        self._run(spark, tmp_path, process)
+        self._run(spark, tmp_path, process, consumer_name=None)
         assert state["applied"] == 3   # GENESIS + update + its replay
         assert state["rows"] == 12     # net row delta of the update is 0
         # ...12 only because the update's net delta happens to be 0;
         # an aggregate the update DOES move would be wrong here (see
         # the ledgered twin below asserting score sums)
+
+    def test_named_stream_clamps_completed_replay(self, spark,
+                                                  tmp_path):
+        """The same crash window on a NAMED stream: the registry commit
+        survived, so the replayed trigger is skipped whole — the naive
+        accumulator sees each batch once (round 15 clamp)."""
+        state = {"applied": 0}
+
+        def process(feed, a, b):
+            feed.count()
+            state["applied"] += 1
+
+        self._run(spark, tmp_path, process, consumer_name="eo")
+        assert state["applied"] == 2   # GENESIS + update; replay skipped
 
     def test_ledgered_consumer_applies_each_batch_once(self, spark,
                                                        tmp_path):
@@ -115,6 +137,70 @@ class TestExactlyOnceReplay:
         # 12 rows, sum(0..11) = 66, +1 on the 6 'de' rows (even ids)
         assert final == {"rows": 12, "score": 72.0}
         assert len(ledger.entries()) == 2
+
+    def test_widened_replay_bounds_never_double_fold(self, spark,
+                                                     tmp_path):
+        """Offset checkpoint lost AND a new publish lands before
+        restart (no vacuum involved): the replayed trigger covers
+        (T1, t3], but the wrapper clamps delivery to the registry — so
+        the ledger sees the fresh (t2, t3] pair, folds only the missing
+        delta, and the committed (GENESIS..t2] state is never applied
+        twice."""
+        ledger = BatchLedger(str(tmp_path / "ledger"))
+        pairs = []
+
+        def process(feed, a, b):
+            if ledger.committed(a, b) is not None:
+                return
+            prev = ledger.latest()
+            s = dict((prev or {"payload": {"rows": 0, "score": 0.0}})
+                     ["payload"])
+            d = feed.groupBy().agg(
+                F.sum(F.when(F.col("_change_type") == "insert",
+                             F.col("_n")).otherwise(-F.col("_n"))
+                      ).alias("dn"),
+                F.sum(F.when(F.col("_change_type") == "insert",
+                             F.col("score") * F.col("_n"))
+                      .otherwise(-F.col("score") * F.col("_n"))
+                      ).alias("ds")).collect()[0]
+            s["rows"] += int(d["dn"] or 0)
+            s["score"] += float(d["ds"] or 0.0)
+            assert ledger.commit(a, b, s)
+            pairs.append((a, b))
+
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "sck")
+        backup = str(tmp_path / "sck_backup")
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+
+        def drain():
+            q = stream_changes_foreach(
+                spark, root, "docs", process, checkpoint_dir=ckpt,
+                consumer_name="eo", available_now=True)
+            q.awaitTermination(120)
+
+        drain()                                  # GENESIS -> T1
+        shutil.copytree(ckpt, backup)
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"},
+                     set={"score": "score + 1"})
+        drain()                                  # (T1, t2]
+        # crash window + a new publish before restart
+        shutil.rmtree(ckpt)
+        shutil.copytree(backup, ckpt)
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "en"},
+                     set={"score": "score + 10"})
+        drain()                                  # clamped: (t2, t3]
+        drain()                                  # caught up
+
+        assert len(pairs) == 3
+        final = ledger.latest()["payload"]
+        # 12 rows; sum(0..11)=66, +1 x 6 'de' (even ids), +10 x 6 'en'
+        assert final == {"rows": 12, "score": 132.0}
 
     def test_half_processed_batch_reruns_to_same_commit(self, spark,
                                                         tmp_path):

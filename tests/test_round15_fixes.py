@@ -116,6 +116,57 @@ class TestReplayBelowHorizon:
         self._drain(spark, root, ckpt, calls)
         assert len(calls) == n_before
 
+    def test_widened_replay_narrows_to_unprocessed_suffix(
+            self, spark, tmp_path):
+        """The harder variant of the ADVICE window: offset checkpoint
+        lost AND a new publish lands before restart, so the replayed
+        batch widens to (T1, t3] — not byte-identical to the committed
+        (T1, t2]. The clamp must narrow delivery to the unprocessed
+        (t2, t3] suffix (registry = durable progress), even though view
+        T1 is below the vacuum horizon — the stream heals instead of
+        wedging, and nothing is delivered twice."""
+        root = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "sck")
+        ckpt_backup = str(tmp_path / "sck_backup")
+        calls: list = []
+
+        publish_segments(spark.createDataFrame(_rows()), root, "docs",
+                         version="v1", bucket="DAY", published_at=T1)
+        self._drain(spark, root, ckpt, calls)          # GENESIS -> T1
+        shutil.copytree(ckpt, ckpt_backup)
+
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "de"},
+                     set={"score": "score + 100"})
+        t2 = latest_stamp(root, "docs")
+        self._drain(spark, root, ckpt, calls)          # (T1, t2]
+        assert calls[-1] == (T1, t2)
+
+        # crash window + a NEW publish before restart
+        shutil.rmtree(ckpt)
+        shutil.copytree(ckpt_backup, ckpt)
+        update_where(spark, root, "docs",
+                     {"type": "selector", "dimension": "lang",
+                      "value": "en"},
+                     set={"score": "score + 7"})
+        t3 = latest_stamp(root, "docs")
+        vacuum(root, "docs", retain_history_s=0.0, floor_as_of=t2)
+        with pytest.raises(ValueError, match="history horizon"):
+            read_changes(spark, root, "docs", T1, t3)
+
+        self._drain(spark, root, ckpt, calls)
+        # exactly ONE new delivery, clamped to the unprocessed suffix
+        assert calls[-1] == (t2, t3)
+        assert calls.count((t2, t3)) == 1
+        reg = read_checkpoint(consumer_checkpoint_path(root, "docs",
+                                                       "featgen"))
+        assert reg == t3
+        # healthy afterwards
+        n = len(calls)
+        self._drain(spark, root, ckpt, calls)
+        assert len(calls) == n
+
     def test_genuinely_behind_consumer_still_raises(self, spark,
                                                     tmp_path):
         """The skip must demand PROOF: registry behind the batch's TO
@@ -345,6 +396,75 @@ class TestCompactionPlan:
             j["files_per_bucket"] == 1 for j in plan2["jobs"])
 
 
+class TestByteSizingGranularity:
+    """Byte-targeted sizing keys on OUTPUT buckets at the rewrite
+    granularity, not on flagged-interval count — the mixed-granularity
+    cases from the round-15 review."""
+
+    def _gb(self, n):
+        return n * 1024 * 1024 * 1024
+
+    def test_day_flags_rebucketed_at_month(self):
+        from druid_hadoop_utils_spark.intervals import Interval
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _span_files_per_bucket,
+        )
+
+        # 30 flagged DAY segments of 1 GB over one month, rewritten at
+        # MONTH with a 512 MB target: the ONE month bucket holds 30 GB
+        # -> 60 files, not ceil(1GB/512MB)=2
+        flagged = [{"interval": f"2024-01-{d:02d}T00:00:00/"
+                                f"2024-01-{d + 1:02d}T00:00:00",
+                    "total_bytes": self._gb(1)} for d in range(1, 31)]
+        span = Interval.parse("2024-01-01T00:00:00/2024-01-31T00:00:00")
+        fpb = _span_files_per_bucket(span, flagged, 512 * 1024 * 1024,
+                                     "MONTH")
+        assert fpb == 60
+
+    def test_month_flag_rebucketed_at_day(self):
+        from druid_hadoop_utils_spark.intervals import Interval
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _span_files_per_bucket,
+        )
+
+        # one flagged 31 GB MONTH segment rewritten at DAY: ~1 GB/day
+        # -> 2 files per day at 512 MB, not ceil(31GB/512MB)=62
+        flagged = [{"interval": "2024-01-01T00:00:00/2024-02-01T00:00:00",
+                    "total_bytes": self._gb(31)}]
+        span = Interval.parse("2024-01-01T00:00:00/2024-02-01T00:00:00")
+        fpb = _span_files_per_bucket(span, flagged, 512 * 1024 * 1024,
+                                     "DAY")
+        assert fpb == 2
+
+    def test_bucket_count_edges(self):
+        from druid_hadoop_utils_spark.intervals import Interval
+        from druid_hadoop_utils_spark.sources.maintenance import (
+            _bucket_count,
+        )
+
+        assert _bucket_count(
+            Interval.parse("2024-01-01T00:00:00/2024-01-02T00:00:00"),
+            "DAY") == 1
+        # partial trailing day still emits a bucket
+        assert _bucket_count(
+            Interval.parse("2024-01-01T12:00:00/2024-01-02T06:00:00"),
+            "DAY") == 2
+        assert _bucket_count(
+            Interval.parse("2024-01-01T00:00:00/2024-01-01T03:00:00"),
+            "HOUR") == 3
+        assert _bucket_count(
+            Interval.parse("2024-01-01T00:00:00/2024-03-01T00:00:00"),
+            "MONTH") == 2
+        # sub-month span at MONTH = one bucket
+        assert _bucket_count(
+            Interval.parse("2024-01-05T00:00:00/2024-01-20T00:00:00"),
+            "MONTH") == 1
+        with pytest.raises(ValueError, match="unsupported bucket"):
+            _bucket_count(
+                Interval.parse("2024-01-01T00:00:00/2024-01-02T00:00:00"),
+                "WEEK")
+
+
 # ---------------------------------------------------------------------
 # 2c. column-projected change feed
 # ---------------------------------------------------------------------
@@ -450,6 +570,9 @@ class TestProjectedChangeFeed:
                          columns=["_change_type"])
         with pytest.raises(ValueError, match="table columns only"):
             read_changes(spark, root, "docs", T1, columns=[])
+        with pytest.raises(ValueError, match="duplicate columns"):
+            read_changes(spark, root, "docs", T1,
+                         columns=["lang", "lang"])
 
     def test_caught_up_empty_feed_carries_projection(self, spark,
                                                      tmp_path):
