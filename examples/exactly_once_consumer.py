@@ -1,20 +1,27 @@
 """Exactly-once effects over the streaming change feed.
 
-The feed's delivery is at-least-once: a batch that fails (or whose
-Spark offset checkpoint is lost to a crash) replays with byte-identical
-(from, to] stamp bounds. ``BatchLedger`` turns that into exactly-once
-EFFECTS: the batch's durable output is committed under its stamp-pair
-identity with one conditional create — a replayed batch finds the
-entry and skips, a crashed half-batch reruns deterministically onto
-the same commit point.
+Two defense layers compose here:
 
-Here the consumer maintains a running (rows, score_sum) state whose
+1. A NAMED stream's replay bounds CLAMP to its registered consumer
+   checkpoint (stream_changes_foreach, round 15): a replayed trigger
+   whose work the registry already covers is skipped whole, and a
+   widened replay (offset rollback + new publishes before restart) is
+   narrowed to the unprocessed suffix. This alone makes completed
+   batches effectively-once.
+2. ``BatchLedger`` closes the residual window — a crash between the
+   batch's external effect and the in-band registry commit, or an
+   unnamed stream: the batch's durable output commits under its
+   (from, to] stamp-pair identity with one conditional create, so a
+   re-delivered batch finds the entry and skips, and a crashed
+   half-batch reruns deterministically onto the same commit point.
+
+The consumer below maintains a running (rows, score_sum) state whose
 snapshots ARE the ledger payloads — the single-commit-point form where
-exactly-once holds by construction. The script then simulates the
-worst crash window (batch processed, Spark checkpoint lost) by
-restoring a pre-batch copy of the checkpoint dir and draining again:
-the replayed batch is detected and skipped, the state does not
-double-count.
+exactly-once holds by construction. The script simulates BOTH crash
+shapes: a pure offset loss (drain 3 — the wrapper clamp skips the
+trigger entirely) and an offset loss followed by a new publish
+(drain 4 — the wrapper narrows to the fresh suffix and the ledger
+folds only the missing delta).
 
 Run: python examples/exactly_once_consumer.py
 """
@@ -96,16 +103,32 @@ def main() -> None:
     drain()
     after = ledger.latest()["payload"]
 
-    # THE CRASH WINDOW: batch 2's effects are durable (ledger committed)
-    # but Spark's offset checkpoint write was lost
+    # CRASH SHAPE 1: batch 2's effects are durable (ledger + registry
+    # committed) but Spark's offset checkpoint write was lost. The
+    # wrapper clamp skips the replayed trigger before `process` runs.
     shutil.rmtree(ckpt)
     shutil.copytree(backup, ckpt)
-    print("drain 3 (replay after simulated checkpoint loss):")
+    print("drain 3 (replay after offset loss — wrapper clamp skips):")
     drain()
-
     final = ledger.latest()["payload"]
     assert final == after, (final, after)
-    print(f"state after replay unchanged: {final} "
+    print(f"  state unchanged: {final} "
+          f"({len(ledger.entries())} ledger entries)")
+
+    # CRASH SHAPE 2: offset loss AND a new publish before restart — the
+    # replayed trigger widens past the committed batch; the wrapper
+    # narrows delivery to the unprocessed suffix and the ledger folds
+    # only the missing delta (a fresh stamp pair).
+    shutil.rmtree(ckpt)
+    shutil.copytree(backup, ckpt)
+    update_where(spark, root, "docs",
+                 {"type": "selector", "dimension": "lang", "value": "en"},
+                 set={"score": "score + 100"})
+    print("drain 4 (widened replay — narrowed to the fresh suffix):")
+    drain()
+    final = ledger.latest()["payload"]
+    assert final["rows"] == 12 and final["score"] == after["score"] + 600
+    print(f"  state folded once: {final} "
           f"({len(ledger.entries())} ledger entries)")
     spark.stop()
 
