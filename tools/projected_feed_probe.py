@@ -40,7 +40,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="projfeed_")
 
-    # ~1 KB of text per row so the fat column dominates row bytes
+    # ~1 KB of INCOMPRESSIBLE text per row (chained sha2 hex): repeated
+    # lorem-ipsum filler dictionary/RLE-compresses to almost nothing in
+    # parquet, which hides the pruning win this probe measures — the
+    # fat column must cost real bytes on disk, as crawl text does
+    text = F.concat(*[
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"-{i}")), 256)
+        for i in range(16)])
     df = (spark.range(N)
           .select(
               F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
@@ -48,8 +54,7 @@ def main() -> None:
               .alias("__time"),
               F.col("id").alias("doc_id"),
               (F.col("id") % 5).cast("string").alias("lang"),
-              F.concat(F.lit("lorem ipsum dolor sit amet " * 40),
-                       F.col("id").cast("string")).alias("text"),
+              text.alias("text"),
               (F.col("id") % 1000).cast("double").alias("score")))
     publish_segments(df, root, "docs", version="v1", bucket="DAY",
                      published_at=T1)
