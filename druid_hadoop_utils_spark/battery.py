@@ -3994,6 +3994,14 @@ def q_tpch_q21_suppliers_kept_waiting(spark, sf_dir):
     # (nsupp > 1) where ONLY this supplier was late (nlate = 1) — so the
     # whole query is aggregates + equi-joins on orderkey, no correlated
     # scans. The oracle mirrors the same (standard) decorrelation.
+    #
+    # r15: nlate comes from a collect_set window over `late` instead of a
+    # separate count_distinct aggregate joined back — the r14 plan
+    # computed the li⋈o late subtree TWICE (once per consumer) and met
+    # itself through a SortMergeJoin; the window form scans lineitem once
+    # for `late`, and the per_order join reuses the window's l_orderkey
+    # partitioning (plans/r15/q_tpch_q21_*: SMJ gone, one lineitem scan
+    # fewer, 6 Exchange → 4).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").where(
@@ -4007,11 +4015,11 @@ def q_tpch_q21_suppliers_kept_waiting(spark, sf_dir):
     )
     per_order = li.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("nsupp"))
-    late_per_order = late.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("nlate"))
+    w_order = Window.partitionBy("l_orderkey")
+    late = late.withColumn(
+        "nlate", F.size(F.collect_set("l_suppkey").over(w_order)))
     return (
         late.join(per_order, "l_orderkey")
-        .join(late_per_order, "l_orderkey")
         .where((F.col("nsupp") > 1) & (F.col("nlate") == 1))
         .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -161,6 +161,62 @@ def minhash_table(
     return agged.selectExpr(safe_id, f"array({arr}) AS signature")
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    member: Column,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Unordered within-bucket member pairs — (a, b) with a < b in the
+    member's natural order, each bucket deterministically truncated to
+    its ``max_bucket_size`` LOWEST members first.
+
+    One hash aggregate collects each bucket into a sorted array; the
+    pairs then unfold map-side from the array. This replaces the
+    r1–r14 shape (row_number window cap + bucket self-join), which made
+    the banded relation a two-consumer plan node: Catalyst duplicated
+    the ENTIRE upstream signature pipeline once per join side —
+    plans/r15/q_dedup_simhash_before.txt shows two full parquet scans
+    and two signature aggregates for one query. Same shuffle key, same
+    one-task-per-bucket skew posture, but the upstream runs ONCE and
+    the window's exchange+sort and the join's second exchange are gone.
+
+    Memory note: a bucket's members are held in one aggregation buffer
+    before the cap applies — bounded by the cap's intended working set
+    for real corpora, but with ``max_bucket_size=None`` a degenerate
+    bucket (every doc identical) now buffers O(bucket) in one task
+    where the old window streamed it. The default cap (10k members ≈
+    80 KB of ids) keeps that far below any task's memory; callers
+    disabling the cap accept quadratic pair volume anyway, which
+    dwarfs the buffer.
+    """
+    buckets = banded.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(member)).alias("__members")
+    )
+    members = (
+        F.slice("__members", 1, max_bucket_size)
+        if max_bucket_size is not None
+        else F.col("__members")
+    )
+    # own projection: a computed expression referenced inside the
+    # higher-order lambdas below would re-evaluate per element (the
+    # _shifted_ngrams lesson); a plain column reference is O(1)
+    capped = buckets.select(members.alias("__members"))
+    m = F.col("__members")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return capped.select(F.explode(pairs).alias("__pair")).select(
+        "__pair.a", "__pair.b"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -172,13 +228,14 @@ def lsh_candidate_pairs(
     """Banded LSH: hash each band of the signature; documents sharing any
     band bucket become a candidate pair.
 
-    Plan shape: explode bands (xN map-side) → shuffle once on the band
-    bucket key → within-bucket self-join (buckets are small by
-    construction) → distinct pairs. No cross join at any scale.
+    Plan shape: explode bands (xN map-side) → ONE shuffle on the band
+    bucket key collecting each bucket's ids → map-side pair unfold →
+    distinct pairs (``_bucket_pairs``). No cross join at any scale, and
+    the signature pipeline feeding this is consumed exactly once.
 
-    ``max_bucket_size`` bounds the within-bucket join against degenerate
-    corpora (thousands of near-identical docs landing in one band bucket
-    would make that bucket's self-join quadratic): buckets above the cap
+    ``max_bucket_size`` bounds the within-bucket pair volume against
+    degenerate corpora (thousands of near-identical docs landing in one
+    band bucket would make that bucket quadratic): buckets above the cap
     are deterministically truncated to their ``max_bucket_size`` lowest
     ids, so candidate volume stays ≤ bands × n × max_bucket_size (linear
     in n). Truncation can only LOSE pairs among docs that already share a
@@ -204,26 +261,11 @@ def lsh_candidate_pairs(
             )
         ).alias("__bucket"),
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("__band", "__bucket").orderBy("__id")
-        banded = (
-            banded.withColumn("__bn", F.row_number().over(w))
-            .where(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    return (
+        _bucket_pairs(banded, ["__band", "__bucket"], F.col("__id"), max_bucket_size)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def minhash_lsh_dedup_pairs(
@@ -539,30 +581,24 @@ def simhash_candidate_pairs(
             ])
         ).alias("__c"),
     ).select("__id", "__sig", F.col("__c.chunk").alias("__chunk"), F.col("__c.key").alias("__key"))
-    if max_bucket_size is not None:
-        w = Window.partitionBy("__chunk", "__key").orderBy("__id")
-        parts = (
-            parts.withColumn("__bn", F.row_number().over(w))
-            .where(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-    l, r = parts.alias("l"), parts.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.__chunk") == F.col("r.__chunk"))
-            & (F.col("l.__key") == F.col("r.__key"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig"))).alias("hamming"),
+    # members carry (id, sig) so hamming verification needs no join back;
+    # sort_array orders by the struct's leading __id (unique), so the cap
+    # keeps exactly the window-era lowest-id member set
+    pairs = _bucket_pairs(
+        parts,
+        ["__chunk", "__key"],
+        F.struct(F.col("__id"), F.col("__sig")),
+        max_bucket_size,
+    )
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs
 
 
 # -------------------------------------------------- incremental (snapshots)
@@ -828,9 +864,20 @@ def duplicate_ngram_starts(
     by its duplicated n-gram windows.
 
     Plan: one generator producing md5 hashes of every n-token slice
-    (each slice hashed once — no quadratic re-evaluation), one hash
-    aggregate on the gram hash for (count, canonical), and an equi-join
-    back. Shuffle volume is O(total tokens), never document-pair-shaped.
+    (each slice hashed once — no quadratic re-evaluation), then ONE
+    exchange on the gram hash with two window functions (count,
+    canonical min) over it. Shuffle volume is O(total tokens), never
+    document-pair-shaped.
+
+    The r1–r14 shape aggregated (count, canonical) per hash and joined
+    that stats table back to a SECOND copy of the gram stream: every
+    gram was tokenized and md5-hashed twice (Catalyst duplicates the
+    subtree for each consumer — plans/r15/q_strip_dup_ngrams_before.txt
+    shows three parquet scans), and at scale the join either broadcast
+    an unbounded duplicated-gram table or re-shuffled the grams anyway.
+    The window form hashes each gram once and moves it once; its sort
+    is no new cost — min(struct) already forced SortAggregate + sort in
+    the old plan.
     """
     df = spread(df)  # per-position hashing needs full CPU width
     toks = tokens(text_col)
@@ -850,15 +897,16 @@ def duplicate_ngram_starts(
             "gram_hash"
         ),
     )
-    stats = grams.groupBy("gram_hash").agg(
-        F.count("*").alias("__cnt"),
-        F.min(F.struct("id", "start")).alias("__canon"),
-    ).where(F.col("__cnt") >= min_count)
+    w = Window.partitionBy("gram_hash")
     return (
-        grams.join(stats, "gram_hash")
+        grams.withColumn("__cnt", F.count("*").over(w))
+        .withColumn("__canon", F.min(F.struct("id", "start")).over(w))
         .where(
-            (F.col("id") != F.col("__canon.id"))
-            | (F.col("start") != F.col("__canon.start"))
+            (F.col("__cnt") >= min_count)
+            & (
+                (F.col("id") != F.col("__canon.id"))
+                | (F.col("start") != F.col("__canon.start"))
+            )
         )
         .select("id", "start", "gram_hash")
     )

@@ -375,19 +375,21 @@ def lsh_topk(
     cands = (
         cc.join(F.broadcast(cq), ["__t", "__sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        # dedup multi-table hits on the id PAIR (first() carries the
-        # vectors) — one shuffle of candidate rows, never a distinct over
-        # float arrays
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.first("__query_id_v").alias("__qv"),
-            F.first("__neighbor_id_v").alias("__cv"),
-        )
+        # cosine BEFORE the pair-dedup: a multi-table hit re-scores the
+        # same pair (bounded by `tables`, cheap map-side math), but the
+        # dedup exchange then carries one double per row instead of two
+        # float vectors (guide §2.3 — shuffle keys and scalars, not
+        # payloads), and the aggregate is a codegen HashAggregate on
+        # min(double) rather than the r14 SortAggregate buffering
+        # first(array<float>) twice (duplicate hits score identically,
+        # so min == first — pinned by the oracle hash)
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("__cos"),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("__cos").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

@@ -412,11 +412,27 @@ def lm_score(
     (both ≈ vocabulary-sized), and the doc bigram stream meets the merged
     counts in ONE shuffle join on (prev, cur). The vocabulary scalar is a
     1-row broadcast. Returns (id, n_bigrams, avg_logp).
+
+    The bigram-count MODEL table (``cbg``) is materialized once via
+    ``localCheckpoint(eager=False)``: it feeds three plan branches
+    (context counts, the vocabulary scalar, and the scoring join), and
+    without the checkpoint Catalyst re-runs the full corpus bigram
+    extraction + aggregation once per branch (the r14 plan carried four
+    document scans). The checkpointed table is model-sized — distinct
+    bigrams, never corpus tokens — the same volume class the join
+    already broadcasts; like contamination_check's fingerprint frame
+    above, localCheckpoint (not persist) is used so the blocks are
+    reclaimed by the ContextCleaner when the frame is GC'd instead of
+    pinning session cache per invocation.
     """
     if alpha <= 0:
         raise ValueError(f"lm_score: alpha must be positive: {alpha}")
     bg = bigrams(df, id_col, text_col)
-    cbg = bg.groupBy("prev", "cur").agg(F.count("*").alias("__cbg"))
+    cbg = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count("*").alias("__cbg"))
+        .localCheckpoint(eager=False)
+    )
     cctx = cbg.groupBy("prev").agg(F.sum("__cbg").alias("__cctx"))
     vocab = cctx.agg(F.count("*").alias("__v"))
     counts = cbg.join(cctx, "prev")
