@@ -40,10 +40,22 @@ def funnel_times(
     ``within_seconds`` adds the usual conversion horizon: later steps
     must fall within that many seconds of the user's step-1 time.
     Greedy-earliest stays optimal under the horizon (an earlier valid
-    choice never tightens a later step's window)."""
+    choice never tightens a later step's window).
+
+    r15: the step-event frame is filtered to ``steps`` once and
+    materialized via ``localCheckpoint(eager=False)`` — the chained
+    per-step join-aggregates are K consumers of the same source, and
+    Catalyst duplicated the whole scan per consumer (the r14 q_funnel
+    plan carried SIX parquet scans for a 3-step funnel). The
+    materialized frame holds only funnel-step events projected to
+    (user, ts, type) — the same volume every step join already
+    shuffles — and its blocks are ContextCleaner-reclaimed when the
+    frame is GC'd."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
-    ev = df.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+    ev = df.select(F.col(user_col), F.col(ts_col), F.col(type_col)).where(
+        F.col(type_col).isin(list(steps))
+    ).localCheckpoint(eager=False)
     cur = (
         ev.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -132,9 +144,19 @@ def cohort_retention(
 
     ``period`` is any date_trunc unit (week/day/month). Offsets are
     computed on truncated dates, so months use calendar-month arithmetic
-    and week/day use exact day deltas."""
+    and week/day use exact day deltas.
+
+    r15: the distinct (user, period) activity frame is materialized via
+    ``localCheckpoint(eager=False)`` — it feeds both the cohort-min
+    aggregate and the retention join, and Catalyst duplicated the scan
+    + distinct per consumer (two full event scans in the r14
+    q_cohort_retention plan). The frame is users × active-periods —
+    already the join's shuffle volume — and the blocks are
+    ContextCleaner-reclaimed when the frame is GC'd."""
     bucket = F.date_trunc(period, F.col(ts_col))
-    active = df.select(F.col(user_col), bucket.alias("__p")).distinct()
+    active = df.select(
+        F.col(user_col), bucket.alias("__p")
+    ).distinct().localCheckpoint(eager=False)
     first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
     joined = active.join(first, user_col)
     if period == "month":

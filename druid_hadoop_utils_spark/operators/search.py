@@ -75,25 +75,42 @@ def bm25_topk(
     (explode(filter(toks, isin))) measured within noise of this plan.
     The r4→r5 bench delta (0.62→1.05 s) does not reproduce quietly;
     this shape stands as the fastest measured.
+
+    r15: the corpus is tokenized ONCE. The r14 plan had three consumers
+    of the tokenized frame (corpus stats, the postings aggregate, and —
+    through postings — the per-term document frequencies), and Catalyst
+    duplicates the subtree per consumer: three full parquet scans, each
+    re-running the regexp tokenization that dominates runtime
+    (plans/r15/q_hybrid_search_before.txt). Now one pass projects
+    (id, doc_len, query-term matches) — the matches array is bounded by
+    query-term occurrences, thousands of times smaller than the token
+    stream — and ``localCheckpoint(eager=False)`` materializes it so
+    every downstream branch reads the materialized blocks (reclaimed by
+    the ContextCleaner when the frame is GC'd; same pattern as
+    contamination_check). Scoring math and row semantics are unchanged:
+    explode(filter(toks, isin)) ≡ explode(toks) filtered, so tf/df/N
+    and the final scores are bit-identical.
     """
     if not query:
         raise ValueError("bm25_topk: query must contain at least one term")
     qterms = sorted({t.lower() for t in query})
 
-    doc_len = df.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("__dl"),
-        tokens(text_col).alias("__toks"),
-    )
-    # corpus stats: one broadcast row
-    stats = doc_len.select(
+    toks = tokens(text_col)
+    matched = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.filter(toks, lambda t: t.isin(qterms)).alias("__mt"),
+    ).localCheckpoint(eager=False)
+    # corpus stats: one broadcast row (from the materialized frame —
+    # no second corpus scan)
+    stats = matched.select(
         F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
     )
     # postings restricted to query terms BEFORE the (doc, term) shuffle
     postings = (
-        doc_len.select(
-            F.col(id_col), F.col("__dl"), F.explode("__toks").alias("term")
+        matched.select(
+            F.col(id_col), F.col("__dl"), F.explode("__mt").alias("term")
         )
-        .where(F.col("term").isin(qterms))
         .groupBy(id_col, "__dl", "term")
         .agg(F.count("*").alias("tf"))
     )
