@@ -788,9 +788,16 @@ def incremental_neardup_pairs(
         )
     left = new_banded.alias("l")
     right = all_banded.alias("r")
+    # r15: estimate BEFORE the pair dedup (same move as lsh_topk's
+    # cosine-before-dedup): the exchange then carries one double per
+    # candidate instead of two num_hashes-long arrays (~1 KB -> 24 B a
+    # row), map-side partial aggregation collapses same-partition band
+    # collisions pre-shuffle, and the dedup is a codegen HashAggregate
+    # on min(double) instead of a SortAggregate buffering first(array)
+    # (duplicate band hits carry identical signatures, so min == first).
     est = (
-        "size(filter(zip_with(l_sig, r_sig, (x, y) -> x = y), m -> m)) "
-        f"/ cast({num_hashes} AS double)"
+        "size(filter(zip_with(l.__sig, r.__sig, (x, y) -> x = y), "
+        f"m -> m)) / cast({num_hashes} AS double)"
     )
     cands = (
         left.join(
@@ -802,11 +809,10 @@ def incremental_neardup_pairs(
         .select(
             F.least("l.__id", "r.__id").alias("id_a"),
             F.greatest("l.__id", "r.__id").alias("id_b"),
-            F.col("l.__sig").alias("l_sig"),
-            F.col("r.__sig").alias("r_sig"),
+            F.expr(est).alias("__est"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .selectExpr("id_a", "id_b", f"{est} AS est_jaccard")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("__est").alias("est_jaccard"))
     )
     if verify_with is None:
         return cands.where(F.col("est_jaccard") >= threshold)
@@ -820,13 +826,24 @@ def incremental_neardup_pairs(
     # than silently vanishing (its `jaccard` column is then NULL).
     # Persisted so the shingles materialize once across the two join
     # branches.
+    #
+    # r15: the pool is assembled with a left-anti join on the id instead
+    # of union + dropDuplicates("__vid") — the old shape was a
+    # SortAggregate buffering first(text), i.e. a full sort of the
+    # ENTIRE verify corpus's text per increment. Now only the new batch
+    # (the increment — small by definition) pays a per-id dedup; the
+    # corpus side is a hash anti-join on a long key and its text is
+    # never sorted. Overlapping ids deterministically keep the NEW
+    # batch's text (the old arbitrary-first pick; identical whenever an
+    # id maps to one text, which the manifest contract guarantees).
+    new_texts = new_df.select(
+        F.col(id_col).alias("__vid"), F.col(text_col).alias("__vtext")
+    ).dropDuplicates(["__vid"])
+    seen_texts = verify_with.select(
+        F.col(id_col).alias("__vid"), F.col(text_col).alias("__vtext")
+    ).join(new_texts.select("__vid"), "__vid", "left_anti")
     texts = (
-        new_df.select(F.col(id_col).alias("__vid"),
-                      F.col(text_col).alias("__vtext"))
-        .unionByName(verify_with.select(
-            F.col(id_col).alias("__vid"),
-            F.col(text_col).alias("__vtext")))
-        .dropDuplicates(["__vid"])
+        new_texts.unionByName(seen_texts)
         .select("__vid", word_shingles("__vtext", shingle_n).alias("__vsh"))
         .persist()
     )

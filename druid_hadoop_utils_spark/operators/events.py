@@ -222,12 +222,19 @@ def stickiness(
     """Weekly engagement depth — (week, dau_avg, wau, stickiness) — the
     DAU/WAU ratio: average daily active users over the week divided by
     the week's active users. Two hash aggregates over (user, day)
-    distinct pairs; no windows over raw events."""
+    distinct pairs; no windows over raw events.
+
+    r15: the distinct (user, week, day) frame is materialized via
+    ``localCheckpoint(eager=False)`` — it feeds both the DAU and the
+    WAU branch, and Catalyst duplicated the scan + distinct per
+    consumer (two full event scans in the audit plan). The frame is
+    users × active-days — already both branches' shuffle volume — and
+    its blocks are ContextCleaner-reclaimed when the frame is GC'd."""
     daily = df.select(
         F.col(user_col),
         F.date_trunc("week", F.col(ts_col)).alias("week"),
         F.date_trunc("day", F.col(ts_col)).alias("day"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     dau = daily.groupBy("week", "day").agg(
         F.count_distinct(F.col(user_col)).alias("__dau")
     )
