@@ -183,11 +183,24 @@ def tfidf_top_terms(
     more aggregate for document frequencies → join back (df table is
     term-cardinality sized — broadcastable) → per-doc window top-k. The
     corpus size N enters as a broadcast one-row cross join, so the whole
-    thing is a single declarative plan — no driver-side count action."""
+    thing is a single declarative plan — no driver-side count action.
+
+    r15: the (doc, term, tf) postings frame is materialized via
+    ``localCheckpoint(eager=False)`` — it feeds both the
+    document-frequency aggregate and the scoring join, and Catalyst
+    duplicated the scan + tokenization + tf aggregate per consumer (two
+    full tokenization passes in the audit plan). N still scans the base
+    frame (column-pruned to the id): a document with no tokens counts
+    toward N but has no postings row, so N cannot be derived from the
+    postings without changing scores."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
@@ -579,7 +592,12 @@ def corpus_report(
     dups only; near-dup rates come from the dedup family), and the
     rank-quantile median over the collapsed (group, length) distribution
     (never a raw sort). Both shuffles key on the group columns.
-    """
+
+    r15: the per-doc (group, length, fingerprint) frame is materialized
+    via ``localCheckpoint(eager=False)`` — it feeds both the stats
+    aggregate and the median branch, and Catalyst duplicated the full
+    text scan per consumer. The materialized frame is ~50 B/doc (the
+    text itself never crosses), so one corpus read replaces two."""
     from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
 
     gcols = list(group_cols or [])
@@ -587,7 +605,7 @@ def corpus_report(
         *gcols,
         F.length(text_col).alias("__len"),
         F.md5(F.col(text_col).cast("binary")).alias("__fp"),
-    )
+    ).localCheckpoint(eager=False)
     base = (lens.groupBy(*gcols) if gcols else lens.groupBy()).agg(
         F.count("*").alias("n_docs"),
         F.sum("__len").alias("total_chars"),
