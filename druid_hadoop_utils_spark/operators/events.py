@@ -43,19 +43,23 @@ def funnel_times(
     choice never tightens a later step's window).
 
     r15: the step-event frame is filtered to ``steps`` once and
-    materialized via ``localCheckpoint(eager=False)`` — the chained
-    per-step join-aggregates are K consumers of the same source, and
-    Catalyst duplicated the whole scan per consumer (the r14 q_funnel
-    plan carried SIX parquet scans for a 3-step funnel). The
-    materialized frame holds only funnel-step events projected to
-    (user, ts, type) — the same volume every step join already
-    shuffles — and its blocks are ContextCleaner-reclaimed when the
-    frame is GC'd."""
+    materialized via ``materialize_shared`` — the chained per-step
+    join-aggregates are K consumers of the same source, and Catalyst
+    duplicated the whole scan per consumer (the r14 q_funnel plan
+    carried SIX parquet scans for a 3-step funnel). The materialized
+    frame holds only funnel-step events projected to (user, ts, type) —
+    the same volume every step join already shuffles. Below the size
+    gate (operators/shared.py) the per-consumer re-scan is cheaper than
+    the materialization job and the frame is left inline."""
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
+
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
-    ev = df.select(F.col(user_col), F.col(ts_col), F.col(type_col)).where(
-        F.col(type_col).isin(list(steps))
-    ).localCheckpoint(eager=False)
+    ev = materialize_shared(
+        df.select(F.col(user_col), F.col(ts_col), F.col(type_col)).where(
+            F.col(type_col).isin(list(steps))
+        )
+    )
     cur = (
         ev.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -147,16 +151,19 @@ def cohort_retention(
     and week/day use exact day deltas.
 
     r15: the distinct (user, period) activity frame is materialized via
-    ``localCheckpoint(eager=False)`` — it feeds both the cohort-min
-    aggregate and the retention join, and Catalyst duplicated the scan
-    + distinct per consumer (two full event scans in the r14
-    q_cohort_retention plan). The frame is users × active-periods —
-    already the join's shuffle volume — and the blocks are
-    ContextCleaner-reclaimed when the frame is GC'd."""
+    ``materialize_shared`` — it feeds both the cohort-min aggregate and
+    the retention join, and Catalyst duplicated the scan + distinct per
+    consumer (two full event scans in the r14 q_cohort_retention plan).
+    The frame is users × active-periods — already the join's shuffle
+    volume. Below the size gate (operators/shared.py) the duplicate
+    scan+distinct is cheaper than the materialization job and the frame
+    is left inline."""
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
+
     bucket = F.date_trunc(period, F.col(ts_col))
-    active = df.select(
-        F.col(user_col), bucket.alias("__p")
-    ).distinct().localCheckpoint(eager=False)
+    active = materialize_shared(
+        df.select(F.col(user_col), bucket.alias("__p")).distinct()
+    )
     first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
     joined = active.join(first, user_col)
     if period == "month":
@@ -225,16 +232,21 @@ def stickiness(
     distinct pairs; no windows over raw events.
 
     r15: the distinct (user, week, day) frame is materialized via
-    ``localCheckpoint(eager=False)`` — it feeds both the DAU and the
-    WAU branch, and Catalyst duplicated the scan + distinct per
-    consumer (two full event scans in the audit plan). The frame is
-    users × active-days — already both branches' shuffle volume — and
-    its blocks are ContextCleaner-reclaimed when the frame is GC'd."""
-    daily = df.select(
-        F.col(user_col),
-        F.date_trunc("week", F.col(ts_col)).alias("week"),
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-    ).distinct().localCheckpoint(eager=False)
+    ``materialize_shared`` — it feeds both the DAU and the WAU branch,
+    and Catalyst duplicated the scan + distinct per consumer (two full
+    event scans in the audit plan). The frame is users × active-days —
+    already both branches' shuffle volume. Below the size gate
+    (operators/shared.py) the duplicate scan+distinct is cheaper than
+    the materialization job and the frame is left inline."""
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
+
+    daily = materialize_shared(
+        df.select(
+            F.col(user_col),
+            F.date_trunc("week", F.col(ts_col)).alias("week"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        ).distinct()
+    )
     dau = daily.groupBy("week", "day").agg(
         F.count_distinct(F.col(user_col)).alias("__dau")
     )

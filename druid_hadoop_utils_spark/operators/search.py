@@ -84,23 +84,28 @@ def bm25_topk(
     (plans/r15/q_hybrid_search_before.txt). Now one pass projects
     (id, doc_len, query-term matches) — the matches array is bounded by
     query-term occurrences, thousands of times smaller than the token
-    stream — and ``localCheckpoint(eager=False)`` materializes it so
-    every downstream branch reads the materialized blocks (reclaimed by
-    the ContextCleaner when the frame is GC'd; same pattern as
-    contamination_check). Scoring math and row semantics are unchanged:
+    stream — and ``materialize_shared`` materializes it so every
+    downstream branch reads the materialized blocks (below the size
+    gate in operators/shared.py the per-branch re-scan of the tiny
+    input is cheaper than the materialization job and the frame stays
+    inline). Scoring math and row semantics are unchanged:
     explode(filter(toks, isin)) ≡ explode(toks) filtered, so tf/df/N
     and the final scores are bit-identical.
     """
     if not query:
         raise ValueError("bm25_topk: query must contain at least one term")
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
+
     qterms = sorted({t.lower() for t in query})
 
     toks = tokens(text_col)
-    matched = df.select(
-        F.col(id_col),
-        F.size(toks).alias("__dl"),
-        F.filter(toks, lambda t: t.isin(qterms)).alias("__mt"),
-    ).localCheckpoint(eager=False)
+    matched = materialize_shared(
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("__dl"),
+            F.filter(toks, lambda t: t.isin(qterms)).alias("__mt"),
+        )
+    )
     # corpus stats: one broadcast row (from the materialized frame —
     # no second corpus scan)
     stats = matched.select(

@@ -186,20 +186,22 @@ def tfidf_top_terms(
     thing is a single declarative plan — no driver-side count action.
 
     r15: the (doc, term, tf) postings frame is materialized via
-    ``localCheckpoint(eager=False)`` — it feeds both the
-    document-frequency aggregate and the scoring join, and Catalyst
-    duplicated the scan + tokenization + tf aggregate per consumer (two
-    full tokenization passes in the audit plan). N still scans the base
-    frame (column-pruned to the id): a document with no tokens counts
-    toward N but has no postings row, so N cannot be derived from the
-    postings without changing scores."""
+    ``materialize_shared`` — it feeds both the document-frequency
+    aggregate and the scoring join, and Catalyst duplicated the scan +
+    tokenization + tf aggregate per consumer (two full tokenization
+    passes in the audit plan); below the size gate (operators/
+    shared.py) the duplicate pass is cheaper than the materialization
+    job and the frame is left inline. N still scans the base frame
+    (column-pruned to the id): a document with no tokens counts toward
+    N but has no postings row, so N cannot be derived from the postings
+    without changing scores."""
     from pyspark.sql import Window
 
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
+
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = materialize_shared(
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if min_df > 1:
@@ -427,24 +429,25 @@ def lm_score(
     1-row broadcast. Returns (id, n_bigrams, avg_logp).
 
     The bigram-count MODEL table (``cbg``) is materialized once via
-    ``localCheckpoint(eager=False)``: it feeds three plan branches
-    (context counts, the vocabulary scalar, and the scoring join), and
-    without the checkpoint Catalyst re-runs the full corpus bigram
+    ``materialize_shared``: it feeds three plan branches (context
+    counts, the vocabulary scalar, and the scoring join), and without
+    the materialization Catalyst re-runs the full corpus bigram
     extraction + aggregation once per branch (the r14 plan carried four
-    document scans). The checkpointed table is model-sized — distinct
+    document scans). The materialized table is model-sized — distinct
     bigrams, never corpus tokens — the same volume class the join
-    already broadcasts; like contamination_check's fingerprint frame
-    above, localCheckpoint (not persist) is used so the blocks are
-    reclaimed by the ContextCleaner when the frame is GC'd instead of
-    pinning session cache per invocation.
+    already broadcasts. Below the size gate (operators/shared.py) the
+    re-aggregation is cheaper than the materialization job and the
+    model stays inline (measured +0.3 s from unconditional
+    materialization on the sf0.1 bench — the gate is exactly the
+    local-vs-scale crossover this module documents).
     """
     if alpha <= 0:
         raise ValueError(f"lm_score: alpha must be positive: {alpha}")
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
+
     bg = bigrams(df, id_col, text_col)
-    cbg = (
-        bg.groupBy("prev", "cur")
-        .agg(F.count("*").alias("__cbg"))
-        .localCheckpoint(eager=False)
+    cbg = materialize_shared(
+        bg.groupBy("prev", "cur").agg(F.count("*").alias("__cbg"))
     )
     cctx = cbg.groupBy("prev").agg(F.sum("__cbg").alias("__cctx"))
     vocab = cctx.agg(F.count("*").alias("__v"))
@@ -594,18 +597,23 @@ def corpus_report(
     (never a raw sort). Both shuffles key on the group columns.
 
     r15: the per-doc (group, length, fingerprint) frame is materialized
-    via ``localCheckpoint(eager=False)`` — it feeds both the stats
-    aggregate and the median branch, and Catalyst duplicated the full
-    text scan per consumer. The materialized frame is ~50 B/doc (the
-    text itself never crosses), so one corpus read replaces two."""
+    via ``materialize_shared`` — it feeds both the stats aggregate and
+    the median branch, and Catalyst duplicated the full text scan per
+    consumer. The materialized frame is ~50 B/doc (the text itself
+    never crosses), so one corpus read replaces two; below the size
+    gate (operators/shared.py) the second read is cheaper than the
+    materialization job and the frame is left inline."""
     from druid_hadoop_utils_spark.functions.quantiles import rank_quantiles
+    from druid_hadoop_utils_spark.operators.shared import materialize_shared
 
     gcols = list(group_cols or [])
-    lens = df.select(
-        *gcols,
-        F.length(text_col).alias("__len"),
-        F.md5(F.col(text_col).cast("binary")).alias("__fp"),
-    ).localCheckpoint(eager=False)
+    lens = materialize_shared(
+        df.select(
+            *gcols,
+            F.length(text_col).alias("__len"),
+            F.md5(F.col(text_col).cast("binary")).alias("__fp"),
+        )
+    )
     base = (lens.groupBy(*gcols) if gcols else lens.groupBy()).agg(
         F.count("*").alias("n_docs"),
         F.sum("__len").alias("total_chars"),
