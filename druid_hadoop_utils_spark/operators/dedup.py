@@ -286,9 +286,16 @@ def minhash_lsh_dedup_pairs(
     base = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__sh")
     )
-    # the shingle sets feed three plan branches (signatures + both sides of
-    # the verification join); persist so shingling runs once, not three times
-    base = base.persist()
+    # the shingle sets feed three plan branches (signatures + both sides
+    # of the verification join); materialize so shingling runs once, not
+    # three times (CPU-bound recompute — unconditional, unlike the
+    # size-gated IO-bound sites in operators/shared.py). r15:
+    # localCheckpoint(eager=False) instead of persist() — persist pins
+    # the corpus-scale shingle blocks in the CacheManager for the
+    # SESSION lifetime (every crawl increment leaks one copy; the class
+    # round 14 closed for similarity), while checkpoint blocks are
+    # ContextCleaner-reclaimed when the frame is GC'd
+    base = base.localCheckpoint(eager=False)
     with_sig = minhash_table(base, "__id", "__sh", num_hashes, seed)
     cands = lsh_candidate_pairs(
         with_sig, "__id", "signature", bands, rows_per_band, max_bucket_size
@@ -767,13 +774,17 @@ def incremental_neardup_pairs(
             "signature AS __sig",
         ).selectExpr("__id", "__band", f"{bucket_sql} AS __bucket", "__sig")
 
-    # persist the NEW side's banded rows: they feed both the probe side
-    # and (via union) the build side of the pair join — without the
-    # cache each branch would recompute the whole shingle+minhash
-    # pipeline over the new batch, doubling exactly the cost this
-    # operator exists to bound (round-12 review catch). The cached rows
-    # are (id, band, bucket, signature) — integers, no text.
-    new_banded = band_rows(new_sigs).persist()
+    # materialize the NEW side's banded rows: they feed both the probe
+    # side and (via union) the build side of the pair join — without the
+    # materialization each branch would recompute the whole
+    # shingle+minhash pipeline over the new batch, doubling exactly the
+    # cost this operator exists to bound (round-12 review catch). The
+    # materialized rows are (id, band, bucket, signature) — integers, no
+    # text. r15: localCheckpoint(eager=False) instead of persist() so
+    # the blocks are ContextCleaner-reclaimed when the frame is GC'd
+    # rather than CacheManager-pinned for the session (one leaked copy
+    # per crawl increment otherwise).
+    new_banded = band_rows(new_sigs).localCheckpoint(eager=False)
     # the build side is EVERYTHING (seen ∪ new: new-new pairs matter
     # too) assembled FROM the persisted node, so new_sigs has exactly
     # one consumer; the probe side is new-batch rows only, so seen×seen
@@ -824,7 +835,7 @@ def incremental_neardup_pairs(
     # side. LEFT joins + a coalesce fallback keep a pair whose seen
     # text was dropped from retention decidable by its estimate rather
     # than silently vanishing (its `jaccard` column is then NULL).
-    # Persisted so the shingles materialize once across the two join
+    # Materialized so the shingles compute once across the two join
     # branches.
     #
     # r15: the pool is assembled with a left-anti join on the id instead
@@ -845,7 +856,10 @@ def incremental_neardup_pairs(
     texts = (
         new_texts.unionByName(seen_texts)
         .select("__vid", word_shingles("__vtext", shingle_n).alias("__vsh"))
-        .persist()
+        # r15: localCheckpoint(eager=False), not persist() — same
+        # session-lifetime-pin rationale as `base` above; the verify
+        # pool's shingles are corpus-scale
+        .localCheckpoint(eager=False)
     )
     return (
         cands.join(texts.select(F.col("__vid").alias("id_a"),

@@ -68,6 +68,45 @@ class TestGate:
         assert DEFAULT_MIN_INPUT_BYTES == 64 * 1024 * 1024
 
 
+class TestDedupNoSessionPinnedCache:
+    """r15: the dedup pipelines materialize their shared frames via
+    localCheckpoint (ContextCleaner-reclaimed on GC), never via
+    DataFrame.persist — persist registers in the CacheManager, which
+    holds the blocks for the SESSION lifetime, so every crawl increment
+    would leak one corpus-scale shingle frame (the class round 14
+    closed for similarity)."""
+
+    def test_dedup_pipelines_never_call_persist(self, spark, sf_dir):
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from druid_hadoop_utils_spark.operators import dedup as D
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        seen = docs.where(F.col("doc_id") % 2 == 0)
+        new = docs.where(F.col("doc_id") % 2 == 1)
+        manifest = D.signature_manifest(seen, "doc_id")
+
+        calls = []
+        orig = DataFrame.persist
+
+        def recording(self, *a, **k):
+            calls.append(self)
+            return orig(self, *a, **k)
+
+        DataFrame.persist = recording
+        try:
+            batch = D.minhash_lsh_dedup_pairs(docs, "doc_id",
+                                              threshold=0.5)
+            inc = D.incremental_neardup_pairs(
+                new, manifest, "doc_id", threshold=0.5, verify_with=docs)
+        finally:
+            DataFrame.persist = orig
+        assert calls == []
+        # the swapped primitive still computes the same pairs
+        assert batch.count() > 0
+        assert inc.count() >= 0
+
+
 class TestOperatorsUnchangedResults:
     """The gated operators produce identical results with the gate
     forced on and forced off (materialization never changes rows)."""
