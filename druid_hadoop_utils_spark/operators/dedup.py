@@ -171,49 +171,66 @@ def _bucket_pairs(
     member's natural order, each bucket deterministically truncated to
     its ``max_bucket_size`` LOWEST members first.
 
-    One hash aggregate collects each bucket into a sorted array; the
-    pairs then unfold map-side from the array. This replaces the
-    r1–r14 shape (row_number window cap + bucket self-join), which made
-    the banded relation a two-consumer plan node: Catalyst duplicated
-    the ENTIRE upstream signature pipeline once per join side —
-    plans/r15/q_dedup_simhash_before.txt shows two full parquet scans
-    and two signature aggregates for one query. Same shuffle key, same
-    one-task-per-bucket skew posture, but the upstream runs ONCE and
-    the window's exchange+sort and the join's second exchange are gone.
+    One aggregate collects each bucket into a sorted array; the pairs
+    then unfold map-side from the array. This keeps the r15 win over
+    the r1–r14 shape (row_number window cap + bucket SELF-JOIN, which
+    made the banded relation a two-consumer plan node — Catalyst
+    duplicated the ENTIRE upstream signature pipeline once per join
+    side: plans/r15/q_dedup_simhash_before.txt shows two full parquet
+    scans and two signature aggregates for one query). The upstream
+    runs ONCE; one exchange on the bucket key.
 
-    Memory note: a bucket's members are held in one aggregation buffer
-    before the cap applies — bounded by the cap's intended working set
-    for real corpora, but with ``max_bucket_size=None`` a degenerate
-    bucket (every doc identical) now buffers O(bucket) in one task
-    where the old window streamed it. The default cap (10k members ≈
-    80 KB of ids) keeps that far below any task's memory; callers
-    disabling the cap accept quadratic pair volume anyway, which
-    dwarfs the buffer.
+    Memory bounds (r16, closing the two r15 degenerate-corpus holes):
+
+    - the cap applies BEFORE the aggregation: a row_number window over
+      the same exchange (same key ⇒ no extra shuffle; the window's sort
+      is spillable) truncates each bucket to its ``max_bucket_size``
+      lowest members, so the collect_list buffer holds at most the cap
+      — the r15 shape aggregated the ENTIRE bucket into one in-memory
+      buffer and only then sliced, unbounded exactly for the
+      adversarial corpora the cap exists for;
+    - the pairs unfold in two generator steps — posexplode to
+      (member, position), then explode of the per-position suffix
+      slice — so no evaluated array ever exceeds O(cap) elements. The
+      r15 single-expression unfold (flatten(transform(...))) evaluated
+      the full O(cap²) pair array per bucket in one allocation
+      (~5e7 structs at the default cap; GBs for struct members).
+
+    With ``max_bucket_size=None`` the window is skipped and the buffer
+    is O(bucket) — callers disabling the cap accept quadratic pair
+    volume anyway, which dwarfs the buffer.
+
+    Self-pairs: positional pairing over the sorted array pairs strictly
+    later positions, and equal members sort adjacently, so an id that
+    appears twice in one bucket WOULD emit (x, x); the trailing
+    ``a < b`` filter drops those, restoring the r14 join-condition
+    semantics (callers with unique ids per bucket are unaffected).
     """
+    if max_bucket_size is not None:
+        w = Window.partitionBy(*key_cols).orderBy(member)
+        banded = (
+            banded.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     buckets = banded.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(member)).alias("__members")
     )
-    members = (
-        F.slice("__members", 1, max_bucket_size)
-        if max_bucket_size is not None
-        else F.col("__members")
-    )
-    # own projection: a computed expression referenced inside the
-    # higher-order lambdas below would re-evaluate per element (the
-    # _shifted_ngrams lesson); a plain column reference is O(1)
-    capped = buckets.select(members.alias("__members"))
-    m = F.col("__members")
-    pairs = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + 2, F.size(m)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    # two-step unfold: each posexplode row carries (position, member,
+    # the capped array); the second generator evaluates only the suffix
+    # slice for that position — peak per-row memory O(cap), not O(cap²)
+    return (
+        buckets.select(
+            F.col("__members"),
+            F.posexplode("__members").alias("__i", "a"),
         )
-    )
-    return capped.select(F.explode(pairs).alias("__pair")).select(
-        "__pair.a", "__pair.b"
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(__members, __i + 2, size(__members))")
+            ).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
     )
 
 
@@ -289,13 +306,16 @@ def minhash_lsh_dedup_pairs(
     # the shingle sets feed three plan branches (signatures + both sides
     # of the verification join); materialize so shingling runs once, not
     # three times (CPU-bound recompute — unconditional, unlike the
-    # size-gated IO-bound sites in operators/shared.py). r15:
-    # localCheckpoint(eager=False) instead of persist() — persist pins
-    # the corpus-scale shingle blocks in the CacheManager for the
-    # SESSION lifetime (every crawl increment leaks one copy; the class
-    # round 14 closed for similarity), while checkpoint blocks are
-    # ContextCleaner-reclaimed when the frame is GC'd
-    base = base.localCheckpoint(eager=False)
+    # size-gated IO-bound sites in operators/shared.py). r16: tracked
+    # persist() (operators/shared.py generation ledger) — lineage stays
+    # intact so a lost executor recomputes instead of killing the job
+    # (the r15 localCheckpoint caveat), and the next invocation releases
+    # this generation deterministically, so a long session never
+    # accumulates shingle caches (the class round 14 closed for
+    # similarity) and every call recomputes from its inputs.
+    from druid_hadoop_utils_spark.operators.shared import persist_shared
+
+    base = persist_shared(base, "dedup.minhash_lsh_dedup_pairs")
     with_sig = minhash_table(base, "__id", "__sh", num_hashes, seed)
     cands = lsh_candidate_pairs(
         with_sig, "__id", "signature", bands, rows_per_band, max_bucket_size
@@ -359,8 +379,15 @@ def connected_components(
     O(diameter) — a 1000-doc chain converges in ~10 rounds. Each round is
     two shuffles on bounded keys; lineage is truncated per round with
     ``localCheckpoint`` so the plan stays flat no matter the iteration
-    count. Raises if ``max_iterations`` rounds don't converge (a wrong
-    answer would be silent; a loud failure is debuggable).
+    count (persist would leave each round's plan nesting the previous
+    round's). Caveat at cluster scale: localCheckpoint blocks live
+    unreplicated on executors, so an executor loss mid-iteration fails
+    the job — on clusters with dynamic allocation or preemptible nodes,
+    set a reliable checkpoint dir and swap these calls for
+    ``checkpoint()``. The label table is tiny (two longs per node), so
+    either primitive is cheap. Raises if ``max_iterations`` rounds
+    don't converge (a wrong answer would be silent; a loud failure is
+    debuggable).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -745,9 +772,20 @@ def incremental_neardup_pairs(
     hashes, a few longs per row) and — under ``verify_with`` — the
     candidates' shingle arrays are cached so the expensive
     shingle+hash pipeline runs ONCE per side, not once per plan branch
-    (same precedent as ``minhash_lsh_dedup_pairs``); a long-lived
-    session running many increments can release them with
-    ``spark.catalog.clearCache()`` between runs."""
+    (same precedent as ``minhash_lsh_dedup_pairs``). Lifecycle: each
+    increment deterministically releases the previous increment's
+    frames (operators/shared.py generation ledger), so a long-running
+    ingest session holds at most one increment's caches;
+    ``release_shared("dedup.incremental_neardup_pairs")`` drops even
+    those once the caller's action completes.
+
+    Id contract: ``verify_with`` (like the corpus manifest) must carry
+    at most one row per id. Duplicate ids inside ``verify_with`` would
+    survive into the verify pool — the pool dedups the NEW batch per id
+    but deliberately not the seen corpus (a per-id dedup there would
+    re-sort the entire corpus text per increment, the exact cost the
+    r15 anti-join rewrite removed) — and each duplicate then fans its
+    candidate pairs into duplicate output rows."""
     rows_per_band = num_hashes // bands
     new_base = spread(new_df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
@@ -780,11 +818,15 @@ def incremental_neardup_pairs(
     # shingle+minhash pipeline over the new batch, doubling exactly the
     # cost this operator exists to bound (round-12 review catch). The
     # materialized rows are (id, band, bucket, signature) — integers, no
-    # text. r15: localCheckpoint(eager=False) instead of persist() so
-    # the blocks are ContextCleaner-reclaimed when the frame is GC'd
-    # rather than CacheManager-pinned for the session (one leaked copy
-    # per crawl increment otherwise).
-    new_banded = band_rows(new_sigs).localCheckpoint(eager=False)
+    # text. r16: tracked persist() (operators/shared.py ledger) — the
+    # next increment releases this one deterministically (no
+    # session-lifetime CacheManager growth, no GC timing), and lineage
+    # stays intact so executor loss recomputes instead of failing the
+    # job (the r15 localCheckpoint fault-tolerance caveat).
+    from druid_hadoop_utils_spark.operators.shared import persist_shared
+
+    new_banded = persist_shared(
+        band_rows(new_sigs), "dedup.incremental_neardup_pairs")
     # the build side is EVERYTHING (seen ∪ new: new-new pairs matter
     # too) assembled FROM the persisted node, so new_sigs has exactly
     # one consumer; the probe side is new-batch rows only, so seen×seen
@@ -853,13 +895,13 @@ def incremental_neardup_pairs(
     seen_texts = verify_with.select(
         F.col(id_col).alias("__vid"), F.col(text_col).alias("__vtext")
     ).join(new_texts.select("__vid"), "__vid", "left_anti")
-    texts = (
+    texts = persist_shared(
         new_texts.unionByName(seen_texts)
-        .select("__vid", word_shingles("__vtext", shingle_n).alias("__vsh"))
-        # r15: localCheckpoint(eager=False), not persist() — same
-        # session-lifetime-pin rationale as `base` above; the verify
-        # pool's shingles are corpus-scale
-        .localCheckpoint(eager=False)
+        .select("__vid", word_shingles("__vtext", shingle_n).alias("__vsh")),
+        # second shared frame of the SAME invocation: fresh=False so it
+        # joins new_banded's generation instead of releasing it
+        "dedup.incremental_neardup_pairs",
+        fresh=False,
     )
     return (
         cands.join(texts.select(F.col("__vid").alias("id_a"),

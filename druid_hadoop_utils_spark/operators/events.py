@@ -58,7 +58,8 @@ def funnel_times(
     ev = materialize_shared(
         df.select(F.col(user_col), F.col(ts_col), F.col(type_col)).where(
             F.col(type_col).isin(list(steps))
-        )
+        ),
+        site="events.funnel_times",
     )
     cur = (
         ev.where(F.col(type_col) == steps[0])
@@ -162,7 +163,8 @@ def cohort_retention(
 
     bucket = F.date_trunc(period, F.col(ts_col))
     active = materialize_shared(
-        df.select(F.col(user_col), bucket.alias("__p")).distinct()
+        df.select(F.col(user_col), bucket.alias("__p")).distinct(),
+        site="events.cohort_retention",
     )
     first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
     joined = active.join(first, user_col)
@@ -245,7 +247,8 @@ def stickiness(
             F.col(user_col),
             F.date_trunc("week", F.col(ts_col)).alias("week"),
             F.date_trunc("day", F.col(ts_col)).alias("day"),
-        ).distinct()
+        ).distinct(),
+        site="events.stickiness",
     )
     dau = daily.groupBy("week", "day").agg(
         F.count_distinct(F.col(user_col)).alias("__dau")

@@ -104,7 +104,8 @@ def bm25_topk(
             F.col(id_col),
             F.size(toks).alias("__dl"),
             F.filter(toks, lambda t: t.isin(qterms)).alias("__mt"),
-        )
+        ),
+        site="search.bm25_topk",
     )
     # corpus stats: one broadcast row (from the materialized frame —
     # no second corpus scan)

@@ -201,7 +201,8 @@ def tfidf_top_terms(
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = materialize_shared(
-        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")),
+        site="text.tfidf_top_terms",
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if min_df > 1:
@@ -337,16 +338,24 @@ def contamination_pairs(
     # spread: the per-document winnowing is the CPU-heavy stage — a small
     # parquet file would otherwise plan as one input partition and run the
     # whole corpus on a single core. The fingerprint frame then feeds
-    # three consumers (the cap, the train side, the test side) —
-    # localCheckpoint materializes it once instead of re-running the
-    # winnowing expression per branch, and its blocks are reclaimed by the
-    # ContextCleaner when the frame is GC'd (a DataFrame persist() would
-    # pin the cache for the session lifetime)
-    fps = spread(df.select(id_col, split_col, text_col)).select(
-        F.col(id_col),
-        F.col(split_col),
-        F.explode(winnowing_fingerprints(text_col, k=k, window=window)).alias("fp"),
-    ).localCheckpoint(eager=False)
+    # three consumers (the cap, the train side, the test side) — a
+    # tracked persist() (operators/shared.py generation ledger, r16)
+    # materializes it once instead of re-running the winnowing
+    # expression per branch; lineage stays intact for executor-loss
+    # recovery, and the next invocation releases this generation
+    # deterministically (no session-lifetime cache pin)
+    from druid_hadoop_utils_spark.operators.shared import persist_shared
+
+    fps = persist_shared(
+        spread(df.select(id_col, split_col, text_col)).select(
+            F.col(id_col),
+            F.col(split_col),
+            F.explode(
+                winnowing_fingerprints(text_col, k=k, window=window)
+            ).alias("fp"),
+        ),
+        "text.leakage_safe_split",
+    )
     if max_fp_docs is not None:
         # fingerprints are distinct per document, so count(*) == doc count
         keep = (
@@ -447,7 +456,8 @@ def lm_score(
 
     bg = bigrams(df, id_col, text_col)
     cbg = materialize_shared(
-        bg.groupBy("prev", "cur").agg(F.count("*").alias("__cbg"))
+        bg.groupBy("prev", "cur").agg(F.count("*").alias("__cbg")),
+        site="text.lm_score",
     )
     cctx = cbg.groupBy("prev").agg(F.sum("__cbg").alias("__cctx"))
     vocab = cctx.agg(F.count("*").alias("__v"))
@@ -612,7 +622,8 @@ def corpus_report(
             *gcols,
             F.length(text_col).alias("__len"),
             F.md5(F.col(text_col).cast("binary")).alias("__fp"),
-        )
+        ),
+        site="text.corpus_report",
     )
     base = (lens.groupBy(*gcols) if gcols else lens.groupBy()).agg(
         F.count("*").alias("n_docs"),

@@ -21,11 +21,23 @@ def main() -> None:
     from druid_hadoop_utils_spark.battery import QUERIES
     from druid_hadoop_utils_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both --repeats=N and --repeats N (r15 ADVICE: the bare-flag
+    # form crashed on split and leaked N into the query list)
+    argv = sys.argv[1:]
+    args: list[str] = []
     repeats = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--repeats"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--repeats":
+            repeats = int(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--repeats="):
             repeats = int(a.split("=", 1)[1])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
 
     spark = get_spark("bench-subset")
     spark.sparkContext.setLogLevel("ERROR")
