@@ -287,54 +287,80 @@ def kll_state_grouped(
 
 def merge_kll_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
     """Merge partial KLL states per group (associative — reusable for
-    segment-level re-aggregation of stored states)."""
-    import pandas as pd
+    segment-level re-aggregation of stored states).
+
+    The grouped map runs in ``applyInArrow`` (r16, guide §4.1/§4.2): the
+    r15 ``applyInPandas`` path converted every group's
+    ``array<array<double>>`` state column Arrow→pandas, boxing each level
+    into a numpy object array, before the merge touched it — pure
+    serialization overhead for a function that only concatenates and
+    sorts doubles. Here the level payload is read straight out of the
+    Arrow buffers (offsets + one contiguous double buffer, zero-copy) and
+    merged with the same deterministic numpy compaction cascade the build
+    uses (``_compact_np`` ≡ ``_compact`` — same parity-offset promotion,
+    pinned by tests), so the merged VALUES are bit-identical to the
+    pandas path: no arithmetic happens in either, only concatenation,
+    sorting, and strided selection of the same doubles.
+
+    ORDER-FREE merge: concatenate every state level-wise, then one
+    compaction cascade — the result is a function of the MULTISET of
+    partial states, so shuffle arrival order can't matter."""
+    import numpy as np
+    import pyarrow as pa
 
     gcols = list(group_cols)
     out_fields = [states.schema[c] for c in gcols]
     out_schema = _state_schema(out_fields)
 
-    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if pdf["__kll_k"].nunique() != 1:
-            ks = sorted(int(v) for v in pdf["__kll_k"].unique())
-            key = {c: pdf[c].iloc[0] for c in gcols}
+    def merge_tbl(tbl: "pa.Table") -> "pa.Table":
+        ks = tbl.column("__kll_k").to_numpy(zero_copy_only=False)
+        uniq = sorted(set(int(v) for v in ks))
+        if len(uniq) != 1:
+            key = {c: tbl.column(c)[0].as_py() for c in gcols}
             raise ValueError(
-                f"merge_kll_states: mixed k values {ks} in group {key or '<all>'} "
+                f"merge_kll_states: mixed k values {uniq} in group {key or '<all>'} "
                 "— states built with different k are not mergeable; rebuild with "
                 "a uniform k"
             )
-        k = int(pdf["__kll_k"].iloc[0])
-        # ORDER-FREE merge: concatenate every state level-wise, sort each
-        # level, then one compaction cascade. The result is a function of
-        # the MULTISET of partial states — shuffle arrival order can't
-        # matter, so no deterministic-fold bookkeeping (and no per-state
-        # accumulator copies, which dominated with hundreds of partials
-        # per group). Memory is the same Arrow batch already holding the
-        # states, reshaped.
-        acc: list[list[float]] = [[]]
-        for lv in pdf["__kll_levels"]:
-            for i, items in enumerate(lv):
-                if i >= len(acc):
-                    acc.append([])
-                acc[i].extend(
-                    items.tolist() if hasattr(items, "tolist") else items
-                )
-        for level in acc:
-            level.sort()
-        _compact(acc, k)
-        for level in acc:
-            level.sort()  # canonical stored layout
-        row = {c: pdf[c].iloc[0] for c in gcols}
-        row["__kll_k"] = k
-        row["__kll_levels"] = acc
-        return pd.DataFrame([row], columns=gcols + ["__kll_k", "__kll_levels"])
+        k = uniq[0]
+        lv = tbl.column("__kll_levels")
+        lv = lv.combine_chunks() if isinstance(lv, pa.ChunkedArray) else lv
+        outer_off = lv.offsets.to_numpy()
+        inner = lv.values  # every level of every state, back-to-back
+        inner_off = inner.offsets.to_numpy()
+        vals = inner.values.to_numpy()
+        nstates = len(tbl)
+        widths = outer_off[1:] - outer_off[:-1]
+        max_levels = int(widths.max()) if nstates else 0
+        acc: list = []
+        for i in range(max_levels):
+            parts = []
+            for s in range(nstates):
+                j = outer_off[s] + i
+                if j < outer_off[s + 1]:
+                    a, b = inner_off[j], inner_off[j + 1]
+                    if b > a:
+                        parts.append(vals[a:b])
+            acc.append(
+                np.concatenate(parts) if len(parts) > 1
+                else (parts[0].copy() if parts else np.empty(0))
+            )
+        if not acc:
+            acc = [np.empty(0)]
+        _compact_np(acc, k)
+        acc = [np.sort(a) for a in acc]  # canonical stored layout
+        cols = [tbl.column(c).slice(0, 1) for c in gcols]
+        cols.append(pa.array([k], type=pa.int32()))
+        cols.append(pa.array([[a.tolist() for a in acc]],
+                             type=pa.list_(pa.list_(pa.float64()))))
+        return pa.table(cols, names=gcols + ["__kll_k", "__kll_levels"])
 
     if gcols:
-        return states.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
-    # grouping by a literal expression: the pdf carries only the state
+        return states.groupBy(*gcols).applyInArrow(merge_tbl, schema=out_schema)
+    # grouping by a literal expression: the table carries only the state
     # columns (no synthetic key column to drop)
-    return states.groupBy(F.lit(1).alias("__g")).applyInPandas(
-        lambda pdf: merge(pdf), schema=out_schema
+    return states.groupBy(F.lit(1).alias("__g")).applyInArrow(
+        lambda tbl: merge_tbl(tbl), schema=out_schema
     )
 
 

@@ -42,6 +42,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the norms supplied as PRE-COMPUTED columns.
+
+    ``cosine()`` inlines three O(dim) aggregate folds per evaluation (dot
+    + both norms); inside a candidate join each corpus/query row is
+    scored against many counterparts, so the norm folds re-run once per
+    PAIR. Projecting ``norm(v)`` once per ROW before the join and
+    dividing by the product leaves one fold (the dot) per pair — same
+    expression tree for the norm, evaluated earlier, so the doubles (and
+    the division) are bit-identical to ``cosine()`` (guide §1.2 step 2:
+    per-task work; oracle-pinned at every call site)."""
+    return dot(a, b) / (na * nb)
+
+
 def normalize(a: Column) -> Column:
     """L2-normalized copy of an embedding (zero vectors pass through)."""
     n = norm(a)
@@ -90,16 +104,23 @@ def brute_force_topk(
     from druid_hadoop_utils_spark.operators.dedup import spread
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    c = spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")))
+    c = spread(corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    ))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            _cosine_pre(F.col("__qv"), F.col("__cv"),
+                        F.col("__qn"), F.col("__cn")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -119,12 +140,16 @@ def similar_pairs(
     """All pairs with cosine >= threshold — exact all-pairs comparison, for
     oracle verification at test scales. The scale path is
     ``lsh_similar_pairs``."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  norm(F.col(vec_col)).alias("__nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .select("id_a", "id_b",
+                _cosine_pre(F.col("__va"), F.col("__vb"),
+                            F.col("__na"), F.col("__nb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -314,11 +339,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         F.explode(assign1(F.col(vec_col))).alias("__cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
     )
     cands = (
@@ -327,7 +354,8 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            _cosine_pre(F.col("__qv"), F.col("__cv"),
+                        F.col("__qn"), F.col("__cn")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -364,9 +392,13 @@ def lsh_topk(
 
     def with_sigs(df: DataFrame, idname: str) -> DataFrame:
         df = spread(df.select(F.col(id_col), F.col(vec_col)))
+        # the norm projects BEFORE the posexplode: one O(dim) fold per
+        # row, carried (not recomputed) through the ×tables Generate and
+        # the candidate join
         return df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(f"__{idname}_v"),
+            norm(F.col(vec_col)).alias(f"__{idname}_n"),
             F.posexplode(sig_udf(F.col(vec_col))).alias("__t", "__sig"),
         )
 
@@ -386,7 +418,8 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("__cos"),
+            _cosine_pre(F.col("__query_id_v"), F.col("__neighbor_id_v"),
+                        F.col("__query_id_n"), F.col("__neighbor_id_n")).alias("__cos"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.min("__cos").alias("cos_sim"))
@@ -582,6 +615,7 @@ def ivf_topk_from_postings(
     q_plan = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
     )
     # queries are the tiny broadcast side by contract, so collecting the
@@ -600,6 +634,7 @@ def ivf_topk_from_postings(
     c = postings.where(F.col("__cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         F.col("__cell"),
     )
     cands = (
@@ -608,7 +643,8 @@ def ivf_topk_from_postings(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            _cosine_pre(F.col("__qv"), F.col("__cv"),
+                        F.col("__qn"), F.col("__cn")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
@@ -866,6 +902,50 @@ def _pq_encode_udf(codebooks: np.ndarray, centroids: np.ndarray | None = None):
     return encode
 
 
+def _assign_encode_udf(
+    codebooks: np.ndarray, centroids: np.ndarray, residual: bool
+):
+    """Fused corpus-side IVF cell assignment + PQ encoding: ONE Arrow
+    crossing per corpus row instead of two. ``ivfpq_topk``'s r15 plan ran
+    ``_cell_assign_udf`` and ``_pq_encode_udf`` as two ArrowEvalPython
+    nodes, each shipping the full embedding column JVM→Python→JVM and
+    each normalizing the batch (guide §4.1: you control how many columns
+    cross and how often). The math is byte-for-byte the originals':
+    cell = ``argsort(-sims)[:, 0]`` (``_cell_assign_udf``'s nprobe=1
+    column, including its tie behavior), codes use ``argmax`` assignment
+    in residual mode (``_pq_encode_udf``'s convention) — so outputs are
+    identical, there is just one boundary crossing."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, dsub = codebooks.shape
+    cent_t = centroids.T  # dim × cells
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def assign_encode(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent_t  # n × cells
+        cells = np.argsort(-sims, axis=1)[:, 0].astype(np.int32)
+        enc = mat
+        if residual:
+            assign = np.argmax(mat @ centroids.T, axis=1)
+            enc = mat - centroids[assign]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = enc[:, j * dsub : (j + 1) * dsub]
+            scores = sub @ codebooks[j].T - 0.5 * (codebooks[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(scores, axis=1)
+        return pd.DataFrame({"cell": cells, "code": list(codes)})
+
+    # asNondeterministic: the cell-join's isnotnull(cell) filter otherwise
+    # pushes below the struct projection and the optimizer DUPLICATES the
+    # UDF — one ArrowEvalPython under the filter, one above for the code
+    # field (guide §4.4; observed: two assign_encode nodes, 1.24x slower
+    # than unfused). The function is pure; the marker only pins a single
+    # evaluation. Values unchanged.
+    return assign_encode.asNondeterministic()
+
+
 def _adc_score_udf(codebooks: np.ndarray, centroids: np.ndarray | None = None):
     """(query_vector, codes[, cell]) → approximate cosine: decode the
     candidate from its codes and dot with the normalized query —
@@ -959,20 +1039,29 @@ def ivfpq_topk(
     refine = refine if refine is not None else 4 * k
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}")
-    assign1 = _cell_assign_udf(centroids, 1)
     assignp = _cell_assign_udf(centroids, nprobe)
-    encode = _pq_encode_udf(codebooks, centroids if residual else None)
+    assign_encode = _assign_encode_udf(codebooks, centroids, residual)
     adc = _adc_score_udf(codebooks, centroids if residual else None)
 
+    # NO corpus-side norm precompute here, unlike ivf_topk/lsh_topk: the
+    # exact cosine runs only on the ≤ refine×queries ADC survivors, a set
+    # far smaller than the corpus, so a per-corpus-row norm fold would
+    # cost more folds than it saves — the survivor's norm is computed
+    # inline in the refine projection instead (the query side IS
+    # precomputed: |queries| folds pay for themselves immediately).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        encode(F.col(vec_col)).alias("__code"),
-        F.explode(assign1(F.col(vec_col))).alias("__cell"),
+        assign_encode(F.col(vec_col)).alias("__ae"),
+    ).select(
+        "neighbor_id", "__cv",
+        F.col("__ae.code").alias("__code"),
+        F.col("__ae.cell").alias("__cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(assignp(F.col(vec_col))).alias("__cell"),
     )
     adc_col = (
@@ -994,7 +1083,8 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            _cosine_pre(F.col("__qv"), F.col("__cv"),
+                        F.col("__qn"), norm(F.col("__cv"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))

@@ -99,6 +99,7 @@ def _sketch_names(aggs):
     return out
 
 
+@pytest.mark.slow
 def test_grammar_sweep_matches_plain_spark(spark, data):
     rng = random.Random(42)
     for case in range(N_CASES):

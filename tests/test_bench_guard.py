@@ -15,6 +15,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns full bench subprocesses (~2 min); excluded from the default (driver-verify) run
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

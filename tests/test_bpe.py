@@ -199,6 +199,7 @@ def naive_encode(word, merges_list):
     return s
 
 
+@pytest.mark.slow
 def test_encode_equals_naive_sequential_on_random_corpora(spark):
     import random
 

@@ -485,6 +485,7 @@ def test_cache_over_rewrite_integration(spark, table, monkeypatch):
     assert refilled == raw and len(refilled) == 8
 
 
+@pytest.mark.slow
 def test_rewrite_random_query_sweep_never_wrong(spark, table):
     """Soundness property: for RANDOM queries (dims × granularity ×
     intervals × filters × agg subsets), whenever the rewrite ANSWERS it

@@ -508,6 +508,7 @@ class TestConsumerEquivalence:
             .collect())
         return {r["event_type"]: (r["dn"], r["ds"] or 0.0) for r in rows}
 
+    @pytest.mark.slow
     def test_randomized_lifecycle_equivalence(self, spark, sf_dir,
                                               tmp_path):
         import random

@@ -322,6 +322,7 @@ def _race_merge(root, who, value, day, barrier, out):
         out.put((who, f"ERROR:{type(e).__name__}", str(e)[:300]))
 
 
+@pytest.mark.slow
 def test_two_process_merge_race_same_bucket(tmp_path, spark):
     """VERDICT r8 item 1 'done' bar: two real processes race merge_into
     on the SAME bucket — exactly one succeeds, one refuses, and the
@@ -356,6 +357,7 @@ def test_two_process_merge_race_same_bucket(tmp_path, spark):
     assert len(new_merge_versions) == 1
 
 
+@pytest.mark.slow
 def test_two_process_merge_race_disjoint_buckets(tmp_path, spark):
     """Non-overlapping buckets: BOTH succeed (the fingerprint is
     per-affected-bucket, not table-global)."""
@@ -598,6 +600,7 @@ def _race_publish(root, barrier, out):
         out.put(("pub", f"ERROR:{type(e).__name__}", str(e)[:300]))
 
 
+@pytest.mark.slow
 def test_two_process_publish_vs_merge_race(tmp_path, spark):
     """VERDICT r10 item 1 'done' bar: a plain publish racing a DML
     commit. Every announcement serializes on the commit lease, so either
@@ -736,6 +739,7 @@ def _race_merge_during_maintenance(root, value, barrier, out):
         out.put(("merge", f"ERROR:{type(e).__name__}", str(e)[:300]))
 
 
+@pytest.mark.slow
 def test_maintain_table_vs_concurrent_merge(tmp_path, spark):
     """maintain_table (advisor compaction + vacuum + derived-state
     sweeps) races a merge_into committing from a second process.

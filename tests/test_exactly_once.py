@@ -68,6 +68,7 @@ class TestExactlyOnceReplay:
         drain()   # replay of batch 2
         drain()   # caught up
 
+    @pytest.mark.slow
     def test_naive_unnamed_consumer_double_counts(self, spark,
                                                   tmp_path):
         """The failure mode the ledger exists for, on an UNNAMED stream

@@ -234,6 +234,7 @@ def test_natural_cmp_grid_matches_druid_comparator(spark):
 @settings(max_examples=60, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(trees())
+@pytest.mark.slow
 def test_random_filter_trees_match_reference_semantics(df, flt):
     spark_ids = sorted(
         r.id for r in df.where(filter_to_column(flt, df.schema)).select("id").collect()

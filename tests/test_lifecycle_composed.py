@@ -15,6 +15,8 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy stress/e2e sweep; excluded from the default (driver-verify) run
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

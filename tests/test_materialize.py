@@ -165,6 +165,7 @@ def test_query_reads_states_only(spark, table):
     assert not raw, f"raw segment files in the states-only query: {raw[:3]}"
 
 
+@pytest.mark.slow
 def test_randomized_publish_sequences_match_direct(spark, tmp_path):
     """Property sweep: random publish/replace sequences over random day
     layouts — after catching states up, the states-only query equals the

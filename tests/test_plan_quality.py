@@ -213,6 +213,7 @@ _CARTESIAN_ALLOWED = {
 }
 
 
+@pytest.mark.slow
 def test_battery_has_no_unexpected_cartesian_products(spark, sf_dir):
     """Sweep EVERY battery query's physical plan: a CartesianProduct or
     BroadcastNestedLoopJoin outside the documented allowlist means an

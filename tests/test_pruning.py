@@ -474,6 +474,7 @@ class TestPruningSoundnessProperty:
                 for i in range(10)]
         return singles + ands
 
+    @pytest.mark.slow
     def test_random_filters_match_unpruned(self, spark, tables):
         from druid_hadoop_utils_spark import load
 

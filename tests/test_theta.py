@@ -141,6 +141,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
                 min_size=1, max_size=80))
+@pytest.mark.slow
 def test_underfull_exactness_property(spark, values):
     """For ANY multiset with fewer than k distinct values, the KMV
     estimate equals the exact distinct count (theta = 1) — the property

@@ -1009,6 +1009,7 @@ def test_restore_objectsim_backend_round_trip(spark, sf_dir, tmp_path):
     assert total() == want  # shared dirs survived through objectsim://
 
 
+@pytest.mark.slow
 def test_restore_randomized_soundness_sweep(spark, sf_dir, tmp_path):
     """Randomized soundness: for random publish histories (full-day
     segments, so no partial-overshadow refusals) and a random historical
