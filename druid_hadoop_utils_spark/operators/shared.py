@@ -23,8 +23,9 @@ vocab-bounded — small even when recomputing it means re-scanning a
 100 TB corpus).
 
 The threshold is ``spark.graft.shared.materialize.minInputBytes``
-(default 64 MiB). ``0`` materializes unconditionally (how the
-scale-shape plan evidence in plans/ is captured); a negative value
+(default 16 MiB — set from the round-16 measured crossover, see
+``DEFAULT_MIN_INPUT_BYTES``). ``0`` materializes unconditionally (how
+the scale-shape plan evidence in plans/ is captured); a negative value
 disables materialization.
 
 Lifecycle (round 16). The materialization primitive is ``persist()``
@@ -69,10 +70,17 @@ from pyspark.sql import DataFrame
 #: conf key for the gate threshold (bytes of leaf-relation input)
 MIN_INPUT_BYTES_CONF = "spark.graft.shared.materialize.minInputBytes"
 
-#: default: re-reading <64 MiB of columnar input per extra consumer is
-#: cheaper than an extra job + block writes, locally and on a cluster
-#: (one task-wave); beyond it re-computation dominates
-DEFAULT_MIN_INPUT_BYTES = 64 * 1024 * 1024
+#: default 16 MiB, set EMPIRICALLY in round 16 (VERDICT item 6): on
+#: realistically-compressed multi-file corpora bracketing the gate,
+#: materialization beats per-consumer re-expansion for BOTH gated text
+#: operators from ~13 MiB of leaf input up (lm_score 0.85x / bm25 0.90x
+#: at 13 MiB; 0.70x / 0.76x at 27 MiB; 0.47x / 0.42x at 730 MiB —
+#: tools/gate_crossover_probe.py, full table in plans/r16/
+#: gate_crossover.md), while below ~4 MiB the extra job + cache round
+#: trip is floor-bound noise either way EXCEPT the single-file tiny
+#: corpus (the sf0.1 bench shape, 0.6 MiB), where r15 measured inline
+#: 1.33x better — which a 16 MiB gate keeps inline
+DEFAULT_MIN_INPUT_BYTES = 16 * 1024 * 1024
 
 # ------------------------------------------- deterministic persist ledger
 

@@ -27,7 +27,7 @@ class TestGate:
     def test_below_threshold_returns_input_unchanged(self, docs):
         small = docs.select("doc_id", "text")
         out = materialize_shared(small)
-        # sf test data is KBs; default gate is 64 MiB -> inline, unpersisted
+        # sf test data is KBs; default gate is 16 MiB -> inline, unpersisted
         assert out is small
         assert not out.storageLevel.useMemory
 
@@ -74,7 +74,10 @@ class TestGate:
         assert base is not None and est >= base // 2
 
     def test_default_threshold_is_scale_shaped(self):
-        assert DEFAULT_MIN_INPUT_BYTES == 64 * 1024 * 1024
+        # 16 MiB: the measured r16 crossover (plans/r16/gate_crossover.md)
+        # — above it materialization won on both gated text operators;
+        # below it the sf-bench single-file corpora stay inline
+        assert DEFAULT_MIN_INPUT_BYTES == 16 * 1024 * 1024
 
 
 class TestDedupDeterministicCacheLifecycle:

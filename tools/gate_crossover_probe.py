@@ -55,7 +55,11 @@ def main() -> None:
             sizes_mib.append(int(argv[i]))
         i += 1
     if not sizes_mib:
-        sizes_mib = [8, 32, 64, 128, 256]
+        # nominal UNCOMPRESSED text MiB; replicated text parquet-compresses
+        # ~11.6x on disk, and the gate keys on the on-disk (Catalyst leaf)
+        # estimate, so these bracket the 64 MiB default gate at
+        # est ≈ 0.7 / 5.5 / 22 / 66 / 132 MiB
+        sizes_mib = [8, 64, 256, 768, 1536]
 
     spark = get_spark("gate-crossover")
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,12 +73,15 @@ def main() -> None:
         path = f"{WORK}/documents_{mib}mib.parquet"
         if not os.path.exists(path):
             reps = max(1, round(mib * 1024 * 1024 / base_bytes))
+            # 32-way layout so the scan parallelizes like a real corpus
+            # (a single output file made every downstream stage 1-task)
             (base.crossJoin(
                 spark.range(reps).select(F.col("id").alias("__rep")))
              .select(
                  (F.col("doc_id") + F.col("__rep") * F.lit(10_000_000)
                   ).alias("doc_id"),
                  "text")
+             .repartition(32)
              .write.mode("overwrite").parquet(path))
         paths[mib] = path
 
