@@ -177,16 +177,25 @@ def _system_busy_jiffies() -> tuple[int, int]:
 
 
 def _pid_cpu_jiffies(pid: int) -> int:
+    """utime + stime + cutime + cstime of ``pid``.
+
+    cutime/cstime (reaped children) must be added at EVERY tree node,
+    not just the bench root: Spark's Python workers are reaped by the
+    pyspark daemon / JVM mid-run (worker-reuse recycling, idle timeout),
+    so their CPU folds into an INTERMEDIATE parent's cutime. The first
+    r16 closing runs counted only the root's cutime and misread up to
+    33 "foreign" cores on a 32-core box — the bench's own recycled
+    workers flagged as contamination. No double count: cutime covers
+    only EXITED children, live descendants are walked directly."""
     with open(f"/proc/{pid}/stat", "rb") as f:
         tail = f.read().rsplit(b")", 1)[1].split()
-    return int(tail[11]) + int(tail[12])  # utime + stime
+    return (int(tail[11]) + int(tail[12])      # utime + stime
+            + int(tail[13]) + int(tail[14]))   # cutime + cstime
 
 
 def _tree_cpu_jiffies(root: int) -> int:
     """CPU jiffies of ``root`` and every live descendant (driver + JVM +
-    Python workers). Reaped children's time is folded into the parent's
-    cutime/cstime, which we add at the root so short-lived helpers are
-    not misattributed as foreign load."""
+    Python workers), including each node's reaped children."""
     total = 0
     stack, seen = [root], set()
     while stack:
@@ -201,12 +210,6 @@ def _tree_cpu_jiffies(root: int) -> int:
                     stack.extend(int(c) for c in f.read().split())
         except OSError:
             continue  # raced with process exit
-    try:
-        with open(f"/proc/{root}/stat", "rb") as f:
-            tail = f.read().rsplit(b")", 1)[1].split()
-        total += int(tail[13]) + int(tail[14])  # cutime + cstime
-    except OSError:
-        pass
     return total
 
 
