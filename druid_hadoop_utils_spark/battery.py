@@ -5371,47 +5371,53 @@ _ROWS_ONLY = frozenset(
     n for n, (_fn, _sql) in QUERIES.items() if _sql is None)
 
 _DRIVER_PRIORITY = [
-    # round-15 rotation: recomputed from CORRECTNESS_r01..r14 —
-    # newest-checked distribution r14:50 r13:49 r12:48 r11:15
+    # round-16 rotation: recomputed from CORRECTNESS_r01..r15 —
+    # newest-checked distribution r15:50 r14:50 r13:49 r12:12 r11:2
     # ("checked" = hash-green, or rows-only with err == 'no_oracle' and
-    # spark_rows >= 0). No battery query's code changed this round
-    # (the r15 fixes are streaming/maintenance paths). Front: the 12
-    # hash-checkable r11-stale entries (alphabetical), then EXACTLY ONE
-    # rows-only entry — q_similarity_ivf_topk_prod, alphabetically
-    # first of the three r11-stale rows-only ANN entries (the other
-    # two rotate in r16/r17; ≤1 per sample keeps a driver artifact
-    # from ever again showing a multi-err round on designed rows-only
-    # entries) — then the r12 batch alphabetical SKIPPING its two
-    # rows-only members (q_kll_quantiles_prod, q_kll_state_reagg wait
-    # their one-per-round turn); the ~50 cap truncates the r12 tail
-    # (q_time_travel onward fronts in r16). Recomputed each round from
-    # CORRECTNESS_r01..rNN (NOTES.md).
-    # NEW in r15 (never driver-checked) — first:
-    "q_table_changes_projected",
-    # the 12 hash-checkable r11-stale entries:
-    "q_rank_quantiles_cont", "q_scan_interval_project",
-    "q_segment_table_load", "q_sessionize", "q_similarity_ivf_topk",
-    "q_similarity_pq_topk", "q_text_normalize_repetition",
-    "q_text_redact", "q_text_winnowing", "q_theta_distinct",
-    "q_timeseries_zero_fill", "q_tpch_q10_returned_items",
-    # this round's ONE rows-only slot:
-    "q_similarity_ivf_topk_prod",
-    # the r12 batch, alphabetical, rows-only members skipped; the cap
-    # truncates the tail (q_time_travel onward fronts in r16):
-    "q_agg_cardinality", "q_agg_filtered", "q_agg_hyperunique",
-    "q_agg_min_max", "q_bm25_search", "q_bpe_roundtrip",
-    "q_build_vocab", "q_cap_per_group", "q_cohort_retention",
-    "q_encode_docs", "q_event_transitions", "q_forward_fill",
-    "q_funnel", "q_granularity_all", "q_granularity_day_tz",
-    "q_granularity_fifteen_minute", "q_granularity_week",
-    "q_hybrid_search", "q_incremental_dedup", "q_incremental_neardup",
-    "q_join_5way_star", "q_join_broadcast_dim", "q_leakage_safe_split",
-    "q_media_decode_dims", "q_media_segment_hashes", "q_mix_sources",
-    "q_pack_documents", "q_post_agg_arithmetic",
-    "q_quantize_embeddings", "q_segment_metadata_analysis",
-    "q_segment_table_multivalue", "q_segment_table_zorder",
-    "q_snapshot_tag", "q_stickiness", "q_strip_dup_ngrams",
-    "q_text_lm_score", "q_theta_set_ops",
+    # spark_rows >= 0). This round CHANGED query code (similarity norm
+    # precompute + fused IVF-PQ encoding; dedup bucket-pair bounds +
+    # persist lifecycle), so the front is every hash-checkable query
+    # flowing through the changed operators — the driver re-verifies
+    # the rewrites itself, regardless of when it last saw them — then
+    # EXACTLY ONE rows-only entry (q_similarity_lsh_topk_prod: next in
+    # the r11-stale rows-only rotation AND itself touched this round;
+    # ≤1 per sample keeps the driver artifact from showing multi-err
+    # rounds on designed rows-only entries, pinned by
+    # test_driver_priority), then the stalest hash-checkable entries:
+    # the r12 tail fronted as promised by the r15 comment, then the
+    # r13 batch alphabetical up to the ~50 cap (its remainder fronts
+    # in r17). Recomputed each round from CORRECTNESS_r01..rNN
+    # (NOTES.md).
+    # changed-this-round, hash-checkable (alphabetical):
+    "q_dedup_clusters", "q_dedup_keep_best", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_embedding_neardup",
+    "q_hybrid_search", "q_incremental_neardup",
+    "q_similarity_ivf_postings", "q_similarity_ivf_topk",
+    "q_similarity_lsh_topk", "q_similarity_pq_topk",
+    "q_similarity_topk",
+    # this round's ONE rows-only slot (also touched this round):
+    "q_similarity_lsh_topk_prod",
+    # the r12-stale tail (fronting as promised in the r15 rotation):
+    "q_theta_set_ops", "q_time_travel", "q_timeseries_mad",
+    "q_timeseries_smooth", "q_tpch_q18_large_volume_customer",
+    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier_volume",
+    "q_tpch_q6_forecast_revenue", "q_weighted_sample",
+    "q_window_distribution",
+    # the r13 batch, alphabetical, rows-only members and
+    # changed-set members skipped; the ~50 cap truncates the tail
+    # (q_table_changes onward fronts in r17):
+    "q_agg_first_last", "q_anti_join", "q_corpus_report",
+    "q_correlated_subquery", "q_dedup_exact", "q_delete_where",
+    "q_distinct", "q_embedding_mean_pool", "q_filter_bound_numeric",
+    "q_filter_in", "q_filter_selector", "q_frame_sample_plan",
+    "q_json_props_extract", "q_materialized_rollup", "q_merge_upsert",
+    "q_mix_temperature", "q_multivalue_explode_groupby", "q_oov_rate",
+    "q_orderby_limit_topk", "q_percentile", "q_rollup_grouping_sets",
+    "q_salted_join", "q_sample_split", "q_scalar_functions",
+    "q_semi_join", "q_set_ops",
+    # cap margin (sampled only if the driver takes >50):
+    "q_table_changes", "q_table_changes_physical",
+    "q_tpch_q12_priority_lines", "q_tpch_q13_customer_distribution",
 ]
 
 

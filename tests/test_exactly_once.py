@@ -94,6 +94,7 @@ class TestExactlyOnceReplay:
         # an aggregate the update DOES move would be wrong here (see
         # the ledgered twin below asserting score sums)
 
+    @pytest.mark.slow
     def test_named_stream_clamps_completed_replay(self, spark,
                                                   tmp_path):
         """The same crash window on a NAMED stream: the registry commit
@@ -139,6 +140,7 @@ class TestExactlyOnceReplay:
         assert final == {"rows": 12, "score": 72.0}
         assert len(ledger.entries()) == 2
 
+    @pytest.mark.slow
     def test_widened_replay_bounds_never_double_fold(self, spark,
                                                      tmp_path):
         """Offset checkpoint lost AND a new publish lands before

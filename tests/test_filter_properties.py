@@ -207,6 +207,7 @@ def df(spark):
     return spark.createDataFrame([Row(**r) for r in ROWS])
 
 
+@pytest.mark.slow
 def test_natural_cmp_grid_matches_druid_comparator(spark):
     """All-pairs grid: the Catalyst natural comparator must agree with the
     Python reference of Druid 0.9's StringComparators.ALPHANUMERIC on

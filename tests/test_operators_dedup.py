@@ -52,6 +52,7 @@ def test_minhash_lsh_finds_planted_near_dups(docs):
     assert (1, 4) not in got and (2, 4) not in got
 
 
+@pytest.mark.slow
 def test_minhash_recall_vs_exact_on_real_docs(spark, sf_dir):
     """LSH recall against the exact all-pairs oracle on the driver corpus."""
     docs = load_table(spark, sf_dir, "documents")
@@ -344,6 +345,7 @@ def test_dedup_keep_best_quality_and_singletons(spark):
     assert kept == [2, 4]
 
 
+@pytest.mark.slow
 def test_simhash_table_swar_bit_identical_to_naive(spark):
     """The SWAR lane-packed bit sums (round 6) must be bit-identical to
     the naive per-bit formulation in BOTH hash modes — including docs

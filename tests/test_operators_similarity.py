@@ -626,6 +626,7 @@ class TestQuantization:
         assert all(-127 <= c <= 127 for r in rows.values() for c in r.qvec)
 
 
+@pytest.mark.slow
 def test_residual_vs_plain_pq_recall_on_clustered_data(spark):
     """VERDICT r4 stretch: the residual option's value MEASURED as
     recall@k, not just reconstruction error. Same m/ks/nprobe, same

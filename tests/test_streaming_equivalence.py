@@ -308,6 +308,7 @@ def test_streaming_zscore_cold_start_guard(spark, tmp_path):
     assert all(r.zscore is None and r.is_outlier is False for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
     """VERDICT r4 stretch: kill-and-restart mid-stream for sessionize.
     A session whose events STRADDLE the restart boundary must still emit
